@@ -1,0 +1,70 @@
+"""Table catalog over the driver-generated parquet test tables.
+
+The reference infers schema at runtime from each source (CSV header,
+DBI statement metadata, JSON keys — dbitool.pl:1802-1811, 1355-1361,
+2228-2242); here the parquet footer is the schema authority and
+Catalyst propagates it. One loader per table keeps nanosecond-timestamp
+normalization (events.ts) in a single place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (region=5 rows, nation=25 rows regardless of SF; supplier/part
+# grow slowly). Join helpers consult this to pick broadcast sides.
+BROADCASTABLE = {"region", "nation", "supplier", "part"}
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.parquet stores INT64 TIMESTAMP(NANOS), which Spark rejects
+    unless spark.sql.legacy.parquet.nanosAsLong=true. It is a runtime
+    SQL conf, so set it defensively even on externally-created sessions
+    (the correctness driver passes its own SparkSession)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf in some deployments; then it must be preset
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one test table. `events.ts` arrives as int64 nanoseconds
+    (see _ensure_nanos_conf); a derived `ts_ts` timestamp column is
+    added there while the raw nanos column is preserved for exact
+    oracle comparison."""
+    if table == "events":
+        _ensure_nanos_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # microsecond precision is the finest Spark timestamp; keep the
+        # int64 nanos column authoritative, expose the usable timestamp.
+        df = df.withColumn("ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries can
+    name them exactly as the DuckDB oracle does."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

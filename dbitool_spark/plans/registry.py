@@ -1,0 +1,53 @@
+"""Central registry: query name -> (spark, sf_dir) -> DataFrame, plus
+the DuckDB oracle SQL per query.
+
+Conventions (driver contract, __spark_entry__.py):
+- column names identical between the Spark result and the oracle SQL;
+- aggregate doubles produced via the decimal-exact path
+  (functions.numeric) so value hashes match bit-for-bit;
+- timestamps never emitted raw: formatted to strings or epoch ints;
+- queries without an oracle entry are non-SQL-expressible (driver
+  records a rows-only check) — keep that set minimal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbitool_spark.plans import relational
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    _QUERIES[name] = fn
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --- relational core (SURVEY.md §2.5 intended scope) ---
+register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
+register("q3_shipping_priority", relational.q3_shipping_priority, relational.Q3_SQL)
+register("q5_region_revenue", relational.q5_region_revenue, relational.Q5_SQL)
+register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_SQL)
+register("customer_segment_stats", relational.customer_segment_stats, relational.CUSTOMER_SEGMENT_SQL)
+register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
+register(
+    "nations_without_suppliers",
+    relational.nations_without_suppliers,
+    relational.NATIONS_WITHOUT_SUPPLIERS_SQL,
+)
+register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)

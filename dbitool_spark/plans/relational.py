@@ -1,0 +1,327 @@
+"""Relational analytics queries over the test star schema.
+
+The reference shipped zero relational operators — joins, filters,
+aggregations, windows, sorts were all future work (reference
+TODO:61-78; SURVEY.md §2.5) — so this module realizes that intended
+scope Spark-first. Each function is a (spark, sf_dir) -> DataFrame
+callable registered in __spark_entry__.queries() with a DuckDB oracle.
+
+Scale notes (100 TB design point):
+- region/nation/supplier/part joins are explicitly broadcast
+  (catalog.BROADCASTABLE) — no shuffle of the fact table for dims.
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key once;
+  groupBy keys are chosen to reuse that partitioning where possible.
+- filters precede joins so parquet scan pushdown prunes early
+  (verify with .explain(): PushedFilters on the scan node).
+- numeric convention: see functions.numeric (decimal-exact aggs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbitool_spark import catalog
+from dbitool_spark.functions.numeric import davg, dsum, money, rate
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scanwide agg on lineitem with computed measures.
+    Single shuffle (groupBy on 2 low-cardinality keys); partial
+    aggregation map-side makes the shuffle tiny at any scale."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    qty = money("l_quantity")
+    price = money("l_extendedprice")
+    disc = rate("l_discount")
+    tax = rate("l_tax")
+    disc_price = price * (F.lit(1).cast("decimal(6,4)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(6,4)") + tax)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(qty, "sum_qty"),
+            dsum(price, "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(qty, "avg_qty"),
+            davg(price, "avg_price"),
+            davg(disc, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_charge,
+       CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(CAST(round(SUM(CAST(l_discount AS DECIMAL(6,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, deterministic top-10.
+    customer is filtered before the join (segment predicate pushed to
+    scan) and broadcast-joined into orders; orders⋈lineitem shuffles
+    on orderkey once and the subsequent groupBy(l_orderkey, ...) reuses
+    that hash partitioning — no second shuffle of the fact data."""
+    cust = (
+        catalog.load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = catalog.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. All dimension hops
+    (region→nation→customer / supplier) broadcast; the only shuffles
+    are the two fact-side equi-joins. The c_nationkey = s_nationkey
+    condition makes it a genuine multi-predicate join."""
+    region = catalog.load(spark, sf_dir, "region")
+    nation = catalog.load(spark, sf_dir, "nation")
+    cust = catalog.load(spark, sf_dir, "customer")
+    supp = catalog.load(spark, sf_dir, "supplier")
+    orders = catalog.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = catalog.load(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k: 3 highest-revenue parts per brand.
+    Broadcast part into the lineitem agg; the window partitions by
+    brand (low cardinality — AQE handles any skew)."""
+    part = catalog.load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(dsum(revenue, "revenue"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_name", "revenue", "rank")
+        .orderBy("p_brand", "rank")
+    )
+
+
+TOP_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, p_name, revenue, rank FROM (
+  SELECT p_brand, p_name, revenue,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rank
+  FROM per_part JOIN part ON l_partkey = p_partkey
+) WHERE rank <= 3
+ORDER BY p_brand, rank
+"""
+
+
+def customer_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation variety: count distinct, conditional agg, min/max.
+    Per-segment distinct nation count is exact (COUNT DISTINCT
+    shuffles once on the group key)."""
+    cust = catalog.load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            dsum(money("c_acctbal"), "sum_acctbal"),
+            davg(money("c_acctbal"), "avg_acctbal"),
+            F.min(money("c_acctbal")).cast("double").alias("min_acctbal"),
+            F.max(money("c_acctbal")).cast("double").alias("max_acctbal"),
+            F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMER_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       CAST(CAST(round(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_acctbal,
+       CAST(CAST(round(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 4) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_acctbal,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_acctbal,
+       COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets over (returnflag, linestatus); NULL group
+    markers replaced with 'ALL' so the hash comparison is well-defined
+    across engines."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op / anti-join: nations that have customers but no
+    suppliers. Anti-join broadcasts the supplier key set — at 100 TB
+    the distinct-key side stays tiny (≤ nation count)."""
+    nation = catalog.load(spark, sf_dir, "nation")
+    cust_nations = catalog.load(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    supp_nations = catalog.load(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    return (
+        nation.join(cust_nations, nation.n_nationkey == cust_nations.c_nationkey, "left_semi")
+        .join(
+            F.broadcast(supp_nations),
+            nation.n_nationkey == supp_nations.s_nationkey,
+            "left_anti",
+        )
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+NATIONS_WITHOUT_SUPPLIERS_SQL = """
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+  AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+ORDER BY n_nationkey
+"""
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join from orders to lineitem with a
+    date-window filter — semi-join avoids materializing the (huge)
+    match multiplicity."""
+    orders = catalog.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+    )
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-06-01").cast("timestamp_ntz")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
