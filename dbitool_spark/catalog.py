@@ -27,10 +27,21 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale
-# factor (region=5 rows, nation=25 rows regardless of SF; supplier/part
-# grow slowly). Join helpers consult this to pick broadcast sides.
-BROADCASTABLE = {"region", "nation", "supplier", "part"}
+# Tables small enough to broadcast at ANY scale factor: region (5 rows)
+# and nation (25 rows) are constant-size regardless of SF. Everything
+# else (customer/supplier/part/orders/lineitem) scales linearly, so
+# explicit broadcast hints are wrong at the 100 TB design point —
+# those joins rely on AQE's size-based dynamic broadcast instead.
+# All broadcast decisions route through maybe_broadcast().
+BROADCASTABLE = {"region", "nation"}
+
+
+def maybe_broadcast(table: str, df: DataFrame) -> DataFrame:
+    """Broadcast-hint `df` only if `table` is constant-size
+    (BROADCASTABLE). For scale-dependent tables the plan is left
+    unhinted so AQE's runtime size estimate decides — an explicit hint
+    would disable Spark's fallback and OOM executors at 100x."""
+    return F.broadcast(df) if table in BROADCASTABLE else df
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
@@ -55,7 +66,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # microsecond precision is the finest Spark timestamp; keep the
         # int64 nanos column authoritative, expose the usable timestamp.
-        df = df.withColumn("ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer `div`, not `/`: bigint / int is double division and
+        # epoch-nanos (~1.7e18) exceed the 53-bit double mantissa, so
+        # float division can be off by ±1 us.
+        df = df.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -46,8 +46,8 @@ register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_P
 register("customer_segment_stats", relational.customer_segment_stats, relational.CUSTOMER_SEGMENT_SQL)
 register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
 register(
-    "nations_without_suppliers",
-    relational.nations_without_suppliers,
-    relational.NATIONS_WITHOUT_SUPPLIERS_SQL,
+    "customers_without_recent_orders",
+    relational.customers_without_recent_orders,
+    relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
 )
 register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)

@@ -7,8 +7,11 @@ scope Spark-first. Each function is a (spark, sf_dir) -> DataFrame
 callable registered in __spark_entry__.queries() with a DuckDB oracle.
 
 Scale notes (100 TB design point):
-- region/nation/supplier/part joins are explicitly broadcast
-  (catalog.BROADCASTABLE) — no shuffle of the fact table for dims.
+- only constant-size dims (region/nation) get explicit broadcast
+  hints, via catalog.maybe_broadcast; every scale-dependent side is
+  left unhinted so AQE's runtime size estimate picks broadcast vs
+  shuffle — an explicit hint on customer/part/supplier would OOM
+  executors at 100x.
 - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once;
   groupBy keys are chosen to reuse that partitioning where possible.
 - filters precede joins so parquet scan pushdown prunes early
@@ -74,9 +77,12 @@ ORDER BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, agg, deterministic top-10.
     customer is filtered before the join (segment predicate pushed to
-    scan) and broadcast-joined into orders; orders⋈lineitem shuffles
-    on orderkey once and the subsequent groupBy(l_orderkey, ...) reuses
-    that hash partitioning — no second shuffle of the fact data."""
+    scan) and projected to the single join column; no explicit
+    broadcast hint — customer scales with SF, so AQE decides broadcast
+    vs shuffle from the filtered size at runtime. orders⋈lineitem
+    shuffles on orderkey once and the subsequent
+    groupBy(l_orderkey, ...) reuses that hash partitioning — no second
+    shuffle of the fact data."""
     cust = (
         catalog.load(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -91,7 +97,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -125,14 +131,16 @@ LIMIT 10
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table join. All dimension hops
-    (region→nation→customer / supplier) broadcast; the only shuffles
-    are the two fact-side equi-joins. The c_nationkey = s_nationkey
+    """TPC-H Q5 shape: 6-table join. Constant-size dims (nation,
+    region) are broadcast-hinted via catalog.maybe_broadcast; customer
+    and supplier scale with SF, so those joins are left to AQE (they
+    shuffle on their keys at 100 TB, broadcast at small SF — the
+    runtime size estimate picks). The c_nationkey = s_nationkey
     condition makes it a genuine multi-predicate join."""
-    region = catalog.load(spark, sf_dir, "region")
-    nation = catalog.load(spark, sf_dir, "nation")
-    cust = catalog.load(spark, sf_dir, "customer")
-    supp = catalog.load(spark, sf_dir, "supplier")
+    region = catalog.maybe_broadcast("region", catalog.load(spark, sf_dir, "region"))
+    nation = catalog.maybe_broadcast("nation", catalog.load(spark, sf_dir, "nation"))
+    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = catalog.load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
@@ -141,10 +149,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(dsum(revenue, "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -169,15 +177,18 @@ ORDER BY revenue DESC, n_name
 
 def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function top-k: 3 highest-revenue parts per brand.
-    Broadcast part into the lineitem agg; the window partitions by
-    brand (low cardinality — AQE handles any skew)."""
+    The lineitem agg shrinks to one row per partkey before joining
+    part; part scales with SF (~2B rows at 100 TB) so no broadcast
+    hint — both sides are partkey-keyed and AQE picks the strategy.
+    The window partitions by brand (low cardinality — AQE handles any
+    skew)."""
     part = catalog.load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     li = catalog.load(spark, sf_dir, "lineitem")
     revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
     per_part = (
         li.groupBy("l_partkey")
         .agg(dsum(revenue, "revenue"))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (
@@ -268,43 +279,58 @@ ORDER BY returnflag, linestatus
 """
 
 
-def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-op / anti-join: nations that have customers but no
-    suppliers. Anti-join broadcasts the supplier key set — at 100 TB
-    the distinct-key side stays tiny (≤ nation count)."""
-    nation = catalog.load(spark, sf_dir, "nation")
-    cust_nations = catalog.load(spark, sf_dir, "customer").select("c_nationkey").distinct()
-    supp_nations = catalog.load(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join with a genuinely non-empty difference set: customers
+    that placed no order on/after 2001-01-01 (order dates in the test
+    data run 1995-01 .. 2001-08, so both sides of the split are
+    populated at every SF). The anti side is filtered + projected to
+    the single key column before the join; both sides shuffle on
+    custkey — the anti-join is a plain shuffled hash join at scale,
+    never a driver-side key collection. Oracle uses NOT EXISTS (not
+    NOT IN) so NULL keys can't silently flip semantics vs left_anti."""
+    cust = catalog.load(spark, sf_dir, "customer")
+    recent = (
+        catalog.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
     return (
-        nation.join(cust_nations, nation.n_nationkey == cust_nations.c_nationkey, "left_semi")
-        .join(
-            F.broadcast(supp_nations),
-            nation.n_nationkey == supp_nations.s_nationkey,
-            "left_anti",
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_inactive"),
+            dsum(money("c_acctbal"), "sum_acctbal"),
         )
-        .select("n_nationkey", "n_name")
-        .orderBy("n_nationkey")
+        .orderBy("c_mktsegment")
     )
 
 
-NATIONS_WITHOUT_SUPPLIERS_SQL = """
-SELECT n_nationkey, n_name FROM nation
-WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
-  AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
-ORDER BY n_nationkey
+CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_inactive,
+       CAST(CAST(round(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """
 
 
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS semi-join from orders to lineitem with a
     date-window filter — semi-join avoids materializing the (huge)
-    match multiplicity."""
+    match multiplicity. Date windows sit inside the generated data's
+    ranges (orders 1995-01..2001-08, shipdates 1995-01..2001-11) so
+    the result is non-empty at every SF — a real correctness check,
+    not a 0-rows-vs-0-rows tautology."""
     orders = catalog.load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     li = catalog.load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-06-01").cast("timestamp_ntz")
+        F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp_ntz")
     )
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
@@ -317,11 +343,11 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDER_PRIORITY_SQL = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey
-                AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
+                AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00')
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """

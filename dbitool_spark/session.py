@@ -38,6 +38,14 @@ def get_session(app_name: str = "dbitool_spark", cpus: str | None = None) -> Spa
     - Arrow on: vectorized pandas UDF / toPandas paths.
     """
     cpus = cpus or _DEFAULT_CPUS
+    # Respect an externally-provided session (e.g. the driver's), but
+    # apply the runtime SQL confs it may lack — a non-UTC session would
+    # silently break timestamp/date_format oracle parity, and the nanos
+    # conf is required to read events.parquet at all.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        _apply_runtime_confs(active)
+        return active
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
@@ -51,11 +59,26 @@ def get_session(app_name: str = "dbitool_spark", cpus: str | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    # Respect an externally-provided master (e.g. the driver's session).
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        return active
-    return builder.master(master).getOrCreate()
+    session = builder.master(master).getOrCreate()
+    _apply_runtime_confs(session)
+    return session
+
+
+def _apply_runtime_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable SQL confs the engine's semantics depend
+    on. Safe on any session (these are not static confs); failures are
+    tolerated per-conf so a locked-down deployment degrades loudly at
+    read time rather than here."""
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
 
 
 def stop_session() -> None:
