@@ -1,0 +1,82 @@
+"""CSV source/sink (reference csvread scripts/dbitool.pl:1757-1822,
+csvwrite :1824-1892).
+
+Option surface preserved: sep / quote / escape / header. The
+reference's default is quote="" escape="" (no quoting at all), which
+makes values containing the separator ambiguous on re-read -- a
+documented limitation of the reference's unquoted wire; its own
+TestRow fixture produces such rows. Spark expresses "no quoting" as
+an empty quote option; our default keeps proper quoting on so
+round-trips are lossless. Schema follows the reference's
+stringly-typed wire (SURVEY.md 1.3): all columns StringType unless
+the caller opts into inference or passes an explicit schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    sep: str = ",",
+    quote: str = '"',
+    escape: str = "\\",
+    header: bool = True,
+    schema: str | None = None,
+    infer: bool = False,
+    permissive_corrupt_col: str | None = None,
+) -> DataFrame:
+    """CSV scan. Default is the reference's contract: header row
+    provides column names, every column lands as string (no implicit
+    typing). infer=True opts into Spark schema inference; an explicit
+    `schema` wins over both. permissive_corrupt_col routes malformed
+    lines into a named column instead of failing (the error-stream
+    model, see dbitool_spark.obs)."""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("quote", quote)  # empty string disables quoting
+        .option("escape", escape)
+        .option("header", header)
+    )
+    if permissive_corrupt_col:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", permissive_corrupt_col
+        )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    sep: str = ",",
+    quote: str = '"',
+    escape: str = "\\",
+    header: bool = True,
+    compression: str | None = None,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """CSV sink. header=True emits the column-name line at the top of
+    every part file (Spark's native per-file header -- the distributed
+    generalization of the reference's single header line).
+    quote="" suppresses quoting entirely (reference default,
+    lossy for values containing the separator)."""
+    out = df.coalesce(1) if single_file else df
+    writer = (
+        out.write.mode(mode)
+        .option("sep", sep)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("header", header)
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)

@@ -1,0 +1,97 @@
+"""JSON source/sink pair (reference jsonread scripts/dbitool.pl:2188-2259,
+jsonwrite :2261-2313, ndjsonread :2315-2377, ndjsonwrite :2379-2436).
+
+NDJSON is Spark's native JSON mode and fully streaming/distributed.
+Single-document JSON (one array of objects) is a pipeline breaker in
+the reference ("in memory" modules, memorylimit guard at
+scripts/dbitool.pl:40,777-778) and in Spark (multiLine=True parses a
+whole file per task); both read and write paths here keep an explicit
+row bound that mirrors the reference's memorylimit semantics.
+
+Schema note (SURVEY.md 1.3): the reference derives columns from the
+first object's keys with nondeterministic order; Spark sorts JSON
+field names -- canonical, better-defined behavior, documented
+divergence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_MEMORY_LIMIT = 100_000  # rows; reference --memorylimit default
+
+
+def read_ndjson(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str | None = None,
+    permissive_corrupt_col: str | None = None,
+) -> DataFrame:
+    """One JSON object per line; streaming-friendly, scales to any
+    size (the reference's own POD recommends NDJSON over JSON for
+    exactly this reason, scripts/dbitool.pl:2954-2964)."""
+    reader = spark.read
+    if permissive_corrupt_col:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", permissive_corrupt_col
+        )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_ndjson(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str | None = None,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    writer = (df.coalesce(1) if single_file else df).write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str | None = None,
+) -> DataFrame:
+    """Whole-document JSON array of objects. multiLine=True makes each
+    FILE one parse unit -- a genuine single-task cost the optimizer
+    cannot split, so this is for bounded edges only (same contract as
+    the reference's in-memory jsonread)."""
+    reader = spark.read.option("multiLine", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    *,
+    pretty: bool = False,
+    memory_limit: int = DEFAULT_MEMORY_LIMIT,
+) -> None:
+    """Single-document JSON array sink -- inherently driver-side
+    (one document has one writer). Guarded by memory_limit exactly as
+    the reference guards its in-memory modules; for unbounded data use
+    write_ndjson. Writes one file at `path`."""
+    rows = df.limit(memory_limit + 1).toJSON().collect()
+    if len(rows) > memory_limit:
+        raise MemoryError(
+            f"write_json is a bounded edge: >{memory_limit} rows "
+            "(reference memorylimit semantics); use write_ndjson"
+        )
+    parsed = [json.loads(r) for r in rows]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(parsed, fh, indent=2 if pretty else None, separators=None if pretty else (",", ":"))

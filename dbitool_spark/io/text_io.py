@@ -1,0 +1,60 @@
+"""Raw-line text source/sink + stdin (reference fileread
+scripts/dbitool.pl:892-954, filewrite :1078-1121, stdin :956-992).
+
+The reference's `raw` stream type — untyped lines in a single column —
+maps to Spark's `DataFrame[value: string]`. Gzip is transparent on
+read (Spark auto-decodes .gz by extension) and a write option on the
+sink, mirroring the reference's gzip/gunzip modules
+(scripts/dbitool.pl:1176-1316) as codec properties rather than
+pipeline operators.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+RAW_COL = "value"  # Spark's text column; the reference calls it col1
+
+
+def read_text(spark: SparkSession, path: str, *, wholetext: bool = False) -> DataFrame:
+    """Line-per-row text source. `.gz` inputs decompress transparently.
+    wholetext=True reads each file as a single row (blob mode)."""
+    return spark.read.text(path, wholetext=wholetext)
+
+
+def write_text(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str | None = None,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """Raw sink: one line per row of the single string column.
+    compression="gzip" reproduces the reference's gzip module as a
+    sink property. single_file=True coalesces to one partition for
+    byte-exact small outputs (bounded edges only — at scale leave it
+    False and let each task write its own part file)."""
+    if len(df.columns) != 1:
+        raise ValueError(f"write_text expects a single string column, got {df.columns}")
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def read_stdin(spark: SparkSession, *, max_lines: int = 1_000_000) -> DataFrame:
+    """Driver-side stdin ingestion (bounded; the reference's stdin
+    module is the one unbounded source it has, scripts/dbitool.pl:956-992
+    — the streaming analogue lives in dbitool_spark.streaming).
+    Reads at most max_lines to honor the reference's memorylimit-style
+    guard on driver memory."""
+    lines = []
+    for i, line in enumerate(sys.stdin):
+        if i >= max_lines:
+            raise MemoryError(f"stdin exceeded max_lines={max_lines}")
+        lines.append((line.rstrip("\n"),))
+    return spark.createDataFrame(lines, schema=f"{RAW_COL} string")

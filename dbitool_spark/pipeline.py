@@ -1,0 +1,326 @@
+"""Pipeline builder + module registry: spec -> wired DataFrame DAG.
+
+The reference's identity is its CLI pipeline language
+(`dbitool mod:arg=val:... mod2:...`): modules are wired by named
+streams, a missing `in` defaults to the previous module's `out`, a
+missing `out` gets a generated name, and one stream may fan out to
+many readers (reference parse/setup scripts/dbitool.pl:66-155,
+:671-680; fan-out :454-459; `@file` shortcut :93-103).
+
+This module reproduces that WHAT on Spark's execution model:
+
+- a **module** is a registered builder function
+  `(ctx, inputs, args) -> DataFrame | None` (None for sinks);
+- a **stream** is a named edge in a lazy DataFrame DAG -- no buffers,
+  no scheduler: Catalyst/AQE own execution (SURVEY.md 3.1);
+- **fan-out** = one DataFrame consumed by N downstream modules; the
+  builder counts readers during wiring and `.persist()`s any stream
+  with >1 so the upstream computes once (the reference copies rows
+  into per-reader buffers; persist is the Spark-native equivalent);
+- **schema negotiation** is Catalyst analysis -- free;
+- sinks execute at `run()` (actions), sources/transform are lazy.
+
+Spec forms accepted: CLI-style strings ("csvread:in=/f.csv:sep=,"),
+dicts ({"module": "csvread", "in": "/f.csv", "sep": ","}), and the
+`@filename` shortcut that instantiates fileread/filewrite by
+position, mirroring the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbitool_spark.io import csv_io, fixedwidth, json_io, text_io
+from dbitool_spark.ops.column import project
+
+ModuleFn = Callable[["Pipeline", list[DataFrame], dict[str, Any]], DataFrame | None]
+
+MODULES: dict[str, ModuleFn] = {}
+
+
+def register_module(name: str) -> Callable[[ModuleFn], ModuleFn]:
+    def deco(fn: ModuleFn) -> ModuleFn:
+        MODULES[name] = fn
+        return fn
+
+    return deco
+
+
+def _flag(args: dict, key: str, default: bool = True) -> bool:
+    v = args.get(key, default)
+    return v in (True, 1, "1", "true")
+
+
+def _widths(args: dict) -> list[int]:
+    w = args.get("width", "")
+    if isinstance(w, (list, tuple)):
+        return [int(x) for x in w]
+    if not w:
+        raise ValueError("width not specified")
+    return [int(x) for x in str(w).split(",")]
+
+
+# --- sources (file path in `in`, like the reference's fileread in=FILENAME) ---
+
+
+@register_module("fileread")
+def _fileread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return text_io.read_text(p.spark, a["in"], wholetext=_flag(a, "wholetext", False))
+
+
+@register_module("csvread")
+def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return csv_io.read_csv(
+        p.spark,
+        a["in"],
+        sep=a.get("sep", ","),
+        quote=a.get("quote", '"'),
+        escape=a.get("escape", "\\"),
+        header=_flag(a, "header"),
+        schema=a.get("schema"),
+        infer=_flag(a, "infer", False),
+    )
+
+
+@register_module("ndjsonread")
+def _ndjsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return json_io.read_ndjson(p.spark, a["in"], schema=a.get("schema"))
+
+
+@register_module("jsonread")
+def _jsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return json_io.read_json(p.spark, a["in"], schema=a.get("schema"))
+
+
+@register_module("fixedwidthread")
+def _fixedwidthread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return fixedwidth.read_fixedwidth(
+        p.spark, a["in"], _widths(a), header=_flag(a, "header"), trim=_flag(a, "trim")
+    )
+
+
+@register_module("parquetread")
+def _parquetread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return p.spark.read.parquet(a["in"])
+
+
+# --- transforms ---
+
+
+@register_module("column")
+def _column(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return project(ins[0], a["clist"])
+
+
+@register_module("filter")
+def _filter(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return ins[0].filter(a["expr"])
+
+
+@register_module("union")
+def _union(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Stream concat (reference TODO:74-75 intended scope)."""
+    out = ins[0]
+    for other in ins[1:]:
+        out = out.unionByName(other, allowMissingColumns=_flag(a, "allow_missing", False))
+    return out
+
+
+# --- sinks (file path in `out`, like filewrite out=FILENAME) ---
+
+
+@register_module("filewrite")
+def _filewrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    text_io.write_text(
+        ins[0],
+        a["out"],
+        compression=a.get("compression"),
+        single_file=_flag(a, "single_file", False),
+    )
+
+
+@register_module("csvwrite")
+def _csvwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    csv_io.write_csv(
+        ins[0],
+        a["out"],
+        sep=a.get("sep", ","),
+        quote=a.get("quote", '"'),
+        escape=a.get("escape", "\\"),
+        header=_flag(a, "header"),
+        compression=a.get("compression"),
+        single_file=_flag(a, "single_file", False),
+    )
+
+
+@register_module("ndjsonwrite")
+def _ndjsonwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    json_io.write_ndjson(
+        ins[0],
+        a["out"],
+        compression=a.get("compression"),
+        single_file=_flag(a, "single_file", False),
+    )
+
+
+@register_module("jsonwrite")
+def _jsonwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    json_io.write_json(ins[0], a["out"], pretty=_flag(a, "pretty", False))
+
+
+@register_module("fixedwidthwrite")
+def _fixedwidthwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    fixedwidth.write_fixedwidth(
+        ins[0], a["out"], _widths(a), header=_flag(a, "header"),
+        compression=a.get("compression"),
+        single_file=_flag(a, "single_file", False),
+    )
+
+
+@register_module("parquetwrite")
+def _parquetwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    ins[0].write.mode(a.get("mode", "overwrite")).parquet(a["out"])
+
+
+_SOURCES = {"fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread", "parquetread"}
+_SINKS = {"filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite", "parquetwrite"}
+
+
+@dataclass
+class _ModuleSpec:
+    name: str
+    args: dict[str, Any]
+    in_streams: list[str] = field(default_factory=list)
+    out_stream: str | None = None
+
+
+class Pipeline:
+    """Declarative pipeline: add modules, then run().
+
+    >>> p = Pipeline(spark)
+    >>> p.add("csvread:in=/data/x.csv:sep=|:out=raw")
+    >>> p.add("column", clist="a,b", out="slim")
+    >>> p.add("ndjsonwrite", out_path="/data/x.ndjson")
+    >>> p.run()
+
+    Streams: each module's missing `in` is wired to the previous
+    module's out stream; a missing `out` gets streamN. `stream(name)`
+    exposes any edge as a DataFrame for ad-hoc use.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._specs: list[_ModuleSpec] = []
+        self._streams: dict[str, DataFrame] = {}
+        self._counter = 0
+
+    # -- spec assembly --------------------------------------------------
+
+    def add(self, spec: str | dict[str, Any], **kwargs: Any) -> "Pipeline":
+        if isinstance(spec, str):
+            mod = self._parse_cli(spec)
+        else:
+            spec = dict(spec)
+            mod = _ModuleSpec(spec.pop("module"), spec)
+        mod.args.update(kwargs)
+        if mod.name not in MODULES:
+            raise ValueError(f"unknown module {mod.name!r}; known: {sorted(MODULES)}")
+        self._wire(mod)
+        self._specs.append(mod)
+        return self
+
+    def _parse_cli(self, text: str) -> _ModuleSpec:
+        """`name:arg=val:arg=val` or `@filename` (fileread/filewrite by
+        position, reference :93-103)."""
+        if text.startswith("@"):
+            name = "fileread" if not self._specs or self._specs[-1].name in _SINKS else "filewrite"
+            key = "in" if name == "fileread" else "out"
+            return _ModuleSpec(name, {key: text[1:]})
+        parts = text.split(":")
+        args: dict[str, Any] = {}
+        for token in parts[1:]:
+            if "=" not in token:
+                raise ValueError(f"malformed argument {token!r} in {text!r}")
+            k, v = token.split("=", 1)
+            args[k] = v
+        return _ModuleSpec(parts[0], args)
+
+    def _wire(self, mod: _ModuleSpec) -> None:
+        """Reference argument convention (scripts/dbitool.pl:671-680):
+        sources take in=PATH out=STREAM; sinks take in=STREAM out=PATH;
+        transforms take in=STREAM out=STREAM. A missing input stream
+        defaults to the previous module's output; a missing output
+        stream gets a generated streamN name."""
+        args = mod.args
+        if mod.name in _SOURCES:
+            mod.in_streams = []
+        else:
+            declared = args.pop("in", None)
+            if declared:
+                mod.in_streams = [s.strip() for s in str(declared).split(",")]
+            else:
+                prev_out = next(
+                    (m.out_stream for m in reversed(self._specs) if m.out_stream), None
+                )
+                if prev_out is None:
+                    raise ValueError(f"module {mod.name} has no input stream to wire")
+                mod.in_streams = [prev_out]
+        if mod.name in _SINKS:
+            mod.out_stream = None
+        else:
+            declared_out = args.pop("out", None) if mod.name not in _SOURCES else None
+            if mod.name in _SOURCES:
+                # for sources `in` is the path; `out` names the stream
+                declared_out = args.pop("out", None)
+            if declared_out:
+                mod.out_stream = str(declared_out)
+            else:
+                self._counter += 1
+                mod.out_stream = f"stream{self._counter}"
+
+    # -- build & run ----------------------------------------------------
+
+    def _build(self, with_sinks: bool) -> None:
+        # count readers per stream to decide persist (fan-out)
+        reads: dict[str, int] = {}
+        for m in self._specs:
+            for s in m.in_streams:
+                reads[s] = reads.get(s, 0) + 1
+        self._streams = {}
+        for m in self._specs:
+            if m.name in _SINKS and not with_sinks:
+                continue
+            try:
+                inputs = [self._streams[s] for s in m.in_streams]
+            except KeyError as e:
+                raise ValueError(f"module {m.name}: unknown stream {e}") from e
+            out = MODULES[m.name](self, inputs, dict(m.args))
+            if m.out_stream is not None:
+                if out is None:
+                    raise ValueError(f"module {m.name} produced no output for stream {m.out_stream}")
+                if reads.get(m.out_stream, 0) > 1:
+                    out = out.persist()
+                self._streams[m.out_stream] = out
+
+    def stream(self, name: str) -> DataFrame:
+        """Wire the DAG (sources + transforms only; sink writes do NOT
+        fire) and return one edge as a lazy DataFrame."""
+        self._build(with_sinks=False)
+        if name not in self._streams:
+            raise ValueError(f"unknown stream {name!r}; have {sorted(self._streams)}")
+        return self._streams[name]
+
+    def run(self) -> None:
+        """Build the DAG and execute every sink write (the actions)."""
+        self._build(with_sinks=True)
+        # unpersist fan-out streams so repeated run() calls don't
+        # accumulate storage
+        for df in self._streams.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass

@@ -1,0 +1,127 @@
+"""Oracle-checked format round-trip queries (SURVEY.md §2.1/§2.2).
+
+Each query writes a test table through one of the engine's format
+sinks into a scratch directory, reads it back through the matching
+source, and returns the round-tripped rows. The DuckDB oracle is the
+straight SELECT over the original parquet — so a green row proves the
+sink+source pair preserves values exactly, not merely that it runs
+(the r1 lesson: no vacuous greens).
+
+Typed columns cross the text formats explicitly: doubles survive via
+Spark's round-trippable repr; timestamps are emitted as formatted
+strings in the RESULT (never raw) so engine timezone handling can't
+skew the comparison.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbitool_spark import catalog
+from dbitool_spark.io import csv_io, fixedwidth, json_io
+from dbitool_spark.ops.column import project
+
+
+def _scratch(name: str) -> str:
+    return tempfile.mkdtemp(prefix=f"dbitool_fmt_{name}_")
+
+
+def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV (quoted, gzip) → back with explicit schema.
+    Exercises sep/quote/escape/header plus the gzip codec path."""
+    cust = catalog.load(spark, sf_dir, "customer")
+    path = os.path.join(_scratch("csv"), "customer.csv")
+    csv_io.write_csv(cust, path, sep="|", compression="gzip")
+    back = csv_io.read_csv(
+        spark,
+        path,
+        sep="|",
+        schema="c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    return project(back, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+
+
+CSV_ROUNDTRIP_CUSTOMER_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+def ndjson_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → NDJSON → back. Timestamps ride as ISO strings in JSON;
+    the result formats them to yyyy-MM-dd for engine-neutral hashing."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    path = os.path.join(_scratch("ndjson"), "orders.ndjson")
+    json_io.write_ndjson(orders, path)
+    back = json_io.read_ndjson(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+        "o_orderpriority",
+    )
+
+
+NDJSON_ROUNDTRIP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+       o_orderpriority
+FROM orders
+"""
+
+
+def json_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region (constant 5 rows) through the bounded single-document
+    JSON edge — the reference's in-memory jsonread/jsonwrite pair."""
+    region = catalog.load(spark, sf_dir, "region")
+    path = os.path.join(_scratch("json"), "region.json")
+    json_io.write_json(region, path)
+    back = json_io.read_json(spark, path, schema="r_regionkey int, r_name string")
+    return project(back, ["r_regionkey", "r_name"])
+
+
+JSON_ROUNDTRIP_REGION_SQL = "SELECT r_regionkey, r_name FROM region"
+
+
+def fixedwidth_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → fixed-width text → back (substring scan), values cast
+    to their original types. Widths sized so nothing truncates."""
+    nation = catalog.load(spark, sf_dir, "nation")
+    path = os.path.join(_scratch("fw"), "nation.fw")
+    fixedwidth.write_fixedwidth(nation, path, [12, 20, 12])
+    back = fixedwidth.read_fixedwidth(spark, path, [12, 20, 12])
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+FIXEDWIDTH_ROUNDTRIP_NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (free text with punctuation) → quoted CSV → back:
+    the quoting/escape stress test on real content."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    path = os.path.join(_scratch("docs"), "documents.csv")
+    csv_io.write_csv(docs, path)
+    back = csv_io.read_csv(
+        spark,
+        path,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return project(back, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+CSV_ROUNDTRIP_DOCUMENTS_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"

@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbitool_spark.plans import relational
+from dbitool_spark.plans import format_io, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -51,3 +51,18 @@ register(
     relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
 )
 register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
+
+# --- format I/O round-trips (SURVEY.md §2.1/§2.2 sources+sinks) ---
+register("csv_roundtrip_customer", format_io.csv_roundtrip_customer, format_io.CSV_ROUNDTRIP_CUSTOMER_SQL)
+register("ndjson_roundtrip_orders", format_io.ndjson_roundtrip_orders, format_io.NDJSON_ROUNDTRIP_ORDERS_SQL)
+register("json_roundtrip_region", format_io.json_roundtrip_region, format_io.JSON_ROUNDTRIP_REGION_SQL)
+register(
+    "fixedwidth_roundtrip_nation",
+    format_io.fixedwidth_roundtrip_nation,
+    format_io.FIXEDWIDTH_ROUNDTRIP_NATION_SQL,
+)
+register(
+    "csv_roundtrip_documents",
+    format_io.csv_roundtrip_documents,
+    format_io.CSV_ROUNDTRIP_DOCUMENTS_SQL,
+)

@@ -1,0 +1,153 @@
+"""Format round-trips with the TestRow fixture — the reference's own
+test strategy (SURVEY.md §5: generate deterministic rows, push through
+format conversions, check() exact values)."""
+
+from __future__ import annotations
+
+import glob
+import gzip as gzmod
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from dbitool_spark import testrow
+from dbitool_spark.io import (
+    read_csv,
+    read_fixedwidth,
+    read_json,
+    read_ndjson,
+    read_text,
+    write_csv,
+    write_fixedwidth,
+    write_json,
+    write_ndjson,
+    write_text,
+)
+from dbitool_spark.ops.column import project
+
+N = 200  # fixture rows per test; covers NaN floats and comma-bearing uuencode
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dbitool_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _check_df(df):
+    """Exact-value oracle over a collected DataFrame in HEADER order."""
+    rows = df.select(*testrow.HEADER).collect()
+    assert len(rows) == N
+    for r in sorted(rows, key=lambda r: int(r[0])):
+        testrow.check(tuple(r))
+
+
+def test_csv_roundtrip(spark, tmpdir):
+    df = testrow.dataframe(spark, N)
+    path = os.path.join(tmpdir, "t.csv")
+    write_csv(df, path)
+    _check_df(read_csv(spark, path))
+
+
+def test_csv_roundtrip_custom_sep_no_header(spark, tmpdir):
+    df = testrow.dataframe(spark, N)
+    path = os.path.join(tmpdir, "t.psv")
+    write_csv(df, path, sep="|", header=False)
+    back = read_csv(spark, path, sep="|", header=False)
+    # header=0: Spark names columns _c0.._cN (reference: col1..colN)
+    back = back.toDF(*testrow.HEADER)
+    _check_df(back)
+
+
+def test_ndjson_roundtrip(spark, tmpdir):
+    df = testrow.dataframe(spark, N)
+    path = os.path.join(tmpdir, "t.ndjson")
+    write_ndjson(df, path)
+    back = read_ndjson(spark, path)  # JSON keys come back sorted
+    _check_df(project(back, list(testrow.HEADER)))
+
+
+def test_json_single_doc_roundtrip(spark, tmpdir):
+    df = testrow.dataframe(spark, N)
+    path = os.path.join(tmpdir, "t.json")
+    write_json(df, path)
+    back = read_json(spark, path)
+    _check_df(project(back, list(testrow.HEADER)))
+
+
+def test_json_write_respects_memory_limit(spark, tmpdir):
+    df = testrow.dataframe(spark, 50)
+    with pytest.raises(MemoryError):
+        write_json(df, os.path.join(tmpdir, "t.json"), memory_limit=10)
+
+
+def test_fixedwidth_roundtrip(spark, tmpdir):
+    df = testrow.dataframe(spark, N)
+    # widths wide enough that no value truncates
+    widths = [8, 16, 50, 20, 12, 18, 24, 6, 6, 6, 6, 40]
+    path = os.path.join(tmpdir, "t.fw")
+    write_fixedwidth(df, path, widths)
+    _check_df(read_fixedwidth(spark, path, widths))
+
+
+def test_fixedwidth_truncates_at_width(spark, tmpdir):
+    df = testrow.dataframe(spark, 5)
+    widths = [8, 4, 50, 20, 12, 18, 24, 6, 6, 6, 6, 40]  # int32 cut to 4
+    path = os.path.join(tmpdir, "t.fw")
+    write_fixedwidth(df, path, widths)
+    # the header line truncates too ("int32" -> "int3", reference
+    # semantics), so restore full names explicitly on read
+    back = read_fixedwidth(
+        spark, path, widths, colnames=list(testrow.HEADER)
+    ).collect()
+    full = {int(r[0]): r for r in testrow.rows(5)}
+    for r in back:
+        assert r["int32"] == str(full[int(r["row"])][1])[:4]
+
+
+def test_fixedwidth_no_header_names(spark, tmpdir):
+    df = testrow.dataframe(spark, 10)
+    widths = [8, 16, 50, 20, 12, 18, 24, 6, 6, 6, 6, 40]
+    path = os.path.join(tmpdir, "t.fw")
+    write_fixedwidth(df, path, widths, header=False)
+    back = read_fixedwidth(spark, path, widths, header=False)
+    assert back.columns == [f"col{i+1}" for i in range(12)]
+    assert back.count() == 10
+
+
+def test_reference_wire_formats_parse(spark, tmpdir):
+    """Our readers ingest the reference's exact wire output (the
+    ndjson/json generators are byte-validated ports)."""
+    nd_path = os.path.join(tmpdir, "ref.ndjson")
+    with open(nd_path, "w") as fh:
+        fh.write("\n".join(testrow.ndjson_lines(N)))
+    _check_df(project(read_ndjson(spark, nd_path), list(testrow.HEADER)))
+
+    j_path = os.path.join(tmpdir, "ref.json")
+    with open(j_path, "w") as fh:
+        fh.write(testrow.json_doc(N))
+    _check_df(project(read_json(spark, j_path), list(testrow.HEADER)))
+
+
+def test_gzip_csv_roundtrip(spark, tmpdir):
+    df = testrow.dataframe(spark, N)
+    path = os.path.join(tmpdir, "t.csv.d")
+    write_csv(df, path, compression="gzip")
+    parts = glob.glob(os.path.join(path, "*.csv.gz"))
+    assert parts, "expected gzip part files"
+    with gzmod.open(parts[0], "rt") as fh:  # genuinely gzip on disk
+        assert fh.readline().startswith("row,")
+    _check_df(read_csv(spark, path))
+
+
+def test_gzip_text_roundtrip(spark, tmpdir):
+    lines = testrow.csv_lines(N)
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    path = os.path.join(tmpdir, "t.txt.d")
+    write_text(df, path, compression="gzip", single_file=True)
+    back = read_text(spark, path)
+    got = sorted(r[0] for r in back.collect())
+    assert got == sorted(lines)
