@@ -1,0 +1,243 @@
+"""Deduplication operators for LLM-scale corpus curation.
+
+The reference has no dedup (its closest primitive is the ndb table's
+last-write-wins upsert by key, scripts/dbitool.pl:2561-2694 — see
+dbitool_spark.ndb); these operators are the north-star extension
+scoped in SURVEY.md §7 M5, designed shuffle-first for 100 TB:
+
+- exact dedup: hash shuffle on the dedup key(s) — Spark's
+  dropDuplicates, one shuffle, map-side combine;
+- keyed last-write-wins: window by key ordered by version — the
+  distributed generalization of ndb upsert;
+- MinHash-LSH near-dup: shingle → minhash signature → banded bucket
+  join. Candidates are generated ONLY within equal (band, band-hash)
+  buckets — never an all-pairs product — then verified with exact
+  Jaccard. Every step is built-in column expressions (xxhash64,
+  transform, array_min): JVM-side, codegen, no Python in the hot path;
+- SimHash: 64-bit signed-bit-sum signature; near-dup candidates by
+  exact match on 16-bit chunks (hamming-radius banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exact deduplication: one row per distinct key tuple (all
+    columns when keys is None). Single hash shuffle on the keys with
+    map-side partial dedup — the canonical scale path."""
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def dedup_keyed_last_wins(df: DataFrame, key: str, order_by: str | list[str]) -> DataFrame:
+    """Keyed last-write-wins (ndb upsert semantics, distributed):
+    keep the row with the highest `order_by` per `key` (pass several
+    order columns to break ties deterministically). One shuffle on
+    the key."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a text column (lowercased,
+    whitespace-tokenized). Pure expression — no UDF."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            )
+        )
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 64
+) -> DataFrame:
+    """(id, sh: array<string>) -> (id, h0..h{n-1}) minhash columns.
+
+    Shape matters: explode the shingle set once and take n_hashes MIN
+    aggregates per id. Each shingle is hashed n times but BUILT once —
+    expressing this as n array_min(transform(...)) expressions instead
+    makes Catalyst re-evaluate the shingle construction per seed
+    (measured 140s vs 3s at 1000 docs). The groupBy shuffles one row
+    per (id, shingle): map-side partial mins keep the shuffle tiny."""
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
+    return exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH with exact-Jaccard
+    verification. Returns (id_a, id_b) with id_a < id_b and
+    jaccard >= threshold.
+
+    Scale shape (100 TB): the only joins are (1) the banded
+    self-equi-join on (band_index, band_hash) — bucket-local, never
+    all-pairs; and (2) two hash joins rejoining shingle sets for the
+    exact verify, keyed on the ids. Skewed buckets (e.g. boilerplate
+    docs) are AQE skew-split; candidate distinct() dedups band
+    collisions before the verify join so each pair verifies once.
+
+    With b bands of r = n_hashes/b rows, P(candidate) = 1-(1-s^r)^b:
+    ~1.0 at s=0.9, ~0.17 at s=0.5 for the 16x4 default — the classic
+    S-curve centered near s ~ (1/b)^(1/r) ~ 0.5.
+    """
+    rows = n_hashes // bands
+    if rows * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+    # shingle sets are reused by the signature pass and both sides of
+    # the verify join — persist so the text is shingled exactly once
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).persist()
+    sig = minhash_signatures(sh, n_hashes)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    result = verified.select("id_a", "id_b", "jaccard")
+    return result
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, shingle_k: int = 3
+) -> DataFrame:
+    """Exact word-shingle Jaccard for given (id_a, id_b) pairs —
+    the ground-truth verifier used to test LSH recall."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig) 64-bit SimHash per document: each distinct word's
+    xxhash64 votes +1/-1 per bit position; signature bit = sign of the
+    vote sum. Explode + 64 SUM aggregates (same shape rationale as
+    minhash_signatures: hash each word once, let map-side partial
+    aggregation carry the 64 counters through one shuffle)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("w"),
+    ).withColumn("wh", F.xxhash64("w"))
+    votes = words.groupBy("id").agg(
+        *[
+            F.sum((F.shiftrightunsigned(F.col("wh"), i) % 2).cast("int") * 2 - 1).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # pack sign bits; bit 63 carries the sign, its place value is -2^63
+    packed = F.lit(0).cast("bigint")
+    for i in range(64):
+        place = -(1 << 63) if i == 63 else (1 << i)
+        packed = packed + F.when(
+            F.col(f"b{i}") > 0, F.lit(place).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return votes.select("id", packed.alias("sig"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-dup candidate pairs by SimHash chunk banding: two docs are
+    candidates if any of the four 16-bit chunks of their signatures
+    match exactly (covers hamming distance <= 3 fully, more
+    probabilistically). Bucket join, never all-pairs."""
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "ch"),
+    )
+    left, right = chunks.alias("l"), chunks.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ch") == F.col("r.ch"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .select("id_a", "id_b", "hamming")
+    )

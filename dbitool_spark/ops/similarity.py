@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the north-star scope (SURVEY.md §7 M5):
+
+- brute-force cosine top-k: exact baseline. The query set must be
+  small (it is broadcast); the corpus side streams — one pass, no
+  shuffle of the corpus, top-k via per-query window. Cost is
+  O(|corpus| * |queries|): correct tool for oracle checks and small
+  query batches, wrong tool at 100 TB with many queries.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures
+  hashed into multiple independent tables; candidates are generated
+  only within equal (table, bucket) pairs — bucket join, never
+  all-pairs — then exact-ranked. The scale path.
+
+All dot products are pure column expressions (zip_with + aggregate
+in double precision): JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double in
+    element order (deterministic across runs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos). The
+    query side is broadcast (must be small); self-matches excluded.
+    Rank ties break on neighbor id for determinism."""
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplanes(n_tables: int, bits: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]: value =
+    sha256(table, bit, dim-index) mapped to a float. No RNG state —
+    reproducible across sessions and cluster sizes."""
+    planes = []
+    for t in range(n_tables):
+        table = []
+        for b in range(bits):
+            vec = []
+            for d in range(dim):
+                h = hashlib.sha256(struct.pack(">III", t, b, d)).digest()
+                (u,) = struct.unpack(">Q", h[:8])
+                vec.append((u / 2**64) * 2.0 - 1.0)
+            table.append(vec)
+        planes.append(table)
+    return planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 16,
+    bits: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Signature per table = `bits` sign bits of hyperplane dot products
+    packed into an int bucket id. A corpus vector is a candidate for a
+    query iff they share a bucket in at least one table; candidates
+    are exact-ranked. P(same bit) = 1 - angle/pi, so multi-table
+    OR-ing recovers high recall while each join stays bucket-local —
+    at 100 TB the candidate join shuffles on (table, bucket), and
+    bucket skew is handled by AQE skew-join.
+
+    Returns (query_id, neighbor_id, rank, cos) like brute_force_topk;
+    rank is within retrieved candidates (approximate top-k).
+
+    Tuning: recall ~= 1 - (1 - p^bits)^n_tables with p = 1 - angle/pi.
+    The 16x4 default targets corpora whose true neighbors sit at
+    modest cosine (~0.3, p ~ 0.6): recall ~0.87 on the test data. For
+    high-similarity regimes (near-dup search at cos >= 0.9) use fewer
+    tables of MORE bits (e.g. 8x8) — buckets stay selective and the
+    candidate join prunes harder.
+    """
+    planes = _hyperplanes(n_tables, bits, dim)
+
+    def bucket_cols(vec: Column) -> list[Column]:
+        out = []
+        for t in range(n_tables):
+            acc = F.lit(0)
+            for b in range(bits):
+                plane = F.array(*[F.lit(v) for v in planes[t][b]])
+                bit = (dot(vec, plane) > 0).cast("int")
+                acc = F.shiftleft(acc, 1) + bit
+            out.append(acc)
+        return out
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.posexplode(F.array(*bucket_cols(F.col(vec_col)))).alias("table", "bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(F.array(*bucket_cols(F.col(vec_col)))).alias("table", "bucket"),
+    )
+    candidates = (
+        c.join(q, ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b,
+    cos >= threshold), LSH-bucketed: high-cosine pairs collide in at
+    least one table with high probability, so the candidate join
+    stays bucket-local."""
+    planes = _hyperplanes(n_tables, bits, dim)
+
+    def bucket_cols(vec: Column) -> list[Column]:
+        out = []
+        for t in range(n_tables):
+            acc = F.lit(0)
+            for b in range(bits):
+                plane = F.array(*[F.lit(v) for v in planes[t][b]])
+                acc = F.shiftleft(acc, 1) + (dot(vec, plane) > 0).cast("int")
+            out.append(acc)
+        return out
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(F.array(*bucket_cols(F.col(vec_col)))).alias("table", "bucket"),
+    )
+    left, right = sig.alias("l"), sig.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("l.v").alias("va"),
+            F.col("r.id").alias("id_b"),
+            F.col("r.v").alias("vb"),
+        )
+        .distinct()
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,308 @@
+"""Oracle-checked queries for the LLM-pipeline operator families
+(dedup / similarity / text analysis / multimodal) over the
+documents + embeddings + events tables.
+
+Where the synthetic corpus has no natural duplicates, the query
+constructs its difference set explicitly (self-union for exact dedup;
+a drop-last-word perturbation for near-dup) so every green row proves
+value-level behavior on a non-empty result — never a 0-vs-0
+tautology. Approximate operators (LSH ANN, SimHash) get rows-only
+entries here and exact recall tests in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbitool_spark import catalog
+from dbitool_spark.ops import dedup, multimodal, similarity, text
+
+
+# --- exact dedup -----------------------------------------------------
+
+
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents unioned with itself, deduped on all columns: the
+    output must be exactly the original table. Hash shuffle on all
+    columns with map-side combine — the 100 TB exact-dedup shape."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs.unionAll(docs))
+
+
+EXACT_DEDUP_DOCUMENTS_SQL = """
+SELECT DISTINCT doc_id, text, lang, source, n_chars
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+"""
+
+
+def last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-write-wins over the events stream: latest event per
+    user (ndb upsert semantics, distributed). Comparison runs at
+    microsecond resolution because DuckDB truncates the nanosecond
+    parquet timestamps to TIMESTAMP(us) on read — ordering uses the
+    truncated value in BOTH engines so the picked row agrees."""
+    ev = catalog.load(spark, sf_dir, "events")
+    last = dedup.dedup_keyed_last_wins(
+        ev.select(
+            "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+        ),
+        "user_id",
+        ["ts_us", "event_id"],
+    )
+    return last.select("user_id", "event_id", "event_type", "ts_us").orderBy("user_id")
+
+
+LAST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# --- near-dup (MinHash LSH) -------------------------------------------
+
+
+_PERTURB_OFFSET = 1_000_000
+
+
+def _perturbed_corpus(docs: DataFrame) -> DataFrame:
+    """documents plus a copy with the last word dropped — every
+    (i, i+offset) pair is a near-duplicate by construction with
+    jaccard = |shingles(first n-1 words)| / |shingles(all words)|."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    perturbed = docs.select(
+        (F.col("doc_id") + _PERTURB_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(perturbed)
+
+
+def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the perturbed corpus, exact-
+    Jaccard verified at threshold 0.7. The corpus contains BOTH the
+    constructed (i, i+offset) pairs and the generator's planted
+    natural near-duplicates, so the oracle is honest brute force:
+    exact Jaccard over all pairs in DuckDB. A hash match therefore
+    proves banding recall AND verification values end to end."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.7
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+# Brute-force oracle. |A ∪ B| = |A| + |B| - |A ∩ B| (shingle lists are
+# distinct), and pairs are pre-pruned by the length-ratio bound implied
+# by jaccard >= t: min(|A|,|B|) >= t * max(|A|,|B|).
+MINHASH_NEAR_DUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
+         array_to_string(ws[1:len(ws) - 1], ' ') AS text
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus)
+),
+shn AS (SELECT doc_id, s, len(s) AS n FROM sh),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS li, a.n AS na, b.n AS nb
+  FROM shn a JOIN shn b
+    ON a.doc_id < b.doc_id
+   AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+)
+SELECT id_a, id_b, CAST(li AS DOUBLE) / (na + nb - li) AS jaccard
+FROM cand
+WHERE CAST(li AS DOUBLE) / (na + nb - li) >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
+def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash chunk-banded candidates over the perturbed corpus,
+    kept at hamming distance <= 3. Rows-only (the 64-bit signature is
+    not practically SQL-expressible); exactness is covered by the
+    pytest recall test against brute-force hamming."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    cands = dedup.simhash_candidates(_perturbed_corpus(docs), "doc_id", "text")
+    return cands.filter(F.col("hamming") <= 3).orderBy("id_a", "id_b")
+
+
+# --- similarity search ------------------------------------------------
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors —
+    the brute-force baseline, value-checked against DuckDB's
+    list_cosine_similarity. Emits ranks plus the cosine rounded to
+    1e-6 (both engines accumulate in double over the same order)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = similarity.brute_force_topk(emb, queries, k=5)
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    ).orderBy("query_id", "rank")
+
+
+ANN_TOPK_BRUTEFORCE_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.qid
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_r FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 for the same 10 queries — the
+    scale path (bucket joins, never all-pairs). Rows-only entry;
+    recall vs brute force is asserted in pytest."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = similarity.lsh_topk(emb, queries, k=5)
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    ).orderBy("query_id", "rank")
+
+
+# --- text analysis ----------------------------------------------------
+
+
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation features, value-checked column by column
+    against SQL string functions."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = text.tokens(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars2"),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace(t, r"[\w\s]", "")).alias("n_punct"),
+        F.length(F.regexp_replace(t, r"[^0-9]", "")).alias("n_digits"),
+        F.size(F.filter(toks, lambda w: F.length(w) <= 2)).alias("n_short_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_STATS_DOCUMENTS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars2,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+       len(list_filter(string_split(trim(text), ' '), w -> length(w) <= 2)) AS n_short_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID over documents, aggregated to
+    (lang_pred, n) — deterministic heuristic output, SQL-mirrored
+    (same marker sets, same argmax tie order)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    pred = text.lang_id(docs)
+    return pred.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n")).orderBy("lang_pred")
+
+
+def _langid_sql() -> str:
+    score_exprs = [
+        "len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in text.LANG_MARKERS.items()
+    ]
+    langs = list(text.LANG_MARKERS) + ["zh"]
+    best = "GREATEST({})".format(", ".join(f"score_{lang}" for lang in langs))
+    # same tie-break order as ops.text.lang_id: first language in
+    # LANG_MARKERS order wins ties (built reversed there)
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN score_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'unknown' END AS lang_pred"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {", ".join(score_exprs)},
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS score_zh
+  FROM documents
+), ranked AS (
+  SELECT doc_id, {best} AS best, * FROM scored
+)
+SELECT {case}, COUNT(*) AS n FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+LANGID_DOCUMENTS_SQL = _langid_sql()
+
+
+def fingerprint_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-based dedup accounting over the self-unioned
+    corpus: total rows vs distinct fingerprints (hash of normalized
+    text). The oracle counts distinct normalized text directly —
+    equal unless xxhash64 collides (none in this corpus)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    doubled = docs.unionAll(docs)
+    return doubled.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(text.fingerprint(F.col("text"))).alias("n_distinct_fp"),
+    )
+
+
+FINGERPRINT_DEDUP_COUNTS_SQL = r"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT regexp_replace(regexp_replace(lower(trim(text)), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS n_distinct_fp
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+"""
+
+
+def quality_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document (rows-only: the blend is
+    deterministic and unit-tested; mirroring every CASE arm in SQL
+    adds no information)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return text.quality_score(docs).select("doc_id", "quality_score").orderBy("doc_id")
+
+
+# --- multimodal -------------------------------------------------------
+
+
+def media_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end to end: documents wrapped as opaque
+    media bytes -> mapInPandas (Arrow) feature extraction. n_bytes and
+    content_sha are value-checked against SQL (the fake decode's
+    digest-derived fields are covered by unit tests)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_media_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "content_sha").orderBy("media_id")
+
+
+MEDIA_FEATURES_DOCUMENTS_SQL = """
+SELECT doc_id AS media_id,
+       'text' AS kind,
+       CAST(length(text) AS INT) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+ORDER BY media_id
+"""

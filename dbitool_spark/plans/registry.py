@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbitool_spark.plans import format_io, relational
+from dbitool_spark.plans import format_io, llm_ops, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -65,4 +65,29 @@ register(
     "csv_roundtrip_documents",
     format_io.csv_roundtrip_documents,
     format_io.CSV_ROUNDTRIP_DOCUMENTS_SQL,
+)
+
+# --- LLM-pipeline operators (dedup / similarity / text / multimodal) ---
+register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
+register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
+register(
+    "minhash_near_dup_documents",
+    llm_ops.minhash_near_dup_documents,
+    llm_ops.MINHASH_NEAR_DUP_SQL,
+)
+register("simhash_near_dup_documents", llm_ops.simhash_near_dup_documents)  # rows-only
+register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
+register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
+register("text_stats_documents", llm_ops.text_stats_documents, llm_ops.TEXT_STATS_DOCUMENTS_SQL)
+register("langid_documents", llm_ops.langid_documents, llm_ops.LANGID_DOCUMENTS_SQL)
+register(
+    "fingerprint_dedup_counts",
+    llm_ops.fingerprint_dedup_counts,
+    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
+)
+register("quality_scores_documents", llm_ops.quality_scores_documents)  # rows-only
+register(
+    "media_features_documents",
+    llm_ops.media_features_documents,
+    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
 )
