@@ -1,0 +1,112 @@
+"""Observability layer: log-as-data, error quarantine, per-op stats
+(reference dbitoolmodlog/dbitoolmoderror scripts/dbitool.pl:845-890,
+error threshold :234-243, per-module stats :595-623).
+
+The reference's signature design is that logging and errors are
+STREAMS in the same data model — any module can consume them. Here:
+
+- EngineLog accumulates (time, mod, msg, level) driver-side and
+  exposes the log as a DataFrame, so it stays queryable like any
+  table (`log_df(spark)`);
+- per-op row counts come from `pyspark.sql.Observation` metrics
+  attached to the plan (`observed()`), harvested after the action —
+  the Spark-native `observe()` replacement for the reference's
+  per-module `rows/kB` counters;
+- the error channel is PERMISSIVE parsing: malformed records land in
+  a quarantine DataFrame instead of failing the job, and
+  `check_errorsize` enforces the reference's tolerate-N-then-abort
+  contract (errorsize default 3, scripts/dbitool.pl:39). Error rows
+  also tee into the log, like the reference's error->log wiring
+  (:884-889).
+
+Distributed caveat (documented, SURVEY.md §7 hard part 2): error
+counts observed under task retries are at-least-once; the threshold
+check is therefore ">= N errors occurred", which is the conservative
+direction for an abort guard.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+LOG_SCHEMA = "time string, mod string, msg string, level int"
+
+
+class ErrorSizeExceeded(RuntimeError):
+    """Reference semantics: abort once the error stream reaches
+    errorsize rows (scripts/dbitool.pl:234-243)."""
+
+
+@dataclass
+class EngineLog:
+    level: int = 1
+    rows: list[tuple[str, str, str, int]] = field(default_factory=list)
+
+    def log(self, mod: str, msg: str, level: int = 1) -> None:
+        if level <= self.level:
+            ts = _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime())
+            self.rows.append((ts, mod, msg, level))
+
+    def error(self, mod: str, msg: str) -> None:
+        # errors always recorded, and visible at every log level
+        ts = _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime())
+        self.rows.append((ts, mod, f"ERROR: {msg}", 0))
+
+    def log_df(self, spark: SparkSession) -> DataFrame:
+        """The log as a queryable DataFrame (the reference's log
+        stream: columns time/mod/msg)."""
+        return spark.createDataFrame(self.rows or [], LOG_SCHEMA)
+
+
+def observed(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:
+    """Attach a row/byte-ish observation to the plan. Metrics appear
+    on the Observation after the next action over the returned frame
+    — zero extra passes (computed inline with the action)."""
+    obs = Observation(name)
+    return (
+        df.observe(obs, F.count(F.lit(1)).alias("rows")),
+        obs,
+    )
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE-parsed frame into (good, quarantine).
+    Quarantine rows carry the raw malformed text in corrupt_col —
+    a first-class error stream any consumer can read, not a log line."""
+    if corrupt_col not in df.columns:
+        return df, df.limit(0).select(F.lit(None).cast("string").alias(corrupt_col))
+    # caching the parsed frame keeps PERMISSIVE single-pass semantics:
+    # Spark requires a cache/checkpoint between the corrupt-record
+    # filter and the raw source re-scan
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
+
+
+def check_errorsize(
+    quarantine: DataFrame,
+    *,
+    errorsize: int = 3,
+    log: EngineLog | None = None,
+    mod: str = "engine",
+) -> int:
+    """Enforce the tolerate-N-then-abort contract: count quarantine
+    rows, tee them into the log, raise ErrorSizeExceeded at >= N."""
+    n = quarantine.count()
+    if log is not None and n:
+        for r in quarantine.limit(errorsize).collect():
+            log.error(mod, f"quarantined: {r[0][:200]}")
+        log.log(mod, f"{n} rows quarantined", 1)
+    if n >= errorsize:
+        raise ErrorSizeExceeded(
+            f"{n} errors >= errorsize {errorsize} (reference --errorsize semantics)"
+        )
+    return n

@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbitool_spark.plans import format_io, llm_ops, relational
+from dbitool_spark.plans import format_io, llm_ops, relational, state_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -91,3 +91,6 @@ register(
     llm_ops.media_features_documents,
     llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
 )
+
+# --- keyed state (ndb) ---
+register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)

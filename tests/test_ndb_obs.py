@@ -1,0 +1,111 @@
+"""ndb keyed-table semantics + observability layer tests."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbitool_spark.io import csv_io
+from dbitool_spark.ndb import NdbTable
+from dbitool_spark.obs import (
+    EngineLog,
+    ErrorSizeExceeded,
+    check_errorsize,
+    observed,
+    split_quarantine,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dbitool_ndb_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ndb_upsert_replay_last_write_wins(spark, tmpdir):
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k", n_buckets=2)
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"))
+    got = {r.k: r.v for r in t.replay().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # later batch wins on key 2
+
+
+def test_ndb_within_batch_order(spark, tmpdir):
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k", n_buckets=2)
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 10, "old"), (1, 20, "new")], "k int, version int, v string"
+        ),
+        order_by="version",
+    )
+    assert t.replay().filter(F.col("k") == 1).first().v == "new"
+
+
+def test_ndb_crash_safety_pointer(spark, tmpdir):
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=1)
+    t.upsert(spark.createDataFrame([(1, "a")], "k int, v string"))
+    # a stray half-written version dir must not affect replay
+    os.makedirs(os.path.join(path, "v99-halfwritten"), exist_ok=True)
+    assert {r.k for r in t.replay().collect()} == {1}
+
+
+def test_ndb_lookup_enrichment(spark, tmpdir):
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k", n_buckets=2)
+    t.upsert(spark.createDataFrame([(1, "x"), (2, "y")], "k int, name string"))
+    stream = spark.createDataFrame([(1, 100), (3, 300)], "k int, amount int")
+    out = {r.k: r.name for r in t.lookup(stream, broadcast=True).collect()}
+    assert out == {1: "x", 3: None}
+
+
+def test_ndb_empty_replay_raises(spark, tmpdir):
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k")
+    with pytest.raises(ValueError, match="empty"):
+        t.replay()
+
+
+def test_observed_counts(spark):
+    df = spark.range(100)
+    df2, obs = observed(df.filter(F.col("id") < 40), "filtered")
+    assert df2.count() == 40
+    assert obs.get["rows"] == 40
+
+
+def test_quarantine_split_and_errorsize(spark, tmpdir):
+    path = os.path.join(tmpdir, "bad.csv")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.csv"), "w") as fh:
+        fh.write("a,b\n1,2\n3,4\nnot-an-int,5\nalso bad,6\n9,10\n")
+    df = csv_io.read_csv(
+        spark,
+        path,
+        schema="a int, b int, _corrupt_record string",
+        permissive_corrupt_col="_corrupt_record",
+    )
+    good, bad = split_quarantine(df)
+    assert good.count() == 3
+    assert bad.count() == 2
+    log = EngineLog(level=2)
+    n = check_errorsize(bad, errorsize=3, log=log, mod="csvread")
+    assert n == 2
+    with pytest.raises(ErrorSizeExceeded):
+        check_errorsize(bad, errorsize=2, log=log, mod="csvread")
+    # the log is itself a queryable table (reference log-as-data)
+    ldf = log.log_df(spark)
+    assert ldf.filter(F.col("msg").startswith("ERROR")).count() >= 2
+    assert set(ldf.columns) == {"time", "mod", "msg", "level"}
+
+
+def test_log_levels(spark):
+    log = EngineLog(level=1)
+    log.log("m", "level1", 1)
+    log.log("m", "level3-dropped", 3)
+    log.error("m", "boom")
+    msgs = [r.msg for r in log.log_df(spark).collect()]
+    assert "level1" in msgs and "ERROR: boom" in msgs
+    assert all("level3" not in m for m in msgs)
