@@ -34,7 +34,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbitool_spark.io import csv_io, fixedwidth, json_io, text_io
+from dbitool_spark.io import bson_io, csv_io, db, fixedwidth, json_io, text_io, xml_io
 from dbitool_spark.ops.column import project
 
 ModuleFn = Callable[["Pipeline", list[DataFrame], dict[str, Any]], DataFrame | None]
@@ -106,6 +106,29 @@ def _fixedwidthread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 @register_module("parquetread")
 def _parquetread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     return p.spark.read.parquet(a["in"])
+
+
+@register_module("xmlread")
+def _xmlread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return xml_io.read_xml(
+        p.spark, a["in"], row_tag=a.get("row", "row"), schema=a.get("schema")
+    )
+
+
+@register_module("bsonread")
+def _bsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return bson_io.read_bson(p.spark, a["in"], schema=a.get("schema"))
+
+
+@register_module("sqliteselect")
+def _sqliteselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return db.read_sqlite(
+        p.spark,
+        a["fname"],
+        query=a.get("query"),
+        table=a.get("table"),
+        partition_column=a.get("partition_column"),
+    )
 
 
 # --- transforms ---
@@ -186,8 +209,37 @@ def _parquetwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     ins[0].write.mode(a.get("mode", "overwrite")).parquet(a["out"])
 
 
-_SOURCES = {"fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread", "parquetread"}
-_SINKS = {"filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite", "parquetwrite"}
+@register_module("xmlwrite")
+def _xmlwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    xml_io.write_xml(
+        ins[0],
+        a["out"],
+        root_tag=a.get("root", "root"),
+        row_tag=a.get("row", "row"),
+        single_file=_flag(a, "single_file", False),
+    )
+
+
+@register_module("bsonwrite")
+def _bsonwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    bson_io.write_bson(ins[0], a["out"])
+
+
+@register_module("sqliteinsert")
+def _sqliteinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    db.write_sqlite(
+        ins[0], a["fname"], a["table"], mode=a.get("mode", "append")
+    )
+
+
+_SOURCES = {
+    "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
+    "parquetread", "xmlread", "bsonread", "sqliteselect",
+}
+_SINKS = {
+    "filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite",
+    "parquetwrite", "xmlwrite", "bsonwrite", "sqliteinsert",
+}
 
 
 @dataclass

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbitool_spark import catalog
-from dbitool_spark.io import csv_io, fixedwidth, json_io
+from dbitool_spark.io import bson_io, csv_io, db, fixedwidth, json_io, xml_io
 from dbitool_spark.ops.column import project
 
 
@@ -125,3 +125,59 @@ def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CSV_ROUNDTRIP_DOCUMENTS_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+def xml_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → XML (native Spark 4 source) → back with explicit
+    schema (the XML reader would otherwise re-infer types)."""
+    supp = catalog.load(spark, sf_dir, "supplier")
+    path = os.path.join(_scratch("xml"), "supplier.xml")
+    xml_io.write_xml(supp, path, root_tag="suppliers", row_tag="supplier")
+    back = xml_io.read_xml(
+        spark,
+        path,
+        row_tag="supplier",
+        schema="s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    )
+    return project(back, ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+
+
+XML_ROUNDTRIP_SUPPLIER_SQL = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+
+def sqlite_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → SQLite batched insert → distributed partitioned read
+    (sqliteselect/sqliteinsert semantics: pushdown query slices per
+    task, statement batches of 1024 on the write)."""
+    part = catalog.load(spark, sf_dir, "part")
+    dbf = os.path.join(_scratch("sqlite"), "t.db")
+    db.write_sqlite(part, dbf, "part", mode="overwrite")
+    back = db.read_sqlite(
+        spark, dbf, table="part", partition_column="p_partkey", num_partitions=4
+    )
+    return back.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        F.col("p_size").cast("int").alias("p_size"),
+        "p_retailprice",
+    )
+
+
+SQLITE_ROUNDTRIP_PART_SQL = (
+    "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part"
+)
+
+
+def bson_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region through the bounded single-document BSON edge
+    (self-contained spec codec; reference {a:[rows]} wire shape)."""
+    region = catalog.load(spark, sf_dir, "region")
+    path = os.path.join(_scratch("bson"), "region.bson")
+    bson_io.write_bson(region, path)
+    back = bson_io.read_bson(spark, path, schema="r_regionkey int, r_name string")
+    return project(back, ["r_regionkey", "r_name"])
+
+
+BSON_ROUNDTRIP_REGION_SQL = "SELECT r_regionkey, r_name FROM region"

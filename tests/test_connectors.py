@@ -1,0 +1,159 @@
+"""XML / BSON / SQLite / spreadsheet connector tests (bounded-edge and
+distributed paths)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sqlite3
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbitool_spark import testrow
+from dbitool_spark.io import bson_io, db, spreadsheet_io, xml_io
+from dbitool_spark.ops.column import project
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dbitool_conn_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+N = 100
+
+
+def test_xml_roundtrip(spark, tmpdir):
+    df = testrow.dataframe(spark, N)
+    path = os.path.join(tmpdir, "t.xml")
+    xml_io.write_xml(df, path, root_tag="rows", row_tag="r")
+    back = xml_io.read_xml(
+        spark, path, row_tag="r",
+        schema=", ".join(f"{c} string" for c in testrow.HEADER),
+    )
+    rows = project(back, list(testrow.HEADER)).collect()
+    assert len(rows) == N
+    for r in sorted(rows, key=lambda r: int(r[0])):
+        testrow.check(tuple(r))
+
+
+def test_bson_codec_known_vector():
+    # {"x": "y"} per bsonspec.org: doclen=14, 0x02 string element
+    assert bson_io._enc_doc({"x": "y"}) == (
+        b"\x0e\x00\x00\x00" b"\x02x\x00" b"\x02\x00\x00\x00y\x00" b"\x00"
+    )
+    doc, _ = bson_io._dec_doc(bson_io._enc_doc({"x": "y"}))
+    assert doc == {"x": "y"}
+
+
+def test_bson_codec_types_roundtrip():
+    doc = {
+        "s": "text",
+        "i32": 42,
+        "i64": 2**40,
+        "neg": -7,
+        "d": 3.5,
+        "b": True,
+        "n": None,
+        "nested": {"k": "v"},
+        "arr": [1, "two", 3.0],
+    }
+    out, _ = bson_io._dec_doc(bson_io._enc_doc(doc))
+    assert out == doc
+
+
+def test_bson_roundtrip_spark(spark, tmpdir):
+    df = testrow.dataframe(spark, N)
+    path = os.path.join(tmpdir, "t.bson")
+    bson_io.write_bson(df, path)
+    back = bson_io.read_bson(
+        spark, path, schema=", ".join(f"{c} string" for c in testrow.HEADER)
+    )
+    rows = project(back, list(testrow.HEADER)).collect()
+    assert len(rows) == N
+    for r in rows:
+        testrow.check(tuple(r))
+
+
+def test_bson_memory_limit(spark, tmpdir):
+    df = testrow.dataframe(spark, 20)
+    with pytest.raises(MemoryError):
+        bson_io.write_bson(df, os.path.join(tmpdir, "t.bson"), memory_limit=5)
+
+
+def test_sqlite_write_then_bounded_read(spark, tmpdir):
+    path = os.path.join(tmpdir, "t.db")
+    df = spark.createDataFrame(
+        [(i, f"name{i}", i * 1.5) for i in range(50)], "id bigint, name string, score double"
+    )
+    written = db.write_sqlite(df, path, "t", mode="overwrite", batch_size=16)
+    assert written == 50
+    with sqlite3.connect(path) as con:  # really landed in sqlite
+        assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 50
+    back = db.read_sqlite(spark, path, table="t")
+    assert back.count() == 50
+    assert {r.name for r in back.filter(F.col("id") < 3).collect()} == {"name0", "name1", "name2"}
+
+
+def test_sqlite_query_pushdown(spark, tmpdir):
+    path = os.path.join(tmpdir, "t.db")
+    df = spark.createDataFrame([(i, i % 5) for i in range(100)], "id bigint, grp bigint")
+    db.write_sqlite(df, path, "t", mode="overwrite")
+    agg = db.read_sqlite(
+        spark, path, query="SELECT grp, COUNT(*) AS n FROM t GROUP BY grp"
+    )
+    assert {(r.grp, r.n) for r in agg.collect()} == {(g, 20) for g in range(5)}
+
+
+def test_sqlite_partitioned_distributed_read(spark, tmpdir):
+    path = os.path.join(tmpdir, "t.db")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(500)], "id bigint, v string")
+    db.write_sqlite(df, path, "t", mode="overwrite")
+    back = db.read_sqlite(spark, path, table="t", partition_column="id", num_partitions=4)
+    assert back.count() == 500
+    assert back.rdd.getNumPartitions() >= 1
+    assert db.read_sqlite(spark, path, table="t", partition_column="id").distinct().count() == 500
+
+
+def test_sqlite_memory_guard(spark, tmpdir):
+    path = os.path.join(tmpdir, "t.db")
+    df = spark.createDataFrame([(i,) for i in range(100)], "id bigint")
+    db.write_sqlite(df, path, "t")
+    with pytest.raises(MemoryError, match="partition_column"):
+        db.read_sqlite(spark, path, table="t", memory_limit=10)
+
+
+def test_sqlite_arg_contract(spark, tmpdir):
+    with pytest.raises(ValueError, match="exactly one"):
+        db.read_sqlite(spark, "x.db")
+    with pytest.raises(ValueError, match="exactly one"):
+        db.read_sqlite(spark, "x.db", query="SELECT 1", table="t")
+
+
+def test_cassandra_stub():
+    with pytest.raises(NotImplementedError, match="cassandra"):
+        db.read_cassandra()
+
+
+def test_spreadsheet_csv_sheet_roundtrip(spark, tmpdir):
+    df = testrow.dataframe(spark, 30)
+    path = os.path.join(tmpdir, "sheet.csv")
+    spreadsheet_io.write_spreadsheet(df, path)
+    back = spreadsheet_io.read_spreadsheet(spark, path)
+    rows = project(back, list(testrow.HEADER)).collect()
+    assert len(rows) == 30
+    for r in rows:
+        testrow.check(tuple(r))
+
+
+def test_spreadsheet_xlsx_gated(spark, tmpdir):
+    df = testrow.dataframe(spark, 5)
+    if spreadsheet_io._excel_engine_available():
+        pytest.skip("engine installed; gate not exercised")
+    with pytest.raises(ImportError, match="openpyxl"):
+        spreadsheet_io.write_spreadsheet(df, os.path.join(tmpdir, "t.xlsx"))
+    with pytest.raises(ImportError, match="openpyxl"):
+        spreadsheet_io.read_spreadsheet(spark, os.path.join(tmpdir, "t.xlsx"))
