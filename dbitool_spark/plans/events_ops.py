@@ -1,0 +1,149 @@
+"""Event-stream analytics over the nanosecond-timestamp events table:
+time-window aggregation, JSON property extraction, gap sessionization.
+
+The nanos path: events.ts is parquet TIMESTAMP(NANOS); Spark reads it
+as int64 nanos (nanosAsLong) and the catalog derives ts_ts at
+microsecond precision via integer division. DuckDB truncates the same
+column to TIMESTAMP(us) on read, so every oracle comparison below is
+exact at microsecond resolution on both engines.
+
+Aggregated doubles go through the decimal-exact convention
+(functions.numeric) like every other query in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbitool_spark import catalog
+from dbitool_spark.functions.numeric import dsum
+
+SESSION_GAP_MIN = 30
+
+
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count + exact-decimal
+    value sum. Single shuffle on (hour, type); map-side partial aggs."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts_ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value").cast("decimal(18,6)"), "sum_value", scale=6),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_STATS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column (scalar JSON
+    path — stays in codegen via get_json_object) aggregated per type.
+    Sums are exact integers, so cross-engine hashing is trivial."""
+    ev = catalog.load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_PROPS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-minute silence starts a new
+    session. lag + cumulative-sum over a per-user event-time window —
+    the standard distributed sessionization plan (one shuffle on
+    user_id; both window passes reuse that partitioning). Works on
+    microsecond integers end to end."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    with_breaks = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us, 1
+        ).otherwise(F.when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0)),
+    )
+    sessions = with_breaks.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max(
+                F.col("session_end_us") - F.col("session_start_us")
+            ).alias("longest_session_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), marked AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+              WHEN ts_us - LAG(ts_us) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000} THEN 1
+              ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), numbered AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       SUM(n_events) AS n_events,
+       MAX(session_end_us - session_start_us) AS longest_session_us
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""

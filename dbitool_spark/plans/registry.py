@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbitool_spark.plans import format_io, llm_ops, relational, state_ops
+from dbitool_spark.plans import events_ops, format_io, llm_ops, relational, state_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -97,3 +97,8 @@ register(
 
 # --- keyed state (ndb) ---
 register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
+
+# --- event-stream analytics (nanosecond timestamp path) ---
+register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
+register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
+register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)

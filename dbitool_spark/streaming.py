@@ -1,0 +1,128 @@
+"""Structured Streaming analogue of the pipeline (SURVEY.md §7 M4).
+
+The reference's incremental pull model (bounded buffers drained until
+EOF; stdin as the one unbounded source, scripts/dbitool.pl:956-992,
+:763-785) generalizes faithfully to Structured Streaming: a file-watch
+or rate source replaces stdin, watermarks bound state like streamsize
+bounds buffers, and query termination replaces EOF cascade.
+
+Surface: thin wrappers that keep the engine's format option surface
+(same sep/quote/schema args as the batch readers) and the two
+canonical stateful shapes — windowed aggregation with late-data
+watermarking, and availableNow draining for batch-equivalent tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    sep: str = ",",
+    header: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-watch CSV stream (schema required: streams cannot infer).
+    maxFilesPerTrigger is the backpressure knob — the streaming
+    equivalent of the reference's --streamsize batch cap."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("sep", sep)
+        .option("header", header)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(path)
+
+
+def stream_ndjson(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def stream_rate(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Synthetic unbounded source (timestamp, value) — the test stand-in
+    for stdin-like feeds."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling event-time window counts with a late-data watermark.
+    State is bounded: rows later than the watermark are dropped and
+    windows older than it are evicted — the streaming analogue of the
+    reference's bounded buffers."""
+    grouped = stream.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window).alias("win"),
+        *(group_cols or []),
+    )
+    return grouped.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *(group_cols or []),
+        "n",
+    )
+
+
+def drain_to_memory(
+    df: DataFrame, name: str, *, output_mode: str = "append", timeout_sec: int = 120
+) -> StreamingQuery:
+    """Process everything currently available, then stop
+    (trigger=availableNow) — makes a streaming plan batch-comparable
+    in tests. Results land in the in-memory table `name`."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
+def drain_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """availableNow drain into parquet with a checkpoint — the
+    restartable batch-drain pattern (exactly-once sink semantics via
+    the checkpoint's commit log)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
