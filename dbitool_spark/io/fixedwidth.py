@@ -92,17 +92,36 @@ def write_fixedwidth(
         for c, w in zip(df.columns, widths)
     ]
     lines = df.select(F.concat(*pieces).alias("value"))
-    if header:
-        header_text = "".join(f"{c[:w]:<{w}}" for c, w in zip(df.columns, widths))
-        spark = df.sparkSession
-        header_df = spark.createDataFrame([(header_text,)], "value string")
-        # header partition first, then data: coalesce(1) concatenates
-        # in union order for the bounded single_file path; at scale the
-        # header rides as its own (first) part file.
-        lines = header_df.unionAll(lines)
-        single_file = True
+    single_file = single_file or header
     out = lines.coalesce(1) if single_file else lines
     writer = out.write.mode(mode)
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
+    if header:
+        # header=True implies the bounded single-file path; prepend the
+        # (same-formatted, width-truncated) column-name line directly —
+        # cheaper than unioning a 1-row DataFrame through the job
+        _prepend_header(path, df.columns, widths, compression)
+
+
+def _prepend_header(path: str, cols: list[str], widths: list[int], compression: str | None) -> None:
+    import glob as _glob
+    import gzip as _gzip
+    import os as _os
+
+    header_text = "".join(f"{c[:w]:<{w}}" for c, w in zip(cols, widths))
+    suffix = "*.txt.gz" if compression == "gzip" else "*.txt"
+    parts = sorted(_glob.glob(_os.path.join(path, suffix)))
+    if not parts:
+        raise FileNotFoundError(f"no part file under {path}")
+    part = parts[0]
+    opener = _gzip.open if compression == "gzip" else open
+    with opener(part, "rt") as fh:
+        body = fh.read()
+    with opener(part, "wt") as fh:
+        fh.write(header_text + "\n" + body)
+    # the local Hadoop FS keeps .crc sidecars; the rewrite invalidates
+    # them, so drop them or every subsequent read fails checksum
+    for crc in _glob.glob(_os.path.join(path, ".*.crc")):
+        _os.remove(crc)

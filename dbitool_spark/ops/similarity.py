@@ -20,7 +20,10 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -91,6 +94,45 @@ def _hyperplanes(n_tables: int, bits: int, dim: int) -> list[list[list[float]]]:
     return planes
 
 
+def _lsh_buckets(
+    df: DataFrame, id_col: str, vec_col: str, *, dim: int, n_tables: int, bits: int
+) -> DataFrame:
+    """(id, vec) -> (id, table, bucket): signature computation as ONE
+    Arrow-batched numpy matmul per partition — (rows x dim) @
+    (dim x n_tables*bits), sign bits packed per table.
+
+    This is the engine's documented exception to "no Python in the
+    hot path": dense linear algebra through per-element JVM lambda
+    expressions costs ~dim * tables * bits interpreted evals per row
+    (measured ~8s for 5000x64 at 16x4), while one BLAS matmul over an
+    Arrow batch is milliseconds. The rest of the LSH pipeline (bucket
+    join, cosine rank) stays in the JVM."""
+    planes = _hyperplanes(n_tables, bits, dim)
+    w = np.array(planes, dtype=np.float64).reshape(n_tables * bits, dim).T  # dim x (t*b)
+    weights = [1 << (bits - 1 - b) for b in range(bits)]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].map(np.asarray))  # rows x dim
+            signs = (mat @ w) > 0  # rows x (tables*bits)
+            signs = signs.reshape(len(pdf), n_tables, bits)
+            buckets = (signs * np.array(weights)).sum(axis=2)  # rows x tables
+            out = pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy().repeat(n_tables),
+                    "table": np.tile(np.arange(n_tables), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+            yield out
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, schema="id long, table int, bucket int"
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -122,34 +164,20 @@ def lsh_topk(
     tables of MORE bits (e.g. 8x8) — buckets stay selective and the
     candidate join prunes harder.
     """
-    planes = _hyperplanes(n_tables, bits, dim)
-
-    def bucket_cols(vec: Column) -> list[Column]:
-        out = []
-        for t in range(n_tables):
-            acc = F.lit(0)
-            for b in range(bits):
-                plane = F.array(*[F.lit(v) for v in planes[t][b]])
-                bit = (dot(vec, plane) > 0).cast("int")
-                acc = F.shiftleft(acc, 1) + bit
-            out.append(acc)
-        return out
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.posexplode(F.array(*bucket_cols(F.col(vec_col)))).alias("table", "bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.posexplode(F.array(*bucket_cols(F.col(vec_col)))).alias("table", "bucket"),
-    )
-    candidates = (
-        c.join(q, ["table", "bucket"])
+    c = _lsh_buckets(corpus, id_col, vec_col, dim=dim, n_tables=n_tables, bits=bits)
+    q = _lsh_buckets(queries, id_col, vec_col, dim=dim, n_tables=n_tables, bits=bits)
+    pairs = (
+        c.select(F.col("id").alias("neighbor_id"), "table", "bucket")
+        .join(q.select(F.col("id").alias("query_id"), "table", "bucket"), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    candidates = (
+        pairs.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -174,38 +202,23 @@ def embedding_near_dup_pairs(
     cos >= threshold), LSH-bucketed: high-cosine pairs collide in at
     least one table with high probability, so the candidate join
     stays bucket-local."""
-    planes = _hyperplanes(n_tables, bits, dim)
-
-    def bucket_cols(vec: Column) -> list[Column]:
-        out = []
-        for t in range(n_tables):
-            acc = F.lit(0)
-            for b in range(bits):
-                plane = F.array(*[F.lit(v) for v in planes[t][b]])
-                acc = F.shiftleft(acc, 1) + (dot(vec, plane) > 0).cast("int")
-            out.append(acc)
-        return out
-
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.posexplode(F.array(*bucket_cols(F.col(vec_col)))).alias("table", "bucket"),
-    )
+    sig = _lsh_buckets(df, id_col, vec_col, dim=dim, n_tables=n_tables, bits=bits)
     left, right = sig.alias("l"), sig.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.table") == F.col("r.table"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("l.v").alias("va"),
-            F.col("r.id").alias("id_b"),
-            F.col("r.v").alias("vb"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
