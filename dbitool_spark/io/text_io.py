@@ -46,6 +46,24 @@ def write_text(
     writer.text(path)
 
 
+def write_stdout(
+    df: DataFrame, *, stream=None, eol: str = "\n", max_rows: int = 1_000_000
+) -> int:
+    """stdout/stderr sink (reference scripts/dbitool.pl:994-1076):
+    stream rows to a text fd. Driver-side by nature — rows flow
+    through toLocalIterator in executor-batch increments (constant
+    driver memory), capped by max_rows as the sanity guard. Pass
+    stream=sys.stderr for the stderr variant. Returns rows written."""
+    out = stream if stream is not None else sys.stdout
+    n = 0
+    for row in df.toLocalIterator():
+        if n >= max_rows:
+            raise MemoryError(f"stdout sink exceeded max_rows={max_rows}")
+        out.write(("\t".join("" if v is None else str(v) for v in row)) + eol)
+        n += 1
+    return n
+
+
 def read_stdin(spark: SparkSession, *, max_lines: int = 1_000_000) -> DataFrame:
     """Driver-side stdin ingestion (bounded; the reference's stdin
     module is the one unbounded source it has, scripts/dbitool.pl:956-992

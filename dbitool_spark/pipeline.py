@@ -232,13 +232,25 @@ def _sqliteinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     )
 
 
+@register_module("stdout")
+def _stdout(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    text_io.write_stdout(ins[0])
+
+
+@register_module("stderr")
+def _stderr(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    import sys
+
+    text_io.write_stdout(ins[0], stream=sys.stderr)
+
+
 _SOURCES = {
     "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
     "parquetread", "xmlread", "bsonread", "sqliteselect",
 }
 _SINKS = {
     "filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite",
-    "parquetwrite", "xmlwrite", "bsonwrite", "sqliteinsert",
+    "parquetwrite", "xmlwrite", "bsonwrite", "sqliteinsert", "stdout", "stderr",
 }
 
 
