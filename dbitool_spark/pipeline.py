@@ -276,11 +276,19 @@ class Pipeline:
     exposes any edge as a DataFrame for ad-hoc use.
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, log=None):
+        """`log`: optional dbitool_spark.obs.EngineLog. Level >= 1
+        records the module tree (reference printtree,
+        scripts/dbitool.pl:174-184); level >= 2 adds per-sink row
+        counts via plan Observations (reference per-module stats,
+        :595-623) — counted inline with the sink action, no extra
+        pass."""
         self.spark = spark
+        self.log = log
         self._specs: list[_ModuleSpec] = []
         self._streams: dict[str, DataFrame] = {}
         self._counter = 0
+        self._observations: dict[str, object] = {}
 
     # -- spec assembly --------------------------------------------------
 
@@ -355,6 +363,7 @@ class Pipeline:
             for s in m.in_streams:
                 reads[s] = reads.get(s, 0) + 1
         self._streams = {}
+        self._observations = {}
         for m in self._specs:
             if m.name in _SINKS and not with_sinks:
                 continue
@@ -362,6 +371,23 @@ class Pipeline:
                 inputs = [self._streams[s] for s in m.in_streams]
             except KeyError as e:
                 raise ValueError(f"module {m.name}: unknown stream {e}") from e
+            if self.log is not None:
+                self.log.log(
+                    "pipeline",
+                    f"{m.name} in={','.join(m.in_streams) or '-'} out={m.out_stream or '-'}",
+                    1,
+                )
+            if (
+                m.name in _SINKS
+                and self.log is not None
+                and self.log.level >= 2
+                and inputs
+            ):
+                from dbitool_spark.obs import observed
+
+                wrapped, obs = observed(inputs[0], f"{m.name}@{m.in_streams[0]}")
+                inputs = [wrapped] + inputs[1:]
+                self._observations[f"{m.name}@{m.in_streams[0]}"] = obs
             out = MODULES[m.name](self, inputs, dict(m.args))
             if m.out_stream is not None:
                 if out is None:
@@ -381,6 +407,12 @@ class Pipeline:
     def run(self) -> None:
         """Build the DAG and execute every sink write (the actions)."""
         self._build(with_sinks=True)
+        if self.log is not None:
+            for name, obs in self._observations.items():
+                try:
+                    self.log.log("pipeline", f"{name} rows={obs.get['rows']}", 2)
+                except Exception as e:  # sink ran no action over this input
+                    self.log.log("pipeline", f"{name} rows=unavailable ({e})", 2)
         # unpersist fan-out streams so repeated run() calls don't
         # accumulate storage
         for df in self._streams.values():

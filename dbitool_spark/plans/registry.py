@@ -16,7 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbitool_spark.plans import events_ops, format_io, llm_ops, relational, state_ops
+from dbitool_spark.plans import (
+    events_ops,
+    format_io,
+    llm_ops,
+    relational,
+    scalar_ops,
+    state_ops,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -102,3 +109,14 @@ register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_
 register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
 register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+
+# --- scalar function surface + set/grouping operators ---
+register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
+register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
+register(
+    "array_functions_embeddings",
+    scalar_ops.array_functions_embeddings,
+    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
+)
+register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
+register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)

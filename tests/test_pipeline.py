@@ -96,3 +96,23 @@ def test_unknown_module_and_stream_errors(spark):
     p2 = Pipeline(spark)
     with pytest.raises(ValueError, match="no input stream"):
         p2.add("column:clist=a")
+
+
+def test_pipeline_observability(spark, tmpdir, csv_path):
+    """Module tree + per-sink row counts land in the engine log
+    (reference printtree + per-module stats)."""
+    from dbitool_spark.obs import EngineLog
+
+    log = EngineLog(level=2)
+    out = os.path.join(tmpdir, "obs.ndjson")
+    p = Pipeline(spark, log=log)
+    p.add(f"csvread:in={csv_path}:out=rows")
+    p.add("column:clist=row,string", **{"in": "rows", "out": "slim"})
+    p.add(f"ndjsonwrite:in=slim:out={out}")
+    p.run()
+    msgs = [r[2] for r in log.rows]
+    assert any(m.startswith("csvread in=-") for m in msgs)
+    assert any(m.startswith("column in=rows out=slim") for m in msgs)
+    assert any("ndjsonwrite@slim rows=50" in m for m in msgs)
+    # the log itself is a queryable DataFrame
+    assert log.log_df(spark).count() == len(log.rows)
