@@ -16,7 +16,6 @@ divergence.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,16 +81,30 @@ def write_json(
     memory_limit: int = DEFAULT_MEMORY_LIMIT,
 ) -> None:
     """Single-document JSON array sink -- inherently driver-side
-    (one document has one writer). Guarded by memory_limit exactly as
-    the reference guards its in-memory modules; for unbounded data use
-    write_ndjson. Writes one file at `path`."""
-    rows = df.limit(memory_limit + 1).toJSON().collect()
-    if len(rows) > memory_limit:
-        raise MemoryError(
-            f"write_json is a bounded edge: >{memory_limit} rows "
-            "(reference memorylimit semantics); use write_ndjson"
-        )
-    parsed = [json.loads(r) for r in rows]
+    (one document has one writer). Rows STREAM through
+    toLocalIterator in executor-batch increments, so driver memory
+    stays constant; memory_limit guards the output size exactly as
+    the reference guards its in-memory modules. For unbounded data
+    use write_ndjson. Writes one file at `path`."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w", encoding="utf-8") as fh:
-        json.dump(parsed, fh, indent=2 if pretty else None, separators=None if pretty else (",", ":"))
+    sep = ",\n  " if pretty else ","
+    tmp = path + ".tmp"
+    n = 0
+    try:
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("[\n  " if pretty else "[")
+            for row_json in df.toJSON().toLocalIterator():
+                if n >= memory_limit:
+                    raise MemoryError(
+                        f"write_json is a bounded edge: >{memory_limit} rows "
+                        "(reference memorylimit semantics); use write_ndjson"
+                    )
+                if n:
+                    fh.write(sep)
+                fh.write(row_json)
+                n += 1
+            fh.write("\n]" if pretty else "]")
+        os.replace(tmp, path)  # no partial document on failure
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)

@@ -153,6 +153,30 @@ def _union(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     return out
 
 
+@register_module("gzip")
+def _gzip(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Codec compatibility shim (reference scripts/dbitool.pl:1176-1242).
+    In Spark, compression is a property of the file sink, not a stream
+    transform — `csvwrite:compression=gzip` replaces the reference's
+    `csvwrite | gzip | filewrite` chain. The module passes rows
+    through unchanged so existing pipeline shapes still wire; the
+    actual compression happens at the sink."""
+    return ins[0]
+
+
+@register_module("gunzip")
+def _gunzip(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Codec compatibility shim: Spark file sources auto-decompress
+    .gz inputs by extension, so decode is free at the source and this
+    module is pass-through (reference scripts/dbitool.pl:1244-1316)."""
+    return ins[0]
+
+
+@register_module("stdin")
+def _stdin(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    return text_io.read_stdin(p.spark, max_lines=int(a.get("max_lines", 1_000_000)))
+
+
 # --- sinks (file path in `out`, like filewrite out=FILENAME) ---
 
 
@@ -246,7 +270,7 @@ def _stderr(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
 
 _SOURCES = {
     "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
-    "parquetread", "xmlread", "bsonread", "sqliteselect",
+    "parquetread", "xmlread", "bsonread", "sqliteselect", "stdin",
 }
 _SINKS = {
     "filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite",
