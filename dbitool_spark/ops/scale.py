@@ -1,0 +1,117 @@
+"""Scale-shape operators: skew salting and bucketed co-located joins.
+
+These are the two knobs the 100 TB design point needs beyond AQE's
+defaults (SURVEY.md §7 M5 "shuffle-partitioned and skew-aware"):
+
+- **Salting** spreads a hot key across `n_salts` synthetic sub-keys.
+  For aggregation it is the classic two-phase combine: partial agg on
+  (key, salt), final agg on key — the hot key's rows no longer all
+  land in one task. For joins, the small side replicates per salt.
+  AQE's skew-join split handles sort-merge skew automatically, but
+  salting remains the only fix for skewed AGGREGATION and for
+  broadcast-ineligible skewed joins, so the engine ships it.
+- **Bucketing** pre-shuffles a table once at write time
+  (`bucketBy(n, key)` + sortBy): two tables bucketed the same way
+  join WITHOUT any exchange — the shuffle is amortized into the
+  write, the win for every subsequent co-located join at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Add a deterministic-per-row salt column __salt in [0, n_salts).
+    Derived from a hash of the whole row rather than rand() so retries
+    and resumed stages stay deterministic."""
+    return df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: Callable[[], list[Column]],
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: stage 1 groups on
+    (keys + salt) — a hot key fans out over n_salts tasks — stage 2
+    re-aggregates the partials on the true keys (tiny shuffle:
+    n_salts rows per key). `aggs` is called twice and must return
+    DECOMPOSABLE aggregate columns aliased consistently (sum/count/
+    min/max — avg must be expressed as sum+count by the caller)."""
+    stage1 = salted(df, n_salts).groupBy(*keys, "__salt").agg(*aggs())
+    # re-aggregate each partial column by its decomposition rule
+    finals = []
+    for field in stage1.schema.fields:
+        if field.name in keys or field.name == "__salt":
+            continue
+        name = field.name
+        if name.startswith(("sum_", "count_", "n_")):
+            finals.append(F.sum(name).alias(name))
+        elif name.startswith("min_"):
+            finals.append(F.min(name).alias(name))
+        elif name.startswith("max_"):
+            finals.append(F.max(name).alias(name))
+        else:
+            raise ValueError(
+                f"salted_agg cannot re-combine column {name!r}: use sum_/"
+                "count_/n_/min_/max_ prefixes (decomposable aggregates only)"
+            )
+    return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the skewed side gets a per-row salt, the
+    small side is replicated n_salts times (explode), and the join key
+    becomes (on, salt) — a hot key spreads over n_salts tasks instead
+    of stalling one. Only sensible when `small` is too big to
+    broadcast yet small enough to replicate; otherwise rely on AQE
+    skew-join."""
+    left = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    )
+    right = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return left.join(right, [on, "__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    *,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a bucketed (and bucket-sorted) managed table:
+    the one-time shuffle that makes every later equi-join/aggregation
+    on `bucket_col` exchange-free."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables: Catalyst sees the matching
+    output partitioning and plans a SortMergeJoin with ZERO Exchange
+    on either side (verify with .explain — tested)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

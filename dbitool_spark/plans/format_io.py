@@ -181,3 +181,39 @@ def bson_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BSON_ROUNDTRIP_REGION_SQL = "SELECT r_regionkey, r_name FROM region"
+
+
+def quarantine_corrupt_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-channel semantics end to end: documents written as
+    NDJSON plus two injected malformed lines, read back PERMISSIVE —
+    good rows and quarantined rows must split exactly (the reference's
+    error stream, tolerate-then-abort guarded by errorsize)."""
+    from dbitool_spark.obs import check_errorsize, split_quarantine
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    d = _scratch("quarantine")
+    path = os.path.join(d, "docs.ndjson")
+    json_io.write_ndjson(docs, path, single_file=True)
+    part = [f for f in os.listdir(path) if f.endswith(".json")][0]
+    with open(os.path.join(path, part), "a") as fh:
+        fh.write('{"doc_id": broken\nnot json at all\n')
+    for crc in os.listdir(path):
+        if crc.endswith(".crc"):
+            os.remove(os.path.join(path, crc))
+    parsed = json_io.read_ndjson(
+        spark,
+        path,
+        schema="doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint, _corrupt_record string",
+        permissive_corrupt_col="_corrupt_record",
+    )
+    good, bad = split_quarantine(parsed)
+    n_bad = check_errorsize(bad, errorsize=10)  # below threshold: no abort
+    return good.agg(F.count(F.lit(1)).alias("n_good")).withColumn(
+        "n_bad", F.lit(n_bad).cast("long")
+    )
+
+
+QUARANTINE_CORRUPT_NDJSON_SQL = """
+SELECT COUNT(*) AS n_good, CAST(2 AS BIGINT) AS n_bad FROM documents
+"""

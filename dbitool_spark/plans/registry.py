@@ -76,6 +76,11 @@ register(
 register("xml_roundtrip_supplier", format_io.xml_roundtrip_supplier, format_io.XML_ROUNDTRIP_SUPPLIER_SQL)
 register("sqlite_roundtrip_part", format_io.sqlite_roundtrip_part, format_io.SQLITE_ROUNDTRIP_PART_SQL)
 register("bson_roundtrip_region", format_io.bson_roundtrip_region, format_io.BSON_ROUNDTRIP_REGION_SQL)
+register(
+    "quarantine_corrupt_ndjson",
+    format_io.quarantine_corrupt_ndjson,
+    format_io.QUARANTINE_CORRUPT_NDJSON_SQL,
+)
 
 # --- LLM-pipeline operators (dedup / similarity / text / multimodal) ---
 register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)

@@ -1,0 +1,131 @@
+"""Scale-shape assertions: these tests pin the PLANS, not just the
+values — forced broadcasts stay off fact tables, filters reach scans,
+bucketed joins run exchange-free, salting preserves results."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbitool_spark import catalog
+from dbitool_spark.ops import scale
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_forced_broadcast_on_fact_tables():
+    """catalog.maybe_broadcast must refuse hints for anything that
+    scales with SF — the r1 scale-killer class."""
+    import inspect
+
+    from dbitool_spark.plans import relational
+
+    assert catalog.BROADCASTABLE == {"region", "nation"}
+    src = inspect.getsource(relational)
+    # every literal broadcast hint in the query pack must go through
+    # the gate, never F.broadcast directly
+    assert "F.broadcast(" not in src
+
+
+def test_filters_reach_parquet_scan(spark):
+    from dbitool_spark.plans.relational import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("c_mktsegment" in l and "BUILDING" in l for l in pushed)
+    assert any("l_shipdate" in l and "GreaterThan" in l for l in pushed)
+    assert any("o_orderdate" in l and "LessThan" in l for l in pushed)
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    li = catalog.load(spark, SF_SMOKE, "lineitem")
+
+    def aggs():
+        return [
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        ]
+
+    plain = {
+        r.l_returnflag: (r.sum_qty, r.n_rows, r.min_ship, r.max_ship)
+        for r in li.groupBy("l_returnflag").agg(*aggs()).collect()
+    }
+    salted = {
+        r.l_returnflag: (r.sum_qty, r.n_rows, r.min_ship, r.max_ship)
+        for r in scale.salted_agg(li, ["l_returnflag"], aggs, n_salts=8).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    li = catalog.load(spark, SF_SMOKE, "lineitem")
+    with pytest.raises(ValueError, match="decomposable"):
+        scale.salted_agg(
+            li, ["l_returnflag"], lambda: [F.avg("l_quantity").alias("avg_qty")]
+        ).collect()
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = catalog.load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = catalog.load(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fancy = (
+        scale.salted_join(li, orders, "l_orderkey", n_salts=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r.o_orderpriority, r.n) for r in plain.collect()} == {
+        (r.o_orderpriority, r.n) for r in fancy.collect()
+    }
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The amortized-shuffle claim, verified on the plan: two tables
+    bucketed on the join key sort-merge-join with zero Exchange."""
+    import shutil
+
+    orders = catalog.load(spark, SF_SMOKE, "orders")
+    li = catalog.load(spark, SF_SMOKE, "lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bt_orders", "bt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    scale.write_bucketed(
+        orders.select(F.col("o_orderkey").alias("k"), "o_orderpriority"),
+        "bt_orders", "k", n_buckets=4,
+    )
+    scale.write_bucketed(
+        li.select(F.col("l_orderkey").alias("k"), "l_quantity"),
+        "bt_lineitem", "k", n_buckets=4,
+    )
+    # at sf0.001 the sides fit the broadcast threshold, which would
+    # mask bucketing; disable it to surface the scale-relevant plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = scale.bucketed_join(spark, "bt_orders", "bt_lineitem", "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and it still computes the right thing
+        expected = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
