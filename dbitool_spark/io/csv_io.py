@@ -76,6 +76,11 @@ def write_csv(
         .option("quote", quote)
         .option("escape", escape)
         .option("header", header)
+        # Spark's writer trims value whitespace by default; the
+        # reference preserves bytes, so fidelity wins (found by the
+        # hypothesis round-trip property)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
     )
     if compression:
         writer = writer.option("compression", compression)

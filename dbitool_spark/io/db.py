@@ -147,6 +147,19 @@ def write_sqlite(
     return written
 
 
+def query_from_stream(df: DataFrame, *, max_lines: int = 10_000) -> str:
+    """The reference's third signature (scripts/dbitool.pl:1442-1457):
+    the SQL text itself arrives on an upstream raw stream; drain it
+    and concatenate the lines into the query string. SQL text is tiny
+    by nature — the collect is bounded and guarded."""
+    if len(df.columns) != 1:
+        raise ValueError("query stream must be a single raw text column")
+    rows = df.limit(max_lines + 1).collect()
+    if len(rows) > max_lines:
+        raise MemoryError(f"query stream exceeded {max_lines} lines — not SQL text?")
+    return "\n".join(r[0] for r in rows)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -122,10 +122,15 @@ def _bsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 
 @register_module("sqliteselect")
 def _sqliteselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    query = a.get("query")
+    if ins and query is None and a.get("table") is None:
+        # reference entry point 3 (scripts/dbitool.pl:1442-1457): the
+        # SQL text arrives on the input stream
+        query = db.query_from_stream(ins[0])
     return db.read_sqlite(
         p.spark,
         a["fname"],
-        query=a.get("query"),
+        query=query,
         table=a.get("table"),
         partition_column=a.get("partition_column"),
     )
@@ -272,6 +277,7 @@ _SOURCES = {
     "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
     "parquetread", "xmlread", "bsonread", "sqliteselect", "stdin",
 }
+_STREAMABLE_SOURCES = {"sqliteselect"}
 _SINKS = {
     "filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite",
     "parquetwrite", "xmlwrite", "bsonwrite", "sqliteinsert", "stdout", "stderr",
@@ -353,7 +359,11 @@ class Pipeline:
         stream gets a generated streamN name."""
         args = mod.args
         if mod.name in _SOURCES:
-            mod.in_streams = []
+            # sources take no input stream — except db sources, whose
+            # path rides in fname= and whose in= may name a stream
+            # carrying the SQL text (reference query-from-stream)
+            declared = args.pop("in", None) if mod.name in _STREAMABLE_SOURCES else None
+            mod.in_streams = [s.strip() for s in str(declared).split(",")] if declared else []
         else:
             declared = args.pop("in", None)
             if declared:

@@ -105,6 +105,50 @@ def drain_to_memory(
     return q
 
 
+def stream_dedup_first_wins(
+    stream: DataFrame, key_cols: list[str], *, state_timeout_ms: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator: keep only the FIRST row
+    seen per key across all micro-batches (streaming exact dedup —
+    the curation pipeline's "emit each document once" guarantee).
+
+    Built on applyInPandasWithState: per-key GroupState stores one
+    boolean; Arrow batches flow per group, new keys emit their first
+    row, known keys emit nothing. State is the minimal per-key flag,
+    so memory is O(distinct keys) — bound it with a timeout when keys
+    expire naturally (e.g. daily dedup scopes)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream.schema
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            return  # key already emitted; drop everything
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                first = pdf.iloc[[0]]
+                break
+        state.update((True,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if first is not None:
+            yield first
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def drain_to_parquet(
     df: DataFrame,
     path: str,

@@ -157,3 +157,21 @@ def test_spreadsheet_xlsx_gated(spark, tmpdir):
         spreadsheet_io.write_spreadsheet(df, os.path.join(tmpdir, "t.xlsx"))
     with pytest.raises(ImportError, match="openpyxl"):
         spreadsheet_io.read_spreadsheet(spark, os.path.join(tmpdir, "t.xlsx"))
+
+
+def test_sqlite_query_from_stream(spark, tmpdir):
+    """Reference entry point 3: the SQL text arrives on an upstream
+    raw stream (scripts/dbitool.pl:1442-1457)."""
+    from dbitool_spark.pipeline import Pipeline
+
+    path = os.path.join(tmpdir, "t.db")
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id bigint, grp bigint")
+    db.write_sqlite(df, path, "t", mode="overwrite")
+    sql_file = os.path.join(tmpdir, "q.sql")
+    with open(sql_file, "w") as fh:
+        fh.write("SELECT grp, COUNT(*) AS n\nFROM t GROUP BY grp\n")
+    p = Pipeline(spark)
+    p.add(f"fileread:in={sql_file}:out=sqltext")
+    p.add(f"sqliteselect:fname={path}", **{"in": "sqltext", "out": "rows"})
+    got = {(r.grp, r.n) for r in p.stream("rows").collect()}
+    assert got == {(0, 10), (1, 10), (2, 10)}

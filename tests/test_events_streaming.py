@@ -116,3 +116,21 @@ def test_drain_to_parquet_checkpointed(spark, tmpdir):
     stream2 = streaming.stream_ndjson(spark, src, "event_id bigint, event_type string")
     streaming.drain_to_parquet(stream2, out, ckpt)
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_stream_dedup_first_wins(spark, tmpdir):
+    """Stateful streaming dedup: duplicated keys across the input emit
+    exactly once (applyInPandasWithState custom operator)."""
+    ev = catalog.load(spark, SF_SMOKE, "events").select("user_id", "event_id")
+    src = os.path.join(tmpdir, "src")
+    # write twice into the same dir -> every user appears in >=2 files
+    json_io.write_ndjson(ev, src)
+    json_io.write_ndjson(ev.limit(200), os.path.join(src, "again"))
+    stream = streaming.stream_ndjson(spark, src + "/*", "user_id bigint, event_id bigint")
+    deduped = streaming.stream_dedup_first_wins(stream, ["user_id"])
+    q = streaming.drain_to_memory(deduped, "dedup_test", output_mode="append")
+    assert not q.isActive
+    out = spark.table("dedup_test")
+    n_users = ev.select("user_id").distinct().count()
+    assert out.count() == n_users
+    assert out.select("user_id").distinct().count() == n_users

@@ -1,0 +1,88 @@
+"""Hypothesis property tests for the format codecs: arbitrary content
+must survive the wire, not just fixture content. Spark jobs per
+example are too slow, so the Spark-facing properties run one batched
+round-trip per test over many generated rows; the pure-Python BSON
+codec gets full per-example treatment."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dbitool_spark import testrow
+from dbitool_spark.io import bson_io, csv_io
+from dbitool_spark.ops.column import project
+
+# scalars the BSON subset supports
+bson_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False),
+    st.text(max_size=60),
+)
+bson_value = st.recursive(
+    bson_scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(min_size=1, max_size=10).filter(lambda s: "\x00" not in s), children, max_size=5),
+    ),
+    max_leaves=20,
+)
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=12).filter(lambda s: "\x00" not in s), bson_value, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_bson_codec_roundtrip_property(doc):
+    out, _ = bson_io._dec_doc(bson_io._enc_doc(doc))
+    assert out == doc
+
+
+# printable-ish text including CSV-hostile characters
+csv_cell = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\r\n\x00", exclude_categories=("Cs",)
+    ),
+    max_size=40,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dbitool_prop_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@given(rows=st.lists(st.tuples(csv_cell, csv_cell, csv_cell), min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_csv_quoted_roundtrip_arbitrary_text(spark, tmpdir, rows):
+    """Quoted CSV must survive separators, quotes, escapes, and
+    unicode inside values. Empty-string vs NULL is the documented
+    CSV-format ambiguity, so generated empties compare as None."""
+    path = os.path.join(tmpdir, "prop.csv")
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    csv_io.write_csv(df, path)
+    back = csv_io.read_csv(spark, path, schema="a string, b string, c string")
+    canon = lambda v: None if v == "" or v is None else v  # noqa: E731
+    got = sorted((tuple(canon(x) for x in r) for r in back.collect()), key=repr)
+    want = sorted((tuple(canon(x) for x in r) for r in rows), key=repr)
+    assert got == want
+
+
+def test_testrow_check_is_total_oracle():
+    """check() accepts every generated row and rejects every
+    single-column corruption (spot sample)."""
+    for n in (0, 1, 255, 256, 999):
+        r = testrow.row(n)
+        testrow.check(r)
+        for col in range(1, 12):
+            bad = list(r)
+            bad[col] = "CORRUPTED"
+            with pytest.raises(AssertionError):
+                testrow.check(tuple(bad))
