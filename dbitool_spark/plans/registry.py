@@ -125,3 +125,8 @@ register(
 )
 register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
 register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
+register(
+    "stats_functions_lineitem",
+    scalar_ops.stats_functions_lineitem,
+    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
+)

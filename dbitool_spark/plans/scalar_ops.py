@@ -157,6 +157,38 @@ ORDER BY brand, bucket
 """
 
 
+def stats_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: sample stddev/variance, exact
+    median, Pearson correlation — rounded to 6dp, where both engines'
+    double paths agree (verified empirically; raw values can differ in
+    final ulps between Welford-style and two-pass implementations)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.median("l_quantity").alias("med_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.skewness("l_discount"), 4).alias("skew_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_FUNCTIONS_LINEITEM_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       median(l_quantity) AS med_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(skewness(l_discount), 4) AS skew_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """intersect / except set operators: nations having customers in
     BOTH the BUILDING and MACHINERY segments, minus nations hosting

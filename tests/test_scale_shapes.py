@@ -129,3 +129,22 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """Date-partitioned parquet + a date filter must show partition
+    pruning in the scan (PartitionFilters), reading only matching
+    directories — the 100 TB time-series layout."""
+    out = str(tmp_path_factory.mktemp("part_events"))
+    ev = catalog.load(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format("ts_ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    # partition-column type inference reads the string days back as DATE
+    days = sorted(str(r.day) for r in spark.read.parquet(out).select("day").distinct().collect())
+    pick = days[len(days) // 2]
+    filtered = spark.read.parquet(out).filter(F.col("day") == pick)
+    plan = _plan(filtered)
+    assert "PartitionFilters" in plan and pick in plan.replace("%3A", ":")
+    expected = ev.filter(F.col("day") == pick).count()
+    assert filtered.count() == expected
