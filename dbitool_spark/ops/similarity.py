@@ -188,6 +188,84 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the
+    corpus into `n_centroids` cells; a query only scans its `n_probe`
+    nearest cells. The other classic ANN scale path next to LSH —
+    better recall/selectivity on clustered data, at the cost of a
+    training pass.
+
+    Scale shape: training samples the corpus (MLlib kmeans), cell
+    assignment is one Arrow-batched matmul per partition, and the
+    probe is an equi-join on cell id — candidates shuffle on the cell
+    key, never all-pairs. Deterministic via the fixed seed.
+
+    Returns (query_id, neighbor_id, rank, cos) within probed cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    def cell_assigner(n_cells: int):
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.vstack(pdf["v"].map(np.asarray)).astype(np.float64)
+                # nearest centroids by euclidean distance
+                d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+                nearest = np.argsort(d2, axis=1)[:, :n_cells]
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy().repeat(n_cells),
+                        "cell": nearest.reshape(-1),
+                    }
+                )
+
+        return assign
+
+    c_cells = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(cell_assigner(1), schema="id long, cell long")
+    q_cells = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(cell_assigner(n_probe), schema="id long, cell long")
+
+    pairs = (
+        c_cells.withColumnRenamed("id", "neighbor_id")
+        .join(q_cells.withColumnRenamed("id", "query_id"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    candidates = (
+        pairs.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

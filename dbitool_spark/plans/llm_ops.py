@@ -185,6 +185,19 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted file) approximate top-5 — the second ANN
+    scale path: train cells once, probe n_probe cells per query.
+    Rows-only entry (k-means assignment is not SQL-expressible);
+    recall vs brute force asserted in pytest."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    ).orderBy("query_id", "rank")
+
+
 # --- text analysis ----------------------------------------------------
 
 

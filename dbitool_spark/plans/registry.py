@@ -93,6 +93,7 @@ register(
 register("simhash_near_dup_documents", llm_ops.simhash_near_dup_documents)  # rows-only
 register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
 register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
+register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only (approximate)
 register("text_stats_documents", llm_ops.text_stats_documents, llm_ops.TEXT_STATS_DOCUMENTS_SQL)
 register("langid_documents", llm_ops.langid_documents, llm_ops.LANGID_DOCUMENTS_SQL)
 register(

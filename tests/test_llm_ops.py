@@ -177,3 +177,21 @@ def test_media_features_deterministic_fake_decode(spark, docs):
         assert again[mid].feature == r.feature
         assert 16 <= r.width < 256 and 16 <= r.height < 256
         assert len(r.feature) == 8
+
+
+def test_ivf_ann_recall(spark, emb):
+    """IVF probing must recover most of the true top-k while scanning
+    only n_probe of n_centroids cells."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    true = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    recall = len(true & approx) / len(true)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
