@@ -154,6 +154,58 @@ def minhash_near_dup_pairs(
     return result
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
+    index. Unlike MinHash-LSH there is no probabilistic recall: any
+    pair with jaccard >= threshold > 0 shares at least one shingle,
+    so the shingle-keyed self-join loses nothing.
+
+    Scale shape (100 TB): explode once, self-join keyed on the
+    shingle (shuffle on shingle — never all-pairs), count shared
+    shingles per pair with map-side partial aggregation, then the
+    closed form |A∩B| / (|A| + |B| - |A∩B|). The join fan-out is
+    sum(df_s^2) over shingle doc-frequencies df_s — near-linear on
+    natural text, quadratic only on stop-shingles; `max_doc_freq`
+    drops shingles appearing in more than that many docs (the classic
+    skew guard). It is OFF by default because it trades exactness for
+    bounded fan-out: pairs sharing only stop-shingles are missed.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    ix = sh.select("id", "n", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ix = ix.join(
+            freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+        )
+    a = ix.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
+    b = ix.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("li"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.col("li") / (F.col("na") + F.col("nb") - F.col("li"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, shingle_k: int = 3
 ) -> DataFrame:

@@ -129,6 +129,47 @@ ORDER BY id_a, id_b
 """
 
 
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup over the perturbed corpus at a
+    lower threshold (0.5) than the LSH entry — the inverted-index
+    exact path next to MinHash's approximate one. Oracle is honest
+    all-pairs Jaccard in DuckDB, so a hash match proves the inverted
+    index finds EVERY qualifying pair with exact values."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
+         array_to_string(ws[1:len(ws) - 1], ' ') AS text
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus)
+),
+shn AS (SELECT doc_id, s, len(s) AS n FROM sh),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS li, a.n AS na, b.n AS nb
+  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(li AS DOUBLE) / (na + nb - li) AS jaccard
+FROM cand
+WHERE CAST(li AS DOUBLE) / (na + nb - li) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash chunk-banded candidates over the perturbed corpus,
     kept at hamming distance <= 3. Rows-only (the 64-bit signature is

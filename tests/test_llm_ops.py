@@ -195,3 +195,41 @@ def test_ivf_ann_recall(spark, emb):
     }
     recall = len(true & approx) / len(true)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark, docs):
+    """The inverted-index path must find EVERY pair brute force finds
+    at the threshold, with identical jaccard values."""
+    corpus = docs.select("doc_id", "text")
+    ids = corpus.select(F.col("doc_id").alias("id_a"))
+    all_pairs = ids.crossJoin(
+        corpus.select(F.col("doc_id").alias("id_b"))
+    ).filter(F.col("id_a") < F.col("id_b"))
+    brute = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", all_pairs).collect()
+        if r.jaccard >= 0.3
+    }
+    ix = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert ix == brute
+
+
+def test_ngram_jaccard_max_doc_freq_guard(spark):
+    """Stop-shingle cap: docs that only share an ubiquitous shingle
+    stop pairing once its doc-frequency exceeds the cap."""
+    common = "the quick brown"
+    df = spark.createDataFrame(
+        [(i, f"{common} unique{i} word{i} tail{i}") for i in range(5)],
+        "doc_id int, text string",
+    )
+    unguarded = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01)
+    assert unguarded.count() > 0
+    guarded = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.01, max_doc_freq=3
+    )
+    assert guarded.count() == 0
