@@ -258,8 +258,14 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Near-dup candidate pairs by SimHash chunk banding: two docs are
     candidates if any of the four 16-bit chunks of their signatures
     match exactly (covers hamming distance <= 3 fully, more
-    probabilistically). Bucket join, never all-pairs."""
-    sig = simhash_signatures(df, id_col, text_col)
+    probabilistically). Bucket join, never all-pairs.
+
+    The signature table is persisted before the self-join: it is 16
+    bytes/doc (vs re-running the tokenize + 64-aggregate pipeline for
+    each join side — Catalyst does not reuse the exchange across the
+    self-join aliases), so materializing it is the scale-correct
+    trade at any corpus size."""
+    sig = simhash_signatures(df, id_col, text_col).persist()
     chunks = sig.select(
         "id",
         "sig",
