@@ -126,6 +126,11 @@ def minhash_near_dup_pairs(
             )
         ).alias("band", "bh"),
     )
+    # the band table feeds both sides of the self-join; without a
+    # persist Catalyst re-runs the whole signature aggregation per
+    # side (no exchange reuse across aliases). b longs/doc — cheap to
+    # materialize at any corpus size.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
