@@ -214,6 +214,52 @@ ORDER BY query_id, rank
 """
 
 
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over a perturbed corpus: each vector
+    plus a copy with element 0 scaled 1.5x. Construction gives every
+    (i, i+offset) pair cos = (1+0.5r)/sqrt(1+1.25r) >= 0.9798 for any
+    component share r, while natural pairs in this corpus top out
+    ~0.28 — perfect separation at threshold 0.95, so the oracle is
+    honest all-pairs cosine in DuckDB and a hash match proves LSH
+    bucket recall AND cosine values end to end."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pert = base.select(
+        (F.col("vec_id") + _PERTURB_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) * 1.5), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    corpus = base.unionAll(pert)
+    pairs = similarity.embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="v", dim=64,
+        threshold=0.95, n_tables=16, bits=8,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_r")
+    ).orderBy("id_a", "id_b")
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {_PERTURB_OFFSET} AS vec_id,
+         list_concat([v[1] * 1.5], v[2:]) AS v
+  FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos_r
+FROM pairs WHERE cos >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 for the same 10 queries — the
     scale path (bucket joins, never all-pairs). Rows-only entry;

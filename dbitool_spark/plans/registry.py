@@ -92,6 +92,7 @@ register(
 )
 register("simhash_near_dup_documents", llm_ops.simhash_near_dup_documents)  # rows-only
 register("ngram_jaccard_documents", llm_ops.ngram_jaccard_documents, llm_ops.NGRAM_JACCARD_SQL)
+register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
 register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
 register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
 register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only (approximate)
