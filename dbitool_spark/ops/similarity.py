@@ -318,8 +318,14 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b,
     cos >= threshold), LSH-bucketed: high-cosine pairs collide in at
     least one table with high probability, so the candidate join
-    stays bucket-local."""
-    sig = _lsh_buckets(df, id_col, vec_col, dim=dim, n_tables=n_tables, bits=bits)
+    stays bucket-local.
+
+    The bucket table is persisted before the self-join: Catalyst does
+    not reuse exchanges across self-join aliases, so without it the
+    Arrow matmul bucket assignment runs once per side."""
+    sig = _lsh_buckets(
+        df, id_col, vec_col, dim=dim, n_tables=n_tables, bits=bits
+    ).persist()
     left, right = sig.alias("l"), sig.alias("r")
     pairs = (
         left.join(
@@ -331,12 +337,25 @@ def embedding_near_dup_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Norms are computed once per vector, not once per candidate pair:
+    # higher-order-function lambdas are interpreted per element, so at
+    # c candidates the naive cosine costs 3c aggregations of dim terms
+    # while this shape costs n + c (n vectors << c candidates).
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    va = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
