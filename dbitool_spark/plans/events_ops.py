@@ -72,7 +72,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_PROPS_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -141,7 +141,7 @@ WITH ev AS (
 )
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(session_end_us - session_start_us) AS longest_session_us
 FROM per_session
 GROUP BY user_id

@@ -99,20 +99,20 @@ def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Brute-force oracle. |A ∪ B| = |A| + |B| - |A ∩ B| (shingle lists are
 # distinct), and pairs are pre-pruned by the length-ratio bound implied
 # by jaccard >= t: min(|A|,|B|) >= t * max(|A|,|B|).
-MINHASH_NEAR_DUP_SQL = f"""
+MINHASH_NEAR_DUP_SQL = rf"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
          array_to_string(ws[1:len(ws) - 1], ' ') AS text
-  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
 ),
 sh AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
            ELSE list_transform(generate_series(1, len(w) - 2),
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
-  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus)
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
 ),
 shn AS (SELECT doc_id, s, len(s) AS n FROM sh),
 cand AS (
@@ -142,20 +142,20 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-NGRAM_JACCARD_SQL = f"""
+NGRAM_JACCARD_SQL = rf"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
          array_to_string(ws[1:len(ws) - 1], ' ') AS text
-  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
 ),
 sh AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
            ELSE list_transform(generate_series(1, len(w) - 2),
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
-  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus)
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
 ),
 shn AS (SELECT doc_id, s, len(s) AS n FROM sh),
 cand AS (
@@ -311,10 +311,10 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_STATS_DOCUMENTS_SQL = r"""
 SELECT doc_id,
        length(text) AS n_chars2,
-       len(string_split(trim(text), ' ')) AS n_tokens,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
        length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
-       len(list_filter(string_split(trim(text), ' '), w -> length(w) <= 2)) AS n_short_tokens
+       len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> length(w) <= 2)) AS n_short_tokens
 FROM documents
 ORDER BY doc_id
 """
@@ -331,7 +331,7 @@ def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _langid_sql() -> str:
     score_exprs = [
-        "len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ({}))) AS score_{}".format(
+        r"len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> w IN ({}))) AS score_{}".format(
             ", ".join(f"'{m}'" for m in markers), lang
         )
         for lang, markers in text.LANG_MARKERS.items()
@@ -381,11 +381,53 @@ FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
 
 
 def quality_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score per document (rows-only: the blend is
-    deterministic and unit-tested; mirroring every CASE arm in SQL
-    adds no information)."""
+    """Composite quality score per document, value-checked against a
+    DuckDB mirror of the exact blend (ops/text.py quality_score): same
+    feature ratios, same least/CASE arms, same double evaluation
+    order, round(…, 6) on both engines."""
     docs = catalog.load(spark, sf_dir, "documents")
     return text.quality_score(docs).select("doc_id", "quality_score").orderBy("doc_id")
+
+
+def _quality_scores_sql() -> str:
+    stopwords = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
+    # Mirrors ops/text.py quality_features + quality_score term by term,
+    # in the same left-to-right double arithmetic order, so the blended
+    # score is bit-identical. Tokenization is the regex \s+ split on
+    # trimmed text in BOTH engines.
+    return rf"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         w -> lower(w) IN ({stopwords}))) AS n_stop
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_tokens,
+         (n_chars - (n_tokens - 1)) / n_tokens AS mean_token_len,
+         n_punct / n_chars AS punct_ratio,
+         n_digits / n_chars AS digit_ratio,
+         n_stop / n_tokens AS stopword_ratio
+  FROM feats
+)
+SELECT doc_id,
+       round(
+         0.3 * least(stopword_ratio * 4, 1.0)
+         + 0.25 * (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                        THEN 1.0 ELSE 0.3 END)
+         + 0.25 * (1.0 - least(punct_ratio * 5, 1.0))
+         + 0.1 * (1.0 - least(digit_ratio * 5, 1.0))
+         + 0.1 * least(n_tokens / 100, 1.0),
+       6) AS quality_score
+FROM ratios
+ORDER BY doc_id
+"""
+
+
+QUALITY_SCORES_DOCUMENTS_SQL = _quality_scores_sql()
 
 
 # --- multimodal -------------------------------------------------------

@@ -103,7 +103,11 @@ register(
     llm_ops.fingerprint_dedup_counts,
     llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
 )
-register("quality_scores_documents", llm_ops.quality_scores_documents)  # rows-only
+register(
+    "quality_scores_documents",
+    llm_ops.quality_scores_documents,
+    llm_ops.QUALITY_SCORES_DOCUMENTS_SQL,
+)
 register(
     "media_features_documents",
     llm_ops.media_features_documents,

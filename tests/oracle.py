@@ -60,7 +60,12 @@ def _type_class_spark(dtype: str) -> str | None:
 
 def _type_class_duck(type_code) -> str | None:
     d = str(type_code).upper()
-    if d in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "NUMBER"):
+    if d == "HUGEINT":
+        # DuckDB SUM(BIGINT) widens to int128; the driver's value hash is
+        # type-sensitive, so a bare SUM in oracle SQL reads as a mismatch
+        # even when values agree (CORRECTNESS_r02). Surface it locally.
+        return "hugeint (CAST the oracle SUM to BIGINT)"
+    if d in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "NUMBER"):
         return "int"
     if d in ("FLOAT", "DOUBLE", "REAL") or d.startswith("DECIMAL"):
         return "float"
