@@ -6,26 +6,59 @@ Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 N timed runs after a warm-up, and prints exactly ONE JSON line:
 
     {"metric": "total_median_query_sec", "value": <sum of medians>,
-     "unit": "sec", "queries": {"q1_...": sec, ...}, "sf": 0.1}
+     "unit": "sec", "queries": {"q1_...": sec, ...}, "sf": 0.1,
+     "vs_prev": {"baseline": "BENCH_rNN.json", "ratios": {...},
+                 "regressions": [...]}}
 
 Timing counts the full job: plan + execution to a count() action
 (count, not collect, so driver-side row transfer doesn't dominate at
 bench scale — correctness of values is the oracle gate's job, and
 count() still executes the complete plan including sorts' upstream).
+
+Regression gate: the run diffs per-query medians against the newest
+BENCH_r{N}.json recorded at the same scale factor; ratios > 1.5x are
+listed under vs_prev.regressions and warned to stderr (stdout stays
+the single JSON line). Medians are over 5 runs by default
+(SPARK_GRAFT_BENCH_RUNS) so the gate measures plans, not single-shot
+sandbox noise.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
 
+REGRESSION_RATIO = 1.5
+
+
+def _load_prev_bench(repo_dir: str, sf: float | None) -> tuple[str, dict] | None:
+    """Newest BENCH_r{N}.json with per-query timings at the same sf."""
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps the bench line under "parsed"; accept both
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        if isinstance(data.get("queries"), dict) and data.get("sf") == sf:
+            best, best_n = (os.path.basename(p), data), int(m.group(1))
+    return best
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from dbitool_spark.plans import registry
@@ -59,6 +92,31 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+
+    prev = _load_prev_bench(os.path.dirname(os.path.abspath(__file__)), sf)
+    if prev is not None:
+        prev_name, prev_data = prev
+        ratios = {
+            name: round(t / prev_data["queries"][name], 3)
+            for name, t in timings.items()
+            if prev_data["queries"].get(name)
+        }
+        regressions = sorted(
+            (n for n, r in ratios.items() if r > REGRESSION_RATIO),
+            key=lambda n: -ratios[n],
+        )
+        result["vs_prev"] = {
+            "baseline": prev_name,
+            "ratios": ratios,
+            "regressions": regressions,
+        }
+        for n in regressions:
+            print(
+                f"REGRESSION {n}: {ratios[n]}x vs {prev_name} "
+                f"({prev_data['queries'][n]}s -> {timings[n]}s)",
+                file=sys.stderr,
+            )
+
     print(json.dumps(result))
     return 0
 

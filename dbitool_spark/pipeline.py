@@ -34,7 +34,16 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbitool_spark.io import bson_io, csv_io, db, fixedwidth, json_io, text_io, xml_io
+from dbitool_spark.io import (
+    bson_io,
+    csv_io,
+    db,
+    fixedwidth,
+    json_io,
+    spreadsheet_io,
+    text_io,
+    xml_io,
+)
 from dbitool_spark.ops.column import project
 
 ModuleFn = Callable[["Pipeline", list[DataFrame], dict[str, Any]], DataFrame | None]
@@ -74,6 +83,17 @@ def _fileread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 
 @register_module("csvread")
 def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    if ins:
+        # raw->row boundary: parse an upstream raw line stream
+        # (reference `stdin csvread`, scripts/dbitool.pl:3273-3276)
+        return csv_io.parse_csv_lines(
+            ins[0],
+            sep=a.get("sep", ","),
+            quote=a.get("quote", '"'),
+            escape=a.get("escape", "\\"),
+            header=_flag(a, "header"),
+            schema=a.get("schema"),
+        )
     return csv_io.read_csv(
         p.spark,
         a["in"],
@@ -88,6 +108,8 @@ def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 
 @register_module("ndjsonread")
 def _ndjsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    if ins:
+        return json_io.parse_ndjson_lines(ins[0], schema=a.get("schema"))
     return json_io.read_ndjson(p.spark, a["in"], schema=a.get("schema"))
 
 
@@ -136,6 +158,83 @@ def _sqliteselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     )
 
 
+@register_module("spreadsheetread")
+def _spreadsheetread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Reference spreadsheetread (scripts/dbitool.pl:2696-2784): sheet
+    selector + (x, y) top-left offset + optional header row."""
+    sheet = a.get("sheet", 0)
+    return spreadsheet_io.read_spreadsheet(
+        p.spark,
+        a["in"],
+        sheet=int(sheet) if str(sheet).isdigit() else sheet,
+        header=_flag(a, "header"),
+        x=int(a.get("x", 0)),
+        y=int(a.get("y", 0)),
+    )
+
+
+_JDBC_PASSTHROUGH_EXCLUDE = {"url", "query", "table", "in", "out", "mode"}
+
+
+@register_module("jdbcselect")
+def _jdbcselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Generic JDBC pushdown source (reference dbitoolmoddbdread,
+    scripts/dbitool.pl:1318-1385): query XOR table XOR query-from-
+    stream; extra args pass through as JDBC options (partitionColumn,
+    numPartitions, fetchsize, ...)."""
+    query = a.get("query")
+    if ins and query is None and a.get("table") is None:
+        query = db.query_from_stream(ins[0])
+    opts = {k: v for k, v in a.items() if k not in _JDBC_PASSTHROUGH_EXCLUDE}
+    return db.read_jdbc(p.spark, a["url"], query=query, table=a.get("table"), **opts)
+
+
+@register_module("mysqlselect")
+def _mysqlselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Reference mysqlselect (scripts/dbitool.pl:1387-1459): the same
+    host/port/db/user/pw argument surface, mapped onto a jdbc:mysql://
+    URL (needs the MySQL Connector/J jar on the classpath)."""
+    if "db" not in a:
+        raise ValueError("database (db) not specified")
+    url = f"jdbc:mysql://{a.get('host', 'localhost')}:{int(a.get('port', 3306))}/{a['db']}"
+    query = a.get("query")
+    if ins and query is None and a.get("table") is None:
+        query = db.query_from_stream(ins[0])
+    if query is None and a.get("table") is None:
+        raise ValueError("query nor table nor input stream specified")
+    opts = {
+        k: v
+        for k, v in a.items()
+        if k not in _JDBC_PASSTHROUGH_EXCLUDE | {"host", "port", "db", "user", "pw"}
+    }
+    if "user" in a:
+        opts["user"] = a["user"]
+    if "pw" in a:
+        opts["password"] = a["pw"]
+    return db.read_jdbc(p.spark, url, query=query, table=a.get("table"), **opts)
+
+
+@register_module("ndb")
+def _ndb(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame | None:
+    """Reference dbitoolmod_ndb (scripts/dbitool.pl:2561-2694), all
+    three wiring modes: with an input stream the batch upserts into
+    the keyed table (last-write-wins per key) and — when an output
+    stream is wired — rows pass through unchanged (:2676-2684); with
+    no input stream the table replays as a source (:2642-2665). The
+    upsert is a write action, so it only fires on run(), not on
+    stream() wiring."""
+    from dbitool_spark.ndb import NdbTable
+
+    table = NdbTable(
+        p.spark, a["fname"], a["key"], n_buckets=int(a.get("n_buckets", 32))
+    )
+    if ins:
+        if p._with_sinks:
+            table.upsert(ins[0], order_by=a.get("order_by"))
+        return ins[0]
+    return table.replay()
+
+
 # --- transforms ---
 
 
@@ -160,12 +259,13 @@ def _union(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 
 @register_module("gzip")
 def _gzip(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
-    """Codec compatibility shim (reference scripts/dbitool.pl:1176-1242).
-    In Spark, compression is a property of the file sink, not a stream
-    transform — `csvwrite:compression=gzip` replaces the reference's
-    `csvwrite | gzip | filewrite` chain. The module passes rows
-    through unchanged so existing pipeline shapes still wire; the
-    actual compression happens at the sink."""
+    """Codec module (reference scripts/dbitool.pl:1176-1242). In Spark,
+    compression is a property of the file sink, not a stream transform,
+    so this module tags its output stream: the downstream file sink
+    picks up `compression=gzip` automatically, making the reference's
+    `csvwrite | gzip | @file` chain express verbatim (the builder does
+    the tagging in _build; an explicit compression= on the sink still
+    wins). Rows pass through unchanged."""
     return ins[0]
 
 
@@ -261,6 +361,23 @@ def _sqliteinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     )
 
 
+@register_module("spreadsheetwrite")
+def _spreadsheetwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    """Reference spreadsheetwrite (scripts/dbitool.pl:2786-2870)."""
+    spreadsheet_io.write_spreadsheet(
+        ins[0], a["out"], sheet=a.get("sheet", "Sheet1"), header=_flag(a, "header")
+    )
+
+
+@register_module("jdbcinsert")
+def _jdbcinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    """Generic JDBC batched-insert sink (reference dbitoolmoddbdwrite,
+    scripts/dbitool.pl:1601-1694); extra args pass through as JDBC
+    options (batchsize, isolationLevel, ...)."""
+    opts = {k: v for k, v in a.items() if k not in _JDBC_PASSTHROUGH_EXCLUDE}
+    db.write_jdbc(ins[0], a["url"], a["table"], mode=a.get("mode", "append"), **opts)
+
+
 @register_module("stdout")
 def _stdout(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     text_io.write_stdout(ins[0])
@@ -276,12 +393,26 @@ def _stderr(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
 _SOURCES = {
     "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
     "parquetread", "xmlread", "bsonread", "sqliteselect", "stdin",
+    "spreadsheetread", "jdbcselect", "mysqlselect",
 }
-_STREAMABLE_SOURCES = {"sqliteselect"}
+_STREAMABLE_SOURCES = {"sqliteselect", "jdbcselect", "mysqlselect"}
+# format readers that can also parse an upstream RAW line stream (the
+# reference's raw->row boundary, e.g. `stdin csvread`): their in= is a
+# stream when it names one, a path otherwise; missing in= default-wires
+# to the previous module's out
+_RAW_CONSUMING_SOURCES = {"csvread", "ndjsonread"}
 _SINKS = {
     "filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite",
     "parquetwrite", "xmlwrite", "bsonwrite", "sqliteinsert", "stdout", "stderr",
+    "spreadsheetwrite", "jdbcinsert",
 }
+# modules that are source OR sink OR passthrough depending on wiring
+# (the reference's ndb: in+out = passthrough upsert, in only = sink,
+# out only = replay source)
+_DUAL_MODULES = {"ndb"}
+# sinks whose writers accept a compression= codec option (the targets a
+# gzip module upstream can tag)
+_COMPRESSIBLE_SINKS = {"filewrite", "csvwrite", "ndjsonwrite", "fixedwidthwrite"}
 
 
 @dataclass
@@ -319,6 +450,7 @@ class Pipeline:
         self._streams: dict[str, DataFrame] = {}
         self._counter = 0
         self._observations: dict[str, object] = {}
+        self._with_sinks = False
 
     # -- spec assembly --------------------------------------------------
 
@@ -358,11 +490,47 @@ class Pipeline:
         defaults to the previous module's output; a missing output
         stream gets a generated streamN name."""
         args = mod.args
+        if mod.name in _DUAL_MODULES:
+            # explicit wiring only (the reference's ndb decides its mode
+            # from which streams the user names): in= consumes a stream,
+            # out= produces one; no in -> replay source, no out -> sink
+            declared_in = args.pop("in", None)
+            mod.in_streams = (
+                [s.strip() for s in str(declared_in).split(",")] if declared_in else []
+            )
+            declared_out = args.pop("out", None)
+            if declared_out:
+                mod.out_stream = str(declared_out)
+            elif not mod.in_streams:
+                self._counter += 1
+                mod.out_stream = f"stream{self._counter}"
+            else:
+                mod.out_stream = None
+            return
         if mod.name in _SOURCES:
             # sources take no input stream — except db sources, whose
             # path rides in fname= and whose in= may name a stream
-            # carrying the SQL text (reference query-from-stream)
-            declared = args.pop("in", None) if mod.name in _STREAMABLE_SOURCES else None
+            # carrying the SQL text (reference query-from-stream), and
+            # raw-consuming format readers, whose in= may name a raw
+            # line stream instead of a path
+            declared = None
+            if mod.name in _STREAMABLE_SOURCES:
+                declared = args.pop("in", None)
+            elif mod.name in _RAW_CONSUMING_SOURCES:
+                known = {m.out_stream for m in self._specs if m.out_stream}
+                given = args.get("in")
+                if given is not None and str(given) in known:
+                    declared = args.pop("in")
+                elif given is None:
+                    declared = next(
+                        (m.out_stream for m in reversed(self._specs) if m.out_stream),
+                        None,
+                    )
+                    if declared is None:
+                        raise ValueError(
+                            f"module {mod.name} has no input: pass in=PATH or "
+                            "wire it after a raw stream"
+                        )
             mod.in_streams = [s.strip() for s in str(declared).split(",")] if declared else []
         else:
             declared = args.pop("in", None)
@@ -398,8 +566,13 @@ class Pipeline:
                 reads[s] = reads.get(s, 0) + 1
         self._streams = {}
         self._observations = {}
+        self._with_sinks = with_sinks
+        codecs: dict[str, str] = {}  # stream name -> pending sink compression
         for m in self._specs:
-            if m.name in _SINKS and not with_sinks:
+            sink_like = m.name in _SINKS or (
+                m.name in _DUAL_MODULES and m.out_stream is None
+            )
+            if sink_like and not with_sinks:
                 continue
             try:
                 inputs = [self._streams[s] for s in m.in_streams]
@@ -422,7 +595,27 @@ class Pipeline:
                 wrapped, obs = observed(inputs[0], f"{m.name}@{m.in_streams[0]}")
                 inputs = [wrapped] + inputs[1:]
                 self._observations[f"{m.name}@{m.in_streams[0]}"] = obs
-            out = MODULES[m.name](self, inputs, dict(m.args))
+            args = dict(m.args)
+            pending = next(
+                (codecs[s] for s in m.in_streams if s in codecs), None
+            )
+            if pending is not None:
+                # a gzip module upstream tagged this edge: the sink does
+                # the actual compression (reference csvwrite|gzip|@file)
+                if m.name in _COMPRESSIBLE_SINKS:
+                    args.setdefault("compression", pending)
+                elif m.name in _SINKS:
+                    raise ValueError(
+                        f"sink {m.name} cannot compress; gzip upstream of it "
+                        f"is unsupported (use filewrite/csvwrite/ndjsonwrite/"
+                        f"fixedwidthwrite)"
+                    )
+            out = MODULES[m.name](self, inputs, args)
+            if m.name == "gzip" and m.out_stream is not None:
+                codecs[m.out_stream] = "gzip"
+            elif pending is not None and m.out_stream is not None:
+                # pass-through transforms propagate the pending codec
+                codecs[m.out_stream] = pending
             if m.out_stream is not None:
                 if out is None:
                     raise ValueError(f"module {m.name} produced no output for stream {m.out_stream}")

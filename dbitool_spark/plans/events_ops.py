@@ -119,6 +119,46 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sessions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window realization of user_sessions: the SAME >30-min
+    gap semantics via Spark's native session windows (merge-on-
+    overlap) instead of lag + cumulative sum — the plan Structured
+    Streaming can run incrementally (streaming.stream_user_sessions).
+    Session length = window length - gap, since the window end pads
+    the last event by the gap. One shuffle on user_id; window merge is
+    per-user local. Oracle: USER_SESSIONS_SQL — the two plans must
+    produce identical (n_sessions, n_events, longest_session_us)."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_ts").alias("ts")
+    )
+    per_session = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("win"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.unix_micros(F.col("win.end"))
+                - F.unix_micros(F.col("win.start"))
+                - F.lit(gap_us)
+            ).alias("dur_us"),
+        )
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("dur_us").alias("longest_session_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 USER_SESSIONS_SQL = f"""
 WITH ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events

@@ -96,11 +96,11 @@ def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-# Brute-force oracle. |A ∪ B| = |A| + |B| - |A ∩ B| (shingle lists are
-# distinct), and pairs are pre-pruned by the length-ratio bound implied
-# by jaccard >= t: min(|A|,|B|) >= t * max(|A|,|B|).
-MINHASH_NEAR_DUP_SQL = rf"""
-WITH corpus AS (
+# Brute-force oracle CTEs. |A ∪ B| = |A| + |B| - |A ∩ B| (shingle
+# lists are distinct), and pairs are pre-pruned by the length-ratio
+# bound implied by jaccard >= t: min(|A|,|B|) >= t * max(|A|,|B|).
+# Shared by the pair oracle and the cluster (recursive-closure) oracle.
+_MINHASH_PAIRS_CTES = rf"""corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
@@ -121,11 +121,56 @@ cand AS (
   FROM shn a JOIN shn b
     ON a.doc_id < b.doc_id
    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
-)
+)"""
+
+MINHASH_NEAR_DUP_SQL = f"""
+WITH {_MINHASH_PAIRS_CTES}
 SELECT id_a, id_b, CAST(li AS DOUBLE) / (na + nb - li) AS jaccard
 FROM cand
 WHERE CAST(li AS DOUBLE) / (na + nb - li) >= 0.7
 ORDER BY id_a, id_b
+"""
+
+
+def near_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end to end: MinHash-LSH pairs over the
+    perturbed corpus -> connected components -> (doc_id, cluster_id =
+    component-min id). The oracle recomputes the same pair set brute
+    force and closes it with a recursive CTE, so a hash match proves
+    the distributed min-label flooding found exactly the transitive
+    closure's components."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.7
+    )
+    return (
+        dedup.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE CAST(li AS DOUBLE) / (na + nb - li) >= 0.7
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT n.id AS doc_id, least(n.id, MIN(r.b)) AS cluster_id
+FROM nodes n JOIN reach r ON r.a = n.id
+GROUP BY n.id
+ORDER BY doc_id
 """
 
 
@@ -383,18 +428,24 @@ FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
 def quality_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score per document, value-checked against a
     DuckDB mirror of the exact blend (ops/text.py quality_score): same
-    feature ratios, same least/CASE arms, same double evaluation
-    order, round(…, 6) on both engines."""
+    feature ratios, same least/CASE arms, blend constants cast to
+    DOUBLE on the DuckDB side so both engines run the same double
+    arithmetic; round(…, 6) on both absorbs last-ulp divergence."""
     docs = catalog.load(spark, sf_dir, "documents")
     return text.quality_score(docs).select("doc_id", "quality_score").orderBy("doc_id")
 
 
 def _quality_scores_sql() -> str:
     stopwords = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
-    # Mirrors ops/text.py quality_features + quality_score term by term,
-    # in the same left-to-right double arithmetic order, so the blended
-    # score is bit-identical. Tokenization is the regex \s+ split on
-    # trimmed text in BOTH engines.
+    # Mirrors ops/text.py quality_features + quality_score term by term
+    # in the same left-to-right order, with every blend constant cast
+    # to DOUBLE: DuckDB parses bare 0.3/0.25/0.1 literals as DECIMAL
+    # and would compute those terms in exact decimal before promoting,
+    # which only coincidentally matches Spark's all-double arithmetic.
+    # With the casts both engines genuinely run the same double ops;
+    # round(…, 6) absorbs any residual last-ulp divergence.
+    # Tokenization is the regex \s+ split on trimmed text in BOTH
+    # engines.
     return rf"""
 WITH feats AS (
   SELECT doc_id,
@@ -415,12 +466,12 @@ WITH feats AS (
 )
 SELECT doc_id,
        round(
-         0.3 * least(stopword_ratio * 4, 1.0)
-         + 0.25 * (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
-                        THEN 1.0 ELSE 0.3 END)
-         + 0.25 * (1.0 - least(punct_ratio * 5, 1.0))
-         + 0.1 * (1.0 - least(digit_ratio * 5, 1.0))
-         + 0.1 * least(n_tokens / 100, 1.0),
+         CAST(0.3 AS DOUBLE) * least(stopword_ratio * 4, CAST(1.0 AS DOUBLE))
+         + CAST(0.25 AS DOUBLE) * (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END)
+         + CAST(0.25 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(punct_ratio * 5, CAST(1.0 AS DOUBLE)))
+         + CAST(0.1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(digit_ratio * 5, CAST(1.0 AS DOUBLE)))
+         + CAST(0.1 AS DOUBLE) * least(n_tokens / 100, CAST(1.0 AS DOUBLE)),
        6) AS quality_score
 FROM ratios
 ORDER BY doc_id

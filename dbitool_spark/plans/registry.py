@@ -91,6 +91,11 @@ register(
     llm_ops.MINHASH_NEAR_DUP_SQL,
 )
 register("simhash_near_dup_documents", llm_ops.simhash_near_dup_documents)  # rows-only
+register(
+    "near_dup_clusters_documents",
+    llm_ops.near_dup_clusters_documents,
+    llm_ops.NEAR_DUP_CLUSTERS_SQL,
+)
 register("ngram_jaccard_documents", llm_ops.ngram_jaccard_documents, llm_ops.NGRAM_JACCARD_SQL)
 register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
 register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
@@ -121,6 +126,13 @@ register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_
 register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
 register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+# same gap semantics, disjoint plan (native session windows) — shares
+# the lag+cumsum oracle, so the driver cross-checks both realizations
+register(
+    "user_sessions_window",
+    events_ops.user_sessions_window,
+    events_ops.USER_SESSIONS_SQL,
+)
 
 # --- scalar function surface + set/grouping operators ---
 register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)

@@ -88,6 +88,32 @@ def windowed_counts(
     )
 
 
+def stream_user_sessions(
+    stream: DataFrame,
+    ts_col: str,
+    user_col: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap sessionization: Spark's native session_window
+    (merge-on-overlap) — the incremental realization of
+    plans.events_ops.user_sessions' >gap-silence semantics. State per
+    open session; the watermark closes and evicts sessions whose gap
+    has passed (bounded state, the reference's bounded-buffer
+    analogue). Session length = (end - start) - gap: the window end
+    pads the last event by the gap."""
+    grouped = stream.withWatermark(ts_col, watermark).groupBy(
+        F.session_window(F.col(ts_col), gap).alias("win"), F.col(user_col)
+    )
+    return grouped.agg(F.count(F.lit(1)).alias("n_events")).select(
+        user_col,
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "n_events",
+    )
+
+
 def drain_to_memory(
     df: DataFrame, name: str, *, output_mode: str = "append", timeout_sec: int = 120
 ) -> StreamingQuery:
@@ -115,13 +141,20 @@ def stream_dedup_first_wins(
     Built on applyInPandasWithState: per-key GroupState stores one
     boolean; Arrow batches flow per group, new keys emit their first
     row, known keys emit nothing. State is the minimal per-key flag,
-    so memory is O(distinct keys) — bound it with a timeout when keys
-    expire naturally (e.g. daily dedup scopes)."""
+    so memory is O(distinct live keys): with state_timeout_ms set,
+    expired keys are removed on their timeout callback (hasTimedOut)
+    and a later reappearance of the key re-emits — the bounded-state
+    dedup-scope semantics (e.g. daily dedup windows)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = stream.schema
 
     def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # timeout callback: reclaim the per-key flag so state stays
+            # bounded; the next occurrence of this key re-emits.
+            state.remove()
+            return
         if state.exists:
             return  # key already emitted; drop everything
         first = None

@@ -118,6 +118,28 @@ def test_sqlite_partitioned_distributed_read(spark, tmpdir):
     assert db.read_sqlite(spark, path, table="t", partition_column="id").distinct().count() == 500
 
 
+def test_sqlite_partitioned_read_null_keys(spark, tmpdir):
+    """Rows whose partition key is NULL match no modulo slice; they
+    must fold into partition 0 (the JDBC partitioned-read convention)
+    instead of being silently dropped."""
+    path = os.path.join(tmpdir, "t.db")
+    with sqlite3.connect(path) as con:
+        con.execute("CREATE TABLE t (id INTEGER, v TEXT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", [(i, f"v{i}") for i in range(40)]
+        )
+        con.executemany(
+            "INSERT INTO t VALUES (NULL, ?)", [(f"null{i}",) for i in range(7)]
+        )
+    back = db.read_sqlite(
+        spark, path, table="t", partition_column="id", num_partitions=4
+    )
+    vals = [r.v for r in back.select("v").collect()]
+    assert len(vals) == 47  # nothing dropped
+    assert len(set(vals)) == 47  # nothing double-read
+    assert {f"null{i}" for i in range(7)} <= set(vals)
+
+
 def test_sqlite_memory_guard(spark, tmpdir):
     path = os.path.join(tmpdir, "t.db")
     df = spark.createDataFrame([(i,) for i in range(100)], "id bigint")

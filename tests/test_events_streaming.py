@@ -118,6 +118,81 @@ def test_drain_to_parquet_checkpointed(spark, tmpdir):
     assert spark.read.parquet(out).count() == ev.count()
 
 
+def test_stream_sessionization_matches_batch(spark, tmpdir):
+    """session_window sessionization drained availableNow must equal
+    the batch lag+cumsum plan (plans.events_ops.user_sessions):
+    identical per-user session counts and event totals."""
+    from dbitool_spark.plans.events_ops import user_sessions
+
+    ev = catalog.load(spark, SF_SMOKE, "events").select(
+        "user_id", F.col("ts_ts").alias("ts")
+    )
+    src = os.path.join(tmpdir, "src")
+    json_io.write_ndjson(ev, src)
+
+    stream = streaming.stream_ndjson(spark, src, "user_id bigint, ts timestamp")
+    sessions = streaming.stream_user_sessions(stream, "ts", "user_id")
+    # complete mode: the watermark stops at max event time, so append
+    # would hold back every user's final (still-open) session
+    q = streaming.drain_to_memory(sessions, "sess_test", output_mode="complete")
+    assert not q.isActive
+
+    got = {
+        (r.user_id,): (r.n_sessions, r.n_events)
+        for r in spark.table("sess_test")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    batch = {
+        (r.user_id,): (r.n_sessions, r.n_events)
+        for r in user_sessions(spark, SF_SMOKE).collect()
+    }
+    assert got == batch
+
+
+def test_stream_dedup_state_timeout_reemits(spark, tmpdir):
+    """ProcessingTimeTimeout expiry must reclaim per-key state (the
+    bounded-memory contract) and restore re-emit-after-expiry: a key
+    seen again after its dedup scope expired emits again."""
+    import json
+    import time
+
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    out = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as fh:
+            for uid, eid in rows:
+                fh.write(json.dumps({"user_id": uid, "event_id": eid}) + "\n")
+
+    def drain():
+        stream = streaming.stream_ndjson(
+            spark, src, "user_id bigint, event_id bigint"
+        )
+        deduped = streaming.stream_dedup_first_wins(
+            stream, ["user_id"], state_timeout_ms=500
+        )
+        streaming.drain_to_parquet(deduped, out, ckpt)
+
+    write_batch("b1.json", [(1, 100), (1, 101)])
+    drain()  # user 1 emits once, state set with a 500ms timeout
+    time.sleep(1.5)
+    write_batch("b2.json", [(2, 200)])
+    drain()  # user 2 emits; user 1's timeout fires -> state removed
+    write_batch("b3.json", [(1, 300)])
+    drain()  # user 1 re-emits: its dedup scope expired
+
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("user_id") == 1).count() == 2
+    assert got.count() == 3
+
+
 def test_stream_dedup_first_wins(spark, tmpdir):
     """Stateful streaming dedup: duplicated keys across the input emit
     exactly once (applyInPandasWithState custom operator)."""

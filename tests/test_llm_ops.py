@@ -89,6 +89,104 @@ def test_simhash_candidates_cover_planted_dups(spark, docs):
     assert planted.filter(F.col("hamming") <= 3).count() > 0
 
 
+def test_connected_components_known_graph(spark):
+    """Hand-built graph: {1,2,3} chained, {5,6} paired, 9-10-11 a
+    path — every node labels with its component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 10), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 10: 9, 11: 9}
+
+
+def test_connected_components_iteration_cap(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(pairs, max_iter=2)
+
+
+def test_dedup_keep_representative(spark, docs):
+    """Perturbed corpus deduped on minhash clusters: every cluster
+    keeps exactly its min id; unpaired docs all survive."""
+    from dbitool_spark.plans.llm_ops import _perturbed_corpus
+
+    corpus = _perturbed_corpus(docs.limit(20))
+    pairs = dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.7
+    )
+    kept = dedup.dedup_keep_representative(corpus, pairs, "doc_id")
+    comp = dedup.connected_components(pairs)
+    n_nodes = comp.count()
+    n_clusters = comp.select("cluster_id").distinct().count()
+    assert kept.count() == corpus.count() - (n_nodes - n_clusters)
+    # every representative is a cluster min and still present
+    mins = {r.cluster_id for r in comp.collect()}
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert mins <= kept_ids
+
+
+def test_simhash_banding_parameterized(spark, docs):
+    """Non-default 8x8 banding: the pigeonhole guarantee widens to
+    hamming <= n_blocks-1 = 7 — every planted pair within that radius
+    MUST be a candidate (recall 1.0 within the guaranteed radius)."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(perturbed)
+    sig = dedup.simhash_signatures(corpus, "doc_id", "text")
+    a = sig.filter(F.col("id") < 1000).select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sa")
+    )
+    b = sig.filter(F.col("id") >= 1000).select(
+        (F.col("id") - 1000).alias("id_a"), F.col("sig").alias("sb")
+    )
+    truth = a.join(b, "id_a").withColumn(
+        "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    )
+    want = {r.id_a for r in truth.filter(F.col("hamming") <= 7).collect()}
+    assert want, "corpus must contain planted pairs within the radius"
+    cands = dedup.simhash_candidates(
+        corpus, "doc_id", "text", n_blocks=8, bits_per_block=8
+    )
+    got = {
+        r.id_a
+        for r in cands.filter(
+            (F.col("id_b") - F.col("id_a") == 1000) & (F.col("id_a") < 1000)
+        ).collect()
+    }
+    assert want <= got
+    with pytest.raises(ValueError, match="banding"):
+        dedup.simhash_candidates(
+            corpus, "doc_id", "text", n_blocks=5, bits_per_block=16
+        )
+
+
+def test_near_dup_ops_release_cached_intermediates(spark, docs, emb):
+    """The persisted signature/bucket tables must be unpersisted
+    before each op returns — only the op's own (small) checkpointed
+    result may linger, so repeated calls in a long-lived session keep
+    bounded executor storage."""
+    sc = spark.sparkContext
+
+    def n_cached() -> int:
+        return sc._jsc.getPersistentRDDs().size()
+
+    corpus = docs.select("doc_id", "text")
+    for op in (
+        lambda: dedup.minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.7),
+        lambda: dedup.simhash_candidates(corpus, "doc_id", "text"),
+        lambda: similarity.embedding_near_dup_pairs(emb, threshold=0.999),
+    ):
+        base = n_cached()
+        result = op()
+        assert result.count() >= 0  # result stays usable after release
+        assert n_cached() <= base + 1, "persisted intermediates leaked"
+
+
 def test_lsh_ann_recall_and_candidate_bound(spark, emb):
     """LSH top-k must recover most of the true top-k while generating
     far fewer comparisons than all-pairs."""

@@ -98,6 +98,151 @@ def test_unknown_module_and_stream_errors(spark):
         p2.add("column:clist=a")
 
 
+def test_gzip_codec_chain_raw(spark, tmpdir, csv_path):
+    """The reference's `... | gzip | @file` chain
+    (scripts/dbitool.pl:3017-3037): the gzip module tags its output
+    stream so the downstream sink compresses — no explicit
+    compression= argument."""
+    import glob
+
+    out = os.path.join(tmpdir, "out.csv.gz")
+    p = Pipeline(spark)
+    p.add(f"@{csv_path}")  # fileread: raw lines
+    p.add("gzip", out="gz")
+    p.add(f"filewrite:in=gz:out={out}:single_file=1")
+    p.run()
+    assert glob.glob(os.path.join(out, "*.gz")), "sink must emit gzip part files"
+    assert read_csv(spark, out).count() == 50  # transparent decompress
+
+
+def test_gzip_codec_chain_row_sink(spark, tmpdir, csv_path):
+    import glob
+
+    out = os.path.join(tmpdir, "rows.csv.gz")
+    p = Pipeline(spark)
+    p.add(f"csvread:in={csv_path}:out=rows")
+    p.add("gzip", **{"in": "rows", "out": "gz"})
+    p.add(f"csvwrite:in=gz:out={out}")
+    p.run()
+    assert glob.glob(os.path.join(out, "*.gz"))
+    back = read_csv(spark, out)
+    assert back.count() == 50
+
+
+def test_gzip_into_noncompressible_sink_raises(spark, tmpdir, csv_path):
+    p = Pipeline(spark)
+    p.add(f"csvread:in={csv_path}:out=rows")
+    p.add("gzip", **{"in": "rows", "out": "gz"})
+    p.add(f"bsonwrite:in=gz:out={os.path.join(tmpdir, 't.bson')}")
+    with pytest.raises(ValueError, match="cannot compress"):
+        p.run()
+
+
+def test_ndb_module_three_modes(spark, tmpdir, csv_path):
+    """Reference dbitoolmod_ndb (scripts/dbitool.pl:2561-2694): in only
+    = sink upsert, out only = replay source, in+out = passthrough."""
+    nd = os.path.join(tmpdir, "nd")
+    p = Pipeline(spark)
+    p.add(f"csvread:in={csv_path}:out=rows")
+    p.add(f"ndb:fname={nd}:key=row", **{"in": "rows"})
+    p.run()
+
+    p2 = Pipeline(spark)
+    p2.add(f"ndb:fname={nd}:key=row:out=replayed")
+    replayed = p2.stream("replayed")
+    assert replayed.count() == 50
+    assert sorted(replayed.columns) == sorted(testrow.HEADER)
+
+    out = os.path.join(tmpdir, "through.csv")
+    p3 = Pipeline(spark)
+    p3.add(f"csvread:in={csv_path}:out=rows")
+    p3.add(f"ndb:fname={nd}:key=row", **{"in": "rows", "out": "through"})
+    p3.add(f"csvwrite:in=through:out={out}")
+    p3.run()
+    assert read_csv(spark, out).count() == 50  # rows passed through
+    p4 = Pipeline(spark)
+    p4.add(f"ndb:fname={nd}:key=row:out=replayed")
+    assert p4.stream("replayed").count() == 50  # upsert stayed keyed
+
+
+def test_ndb_module_stream_does_not_upsert(spark, tmpdir, csv_path):
+    """upsert is a write action: stream() wiring must not fire it."""
+    nd = os.path.join(tmpdir, "nd_lazy")
+    p = Pipeline(spark)
+    p.add(f"csvread:in={csv_path}:out=rows")
+    p.add(f"ndb:fname={nd}:key=row", **{"in": "rows", "out": "through"})
+    assert p.stream("through").count() == 50
+    assert not os.path.exists(os.path.join(nd, "current")), (
+        "stream() must not write ndb state"
+    )
+
+
+def test_spreadsheet_modules(spark, tmpdir, csv_path):
+    out = os.path.join(tmpdir, "sheet.csv")
+    p = Pipeline(spark)
+    p.add(f"spreadsheetread:in={csv_path}:out=rows")
+    p.add(f"spreadsheetwrite:in=rows:out={out}")
+    p.run()
+    back = read_csv(spark, out)
+    assert back.count() == 50
+    for r in back.select(*testrow.HEADER).collect():
+        testrow.check(tuple(r))
+
+
+def test_jdbc_module_contracts(spark):
+    """No server/driver jar in this environment; the argument contract
+    (reference dbitoolmoddbdread :1318-1385, mysqlselect :1387-1459)
+    must still enforce query XOR table XOR input stream."""
+    p = Pipeline(spark)
+    # URLs contain ':' so they ride in kwargs, not the CLI string
+    p.add("jdbcselect", url="jdbc:mysql://h/d", out="r")
+    with pytest.raises(ValueError, match="exactly one"):
+        p.stream("r")
+
+    p2 = Pipeline(spark)
+    p2.add("mysqlselect:host=h:table=t:out=r")
+    with pytest.raises(ValueError, match="db"):
+        p2.stream("r")
+
+    p3 = Pipeline(spark)
+    p3.add("mysqlselect:db=d:out=r")
+    with pytest.raises(ValueError, match="query nor table"):
+        p3.stream("r")
+
+
+def test_reference_entrypoint3_stdin_csvread_jsonwrite_stdout(
+    spark, tmpdir, monkeypatch, capsys
+):
+    """Reference example 1 (scripts/dbitool.pl:3273-3276): TestRow CSV
+    on stdin -> csvread -> jsonwrite -> stdout; every value checked
+    with the TestRow exact-regeneration oracle. Tab-separated: the
+    reference's unquoted comma wire is ambiguous for the uuencode
+    column (its own documented limitation — see csv_io docstring);
+    TestRow values never contain tabs."""
+    import io as _io
+    import json as _json
+
+    lines = ["\t".join(testrow.HEADER)] + [
+        "\t".join(str(v) for v in r) for r in testrow.rows(10)
+    ]
+    monkeypatch.setattr("sys.stdin", _io.StringIO("\n".join(lines) + "\n"))
+    out = os.path.join(tmpdir, "t.json")
+    p = Pipeline(spark)
+    p.add("stdin:out=raw")
+    # raw stream in, not a path
+    p.add("csvread", **{"in": "raw", "out": "rows", "sep": "\t"})
+    p.add(f"jsonwrite:in=rows:out={out}")
+    p.add("stdout:in=rows")
+    p.run()
+    with open(out) as fh:
+        docs = _json.load(fh)
+    assert len(docs) == 10
+    for d in docs:
+        testrow.check(tuple(d[h] for h in testrow.HEADER))
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 10
+
+
 def test_pipeline_observability(spark, tmpdir, csv_path):
     """Module tree + per-sink row counts land in the engine log
     (reference printtree + per-module stats)."""
