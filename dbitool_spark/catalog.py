@@ -56,20 +56,26 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load one test table. `events.ts` arrives as int64 nanoseconds
-    (see _ensure_nanos_conf); a derived `ts_ts` timestamp column is
-    added there while the raw nanos column is preserved for exact
-    oracle comparison."""
+    """Load one test table. `events` always gains a derived `ts_ts`
+    TIMESTAMP column regardless of how the parquet encodes `ts`:
+    int64 nanoseconds (TIMESTAMP(NANOS) read via nanosAsLong) or a
+    native timestamp[us]/timestamp_ntz. Downstream plans use `ts_ts`
+    (or unix_micros(ts_ts)) and never touch the raw encoding."""
     if table == "events":
         _ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # microsecond precision is the finest Spark timestamp; keep the
-        # int64 nanos column authoritative, expose the usable timestamp.
-        # Integer `div`, not `/`: bigint / int is double division and
-        # epoch-nanos (~1.7e18) exceed the 53-bit double mantissa, so
-        # float division can be off by ±1 us.
-        df = df.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # Integer `div`, not `/`: bigint / int is double division and
+            # epoch-nanos (~1.7e18) exceed the 53-bit double mantissa, so
+            # float division can be off by ±1 us.
+            df = df.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt is not None:
+            # timestamp or timestamp_ntz; with the session tz pinned to
+            # UTC the cast is wall-clock-preserving, matching DuckDB's
+            # naive read of the same parquet column.
+            df = df.withColumn("ts_ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -88,7 +88,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id; both window passes reuse that partitioning). Works on
     microsecond integers end to end."""
     ev = catalog.load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+        "user_id", "event_id", F.unix_micros(F.col("ts_ts")).alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000

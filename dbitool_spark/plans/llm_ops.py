@@ -45,7 +45,7 @@ def last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events")
     last = dedup.dedup_keyed_last_wins(
         ev.select(
-            "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+            "user_id", "event_id", "event_type", F.unix_micros(F.col("ts_ts")).alias("ts_us")
         ),
         "user_id",
         ["ts_us", "event_id"],

@@ -1,0 +1,220 @@
+"""Training-data pipeline queries: benchmark decontamination,
+deterministic dataset splits, and sequence packing over `documents`.
+
+The reference has no analogue for any of these — they extend the
+engine toward the LLM-corpus workload the north star calls for, in
+the same registered-query + DuckDB-oracle convention as every other
+entry (each op is exactly SQL-expressible so the correctness gate is
+a hash comparison, not a rows-only check).
+
+Scale notes (100 TB design point):
+- decontamination joins the corpus n-gram stream against the
+  *benchmark* n-gram set. Benchmark suites are tiny relative to a
+  training corpus (10^3-10^5 docs vs 10^9), so the distinct benchmark
+  gram set broadcasts and the corpus side never shuffles — AQE picks
+  the broadcast from the runtime size; no hint is needed here for the
+  same reason as catalog.maybe_broadcast.
+- the split hash is a fixed multiplicative hash (Knuth 2654435761 mod
+  a prime) rather than xxhash64 ONLY because the oracle must compute
+  the identical value in DuckDB; at production scale substitute
+  F.xxhash64 — the plan shape (one narrow projection, one tiny
+  groupBy) is unchanged.
+- sequence packing orders by doc_id *within a hash bucket*, never
+  globally: a global window over 10^9 rows is a single-partition
+  bottleneck, while per-bucket windows parallelize across executors
+  (one shuffle on bucket). The packing is the GPT-style contiguous
+  token-stream chunking: a document's bin is determined by its
+  starting offset in the bucket's running token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbitool_spark import catalog
+from dbitool_spark.ops.dedup import shingles
+
+# ~1% of documents act as the held-out benchmark set in the
+# decontamination query (doc_id % BENCH_MOD == 0).
+BENCH_MOD = 97
+# 8-gram overlap is the common contamination heuristic (e.g. the
+# GPT-3 appendix uses 13-grams at web scale; 8 keeps the synthetic
+# 500-doc corpus non-vacuous).
+DECONTAM_NGRAM = 8
+
+# Knuth's multiplicative constant; modulus is prime so low-order
+# doc_id patterns don't alias into buckets.
+SPLIT_MULT = 2654435761
+SPLIT_PRIME = 1_000_000_007
+
+PACK_BUDGET = 512  # tokens per packed sequence
+PACK_BUCKETS = 16
+
+
+def _split_bucket(id_col: str) -> F.Column:
+    """Deterministic 0..99 bucket from an integer id — identical
+    arithmetic in Spark and DuckDB (exact int64; no engine hash)."""
+    return F.pmod(F.col(id_col) * F.lit(SPLIT_MULT), F.lit(SPLIT_PRIME)) % 100
+
+
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count, per corpus document, the
+    distinct word 8-grams it shares with any document in a held-out
+    benchmark set. The synthetic benchmark is built the same way the
+    minhash oracle builds provable near-dups: every doc with
+    doc_id % BENCH_MOD == 0 contributes its text minus the last word
+    (a benchmark quoting corpus text verbatim — the real contamination
+    mechanism). Each sampled doc is then guaranteed contaminated (its
+    first len-8 8-grams survive in the benchmark copy), so the entry
+    is provably non-vacuous at every SF while natural overlaps (the
+    generator's planted near-dups of sampled docs) surface too.
+    Shingle construction is the same zip_with expression as the dedup
+    ops (no UDF); a downstream filter would drop the rows returned
+    here."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench_docs = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text")
+    )
+    bench = (
+        bench_docs.select(
+            F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
+        )
+        .distinct()
+    )
+    grams = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
+    )
+    return (
+        grams.join(bench, "gram")  # AQE broadcasts the tiny bench side
+        .groupBy("doc_id")
+        # shingles() emits distinct grams per doc, so plain count is
+        # already "distinct shared grams"
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+_DUCK_GRAMS = (
+    "list_distinct(CASE WHEN len(w) < {k} THEN [array_to_string(w, ' ')] "
+    "ELSE list_transform(generate_series(1, len(w) - {km1}), i -> {concat}) END)"
+).format(
+    k=DECONTAM_NGRAM,
+    km1=DECONTAM_NGRAM - 1,
+    concat=" || ' ' || ".join(
+        f"w[i+{j}]" if j else "w[i]" for j in range(DECONTAM_NGRAM)
+    ),
+)
+
+DECONTAMINATE_DOCUMENTS_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+bw AS (
+  SELECT w[1:len(w) - 1] AS w FROM w WHERE doc_id % {BENCH_MOD} = 0
+),
+bench AS (SELECT DISTINCT unnest({_DUCK_GRAMS}) AS gram FROM bw),
+g AS (SELECT doc_id, unnest({_DUCK_GRAMS}) AS gram FROM w)
+SELECT doc_id, COUNT(*) AS n_shared_ngrams
+FROM g JOIN bench USING (gram)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def deterministic_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by hashed doc_id,
+    reported as per-split stats. Membership is a pure function of the
+    id — stable across runs, cluster sizes, and row order, which is
+    the property a training pipeline needs (a random split is not
+    reproducible; a row-number split shuffles globally)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    bucket = _split_bucket("doc_id")
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+DETERMINISTIC_SPLIT_SQL = f"""
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT ((doc_id * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100 AS b, n_chars
+  FROM documents
+)
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in deterministic
+    doc_id order within a hash bucket) into a running token stream and
+    chunk it every PACK_BUDGET tokens — a document's bin is the chunk
+    its first token lands in. Returns per-(bucket, bin) fill stats,
+    the observability a packing stage needs (bins with total_tokens
+    far under budget mean wasted context window).
+
+    One shuffle on bucket; the window sort is per-bucket, so the plan
+    parallelizes by PACK_BUCKETS regardless of corpus size."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    base = docs.select(
+        "doc_id",
+        (_split_bucket("doc_id") % PACK_BUCKETS).alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = base.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return (
+        placed.groupBy("bucket", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("bucket", "bin")
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         (((doc_id * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100) % {PACK_BUCKETS} AS bucket,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT bucket,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin,
+         n_tokens
+  FROM base
+)
+SELECT bucket, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM placed
+GROUP BY bucket, bin
+ORDER BY bucket, bin
+"""

@@ -20,6 +20,7 @@ from dbitool_spark.plans import (
     events_ops,
     format_io,
     llm_ops,
+    pipeline_ops,
     relational,
     scalar_ops,
     state_ops,
@@ -58,6 +59,9 @@ register(
     relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
 )
 register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
+register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
+register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
+register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
 
 # --- format I/O round-trips (SURVEY.md §2.1/§2.2 sources+sinks) ---
 register("csv_roundtrip_customer", format_io.csv_roundtrip_customer, format_io.CSV_ROUNDTRIP_CUSTOMER_SQL)
@@ -117,6 +121,23 @@ register(
     "media_features_documents",
     llm_ops.media_features_documents,
     llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
+)
+
+# --- training-data pipeline stages (decontam / split / packing) ---
+register(
+    "decontaminate_documents",
+    pipeline_ops.decontaminate_documents,
+    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
+)
+register(
+    "deterministic_split_documents",
+    pipeline_ops.deterministic_split_documents,
+    pipeline_ops.DETERMINISTIC_SPLIT_SQL,
+)
+register(
+    "pack_sequences_documents",
+    pipeline_ops.pack_sequences_documents,
+    pipeline_ops.PACK_SEQUENCES_SQL,
 )
 
 # --- keyed state (ndb) ---

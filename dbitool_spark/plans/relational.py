@@ -351,3 +351,141 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side filter + global agg — the query
+    whose entire cost is how much the parquet scan prunes. All three
+    predicates push to the scan (PushedFilters on shipdate bounds and
+    quantity; discount compares raw doubles, identical literals in
+    both engines). No shuffle beyond the single-row final agg."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * rate("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+"""
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two nations
+    by ship year. The two fact tables join once on orderkey; both
+    nation lookups are broadcast (constant-size dim) so the
+    nation-pair filter costs no extra shuffle — it collapses to a map-
+    side filter after the broadcast joins. supplier/customer are left
+    to AQE as scale-dependent sides."""
+    n1 = catalog.maybe_broadcast(
+        "nation",
+        catalog.load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        ),
+    )
+    n2 = catalog.maybe_broadcast(
+        "nation",
+        catalog.load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        ),
+    )
+    supp = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = catalog.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, supp.s_nationkey == n1.s_nkey)
+        .join(n2, cust.c_nationkey == n2.c_nkey)
+        .filter(pair | rpair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+NATION_TRADE_SQL = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    items in one quarter. Filters precede joins (returnflag and the
+    order-date window push to the scans); nation broadcasts; the
+    orders⋈lineitem shuffle on orderkey carries only the filtered
+    quarter. Deterministic top-k: ties broken by custkey."""
+    cust = catalog.load(spark, sf_dir, "customer")
+    nation = catalog.maybe_broadcast(
+        "nation",
+        catalog.load(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+    )
+    orders = catalog.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = catalog.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, "lost_revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS lost_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""

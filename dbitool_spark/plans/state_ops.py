@@ -25,7 +25,7 @@ def ndb_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id). Replay must yield, per user: the max-(ts,event_id) odd
     event if any odd event exists, else the max even event."""
     ev = catalog.load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts_ts")).alias("ts_us")
     )
     path = os.path.join(tempfile.mkdtemp(prefix="dbitool_ndb_"), "events_kv")
     table = NdbTable(spark, path, key="user_id", n_buckets=8)

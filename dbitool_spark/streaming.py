@@ -119,7 +119,15 @@ def drain_to_memory(
 ) -> StreamingQuery:
     """Process everything currently available, then stop
     (trigger=availableNow) — makes a streaming plan batch-comparable
-    in tests. Results land in the in-memory table `name`."""
+    in tests. Results land in the in-memory table `name`.
+
+    Do NOT drain a plan that registered processing-time timers
+    (stream_dedup_first_wins with state_timeout_ms): with a pending
+    timer an availableNow query never reaches self-termination
+    (observed on Spark 4.1 — the pending timer counts as outstanding
+    work the one-shot trigger will never run). Such plans need a
+    continuous trigger: see start_parquet_stream. As a guard, an
+    expired awaitTermination stops the query instead of leaking it."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -127,7 +135,8 @@ def drain_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
     return q
 
 
@@ -144,7 +153,14 @@ def stream_dedup_first_wins(
     so memory is O(distinct live keys): with state_timeout_ms set,
     expired keys are removed on their timeout callback (hasTimedOut)
     and a later reappearance of the key re-emits — the bounded-state
-    dedup-scope semantics (e.g. daily dedup windows)."""
+    dedup-scope semantics (e.g. daily dedup windows).
+
+    Trigger contract: state_timeout_ms requires a continuous
+    processing-time trigger (start_parquet_stream) — timers only fire
+    on subsequent (possibly empty) triggers, and an availableNow
+    drain never self-terminates while a processing-time timer is
+    pending (observed Spark 4.1 behavior). Without a timeout the
+    operator drains fine with availableNow."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = stream.schema
@@ -201,5 +217,31 @@ def drain_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()  # same guard as drain_to_memory: never leak the query
     return q
+
+
+def start_parquet_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    output_mode: str = "append",
+    trigger_interval: str = "500 milliseconds",
+) -> StreamingQuery:
+    """Long-running parquet sink with a processing-time trigger — the
+    deployment shape for stateful plans that rely on processing-time
+    timers (stream_dedup_first_wins with a dedup-scope timeout).
+    Unlike the availableNow drains, empty triggers still run when
+    timers expire, which is exactly what fires the hasTimedOut
+    callback and reclaims state. Caller owns the query lifecycle
+    (poll the sink, then q.stop())."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )

@@ -157,7 +157,12 @@ def test_stream_sessionization_matches_batch(spark, tmpdir):
 def test_stream_dedup_state_timeout_reemits(spark, tmpdir):
     """ProcessingTimeTimeout expiry must reclaim per-key state (the
     bounded-memory contract) and restore re-emit-after-expiry: a key
-    seen again after its dedup scope expired emits again."""
+    seen again after its dedup scope expired emits again.
+
+    Runs under ONE continuous processing-time trigger — the operator's
+    deployment shape: timers only fire on later triggers, and an
+    availableNow drain never self-terminates with a pending
+    processing-time timer (stream_dedup_first_wins docstring)."""
     import json
     import time
 
@@ -171,22 +176,32 @@ def test_stream_dedup_state_timeout_reemits(spark, tmpdir):
             for uid, eid in rows:
                 fh.write(json.dumps({"user_id": uid, "event_id": eid}) + "\n")
 
-    def drain():
-        stream = streaming.stream_ndjson(
-            spark, src, "user_id bigint, event_id bigint"
-        )
-        deduped = streaming.stream_dedup_first_wins(
-            stream, ["user_id"], state_timeout_ms=500
-        )
-        streaming.drain_to_parquet(deduped, out, ckpt)
+    def wait_rows(n, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows")
 
-    write_batch("b1.json", [(1, 100), (1, 101)])
-    drain()  # user 1 emits once, state set with a 500ms timeout
-    time.sleep(1.5)
-    write_batch("b2.json", [(2, 200)])
-    drain()  # user 2 emits; user 1's timeout fires -> state removed
-    write_batch("b3.json", [(1, 300)])
-    drain()  # user 1 re-emits: its dedup scope expired
+    stream = streaming.stream_ndjson(spark, src, "user_id bigint, event_id bigint")
+    deduped = streaming.stream_dedup_first_wins(
+        stream, ["user_id"], state_timeout_ms=500
+    )
+    q = streaming.start_parquet_stream(deduped, out, ckpt)
+    try:
+        write_batch("b1.json", [(1, 100), (1, 101)])
+        wait_rows(1)  # user 1 emits once; state armed with 500ms timer
+        time.sleep(2.0)  # empty triggers run past the timer -> state removed
+        write_batch("b2.json", [(2, 200)])
+        wait_rows(2)  # user 2 emits (and proves post-expiry batches flow)
+        write_batch("b3.json", [(1, 300)])
+        wait_rows(3)  # user 1 re-emits: its dedup scope expired
+    finally:
+        q.stop()
 
     got = spark.read.parquet(out)
     assert got.filter(F.col("user_id") == 1).count() == 2
