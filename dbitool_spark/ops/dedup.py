@@ -258,6 +258,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    local_edge_threshold: int | None = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (id,
     cluster_id) for every id appearing in a pair, cluster_id = the
@@ -275,6 +276,14 @@ def connected_components(
     graphs (diameter ~ n) this cap raises rather than looping —
     switch to the large-star/small-star algorithm (Kiveris et al.)
     if such graphs ever matter.
+
+    Small graphs skip the loop entirely: when the (deduped) edge
+    count is <= local_edge_threshold, a driver-side union-find
+    labels the graph in one pass — a documented bounded edge in the
+    engine's memorylimit convention (1M edges ~ 16 MB on the driver),
+    worth it because each distributed iteration costs 2 shuffles + a
+    count action regardless of size. Set local_edge_threshold=None to
+    force the distributed path.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -282,6 +291,46 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if local_edge_threshold is not None:
+        n_edges = edges.count()
+        if n_edges <= local_edge_threshold:
+            try:
+                parent: dict = {}
+
+                def find(x):
+                    root = x
+                    while parent[root] != root:
+                        root = parent[root]
+                    while parent[x] != root:  # path compression
+                        parent[x], x = root, parent[x]
+                    return root
+
+                for r in edges.toLocalIterator():
+                    s, d = r[0], r[1]
+                    parent.setdefault(s, s)
+                    parent.setdefault(d, d)
+                    rs, rd = find(s), find(d)
+                    if rs != rd:
+                        # union by min so the representative is the
+                        # component minimum (same labels as the loop)
+                        if rd < rs:
+                            rs, rd = rd, rs
+                        parent[rd] = rs
+                from pyspark.sql.types import StructField, StructType
+
+                id_type = pairs.schema[id_a].dataType
+                labels = [(n, find(n)) for n in parent]
+                return pairs.sparkSession.createDataFrame(
+                    labels,
+                    StructType(
+                        [
+                            StructField("id", id_type),
+                            StructField("cluster_id", id_type),
+                        ]
+                    ),
+                )
+            finally:
+                edges.unpersist(blocking=True)
     labels = (
         edges.select("src")
         .distinct()

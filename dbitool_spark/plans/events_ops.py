@@ -1,11 +1,12 @@
-"""Event-stream analytics over the nanosecond-timestamp events table:
-time-window aggregation, JSON property extraction, gap sessionization.
+"""Event-stream analytics over the events table: time-window
+aggregation, JSON property extraction, gap sessionization.
 
-The nanos path: events.ts is parquet TIMESTAMP(NANOS); Spark reads it
-as int64 nanos (nanosAsLong) and the catalog derives ts_ts at
-microsecond precision via integer division. DuckDB truncates the same
-column to TIMESTAMP(us) on read, so every oracle comparison below is
-exact at microsecond resolution on both engines.
+Timestamp path: catalog.load derives `ts_ts` (TIMESTAMP) from
+whichever encoding the parquet ships — int64 TIMESTAMP(NANOS) read
+via nanosAsLong, or native timestamp[us] — and every plan here works
+from ts_ts / unix_micros(ts_ts). DuckDB reads the same column at
+microsecond resolution, so every oracle comparison below is exact at
+microseconds on both engines.
 
 Aggregated doubles go through the decimal-exact convention
 (functions.numeric) like every other query in the engine.

@@ -143,7 +143,7 @@ register(
 # --- keyed state (ndb) ---
 register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
 
-# --- event-stream analytics (nanosecond timestamp path) ---
+# --- event-stream analytics ---
 register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
 register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)

@@ -104,7 +104,28 @@ def test_connected_components_iteration_cap(spark):
         [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="converge"):
-        dedup.connected_components(pairs, max_iter=2)
+        # force the distributed path: the cap is its safety valve
+        dedup.connected_components(pairs, max_iter=2, local_edge_threshold=None)
+
+
+def test_connected_components_paths_agree(spark):
+    """The bounded union-find fast path and the distributed min-label
+    loop must produce identical labels on the same graph."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 10), (10, 11), (11, 12), (3, 20)],
+        "id_a bigint, id_b bigint",
+    )
+    local = {
+        r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(
+            pairs, local_edge_threshold=None
+        ).collect()
+    }
+    assert local == dist
+    assert local[20] == 1 and local[12] == 9
 
 
 def test_dedup_keep_representative(spark, docs):

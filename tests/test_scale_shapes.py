@@ -148,3 +148,46 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     assert "PartitionFilters" in plan and pick in plan.replace("%3A", ":")
     expected = ev.filter(F.col("day") == pick).count()
     assert filtered.count() == expected
+
+
+def test_new_relational_filters_reach_scan(spark):
+    """q6/q10 shapes: every predicate must appear in PushedFilters —
+    the whole point of a scan-side query."""
+    from dbitool_spark.plans.relational import (
+        q6_forecast_revenue,
+        returned_item_revenue,
+    )
+
+    p6 = _plan(q6_forecast_revenue(spark, SF_SMOKE))
+    pushed6 = [l for l in p6.splitlines() if "PushedFilters" in l]
+    assert any(
+        "l_shipdate" in l and "l_discount" in l and "l_quantity" in l
+        for l in pushed6
+    )
+    p10 = _plan(returned_item_revenue(spark, SF_SMOKE))
+    pushed10 = [l for l in p10.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l and "EqualTo" in l for l in pushed10)
+    assert any("o_orderdate" in l for l in pushed10)
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark n-gram set is tiny relative to the corpus: the
+    join must be a broadcast (corpus side never shuffles for it)."""
+    from dbitool_spark.plans.pipeline_ops import decontaminate_documents
+
+    plan = _plan(decontaminate_documents(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_window_is_per_bucket(spark):
+    """Sequence packing must never sort globally: the cumsum window
+    partitions by bucket, so the plan shows a hash-partitioned
+    exchange on bucket (parallel), not a single-partition sort."""
+    from dbitool_spark.plans.pipeline_ops import pack_sequences_documents
+
+    plan = _plan(pack_sequences_documents(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "hashpartitioning(bucket" in plan
+    # a global-window plan would show Exchange SinglePartition
+    assert "Exchange SinglePartition" not in plan
