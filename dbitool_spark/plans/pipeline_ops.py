@@ -218,3 +218,125 @@ FROM placed
 GROUP BY bucket, bin
 ORDER BY bucket, bin
 """
+
+
+CHUNK_WINDOW = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # start-to-start distance (8-token overlap)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping CHUNK_WINDOW-token
+    windows every CHUNK_STRIDE tokens, one output row per chunk with
+    its exact token span. Pure codegen — sequence() generates the
+    start offsets, posexplode fans them out; no UDF, no shuffle at
+    all until a downstream op needs one (chunking is embarrassingly
+    parallel over documents, the ideal 100 TB shape). The final chunk
+    is the remainder (>= 1 token), matching how a tokenizer-window
+    pipeline slices."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", n.alias("n_tokens"), F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start",
+            F.least(F.lit(CHUNK_WINDOW), F.col("n_tokens") - F.col("start") + 1).alias(
+                "chunk_tokens"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_DOCUMENTS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(1 + i * {CHUNK_STRIDE} AS INTEGER) AS start,
+       CAST(least({CHUNK_WINDOW}, n_tokens - (1 + i * {CHUNK_STRIDE}) + 1) AS INTEGER) AS chunk_tokens
+FROM base, LATERAL unnest(generate_series(0, CAST(ceil(CAST(n_tokens AS DOUBLE) / {CHUNK_STRIDE}) AS BIGINT) - 1)) AS t(i)
+WHERE 1 + i * {CHUNK_STRIDE} <= n_tokens
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# per-language deterministic keep rates: downsample the dominant
+# language, keep the tail (the standard corpus rebalancing move)
+SAMPLE_RATES = {"en": 20, "default": 60}  # percent
+
+
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language fraction
+    of documents chosen by the same multiplicative id-hash as the
+    split op — membership is reproducible and cluster-independent,
+    unlike rand()-based sampling. Returns per-language sample stats
+    (count + id checksum) so the oracle verifies the exact membership
+    set, not just the rate."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    bucket = _split_bucket("doc_id")
+    rate = F.when(F.col("lang") == "en", F.lit(SAMPLE_RATES["en"])).otherwise(
+        F.lit(SAMPLE_RATES["default"])
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT lang, doc_id,
+         ((doc_id * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100 AS b
+  FROM documents
+)
+WHERE b < CASE WHEN lang = 'en' THEN {SAMPLE_RATES["en"]} ELSE {SAMPLE_RATES["default"]} END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+VOCAB_TOPK = 25
+
+
+def vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the VOCAB_TOPK most frequent tokens.
+    One explode + one shuffle on the token with map-side partial
+    counts (the count table is |vocab|-sized, tiny next to the
+    corpus), then a global top-k — orderBy+limit, which Spark
+    executes as per-partition TakeOrdered + driver merge, never a
+    full sort. Ties break on the token for cross-engine determinism."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(VOCAB_TOPK)
+    )
+
+
+VOCAB_TOPK_SQL = rf"""
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {VOCAB_TOPK}
+"""

@@ -62,6 +62,10 @@ register("order_priority_counts", relational.order_priority_counts, relational.O
 register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
 register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
 register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
+register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
+register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
+register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
+register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
 
 # --- format I/O round-trips (SURVEY.md §2.1/§2.2 sources+sinks) ---
 register("csv_roundtrip_customer", format_io.csv_roundtrip_customer, format_io.CSV_ROUNDTRIP_CUSTOMER_SQL)
@@ -139,6 +143,13 @@ register(
     pipeline_ops.pack_sequences_documents,
     pipeline_ops.PACK_SEQUENCES_SQL,
 )
+register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
+register(
+    "sample_stratified_documents",
+    pipeline_ops.sample_stratified_documents,
+    pipeline_ops.SAMPLE_STRATIFIED_SQL,
+)
+register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
 
 # --- keyed state (ndb) ---
 register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)

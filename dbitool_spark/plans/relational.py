@@ -489,3 +489,228 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY lost_revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in one ship month.
+    lineitem is filtered to the month BEFORE the part join (scan
+    pushdown), then one join on partkey; the share is a conditional
+    aggregate — numerator and denominator in a single pass, no second
+    scan. Division happens double/double on decimal-exact parts (the
+    davg convention) so both engines round identically."""
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = catalog.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(19,6)")))
+        .cast("decimal(18,2)").cast("double").alias("promo_rev"),
+        F.sum(revenue).cast("decimal(18,2)").cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_share_pct"),
+    )
+
+
+PROMO_REVENUE_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(CAST(round(SUM(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+          ELSE CAST(0 AS DECIMAL(19,6)) END), 2) AS DECIMAL(18,2)) AS DOUBLE) AS promo_rev,
+    CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT promo_rev, total_rev,
+       CAST(100.0 AS DOUBLE) * promo_rev / total_rev AS promo_share_pct
+FROM agg
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a total-quantity
+    threshold. The HAVING runs on the lineitem aggregate BEFORE any
+    join (groupBy orderkey -> filter), so only qualifying orderkeys —
+    a tiny set — reach the orders/customer joins; AQE broadcasts that
+    side. Deterministic top-50 by (total_qty desc, o_orderkey)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(money("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 170)
+    )
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            money("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(50)
+    )
+
+
+LARGE_VOLUME_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+       total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > 170
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
+def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of (brand, size-range,
+    quantity-range) brackets across the lineitem⋈part join. The OR
+    tree references both sides, so Catalyst can push only the
+    per-side residuals (quantity/size IsNotNull + range hull) — the
+    interesting planner case this query exists to pin. One join on
+    partkey, conditional bracket labeling, grouped totals."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#21")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(20, 30)
+    )
+    bracket = (
+        F.when(b1, F.lit("bracket_1")).when(b2, F.lit("bracket_2")).when(b3, F.lit("bracket_3"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(b1 | b2 | b3)
+        .groupBy(bracket.alias("bracket"))
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("bracket")
+    )
+
+
+BRAND_BRACKET_SQL = """
+SELECT CASE
+         WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11 THEN 'bracket_1'
+         WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20 THEN 'bracket_2'
+         ELSE 'bracket_3' END AS bracket,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+ORDER BY bracket
+"""
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of revenue
+    delivered into one customer region, by ship year. Region/nation
+    broadcast (constant-size); the share is a conditional aggregate
+    over the already-joined rows — numerator and denominator in one
+    pass, division double/double on decimal-exact parts."""
+    region = catalog.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_c = catalog.maybe_broadcast(
+        "nation",
+        catalog.load(spark, sf_dir, "nation")
+        .join(
+            catalog.maybe_broadcast("region", region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nkey")),
+    )
+    nation_s = catalog.maybe_broadcast(
+        "nation",
+        catalog.load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        ),
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = catalog.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(
+        F.lit(0).cast("decimal(19,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation_c, cust.c_nationkey == F.col("c_nkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation_s, supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(target).cast("decimal(18,2)").cast("double").alias("nation_rev"),
+            F.sum(revenue).cast("decimal(18,2)").cast("double").alias("total_rev"),
+        )
+        .select(
+            "l_year",
+            "nation_rev",
+            "total_rev",
+            (F.col("nation_rev") / F.col("total_rev")).alias("market_share"),
+        )
+        .orderBy("l_year")
+    )
+
+
+NATION_MARKET_SHARE_SQL = """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+base AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN asia_cust ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT l_year,
+       CAST(CAST(round(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE CAST(0 AS DECIMAL(19,6)) END), 2) AS DECIMAL(18,2)) AS DOUBLE) AS nation_rev,
+       CAST(CAST(round(SUM(rev), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total_rev,
+       CAST(CAST(round(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE CAST(0 AS DECIMAL(19,6)) END), 2) AS DECIMAL(18,2)) AS DOUBLE)
+         / CAST(CAST(round(SUM(rev), 2) AS DECIMAL(18,2)) AS DOUBLE) AS market_share
+FROM base
+GROUP BY l_year
+ORDER BY l_year
+"""
