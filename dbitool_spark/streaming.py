@@ -245,3 +245,76 @@ def start_parquet_stream(
         .trigger(processingTime=trigger_interval)
         .start()
     )
+
+
+def stream_static_filter_contaminated(
+    stream: DataFrame,
+    bench_grams: DataFrame,
+    text_col: str = "text",
+    *,
+    ngram: int = 8,
+) -> DataFrame:
+    """Stream-static decontamination: drop streaming documents that
+    share any word n-gram with a STATIC benchmark gram set (one
+    column `gram`). Anti-joining the stream against its own gram hits
+    would be a (unsupported) stream-stream anti-join, so the filter
+    runs per-row instead: the benchmark set collapses to ONE static
+    row holding the full gram array, broadcast-joined onto every
+    streaming row, and arrays_overlap(doc grams, benchmark grams)
+    decides membership — stateless, no watermark, drains with
+    availableNow, works identically on a batch DataFrame.
+
+    Bounded-edge note: this materializes the benchmark gram set as a
+    single array (same boundedness argument as the batch op —
+    benchmark suites are 10^3-10^5 docs, orders of magnitude under
+    the corpus; tens of MB of grams broadcast fine). A benchmark too
+    large for one array is no longer a 'benchmark' — decontaminate in
+    batch with the gram-level join instead."""
+    from dbitool_spark.ops.dedup import shingles
+
+    bench_arr = (
+        bench_grams.agg(F.collect_set("gram").alias("__bench"))
+        .withColumn("__k", F.lit(1))
+    )
+    contaminated = F.arrays_overlap(
+        shingles(F.col(text_col), ngram), F.col("__bench")
+    )
+    return (
+        stream.withColumn("__k", F.lit(1))
+        .join(F.broadcast(bench_arr), "__k")  # static side: 1 row
+        .filter(~contaminated)
+        .drop("__k", "__bench")
+    )
+
+
+def stream_upsert_ndb(
+    stream: DataFrame,
+    table,
+    *,
+    checkpoint: str,
+    order_by: str | list[str] | None = None,
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Streaming sink into the keyed ndb table: every micro-batch
+    upserts through NdbTable.upsert (foreachBatch — the canonical
+    'stream into a batch-only sink' bridge). Batch N+1's rows beat
+    batch N's for the same key (the table's generation precedence),
+    and within a batch `order_by` breaks ties — exactly the
+    reference ndb module's last-write-wins hash semantics
+    (dbitool.pl:2677-2686) under continuous input. availableNow +
+    checkpoint give exactly-once per input file."""
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.upsert(batch_df, order_by=order_by)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+    return q

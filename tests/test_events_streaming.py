@@ -224,3 +224,85 @@ def test_stream_dedup_first_wins(spark, tmpdir):
     n_users = ev.select("user_id").distinct().count()
     assert out.count() == n_users
     assert out.select("user_id").distinct().count() == n_users
+
+
+def test_stream_static_decontamination_matches_batch(spark, tmpdir):
+    """Stream-static anti-join decontamination: streaming documents
+    sharing an 8-gram with the static benchmark set are dropped;
+    the availableNow drain must equal the batch anti-join."""
+    from dbitool_spark.ops.dedup import shingles
+    from dbitool_spark.plans.pipeline_ops import BENCH_MOD, DECONTAM_NGRAM
+
+    docs = catalog.load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = os.path.join(tmpdir, "src")
+    json_io.write_ndjson(docs, src)
+
+    # static benchmark gram set: perturbed copies of the sampled docs
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(
+            F.explode(
+                shingles(
+                    F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)),
+                    DECONTAM_NGRAM,
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+
+    stream = streaming.stream_ndjson(spark, src, "doc_id bigint, text string")
+    clean = streaming.stream_static_filter_contaminated(stream, bench)
+    q = streaming.drain_to_memory(clean, "decontam_stream", output_mode="append")
+    assert not q.isActive
+
+    got = {r.doc_id for r in spark.table("decontam_stream").collect()}
+    batch_clean = {
+        r.doc_id
+        for r in streaming.stream_static_filter_contaminated(docs, bench).collect()
+    }
+    assert got == batch_clean
+    # the sampled docs are contaminated by construction -> dropped
+    assert all(d % BENCH_MOD != 0 for d in got)
+    assert len(got) < docs.count()
+
+
+def test_stream_upsert_ndb_last_write_wins(spark, tmpdir):
+    """foreachBatch ndb sink: streaming upserts keyed by user_id must
+    replay to the same rows as a batch last-write-wins over all input
+    (later batches beat earlier ones per the table's generation
+    precedence; order_by breaks ties within a batch)."""
+    import json as _json
+
+    from dbitool_spark.ndb import NdbTable
+
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    rows_b1 = [(1, 100, "a"), (2, 200, "b"), (1, 101, "c")]
+    rows_b2 = [(2, 250, "d"), (3, 300, "e")]
+    for name, rows in [("b1.json", rows_b1), ("b2.json", rows_b2)]:
+        with open(os.path.join(src, name), "w") as fh:
+            for uid, eid, v in rows:
+                fh.write(_json.dumps({"user_id": uid, "event_id": eid, "v": v}) + "\n")
+
+    table = NdbTable(spark, os.path.join(tmpdir, "kv"), key="user_id", n_buckets=4)
+    stream = streaming.stream_ndjson(
+        spark, src, "user_id bigint, event_id bigint, v string",
+        max_files_per_trigger=1,  # forces >=2 micro-batches
+    )
+    q = streaming.stream_upsert_ndb(
+        stream, table, checkpoint=os.path.join(tmpdir, "ckpt"),
+        order_by=["event_id"],
+    )
+    assert not q.isActive
+
+    got = {
+        (r.user_id): (r.event_id, r.v) for r in table.replay().collect()
+    }
+    # user 1: only in batch-ish file b1 -> max event_id wins (101, c)
+    # user 2: appears in both -> the later file's row wins (250, d)
+    # user 3: only b2 -> (300, e)
+    assert got[1] == (101, "c")
+    assert got[2] == (250, "d")
+    assert got[3] == (300, "e")
