@@ -188,3 +188,46 @@ FROM per_session
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event gains the orderkey of the
+    latest order its user placed at or before the event (backward
+    as-of join, ops.temporal.asof_join — union+window, one shuffle on
+    the key, no range cross-product). Events before any order keep a
+    NULL orderkey: exactly the left-join-flavored semantics a feature
+    pipeline needs for leakage-free point-in-time features."""
+    from dbitool_spark.ops.temporal import asof_join
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts_ts")).alias("ts_us")
+    )
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_ts_us"),
+        "o_orderkey",
+    )
+    return (
+        asof_join(
+            ev, orders, "user_id", "ts_us", "order_ts_us", ["o_orderkey"]
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("asof_o_orderkey").alias("latest_orderkey"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderkey AS latest_orderkey
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o ON true
+ORDER BY event_id
+"""

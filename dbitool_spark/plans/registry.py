@@ -165,6 +165,11 @@ register(
     events_ops.user_sessions_window,
     events_ops.USER_SESSIONS_SQL,
 )
+register(
+    "events_asof_latest_order",
+    events_ops.events_asof_latest_order,
+    events_ops.EVENTS_ASOF_SQL,
+)
 
 # --- scalar function surface + set/grouping operators ---
 register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)

@@ -352,3 +352,65 @@ def test_ngram_jaccard_max_doc_freq_guard(spark):
         df, "doc_id", "text", threshold=0.01, max_doc_freq=3
     )
     assert guarded.count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built as-of: inclusive boundary, tie-break to greatest
+    value, null before any right row, tolerance cutoff."""
+    from dbitool_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d")],
+        "k bigint, t bigint, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50), (1, 5, 51), (1, 12, 60), (2, 9, 70)],
+        "k bigint, rt bigint, v bigint",
+    )
+    got = {
+        r.tag: r.asof_v
+        for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+    }
+    # t=5: inclusive + tie -> greatest v (51); t=10: still 51;
+    # t=20: the rt=12 row; k=2 t=7: no right row at or before
+    assert got == {"a": 51, "b": 51, "c": 60, "d": None}
+
+    with_tol = {
+        r.tag: r.asof_v
+        for r in asof_join(left, right, "k", "t", "rt", ["v"], tolerance=3).collect()
+    }
+    # t=10 is 5 units after rt=5 -> outside tolerance 3
+    assert with_tol == {"a": 51, "b": None, "c": None, "d": None}
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketized range join == the naive cross-product filter, and
+    the plan is an equi-join (no BroadcastNestedLoopJoin)."""
+    import contextlib
+    import io
+
+    from dbitool_spark.ops.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(60)], "pid bigint, p bigint"
+    )
+    iv = spark.createDataFrame(
+        [(j, j * 11 % 80, j * 11 % 80 + 15) for j in range(25)],
+        "iid bigint, lo bigint, hi bigint",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pts, iv, "p", "lo", "hi", bucket=16).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv)
+        .filter((F.col("lo") <= F.col("p")) & (F.col("p") <= F.col("hi")))
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(pts, iv, "p", "lo", "hi", bucket=16).explain("formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
