@@ -231,3 +231,64 @@ FROM events e LEFT JOIN LATERAL (
 ) o ON true
 ORDER BY event_id
 """
+
+
+BUSY_HOUR_MIN_EVENTS = 6
+
+
+def events_after_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment analytics via the bucketized range join
+    (ops.temporal.range_join): hours with >= BUSY_HOUR_MIN_EVENTS
+    events of a type define a follow-on window [hour+30min,
+    hour+90min), and the query counts same-type events inside each
+    window — the 'what happens after a burst' shape. The join is an
+    equi-join on (time bucket, event_type) with the exact containment
+    predicate as a residual filter; never a nested-loop product."""
+    from dbitool_spark.ops.temporal import range_join
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts_ts")).alias("ts_us")
+    )
+    hour_us = 3600 * 1_000_000
+    busy = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.col("ts_us") / hour_us) * hour_us).alias("hour_us"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= BUSY_HOUR_MIN_EVENTS)
+        .select(
+            "event_type",
+            (F.col("hour_us") + hour_us // 2).alias("lo"),
+            # exclusive upper bound expressed as inclusive hi - 1 us
+            (F.col("hour_us") + hour_us // 2 + hour_us - 1).alias("hi"),
+        )
+    )
+    return (
+        range_join(ev, busy, "ts_us", "lo", "hi", bucket=15 * 60 * 1_000_000, key="event_type")
+        .groupBy("event_type", "lo")
+        .agg(F.count(F.lit(1)).alias("n_following"))
+        .orderBy("event_type", "lo")
+    )
+
+
+EVENTS_AFTER_BUSY_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+),
+busy AS (
+  SELECT event_type,
+         h * 3600000000 + 1800000000 AS lo,
+         h * 3600000000 + 1800000000 + 3599999999 AS hi
+  FROM (
+    SELECT event_type, CAST(floor(ts_us / 3600000000) AS BIGINT) AS h,
+           COUNT(*) AS n
+    FROM ev GROUP BY 1, 2
+  ) WHERE n >= 6
+)
+SELECT ev.event_type AS event_type, lo, COUNT(*) AS n_following
+FROM ev JOIN busy ON ev.event_type = busy.event_type
+                 AND ev.ts_us >= busy.lo AND ev.ts_us <= busy.hi
+GROUP BY 1, lo
+ORDER BY 1, lo
+"""

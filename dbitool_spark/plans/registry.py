@@ -170,6 +170,11 @@ register(
     events_ops.events_asof_latest_order,
     events_ops.EVENTS_ASOF_SQL,
 )
+register(
+    "events_after_busy_hours",
+    events_ops.events_after_busy_hours,
+    events_ops.EVENTS_AFTER_BUSY_SQL,
+)
 
 # --- scalar function surface + set/grouping operators ---
 register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
