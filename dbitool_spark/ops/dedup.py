@@ -305,7 +305,10 @@ def connected_components(
                         parent[x], x = root, parent[x]
                     return root
 
-                for r in edges.toLocalIterator():
+                # collect, not toLocalIterator: the latter fetches one
+                # partition per job (32 sequential job waves here); the
+                # edge list is bounded by the threshold, so one fetch
+                for r in edges.collect():
                     s, d = r[0], r[1]
                     parent.setdefault(s, s)
                     parent.setdefault(d, d)
