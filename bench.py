@@ -25,6 +25,7 @@ sandbox noise.
 
 from __future__ import annotations
 
+import gc
 import glob
 import json
 import os
@@ -84,6 +85,11 @@ def main() -> int:
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        # checkpoint-backed results (materialize_release) free their
+        # executor blocks via ContextCleaner only after the Python-side
+        # DataFrame is collected; do it promptly so later queries in
+        # the run aren't measured under earlier queries' storage.
+        gc.collect()
 
     result = {
         "metric": "total_median_query_sec",
