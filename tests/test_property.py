@@ -86,3 +86,40 @@ def test_testrow_check_is_total_oracle():
             bad[col] = "CORRUPTED"
             with pytest.raises(AssertionError):
                 testrow.check(tuple(bad))
+
+
+# --- as-of join vs brute-force reference ------------------------------
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """Random keyed timelines: the union+window as-of join must match
+    the quadratic reference (latest right_ts <= left_ts per key,
+    greatest value on right_ts ties) on every generated case."""
+    from dbitool_spark.ops.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k bigint, t bigint, rowid bigint"
+    )
+    rdf = spark.createDataFrame(right, "k bigint, rt bigint, v bigint")
+
+    def expect(k, t):
+        cand = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        return max(cand)[1] if cand else None
+
+    got = {
+        r.rowid: r.asof_v
+        for r in asof_join(ldf, rdf, "k", "t", "rt", ["v"]).collect()
+    }
+    want = {i: expect(k, t) for i, (k, t) in enumerate(left)}
+    assert got == want
