@@ -503,3 +503,61 @@ SELECT doc_id AS media_id,
 FROM documents
 ORDER BY media_id
 """
+
+
+_SKEWGUARD_MAX_DF = 6
+
+
+def ngram_jaccard_skewguard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-index Jaccard WITH the max_doc_freq skew guard
+    engaged: shingles appearing in more than _SKEWGUARD_MAX_DF docs
+    are dropped from the index before the self-join (the bounded-
+    fan-out trade at 100 TB: sum(df^2) is capped at max_df * corpus
+    shingle count). Semantics shift exactly as documented on the
+    operator — the intersection counts only kept shingles while the
+    denominators stay full-set sizes, so scores are a lower bound —
+    and the DuckDB oracle mirrors that arithmetic term for term, so
+    the hash match proves the guard's exact drop/keep behavior, not
+    just the happy path."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        _perturbed_corpus(docs),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        threshold=0.5,
+        max_doc_freq=_SKEWGUARD_MAX_DF,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+NGRAM_JACCARD_SKEWGUARD_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
+         array_to_string(ws[1:len(ws) - 1], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
+),
+ix AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+freq AS (SELECT shingle, COUNT(*) AS df FROM ix GROUP BY 1),
+kept AS (SELECT ix.doc_id, ix.n, ix.shingle FROM ix JOIN freq USING (shingle)
+         WHERE df <= {_SKEWGUARD_MAX_DF}),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS li
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(li AS DOUBLE) / (na + nb - li) AS jaccard
+FROM inter
+WHERE CAST(li AS DOUBLE) / (na + nb - li) >= 0.5
+ORDER BY id_a, id_b
+"""

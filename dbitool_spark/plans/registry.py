@@ -105,6 +105,11 @@ register(
     llm_ops.NEAR_DUP_CLUSTERS_SQL,
 )
 register("ngram_jaccard_documents", llm_ops.ngram_jaccard_documents, llm_ops.NGRAM_JACCARD_SQL)
+register(
+    "ngram_jaccard_skewguard_documents",
+    llm_ops.ngram_jaccard_skewguard_documents,
+    llm_ops.NGRAM_JACCARD_SKEWGUARD_SQL,
+)
 register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
 register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
 register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
