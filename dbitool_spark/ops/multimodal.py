@@ -106,3 +106,53 @@ def documents_as_media(df: DataFrame) -> DataFrame:
             F.lit("text/plain").alias("declared_mime"),
         ).alias("meta"),
     )
+
+
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, frame_ts_ms int, frame_sha string"
+)
+
+FRAME_INTERVAL_MS = 1000
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling over MEDIA_SCHEMA rows: each media row fans out
+    to one row per sampled frame — the 1->N mapInPandas shape a video
+    pipeline needs (the output batch is built per input batch, so
+    Arrow still moves whole record batches and a 10-minute video
+    never materializes as Python rows one call at a time).
+
+    The codec is stubbed like extract_media_features: the fake
+    "decoder" derives the frame count from the content size
+    (1 + n_bytes % 7) and each frame's identity hash from
+    sha256(content || '#' || frame_idx), so same bytes -> same frames
+    and the whole operator is exactly SQL-mirrorable for the oracle.
+    With real codecs, frame count = duration // FRAME_INTERVAL_MS and
+    frame_sha becomes the decoded frame's digest — same schema, same
+    fan-out shape."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, shas = [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                n_frames = 1 + len(content) % 7
+                for i in range(n_frames):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(i * FRAME_INTERVAL_MS)
+                    shas.append(
+                        hashlib.sha256(
+                            content + b"#" + str(i).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(process, schema=FRAME_SCHEMA)

@@ -561,3 +561,28 @@ FROM inter
 WHERE CAST(li AS DOUBLE) / (na + nb - li) >= 0.5
 ORDER BY id_a, id_b
 """
+
+
+def frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end to end: documents wrapped as media
+    rows fan out 1->N through the Arrow-batched sampler
+    (ops.multimodal.sample_frames). The deterministic fake keys frame
+    count and per-frame digests on the content bytes, so the DuckDB
+    oracle reproduces every row exactly — proving the mapInPandas
+    fan-out shape, schema, and batch plumbing, which is the real
+    Spark-side substance (the codec itself is the documented stub)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return (
+        multimodal.sample_frames(multimodal.documents_as_media(docs))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+FRAME_SAMPLE_DOCUMENTS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 1000 AS INT) AS frame_ts_ms,
+       sha256(text || '#' || CAST(i AS VARCHAR)) AS frame_sha
+FROM documents, LATERAL unnest(generate_series(0, strlen(text) % 7)) AS t(i)
+ORDER BY media_id, frame_idx
+"""

@@ -131,6 +131,11 @@ register(
     llm_ops.media_features_documents,
     llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
 )
+register(
+    "frame_sample_documents",
+    llm_ops.frame_sample_documents,
+    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
+)
 
 # --- training-data pipeline stages (decontam / split / packing) ---
 register(
