@@ -3,12 +3,17 @@
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], takes the median of
-N timed runs after a warm-up, and prints exactly ONE JSON line:
+N timed runs after a warm-up, and prints exactly ONE compact JSON line:
 
     {"metric": "total_median_query_sec", "value": <sum of medians>,
-     "unit": "sec", "queries": {"q1_...": sec, ...}, "sf": 0.1,
-     "vs_prev": {"baseline": "BENCH_rNN.json", "ratios": {...},
-                 "regressions": [...]}}
+     "unit": "sec", "queries": {"q1_...": sec, ...}, "sf": 0.1}
+
+The round-over-round comparison (per-query ratios vs the newest
+BENCH_r{N}.json at the same sf, regressions > 1.5x) goes to the
+BENCH_vs_prev.json sidecar and stderr, NOT the stdout line: r01 and
+r04 both proved the driver's tail window truncates once ratios for
+~50 queries are inlined ("parsed": null), which hides the headline
+metric entirely.
 
 Timing counts the full job: plan + execution to a count() action
 (count, not collect, so driver-side row transfer doesn't dominate at
@@ -99,7 +104,8 @@ def main() -> int:
         "sf": sf,
     }
 
-    prev = _load_prev_bench(os.path.dirname(os.path.abspath(__file__)), sf)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev = _load_prev_bench(repo_dir, sf)
     if prev is not None:
         prev_name, prev_data = prev
         ratios = {
@@ -111,11 +117,18 @@ def main() -> int:
             (n for n, r in ratios.items() if r > REGRESSION_RATIO),
             key=lambda n: -ratios[n],
         )
-        result["vs_prev"] = {
+        # sidecar, not stdout: inlining ~50 ratios truncated the
+        # driver's tail window in r01/r04 and made "parsed" null
+        vs_prev = {
             "baseline": prev_name,
             "ratios": ratios,
             "regressions": regressions,
         }
+        try:
+            with open(os.path.join(repo_dir, "BENCH_vs_prev.json"), "w") as fh:
+                json.dump(vs_prev, fh, indent=1)
+        except OSError as exc:
+            print(f"WARN: could not write BENCH_vs_prev.json: {exc}", file=sys.stderr)
         for n in regressions:
             print(
                 f"REGRESSION {n}: {ratios[n]}x vs {prev_name} "

@@ -182,6 +182,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
     index. Unlike MinHash-LSH there is no probabilistic recall: any
@@ -198,27 +199,58 @@ def ngram_jaccard_pairs(
     skew guard). It is OFF by default because it trades exactness for
     bounded fan-out: pairs sharing only stop-shingles are missed.
 
+    Cost levers (each measured on the sf0.1 bench corpus, 10k docs /
+    515k index rows / 11M join fan-out; r4's 7.6s -> ~4.0s):
+    - the per-doc shingle-ARRAY table is persisted (one row per doc;
+      two orders of magnitude smaller than the exploded index r4
+      persisted) so the interpreted shingle build runs once, while
+      the cheap explode re-runs per join side;
+    - `hash_shingles` (default) joins on xxhash64(shingle) — longs
+      shuffle and compare ~25% faster than ~25-byte strings. Exact up
+      to 64-bit collisions: P(any collision among S distinct
+      shingles) ~ S^2/2^65, negligible below ~10^8 shingles and only
+      ever inflating an intersection count. Pass False for bit-exact
+      string joins (and for the oracle-mirrored skew-guard df counts
+      the hash preserves frequencies identically, collisions aside);
+    - candidate pairs are pruned by the length bound implied by the
+      threshold BEFORE the aggregate: jaccard >= t forces
+      min(|A|,|B|) >= t * max(|A|,|B|) (|A∩B| <= min, |A∪B| >= max),
+      cutting the 11M-row fan-out ahead of the shuffle.
+    NOTE the often-cited 1.6s for this query in BENCH_r03 was
+    cache-flattered: minhash ran earlier in the suite and leaked its
+    plan-identical persisted shingle table, which the CacheManager
+    silently reused here. Cold, the r3 shape measures ~31s.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
-    ).withColumn("n", F.size("sh"))
+    # one row per doc — persisted so the interpreted zip_with shingle
+    # build runs once across the self-join sides (and the skew-guard
+    # frequency pass); released on return via materialize_release
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+        )
+        .withColumn("n", F.size("sh"))
+        .persist()
+    )
     ix = sh.select("id", "n", F.explode("sh").alias("shingle"))
+    if hash_shingles:
+        ix = ix.select("id", "n", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
         freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         ix = ix.join(
             freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
         )
-    # the inverted index feeds BOTH sides of the self-join: persist it,
-    # or Catalyst re-runs the shingle construction (an interpreted
-    # higher-order transform) once per side and once more per join
-    # probe — measured ~20x on the bench corpus. Released on return.
-    ix = ix.persist()
+    t = F.lit(threshold)
     a = ix.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
     b = ix.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") >= t * F.col("nb"))
+            & (F.col("nb") >= t * F.col("na"))
+        )
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("li"))
     )
@@ -229,7 +261,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return materialize_release(result, ix)
+    return materialize_release(result, sh)
 
 
 def jaccard_pairs(
