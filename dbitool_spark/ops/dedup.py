@@ -317,6 +317,18 @@ def connected_components(
     count action regardless of size. Set local_edge_threshold=None to
     force the distributed path.
     """
+    ta, tb = pairs.schema[id_a].dataType, pairs.schema[id_b].dataType
+    if ta != tb:
+        # heterogeneous endpoints would give the union-find fast path a
+        # wrong cluster_id schema (and Python-compare apples to oranges)
+        raise TypeError(
+            f"pair endpoint types differ: {id_a}={ta.simpleString()} vs "
+            f"{id_b}={tb.simpleString()}; cast them to a common type first"
+        )
+    # a NULL endpoint carries no edge semantics; dropping the row up
+    # front keeps the two paths agreeing (the distributed join would
+    # never match it, while Python's `<` would raise on None)
+    pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

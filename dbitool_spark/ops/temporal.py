@@ -25,6 +25,44 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Internal working columns injected by the join constructions. A left
+# input already carrying one of these (e.g. a prior asof_join's output
+# re-joined, or a column literally named __t) would silently corrupt
+# the result, so both operators assert absence up front — the same
+# defensive convention the pipeline uses for its reserved stream names.
+_ASOF_RESERVED = ("__k", "__t", "__side", "__asof")
+_RANGE_RESERVED = ("__b",)
+
+
+def _check_reserved(
+    reserved: tuple[str, ...], *frames: DataFrame, prefixes: tuple[str, ...] = ()
+) -> None:
+    for df in frames:
+        clash = [
+            c
+            for c in df.columns
+            if c in reserved or any(c.startswith(p) for p in prefixes)
+        ]
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with reserved temporal-join "
+                f"names {sorted(reserved + tuple(p + '*' for p in prefixes))}; "
+                "rename them first"
+            )
+
+
+def _floordiv(col_name: str, divisor: int) -> Column:
+    """Exact integer floor-division of a (possibly negative) integer
+    column. `F.floor(col / divisor)` routes through DOUBLE division,
+    which loses integer precision beyond 2^53 — epoch NANOS (~1.7e18)
+    would land points in adjacent buckets and the bucketized equi-join
+    would silently drop true matches. `div` truncates toward zero, so
+    subtract the (always non-negative) pmod first to make it exact
+    floor for any sign."""
+    if divisor <= 0:
+        raise ValueError(f"bucket must be a positive integer, got {divisor}")
+    return F.expr(f"(`{col_name}` - pmod(`{col_name}`, {divisor})) div {divisor}")
+
 
 def asof_join(
     left: DataFrame,
@@ -48,10 +86,23 @@ def asof_join(
 
     Union+window: right rows sort before left rows at equal
     timestamps (so an exactly-simultaneous right row is visible), and
-    last_value(ignorenulls) carries right values forward. One shuffle
-    on the key; both window passes reuse that partitioning.
+    last(ignorenulls) over a single STRUCT of the whole right row
+    carries it forward — the struct is non-null exactly for right
+    rows, so every carried field (values AND timestamp) comes from
+    the same latest right row even when individual value columns are
+    NULL (pandas merge_asof semantics; carrying each value column
+    separately would resurrect older non-null values and then validate
+    them against the newer row's timestamp under `tolerance`).
+    One shuffle on the key; both window passes reuse that partitioning.
     """
+    _check_reserved(_ASOF_RESERVED, left, right, prefixes=("__r_",))
     lcols = left.columns
+    out_clash = [c for c in value_cols if f"asof_{c}" in lcols]
+    if out_clash:
+        raise ValueError(
+            f"left already has asof_-prefixed outputs for {out_clash}; "
+            "rename them before re-joining"
+        )
     tag_l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__t"),
@@ -66,37 +117,40 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
-    # right ties: make the row with the greatest value_cols[0] the one
-    # last_value sees (deterministic tie-break)
-    order_tail = [F.col(f"__r_{value_cols[0]}").asc_nulls_first()]
+    # the whole right row as one nullable struct: null on left rows,
+    # so last(ignorenulls) picks the latest RIGHT row atomically
+    rrow = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__t").alias("t"),
+            *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+        ),
+    )
+    # right ties on __t: order by the struct itself — field order puts
+    # t first (equal within the tie), then value_cols in declaration
+    # order, so the row with the greatest values is the one last() sees
+    # (deterministic tie-break, now consistent across ALL carried cols)
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), *order_tail)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), rrow.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = tag_l.unionByName(tag_r).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
-        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__asof_t"),
+        "*", F.last(rrow, ignorenulls=True).over(w).alias("__asof")
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
-        fresh = F.col("__asof_t") >= F.col("__t") - F.lit(tolerance)
+        fresh = F.col("__asof.t") >= F.col("__t") - F.lit(tolerance)
         out = out.select(
             *lcols,
             *[
-                F.when(fresh, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+                F.when(fresh, F.col(f"__asof.{c}")).alias(f"asof_{c}")
                 for c in value_cols
             ],
         )
     else:
         out = out.select(
-            *lcols, *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols]
+            *lcols, *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in value_cols]
         )
     return out
 
@@ -122,11 +176,21 @@ def range_join(
     (intervals are assumed >> shorter than the data span — bounded
     fan-out ~ interval_len/bucket + 1), the point maps to one bucket,
     and the exact predicate remains as a post-join filter. Shuffle on
-    (bucket[, key]); AQE handles hot buckets."""
+    (bucket[, key]); AQE handles hot buckets.
+
+    Bucket ids use EXACT integer floor-division (pmod + `div`), not
+    F.floor(col / bucket): the latter is DOUBLE division, which above
+    2^53 (epoch nanos ~1.7e18) can round a point into the adjacent
+    bucket and silently drop truly-matching pairs — false negatives
+    the residual filter cannot recover."""
+    _check_reserved(_RANGE_RESERVED, left, right)
     p, lo, hi = F.col(left_point), F.col(right_lo), F.col(right_hi)
-    lb = left.withColumn("__b", F.floor(p / bucket))
+    lb = left.withColumn("__b", _floordiv(left_point, bucket))
     rb = right.withColumn(
-        "__b", F.explode(F.sequence(F.floor(lo / bucket), F.floor(hi / bucket)))
+        "__b",
+        F.explode(
+            F.sequence(_floordiv(right_lo, bucket), _floordiv(right_hi, bucket))
+        ),
     )
     on = ["__b", key] if key else ["__b"]
     return (

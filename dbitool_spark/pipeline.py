@@ -642,8 +642,12 @@ class Pipeline:
                     self.log.log("pipeline", f"{name} rows=unavailable ({e})", 2)
         # unpersist fan-out streams so repeated run() calls don't
         # accumulate storage
-        for df in self._streams.values():
+        for name, df in self._streams.items():
             try:
                 df.unpersist()
-            except Exception:
-                pass
+            except Exception as e:
+                # a failed release is an observability event, not a
+                # crash: the run's results are already written, but the
+                # leaked cache should be visible in the log stream
+                if self.log is not None:
+                    self.log.log("pipeline", f"unpersist {name} failed: {e}", 2)

@@ -334,6 +334,99 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# --- recall companions for the approximate operators ------------------
+#
+# The three rows-only entries above (SimHash, LSH/IVF ANN) are
+# approximate by nature, so their raw outputs have no SQL oracle. The
+# recall companions make their QUALITY driver-visible anyway: each
+# plants ground truth whose retrieval is guaranteed (SimHash: the
+# pigeonhole theorem for hamming <= n_blocks-1; ANN: a perturbed copy
+# at cos >= 0.9798 against natural pairs topping out ~0.28, with
+# deterministic seeded hashes/centroids and miss probability < 1e-10),
+# computes recall against it distributed, and emits the single scalar
+# the oracle can state exactly: 1.0. A hash mismatch means the
+# approximate operator lost guaranteed-retrievable ground truth —
+# the exact regression these entries exist to catch.
+
+CONST_RECALL_SQL = "SELECT CAST(1.0 AS DOUBLE) AS recall"
+
+
+def simhash_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of SimHash block banding on its own guarantee set: every
+    pair at hamming distance <= n_blocks-1 = 3 shares an untouched
+    16-bit block (pigeonhole) and MUST surface as a candidate. Ground
+    truth = the planted (i, i+offset) perturbed pairs whose true
+    signature hamming is <= 3 (computed from the signatures directly);
+    recall over that set is exactly 1.0 unless the banding loses a
+    guaranteed pair."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    corpus = _perturbed_corpus(docs)
+    sig = dedup.simhash_signatures(corpus, "doc_id", "text")
+    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(
+        (F.col("id") - _PERTURB_OFFSET).alias("id_a"), F.col("sig").alias("sig_b")
+    )
+    truth = (
+        a.join(b, "id_a")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", (F.col("id_a") + _PERTURB_OFFSET).alias("id_b"))
+    )
+    cands = dedup.simhash_candidates(corpus, "doc_id", "text").select(
+        "id_a", "id_b", F.lit(1).alias("__hit")
+    )
+    return truth.join(cands, ["id_a", "id_b"], "left").agg(
+        (F.count("__hit") / F.count(F.lit(1))).cast("double").alias("recall")
+    )
+
+
+def _planted_ann_setup(spark: SparkSession, sf_dir: str):
+    """Shared ANN-recall fixture: queries = the 10 first vectors;
+    corpus = all embeddings plus a near-identical planted copy of each
+    query (element 0 scaled 1.5x => cos >= 0.9798 to its source, far
+    above this corpus's ~0.28 natural ceiling — so the planted copy is
+    the true rank-1 neighbor of its query by construction)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = base.filter(F.col("vec_id") < 10)
+    planted = queries.select(
+        (F.col("vec_id") + _PERTURB_OFFSET).alias("vec_id"),
+        F.concat(F.array(F.element_at("v", 1) * 1.5), F.slice("v", 2, 63)).alias("v"),
+    )
+    return base.unionAll(planted), queries
+
+
+def _ann_recall(topk: DataFrame) -> DataFrame:
+    """Fraction of the 10 queries whose approximate top-k contains
+    their planted near-identical neighbor."""
+    hits = topk.filter(
+        F.col("neighbor_id") == F.col("query_id") + _PERTURB_OFFSET
+    ).select("query_id").distinct()
+    return hits.agg((F.count(F.lit(1)) / F.lit(10)).cast("double").alias("recall"))
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN recall on planted ground truth: with 16 tables x 4 bits
+    and cos >= 0.98 (p = 1 - angle/pi ~ 0.936), P(no bucket collision)
+    = (1-p^4)^16 ~ 7e-11 — and the hyperplanes are deterministic, so
+    the expected recall is exactly 1.0 every run."""
+    corpus, queries = _planted_ann_setup(spark, sf_dir)
+    topk = similarity.lsh_topk(corpus, queries, k=5, id_col="vec_id", vec_col="v")
+    return _ann_recall(topk)
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall on planted ground truth: a near-identical copy
+    shares its source's nearest centroid, the query always probes its
+    own cell (n_probe >= 1), and the seeded k-means is deterministic —
+    expected recall exactly 1.0 every run."""
+    corpus, queries = _planted_ann_setup(spark, sf_dir)
+    topk = similarity.ivf_topk(
+        corpus, queries, k=5, id_col="vec_id", vec_col="v", n_centroids=16, n_probe=4
+    )
+    return _ann_recall(topk)
+
+
 # --- text analysis ----------------------------------------------------
 
 

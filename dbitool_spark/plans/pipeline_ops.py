@@ -54,9 +54,19 @@ PACK_BUCKETS = 16
 
 
 def _split_bucket(id_col: str) -> F.Column:
-    """Deterministic 0..99 bucket from an integer id — identical
-    arithmetic in Spark and DuckDB (exact int64; no engine hash)."""
-    return F.pmod(F.col(id_col) * F.lit(SPLIT_MULT), F.lit(SPLIT_PRIME)) % 100
+    """Deterministic 0..99 bucket from a NON-NEGATIVE integer id —
+    identical arithmetic in Spark and DuckDB (exact int64; no engine
+    hash). The id is reduced mod SPLIT_PRIME BEFORE the multiply so
+    the product stays < 1e9 * 2.66e9 ~ 2.7e18 < 2^63 for any int64 id:
+    without the reduction, ids >= ~3.46e9 overflow — non-ANSI Spark
+    wraps silently while DuckDB raises, so plan and oracle would
+    diverge exactly at the 10^9-doc scale this module targets.
+    (Negative ids would still diverge — pmod vs DuckDB's
+    sign-following % — hence the non-negative precondition.)"""
+    return (
+        F.pmod(F.pmod(F.col(id_col), F.lit(SPLIT_PRIME)) * F.lit(SPLIT_MULT), F.lit(SPLIT_PRIME))
+        % 100
+    )
 
 
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +164,7 @@ SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS s
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
-  SELECT ((doc_id * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100 AS b, n_chars
+  SELECT (((doc_id % {SPLIT_PRIME}) * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100 AS b, n_chars
   FROM documents
 )
 GROUP BY 1
@@ -201,7 +211,7 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SEQUENCES_SQL = rf"""
 WITH base AS (
   SELECT doc_id,
-         (((doc_id * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100) % {PACK_BUCKETS} AS bucket,
+         ((((doc_id % {SPLIT_PRIME}) * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100) % {PACK_BUCKETS} AS bucket,
          len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
   FROM documents
 ),
@@ -300,7 +310,7 @@ SELECT lang,
        CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM (
   SELECT lang, doc_id,
-         ((doc_id * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100 AS b
+         (((doc_id % {SPLIT_PRIME}) * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100 AS b
   FROM documents
 )
 WHERE b < CASE WHEN lang = 'en' THEN {SAMPLE_RATES["en"]} ELSE {SAMPLE_RATES["default"]} END

