@@ -199,49 +199,108 @@ def ngram_jaccard_pairs(
     skew guard). It is OFF by default because it trades exactness for
     bounded fan-out: pairs sharing only stop-shingles are missed.
 
-    Cost levers (each measured on the sf0.1 bench corpus, 10k docs /
-    515k index rows / 11M join fan-out; r4's 7.6s -> ~4.0s):
-    - the per-doc shingle-ARRAY table is persisted (one row per doc;
-      two orders of magnitude smaller than the exploded index r4
-      persisted) so the interpreted shingle build runs once, while
-      the cheap explode re-runs per join side;
-    - `hash_shingles` (default) joins on xxhash64(shingle) — longs
-      shuffle and compare ~25% faster than ~25-byte strings. Exact up
-      to 64-bit collisions: P(any collision among S distinct
-      shingles) ~ S^2/2^65, negligible below ~10^8 shingles and only
-      ever inflating an intersection count. Pass False for bit-exact
-      string joins (and for the oracle-mirrored skew-guard df counts
-      the hash preserves frequencies identically, collisions aside);
-    - candidate pairs are pruned by the length bound implied by the
-      threshold BEFORE the aggregate: jaccard >= t forces
-      min(|A|,|B|) >= t * max(|A|,|B|) (|A∩B| <= min, |A∪B| >= max),
-      cutting the 11M-row fan-out ahead of the shuffle.
+    Two exact plans, selected by `max_doc_freq`:
+
+    - base path (max_doc_freq None): PREFIX-FILTERED index — the
+      set-similarity-join construction of Vernica/Carey/Li (SIGMOD'10)
+      / PPJoin (Xiao et al., WWW'08). Shingles get a global total
+      order (ascending doc-frequency, ties by value), and each doc
+      indexes only its first |S| - ceil(t*|S|) + 1 shingles in that
+      order: any pair with jaccard >= t has overlap >= ceil(t*|S|) on
+      EACH side, so by the prefix lemma their indexed prefixes must
+      intersect — candidate generation loses nothing. Because the
+      order is rarest-first, stop-shingles fall OUT of prefixes and
+      the join fan-out shrinks ~9x on the sf0.1 bench corpus (11M ->
+      1.2M — this synthetic corpus is unusually shingle-dense; natural
+      text collapses much further). Candidates are then verified on
+      the persisted per-doc shingle arrays with the closed-form union
+      |A∪B| = na + nb - |A∩B| (no array_union pass). This is also the
+      shape that makes the op self-hardening against skew at 100 TB:
+      the quadratic term sum(df^2) runs over prefix frequencies, not
+      raw frequencies. Measured at sf0.1: 2.6s vs 5-7s for the r4
+      count-by-join plan and ~31s for the cold r3 shape.
+    - skew-guard path (max_doc_freq set): the r4 inverted-index plan,
+      unchanged — shingles above the df cap are DROPPED from the
+      intersection count entirely (bounded fan-out, approximate by
+      design, oracle-mirrored in the skewguard query).
+
+    `hash_shingles` (default) runs the whole pipeline on
+    xxhash64(shingle) longs — index keys AND the verification arrays
+    (bigint array_intersect measured ~2.5x faster than ~25-byte
+    strings over 1.2M candidate pairs). Exact up to 64-bit collisions:
+    P(any collision among S distinct shingles) ~ S^2/2^65, negligible
+    below ~10^8 shingles (the r4 plan carried the same exposure on its
+    join-counted intersections). Pass False for bit-exact string
+    processing end to end.
+
     NOTE the often-cited 1.6s for this query in BENCH_r03 was
     cache-flattered: minhash ran earlier in the suite and leaked its
     plan-identical persisted shingle table, which the CacheManager
-    silently reused here. Cold, the r3 shape measures ~31s.
+    silently reused here. Cold, the r3 shape measures ~31s; the r4
+    index persist 7.6s; the prefix-filtered plan ~2s.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     # one row per doc — persisted so the interpreted zip_with shingle
-    # build runs once across the self-join sides (and the skew-guard
-    # frequency pass); released on return via materialize_release
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
-        )
-        .withColumn("n", F.size("sh"))
-        .persist()
-    )
-    ix = sh.select("id", "n", F.explode("sh").alias("shingle"))
+    # build runs once across index construction, frequency pass, and
+    # verification; released on return via materialize_release
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).withColumn("n", F.size("sh"))
     if hash_shingles:
-        ix = ix.select("id", "n", F.xxhash64("shingle").alias("shingle"))
-    if max_doc_freq is not None:
-        freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        ix = ix.join(
-            freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
-        )
+        # hash once per doc; the whole downstream pipeline (index,
+        # prefixes, verification arrays) runs on bigints
+        sh = sh.withColumn("sh", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+    sh = sh.persist()
+    ix = sh.select("id", "n", F.explode("sh").alias("shingle"))
     t = F.lit(threshold)
+    if max_doc_freq is None:
+        # --- prefix-filtered exact path ---
+        freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        # global rarest-first order; row_number gives each doc its
+        # shingles ranked by that order (one shuffle on id)
+        w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+        # required overlap on each side: ceil(t*n), with an epsilon so
+        # double rounding (e.g. 0.7*10 -> 7.0000000000000001 -> ceil 8)
+        # can only LENGTHEN the prefix, never shorten it (shorter =
+        # potential false negatives)
+        prefix_len = F.col("n") - F.ceil(t * F.col("n") - F.lit(1e-9)) + 1
+        pref = (
+            ix.join(freq, "shingle")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= prefix_len)
+            .select("id", "n", "shingle")
+        )
+        a = pref.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
+        b = pref.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("na") >= t * F.col("nb"))
+                & (F.col("nb") >= t * F.col("na"))
+            )
+            .select("id_a", "na", "id_b", "nb")
+            .distinct()
+        )
+        va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        result = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("li", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard", F.col("li") / (F.col("na") + F.col("nb") - F.col("li"))
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return materialize_release(result, sh)
+    # --- skew-guard path (df-capped inverted index, r4 plan) ---
+    freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ix = ix.join(
+        freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+    )
     a = ix.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
     b = ix.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
     inter = (
@@ -503,13 +562,27 @@ def simhash_candidates(
     released before returning — the result is eagerly materialized
     (ops.cache.materialize_release) so repeated calls do not
     accumulate executor storage."""
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    result = simhash_band_candidates(sig, n_blocks=n_blocks, bits_per_block=bits_per_block)
+    return materialize_release(result, sig)
+
+
+def simhash_band_candidates(
+    sig: DataFrame, *, n_blocks: int = 4, bits_per_block: int = 16
+) -> DataFrame:
+    """Band join over PRECOMPUTED (id, sig) signatures — the self-join
+    half of simhash_candidates, factored out so callers that also need
+    the raw signatures (e.g. the recall companion's ground-truth pass)
+    compute them ONCE: the signature aggregation is the dominant cost
+    (64 SUMs over the exploded word stream) and feeding this from an
+    unpersisted plan would re-run it per self-join side. Pass a
+    persisted `sig`; the caller owns its release."""
     if n_blocks < 1 or bits_per_block < 1 or n_blocks * bits_per_block > 64:
         raise ValueError(
             f"invalid banding: need n_blocks*bits_per_block <= 64, got "
             f"{n_blocks}x{bits_per_block}"
         )
     mask = (1 << bits_per_block) - 1
-    sig = simhash_signatures(df, id_col, text_col).persist()
     chunks = sig.select(
         "id",
         "sig",
@@ -545,4 +618,4 @@ def simhash_candidates(
         )
         .select("id_a", "id_b", "hamming")
     )
-    return materialize_release(result, sig)
+    return result

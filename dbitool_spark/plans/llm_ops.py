@@ -359,9 +359,19 @@ def simhash_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature hamming is <= 3 (computed from the signatures directly);
     recall over that set is exactly 1.0 unless the banding loses a
     guaranteed pair."""
-    docs = catalog.load(spark, sf_dir, "documents")
+    from dbitool_spark.ops.cache import materialize_release
+
+    # a 1-in-5 deterministic subset keeps the entry's bench cost
+    # proportionate (the signature aggregation is the dominant cost and
+    # the guarantee is per-pair, so a subset checks the same theorem);
+    # both the doc and its perturbed copy survive the subset because it
+    # is taken BEFORE perturbation
+    docs = catalog.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     corpus = _perturbed_corpus(docs)
-    sig = dedup.simhash_signatures(corpus, "doc_id", "text")
+    # ONE signature pass, persisted: ground truth AND the band join
+    # both read it (3 unshared plans would re-run the 64-SUM
+    # aggregation each — measured 15s vs ~3s at sf0.1)
+    sig = dedup.simhash_signatures(corpus, "doc_id", "text").persist()
     a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sig.select(
         (F.col("id") - _PERTURB_OFFSET).alias("id_a"), F.col("sig").alias("sig_b")
@@ -372,12 +382,13 @@ def simhash_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", (F.col("id_a") + _PERTURB_OFFSET).alias("id_b"))
     )
-    cands = dedup.simhash_candidates(corpus, "doc_id", "text").select(
+    cands = dedup.simhash_band_candidates(sig).select(
         "id_a", "id_b", F.lit(1).alias("__hit")
     )
-    return truth.join(cands, ["id_a", "id_b"], "left").agg(
+    result = truth.join(cands, ["id_a", "id_b"], "left").agg(
         (F.count("__hit") / F.count(F.lit(1))).cast("double").alias("recall")
     )
+    return materialize_release(result, sig)
 
 
 def _planted_ann_setup(spark: SparkSession, sf_dir: str):
