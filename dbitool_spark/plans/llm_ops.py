@@ -690,3 +690,140 @@ SELECT doc_id AS media_id,
 FROM documents, LATERAL unnest(generate_series(0, strlen(text) % 7)) AS t(i)
 ORDER BY media_id, frame_idx
 """
+
+
+# --- corpus quality: repetition stats (Gopher-style) ------------------
+
+
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021 §A1.1): duplicate-word fraction (1 - distinct/total) and
+    top-word fraction (most frequent word's share). Docs above either
+    threshold are flagged low-quality — the standard repetition gate
+    a curation pipeline runs before training.
+
+    Scale shape: explode -> (doc, word) counts -> per-doc aggregate.
+    Two shuffles, both with map-side partial aggregation; the second
+    runs on |docs| rows. Ratios are exact-int divisions cast to
+    double, so both engines produce bit-identical values."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("total_words"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.max("c").alias("top_count"),
+    )
+    return (
+        stats.select(
+            "doc_id",
+            "total_words",
+            F.round(
+                F.lit(1.0) - F.col("distinct_words") / F.col("total_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(F.col("top_count") / F.col("total_words"), 6).alias(
+                "top_word_frac"
+            ),
+        )
+        .withColumn(
+            "low_quality",
+            (F.col("dup_word_frac") > 0.3) | (F.col("top_word_frac") > 0.2),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_STATS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+stats AS (
+  SELECT doc_id, SUM(c) AS total_words, COUNT(*) AS distinct_words, MAX(c) AS top_count
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(total_words AS BIGINT) AS total_words,
+       round(1.0 - distinct_words / CAST(total_words AS DOUBLE), 6) AS dup_word_frac,
+       round(top_count / CAST(total_words AS DOUBLE), 6) AS top_word_frac,
+       (round(1.0 - distinct_words / CAST(total_words AS DOUBLE), 6) > 0.3
+        OR round(top_count / CAST(total_words AS DOUBLE), 6) > 0.2) AS low_quality
+FROM stats
+ORDER BY doc_id
+"""
+
+
+# --- PII scan ---------------------------------------------------------
+
+# Deterministic planted contacts: the synthetic corpus contains no PII,
+# so every doc_id % 7 == 0 doc gains a contact line — the entry is
+# provably non-vacuous at every SF and the oracle mirrors the plant.
+_PII_MOD = 7
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan over the corpus: per-source counts of documents with
+    email / phone matches plus total match counts — the audit a
+    curation pipeline runs before redaction (the redact step itself is
+    regexp_replace on the same patterns, trivially derived from this
+    plan). Pure codegen regex, no UDF; one tiny aggregate by source."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % _PII_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0100"),
+        ),
+    ).otherwise(F.col("text"))
+    scanned = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.regexp_extract_all(F.lower(planted), F.lit(_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.lower(planted), F.lit(_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_emails") > 0).cast("int")).alias("docs_with_email"),
+            F.sum((F.col("n_phones") > 0).cast("int")).alias("docs_with_phone"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_phones").alias("total_phones"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_SCAN_SQL = f"""
+WITH scanned AS (
+  SELECT source,
+         len(regexp_extract_all(lower(CASE WHEN doc_id % {_PII_MOD} = 0
+           THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0100'
+           ELSE text END), '{_EMAIL_RE}', 0)) AS n_emails,
+         len(regexp_extract_all(lower(CASE WHEN doc_id % {_PII_MOD} = 0
+           THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0100'
+           ELSE text END), '{_PHONE_RE}', 0)) AS n_phones
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(SUM(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones
+FROM scanned
+GROUP BY source
+ORDER BY source
+"""

@@ -727,3 +727,92 @@ FROM base
 GROUP BY l_year
 ORDER BY l_year
 """
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of order counts per customer
+    (how many customers placed k orders), including the zero bucket
+    via a LEFT join. The non-urgent filter makes the outer join
+    non-trivial (it must run BEFORE the join, on the orders scan, and
+    NULL-extend rather than drop filtered-out customers). Two
+    aggregations: per-customer count (shuffle on custkey), then the
+    tiny distribution aggregate."""
+    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        catalog.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO orders — per-segment counts and total balance. The scalar
+    average is a 1-row aggregate cross-joined in (broadcast, no
+    shuffle of the customer side); the no-orders predicate is a
+    LEFT ANTI join on custkey. Balance arithmetic follows the
+    decimal-exact convention so the threshold comparison and the sum
+    hash identically cross-engine."""
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", money("c_acctbal").alias("bal")
+    )
+    avg_bal = cust.filter(F.col("bal") > 0).agg(
+        davg(F.col("bal"), "avg_bal", scale=2)
+    )
+    orders = catalog.load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(avg_bal)
+        .filter(F.col("bal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("bal"), "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+DORMANT_RICH_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer
+),
+avg_bal AS (
+  SELECT CAST(CAST(round(SUM(bal), 2) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(bal) AS avg_bal
+  FROM cust WHERE bal > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(CAST(round(SUM(bal), 2) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+FROM cust, avg_bal
+WHERE bal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
