@@ -3,17 +3,23 @@
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], takes the median of
-N timed runs after a warm-up, and prints exactly ONE compact JSON line:
+N timed runs after a warm-up, and prints exactly ONE compact JSON line
+holding ONLY the headline scalar:
 
     {"metric": "total_median_query_sec", "value": <sum of medians>,
-     "unit": "sec", "queries": {"q1_...": sec, ...}, "sf": 0.1}
+     "unit": "sec", "n_queries": 67, "sf": 0.1}
 
-The round-over-round comparison (per-query ratios vs the newest
-BENCH_r{N}.json at the same sf, regressions > 1.5x) goes to the
-BENCH_vs_prev.json sidecar and stderr, NOT the stdout line: r01 and
-r04 both proved the driver's tail window truncates once ratios for
-~50 queries are inlined ("parsed": null), which hides the headline
-metric entirely.
+Everything per-query goes to sidecar files, NOT stdout:
+- BENCH_queries.json — the full {query: median_sec} map plus machine
+  load (os.getloadavg at start/end) so a loaded-sandbox round is
+  diagnosable from artifacts;
+- BENCH_vs_prev.json — per-query ratios vs the newest parseable
+  BENCH record at the same sf, regressions > 1.5x.
+
+Rationale: r01/r04/r05 all produced "parsed": null because inlining
+~50-65 per-query timings (~2.5 KB) outgrows the driver's stdout tail
+window and truncates the JSON mid-dict, hiding the headline metric.
+The stdout line is now ~100 bytes and cannot truncate.
 
 Timing counts the full job: plan + execution to a count() action
 (count, not collect, so driver-side row transfer doesn't dominate at
@@ -43,7 +49,20 @@ REGRESSION_RATIO = 1.5
 
 
 def _load_prev_bench(repo_dir: str, sf: float | None) -> tuple[str, dict] | None:
-    """Newest BENCH_r{N}.json with per-query timings at the same sf."""
+    """Previous run's per-query timings at the same sf.
+
+    Preferred source: the BENCH_queries.json sidecar from the LAST run
+    (read before this run overwrites it — in the driver's cadence that
+    is the previous round's record). Fallback: the newest legacy
+    BENCH_r{N}.json that still inlined a "queries" map (r2/r3)."""
+    sidecar = os.path.join(repo_dir, "BENCH_queries.json")
+    try:
+        with open(sidecar) as fh:
+            data = json.load(fh)
+        if isinstance(data.get("queries"), dict) and data.get("sf") == sf:
+            return "BENCH_queries.json(prev-run)", data
+    except (OSError, json.JSONDecodeError):
+        pass
     best, best_n = None, -1
     for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -80,6 +99,15 @@ def main() -> int:
     except ValueError:
         sf = None
 
+    try:
+        load_start = list(os.getloadavg())
+    except OSError:
+        load_start = None
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # read the PREVIOUS run's sidecar before this run overwrites it
+    prev = _load_prev_bench(repo_dir, sf)
+
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
         # warm-up run: JIT, parquet footer cache, AQE stats
@@ -96,16 +124,35 @@ def main() -> int:
         # the run aren't measured under earlier queries' storage.
         gc.collect()
 
+    try:
+        load_end = list(os.getloadavg())
+    except OSError:
+        load_end = None
+
+    # headline-only stdout: r01/r04/r05 proved that inlining the
+    # per-query map truncates the driver's tail window ("parsed": null)
     result = {
         "metric": "total_median_query_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
         "sf": sf,
     }
 
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prev = _load_prev_bench(repo_dir, sf)
+    queries_sidecar = {
+        "sf": sf,
+        "runs_per_query": runs,
+        "total_median_query_sec": result["value"],
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "queries": timings,
+    }
+    try:
+        with open(os.path.join(repo_dir, "BENCH_queries.json"), "w") as fh:
+            json.dump(queries_sidecar, fh, indent=1)
+    except OSError as exc:
+        print(f"WARN: could not write BENCH_queries.json: {exc}", file=sys.stderr)
+
     if prev is not None:
         prev_name, prev_data = prev
         ratios = {
@@ -117,10 +164,10 @@ def main() -> int:
             (n for n, r in ratios.items() if r > REGRESSION_RATIO),
             key=lambda n: -ratios[n],
         )
-        # sidecar, not stdout: inlining ~50 ratios truncated the
-        # driver's tail window in r01/r04 and made "parsed" null
         vs_prev = {
             "baseline": prev_name,
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
             "ratios": ratios,
             "regressions": regressions,
         }

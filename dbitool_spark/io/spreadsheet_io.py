@@ -5,13 +5,14 @@ The reference goes through Spreadsheet::Read / Spreadsheet::WriteExcel
 fully in memory, with an (x, y) top-left offset and an optional header
 row; it also accepts CSV as a "sheet" format. Mapping:
 
-- xlsx paths go through pandas.read_excel / DataFrame.to_excel
-  (Arrow-bridged, bounded) — import-gated because no Excel engine
-  ships in this environment (openpyxl/xlrd absent): the functions
-  raise ImportError with instructions instead of pretending;
-- csv "sheets" use the engine's own distributed CSV path, honoring
+- .xlsx goes through the engine's own stdlib SpreadsheetML codec
+  (io/xlsx_codec.py — ECMA-376 subset, no Excel engine needed),
+  bounded/driver-side exactly like the reference buffers whole sheets;
+- .csv "sheets" use the engine's own distributed CSV path, honoring
   the same x/y offset semantics driver-side only when offsets are
-  used (offsets imply a bounded, positional read).
+  used (offsets imply a bounded, positional read);
+- legacy binary .xls (BIFF) stays import-gated: it is a pre-OOXML
+  closed binary format with no engine in this environment.
 """
 
 from __future__ import annotations
@@ -20,18 +21,36 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbitool_spark.io import csv_io
+from dbitool_spark.io import csv_io, xlsx_codec
 
 DEFAULT_MEMORY_LIMIT = 100_000
 
 
 def _excel_engine_available() -> bool:
+    """Only legacy binary .xls needs an external engine now."""
     try:
-        import openpyxl  # noqa: F401
+        import xlrd  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+def _grid_to_df(
+    spark: SparkSession,
+    grid: list[list[str]],
+    *,
+    header: bool,
+    x: int,
+) -> DataFrame:
+    grid = [row[x:] for row in grid]
+    if not grid or not grid[0]:
+        raise ValueError("spreadsheet sheet is empty after x/y offsets")
+    if header:
+        cols, body = list(grid[0]), grid[1:]
+    else:
+        cols, body = [f"col{i + 1}" for i in range(len(grid[0]))], grid
+    return spark.createDataFrame([tuple(r) for r in body], schema=cols)
 
 
 def read_spreadsheet(
@@ -44,9 +63,8 @@ def read_spreadsheet(
     y: int = 0,
     memory_limit: int = DEFAULT_MEMORY_LIMIT,
 ) -> DataFrame:
-    """Read a spreadsheet (xlsx/xls via pandas when an engine is
-    installed; .csv natively). x/y offset the top-left cell like the
-    reference's x=/y= args."""
+    """Read a spreadsheet (.xlsx via the stdlib codec; .csv natively).
+    x/y offset the top-left cell like the reference's x=/y= args."""
     ext = os.path.splitext(fname)[1].lower()
     if ext == ".csv":
         if x == 0 and y == 0:
@@ -63,10 +81,16 @@ def read_spreadsheet(
         if not header:
             pdf.columns = [f"col{i + 1}" for i in range(len(pdf.columns))]
         return spark.createDataFrame(pdf.astype(str))
+    if ext == ".xlsx":
+        grid = xlsx_codec.read_xlsx(
+            fname, sheet=sheet, max_rows=memory_limit + y + (1 if header else 0)
+        )
+        return _grid_to_df(spark, grid[y:], header=header, x=x)
     if not _excel_engine_available():
         raise ImportError(
-            "reading xlsx/xls requires an Excel engine (openpyxl); none is "
-            "installed in this environment. CSV sheets work natively."
+            "legacy binary .xls needs an external engine (xlrd); none is "
+            "installed in this environment. Use .xlsx (native codec) or "
+            ".csv sheets instead."
         )
     import pandas as pd
 
@@ -89,20 +113,28 @@ def write_spreadsheet(
     *,
     sheet: str = "Sheet1",
     header: bool = True,
+    x: int = 0,
+    y: int = 0,
     memory_limit: int = DEFAULT_MEMORY_LIMIT,
 ) -> None:
     """Write a bounded sheet. .csv writes through the distributed CSV
-    sink (single file); xlsx needs an Excel engine."""
+    sink (single file); .xlsx through the stdlib codec at the (x, y)
+    offset (reference spreadsheetwrite x=/y= semantics,
+    scripts/dbitool.pl:2825-2832)."""
     ext = os.path.splitext(fname)[1].lower()
     if ext == ".csv":
         csv_io.write_csv(df, fname, header=header, single_file=True)
         return
-    if not _excel_engine_available():
-        raise ImportError(
-            "writing xlsx requires an Excel engine (openpyxl); none is "
-            "installed in this environment. CSV sheets work natively."
+    if ext != ".xlsx":
+        raise ValueError(
+            f"write_spreadsheet supports .csv and .xlsx, got {ext!r} "
+            "(legacy binary .xls writing is not supported)"
         )
-    rows = df.limit(memory_limit + 1).toPandas()
+    # bounded edge: whole-sheet formats are in-memory by nature — the
+    # reference enforces the same contract via --memorylimit
+    rows = df.limit(memory_limit + 1).collect()
     if len(rows) > memory_limit:
         raise MemoryError(f"write_spreadsheet is a bounded edge: >{memory_limit} rows")
-    rows.to_excel(fname, sheet_name=sheet, header=header, index=False)
+    out: list[tuple] = [tuple(df.columns)] if header else []
+    out += [tuple(r) for r in rows]
+    xlsx_codec.write_xlsx(fname, out, sheet=sheet, x=x, y=y)

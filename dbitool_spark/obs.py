@@ -89,6 +89,14 @@ def split_quarantine(
     # reclaims them once the returned frames are garbage collected,
     # whereas a bare cache lingered in the catalog after every
     # quarantine split in a long-lived session (r4 verdict item).
+    # TRADEOFF: localCheckpoint truncates lineage, so losing an
+    # executor that holds checkpoint blocks makes the data
+    # unrecoverable (a cached frame would recompute from source). On
+    # a single-JVM deployment executor loss == driver loss, so this
+    # costs nothing here; on a multi-executor cluster prefer reliable
+    # checkpointing (spark.sparkContext.setCheckpointDir + .checkpoint)
+    # or cache-with-explicit-unpersist on a context-managed handle if
+    # mid-job executor loss must be survivable.
     df = df.localCheckpoint(eager=False)
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)

@@ -217,8 +217,11 @@ def ngram_jaccard_pairs(
       |A∪B| = na + nb - |A∩B| (no array_union pass). This is also the
       shape that makes the op self-hardening against skew at 100 TB:
       the quadratic term sum(df^2) runs over prefix frequencies, not
-      raw frequencies. Measured at sf0.1: 2.6s vs 5-7s for the r4
-      count-by-join plan and ~31s for the cold r3 shape.
+      raw frequencies. Relative cost (driver bench, sf0.1): ~0.65x the
+      r4 count-by-join plan; the cold r3 all-pairs-verify shape was
+      ~6x the r4 plan. (Point timings vary ~1.5x with sandbox load —
+      see BENCH_queries.json's loadavg fields — so only ratios are
+      quoted here.)
     - skew-guard path (max_doc_freq set): the r4 inverted-index plan,
       unchanged — shingles above the df cap are DROPPED from the
       intersection count entirely (bounded fan-out, approximate by
@@ -233,11 +236,11 @@ def ngram_jaccard_pairs(
     join-counted intersections). Pass False for bit-exact string
     processing end to end.
 
-    NOTE the often-cited 1.6s for this query in BENCH_r03 was
-    cache-flattered: minhash ran earlier in the suite and leaked its
-    plan-identical persisted shingle table, which the CacheManager
-    silently reused here. Cold, the r3 shape measures ~31s; the r4
-    index persist 7.6s; the prefix-filtered plan ~2s.
+    NOTE the BENCH_r03 number for this query was cache-flattered:
+    minhash ran earlier in the suite and leaked its plan-identical
+    persisted shingle table, which the CacheManager silently reused
+    here. Cold ratios: r3 shape ~6x the r4 index plan; the
+    prefix-filtered plan ~0.65x of r4.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -273,12 +276,19 @@ def ngram_jaccard_pairs(
         )
         a = pref.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
         b = pref.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
+        # length-ratio prune with the SAME epsilon as prefix_len: for
+        # non-dyadic thresholds double rounding can push t*nb above an
+        # integer it equals in exact arithmetic (0.7*10 ->
+        # 7.0000000000000007), silently dropping a borderline pair the
+        # final jaccard >= t filter would keep — a false negative in a
+        # path documented exact. The epsilon only loosens the prune;
+        # the exact jaccard verify downstream still decides membership.
         cand = (
             a.join(b, "shingle")
             .filter(
                 (F.col("id_a") < F.col("id_b"))
-                & (F.col("na") >= t * F.col("nb"))
-                & (F.col("nb") >= t * F.col("na"))
+                & (F.col("na") >= t * F.col("nb") - F.lit(1e-9))
+                & (F.col("nb") >= t * F.col("na") - F.lit(1e-9))
             )
             .select("id_a", "na", "id_b", "nb")
             .distinct()
@@ -306,9 +316,11 @@ def ngram_jaccard_pairs(
     inter = (
         a.join(b, "shingle")
         .filter(
+            # epsilon-loosened length prune — same rationale as the
+            # prefix path above (exact jaccard filter decides below)
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("na") >= t * F.col("nb"))
-            & (F.col("nb") >= t * F.col("na"))
+            & (F.col("na") >= t * F.col("nb") - F.lit(1e-9))
+            & (F.col("nb") >= t * F.col("na") - F.lit(1e-9))
         )
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("li"))
@@ -534,6 +546,7 @@ def simhash_candidates(
     *,
     n_blocks: int = 4,
     bits_per_block: int = 16,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash block banding (the Manku
     block-permutation construction, Manku/Jain/Sarma WWW'07): the
@@ -557,18 +570,34 @@ def simhash_candidates(
     Requires n_blocks * bits_per_block <= 64 (blocks beyond the
     covered range would be degenerate); defaults cover all 64 bits.
 
+    `max_hamming` filters candidates to hamming <= max_hamming BEFORE
+    the eager materialization below — callers that only want pairs
+    within a radius (the common near-dup use) should pass it rather
+    than filtering the returned frame: the unfiltered candidate set is
+    ~10^5-10^6 rows at sf0.1 and checkpointing all of it only to
+    discard >90% afterwards measured 3x slower end-to-end (the r5
+    bench regression). The pigeonhole recall guarantee is unaffected
+    for any max_hamming >= n_blocks - 1: every guaranteed pair is at
+    hamming <= n_blocks - 1 and survives the filter.
+
     The signature table is persisted across the self-join (Catalyst
     does not reuse the exchange across self-join aliases) and
     released before returning — the result is eagerly materialized
     (ops.cache.materialize_release) so repeated calls do not
     accumulate executor storage."""
     sig = simhash_signatures(df, id_col, text_col).persist()
-    result = simhash_band_candidates(sig, n_blocks=n_blocks, bits_per_block=bits_per_block)
+    result = simhash_band_candidates(
+        sig, n_blocks=n_blocks, bits_per_block=bits_per_block, max_hamming=max_hamming
+    )
     return materialize_release(result, sig)
 
 
 def simhash_band_candidates(
-    sig: DataFrame, *, n_blocks: int = 4, bits_per_block: int = 16
+    sig: DataFrame,
+    *,
+    n_blocks: int = 4,
+    bits_per_block: int = 16,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Band join over PRECOMPUTED (id, sig) signatures — the self-join
     half of simhash_candidates, factored out so callers that also need
@@ -598,6 +627,11 @@ def simhash_band_candidates(
         ).alias("chunk", "ch"),
     )
     left, right = chunks.alias("l"), chunks.alias("r")
+    # hamming is computed join-side and (when max_hamming is set)
+    # filtered BEFORE the distinct: the radius filter typically drops
+    # >90% of raw band collisions, so it both shrinks the distinct's
+    # shuffle and keeps any downstream eager materialization
+    # proportional to the pairs the caller actually wants
     result = (
         left.join(
             right,
@@ -608,14 +642,11 @@ def simhash_band_candidates(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
         )
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
-        )
-        .select("id_a", "id_b", "hamming")
     )
-    return result
+    if max_hamming is not None:
+        result = result.filter(F.col("hamming") <= max_hamming)
+    # (id_a, id_b) determines hamming, so distinct over the 3 columns
+    # dedupes multi-block collisions exactly as the pair-distinct did
+    return result.distinct()

@@ -164,6 +164,7 @@ def range_join(
     *,
     bucket: int,
     key: str | None = None,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Interval containment join: left rows paired with every right
     row whose [right_lo, right_hi] interval contains left_point
@@ -182,7 +183,16 @@ def range_join(
     F.floor(col / bucket): the latter is DOUBLE division, which above
     2^53 (epoch nanos ~1.7e18) can round a point into the adjacent
     bucket and silently drop truly-matching pairs — false negatives
-    the residual filter cannot recover."""
+    the residual filter cannot recover.
+
+    `broadcast_right` hints the (exploded) interval side for
+    broadcast. When the interval table is a small derived aggregate —
+    e.g. busy hours: bounded by distinct (key, hour), orders of
+    magnitude below the point stream — this removes the point-side
+    shuffle entirely: the plan becomes a BroadcastHashJoin over the
+    scan instead of exchanging the full stream on (bucket, key). Leave
+    False when the interval side is scale-dependent; AQE then decides
+    from runtime sizes."""
     _check_reserved(_RANGE_RESERVED, left, right)
     p, lo, hi = F.col(left_point), F.col(right_lo), F.col(right_hi)
     lb = left.withColumn("__b", _floordiv(left_point, bucket))
@@ -192,6 +202,8 @@ def range_join(
             F.sequence(_floordiv(right_lo, bucket), _floordiv(right_hi, bucket))
         ),
     )
+    if broadcast_right:
+        rb = F.broadcast(rb)
     on = ["__b", key] if key else ["__b"]
     return (
         lb.join(rb, on)

@@ -363,9 +363,15 @@ def _sqliteinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
 
 @register_module("spreadsheetwrite")
 def _spreadsheetwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
-    """Reference spreadsheetwrite (scripts/dbitool.pl:2786-2870)."""
+    """Reference spreadsheetwrite (scripts/dbitool.pl:2786-2870):
+    sheet name, optional header, (x, y) top-left offset."""
     spreadsheet_io.write_spreadsheet(
-        ins[0], a["out"], sheet=a.get("sheet", "Sheet1"), header=_flag(a, "header")
+        ins[0],
+        a["out"],
+        sheet=a.get("sheet", "Sheet1"),
+        header=_flag(a, "header"),
+        x=int(a.get("x", 0)),
+        y=int(a.get("y", 0)),
     )
 
 

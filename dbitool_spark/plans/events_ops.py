@@ -243,7 +243,13 @@ def events_after_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour+90min), and the query counts same-type events inside each
     window — the 'what happens after a burst' shape. The join is an
     equi-join on (time bucket, event_type) with the exact containment
-    predicate as a residual filter; never a nested-loop product."""
+    predicate as a residual filter; never a nested-loop product.
+
+    The busy side is broadcast: it is a filtered per-(type, hour)
+    aggregate — bounded by distinct hours x types, vanishingly small
+    next to the event stream at any scale — so broadcasting it turns
+    the range join into a BroadcastHashJoin and the full event stream
+    is never shuffled (plan-pinned in tests/test_scale_shapes.py)."""
     from dbitool_spark.ops.temporal import range_join
 
     ev = catalog.load(spark, sf_dir, "events").select(
@@ -265,7 +271,10 @@ def events_after_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        range_join(ev, busy, "ts_us", "lo", "hi", bucket=15 * 60 * 1_000_000, key="event_type")
+        range_join(
+            ev, busy, "ts_us", "lo", "hi",
+            bucket=15 * 60 * 1_000_000, key="event_type", broadcast_right=True,
+        )
         .groupBy("event_type", "lo")
         .agg(F.count(F.lit(1)).alias("n_following"))
         .orderBy("event_type", "lo")

@@ -217,3 +217,27 @@ def quarantine_corrupt_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUARANTINE_CORRUPT_NDJSON_SQL = """
 SELECT COUNT(*) AS n_good, CAST(2 AS BIGINT) AS n_bad FROM documents
 """
+
+
+def xlsx_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation through the own-spec SpreadsheetML codec (stdlib zip +
+    XML; reference spreadsheetread/write scripts/dbitool.pl:2696-2870)
+    at a non-trivial (x=1, y=2) offset. A bounded edge — the sheet is
+    buffered driver-side exactly like the reference's in-memory
+    spreadsheet modules; nation is a constant-size dimension."""
+    from dbitool_spark.io import spreadsheet_io
+
+    nation = catalog.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = os.path.join(_scratch("xlsx"), "nation.xlsx")
+    spreadsheet_io.write_spreadsheet(nation, path, sheet="nation", x=1, y=2)
+    back = spreadsheet_io.read_spreadsheet(spark, path, sheet="nation", x=1, y=2)
+    return back.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+
+
+XLSX_ROUNDTRIP_NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"

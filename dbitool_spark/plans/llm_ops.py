@@ -12,7 +12,7 @@ entries here and exact recall tests in pytest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbitool_spark import catalog
@@ -120,7 +120,7 @@ cand AS (
          len(list_intersect(a.s, b.s)) AS li, a.n AS na, b.n AS nb
   FROM shn a JOIN shn b
     ON a.doc_id < b.doc_id
-   AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+   AND a.n >= 0.7 * b.n - 1e-9 AND b.n >= 0.7 * a.n - 1e-9
 )"""
 
 MINHASH_NEAR_DUP_SQL = f"""
@@ -219,10 +219,18 @@ def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash chunk-banded candidates over the perturbed corpus,
     kept at hamming distance <= 3. Rows-only (the 64-bit signature is
     not practically SQL-expressible); exactness is covered by the
-    pytest recall test against brute-force hamming."""
+    pytest recall test against brute-force hamming.
+
+    max_hamming is pushed INTO the operator so the radius filter runs
+    before the eager checkpoint — filtering the returned frame instead
+    materialized the full ~10^5-10^6-row raw candidate set first (the
+    r5 3.15x bench regression). Recall is unchanged: the pigeonhole
+    guarantee covers hamming <= n_blocks-1 = 3, all of which survive."""
     docs = catalog.load(spark, sf_dir, "documents")
-    cands = dedup.simhash_candidates(_perturbed_corpus(docs), "doc_id", "text")
-    return cands.filter(F.col("hamming") <= 3).orderBy("id_a", "id_b")
+    cands = dedup.simhash_candidates(
+        _perturbed_corpus(docs), "doc_id", "text", max_hamming=3
+    )
+    return cands.orderBy("id_a", "id_b")
 
 
 # --- similarity search ------------------------------------------------
@@ -370,7 +378,7 @@ def simhash_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _perturbed_corpus(docs)
     # ONE signature pass, persisted: ground truth AND the band join
     # both read it (3 unshared plans would re-run the 64-SUM
-    # aggregation each — measured 15s vs ~3s at sf0.1)
+    # aggregation each — measured ~4-5x slower at sf0.1)
     sig = dedup.simhash_signatures(corpus, "doc_id", "text").persist()
     a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sig.select(
@@ -382,11 +390,28 @@ def simhash_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", (F.col("id_a") + _PERTURB_OFFSET).alias("id_b"))
     )
+    # simhash_band_candidates already dedupes multi-block collisions
+    # (its final distinct; hamming is functionally determined by the
+    # pair) so each candidate pair joins at most one truth row and the
+    # left join cannot multiply the denominator
     cands = dedup.simhash_band_candidates(sig).select(
         "id_a", "id_b", F.lit(1).alias("__hit")
     )
+    # non-vacuity guard: with an empty truth set (possible at tiny SFs
+    # under the 1-in-5 subset) count/count is 0/0 = NULL, which would
+    # surface as a confusing NULL-vs-1.0 oracle mismatch; fail loudly
+    # instead. assert_true sits in the lazily-evaluated CASE branch,
+    # so it fires only when the truth set is actually empty.
     result = truth.join(cands, ["id_a", "id_b"], "left").agg(
-        (F.count("__hit") / F.count(F.lit(1))).cast("double").alias("recall")
+        F.when(
+            F.count(F.lit(1)) == 0,
+            F.assert_true(
+                F.lit(False), F.lit("simhash_recall_planted: empty truth set")
+            ).cast("double"),
+        )
+        .otherwise(F.count("__hit") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("recall")
     )
     return materialize_release(result, sig)
 
@@ -826,4 +851,214 @@ SELECT source,
 FROM scanned
 GROUP BY source
 ORDER BY source
+"""
+
+
+# --- token counting (BPE-ish regex) -----------------------------------
+
+
+# Subword-ish lexer classes shared verbatim by both engines (Java regex
+# and DuckDB's RE2 treat these constructs identically): letter runs,
+# digit runs, and single non-alnum-non-space marks — the tokenization
+# shape BPE vocabularies approximate (GPT-2's pretokenizer splits on
+# the same letter/digit/punct class boundaries).
+_BPEISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_count_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting with a BPE-ish regex lexer next
+    to the whitespace count: the pretraining-cost estimate a curation
+    pipeline runs before tokenizing for real. Pure codegen regex —
+    one projection, no shuffle besides the final sort."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    n_bpe = F.size(F.regexp_extract_all(low, F.lit(_BPEISH_PATTERN), F.lit(0)))
+    n_ws = F.size(F.split(low, r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpeish"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(F.length(low) / n_bpe, 6).alias("chars_per_token"),
+        F.round(n_bpe / n_ws, 6).alias("subwords_per_word"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_BPE_SQL = rf"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS low FROM documents),
+c AS (
+  SELECT doc_id, low,
+         len(regexp_extract_all(low, '{_BPEISH_PATTERN}', 0)) AS n_bpeish,
+         len(regexp_split_to_array(low, '\s+')) AS n_ws_tokens
+  FROM t
+)
+SELECT doc_id, n_bpeish, n_ws_tokens,
+       round(length(low) / CAST(n_bpeish AS DOUBLE), 6) AS chars_per_token,
+       round(n_bpeish / CAST(n_ws_tokens AS DOUBLE), 6) AS subwords_per_word
+FROM c
+ORDER BY doc_id
+"""
+
+
+# --- 2-gram repetition (Gopher-style n-gram gate) ---------------------
+
+
+def ngram_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-2-gram fraction per document (the n-gram member of
+    the Gopher repetition family, Rae et al. 2021 §A1.1 — complements
+    repetition_stats_documents' word-level signals). Array-native:
+    bigrams built with zip_with over adjacent slices, so the whole
+    plan is one projection plus the final sort — no explode, no
+    shuffle on (doc, gram)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    total = F.size(bigrams)
+    distinct = F.size(F.array_distinct(bigrams))
+    frac = F.when(total > 0, F.round(F.lit(1.0) - distinct / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        total.alias("total_2grams"),
+        distinct.alias("distinct_2grams"),
+        frac.alias("dup_2gram_frac"),
+        (frac > 0.15).alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+NGRAM_REPETITION_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) AS bg
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents)
+),
+c AS (
+  SELECT doc_id, len(bg) AS total_2grams, len(list_distinct(bg)) AS distinct_2grams
+  FROM g
+)
+SELECT doc_id, total_2grams, distinct_2grams,
+       CASE WHEN total_2grams > 0
+            THEN round(1.0 - distinct_2grams / CAST(total_2grams AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_2gram_frac,
+       (CASE WHEN total_2grams > 0
+             THEN round(1.0 - distinct_2grams / CAST(total_2grams AS DOUBLE), 6)
+             ELSE 0.0 END) > 0.15 AS repetitive
+FROM c
+ORDER BY doc_id
+"""
+
+
+# --- URL / domain audit ----------------------------------------------
+
+# Deterministic planted URLs (the synthetic corpus has none): every
+# doc_id % 3 == 0 doc gains one link whose domain cycles through 13
+# values — non-vacuous at every SF, oracle mirrors the plant.
+_URL_MOD = 3
+_DOMAIN_CYCLE = 13
+_DOMAIN_RE = r"https://([a-z0-9.-]+)"
+
+
+def domain_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain link audit over the corpus — the provenance report a
+    web-curation pipeline runs before domain-level filtering (block/
+    allow lists, per-domain caps). Codegen regex extraction, explode,
+    one count shuffle keyed on domain; at 100 TB the domain key space
+    is small and hot domains are exactly what AQE skew-split handles."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % _URL_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % _DOMAIN_CYCLE).cast("string"),
+            F.lit(".example.org/page"),
+        ),
+    ).otherwise(F.col("text"))
+    domains = F.regexp_extract_all(F.lower(planted), F.lit(_DOMAIN_RE), F.lit(1))
+    return (
+        docs.select("doc_id", F.explode(domains).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
+DOMAIN_STATS_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_URL_MOD} = 0
+              THEN text || ' see https://site' || CAST(doc_id % {_DOMAIN_CYCLE} AS VARCHAR) || '.example.org/page'
+              ELSE text END AS text
+  FROM documents
+),
+links AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_DOMAIN_RE}', 1)) AS domain
+  FROM planted
+)
+SELECT domain, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
+FROM links
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+# --- distinctive terms per source ------------------------------------
+
+
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per source by in-source frequency, excluding terms
+    that appear in more than half the sources (a log-free tf-idf
+    analogue: rank by tf with a df cut, all exact integer arithmetic
+    so both engines hash identically). Shape: explode -> (source,
+    word) partial-agg counts -> tiny word-level df agg joined back ->
+    per-source top-k window. The window partitions by source, so the
+    final sort is per-group, never global."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("w"),
+    )
+    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # bounded driver-side scalar: the source key space is tiny by
+    # construction (a mix has tens of sources, not millions); one
+    # small distinct-count job, same class as IVF's centroid sample
+    n_sources = docs.select("source").distinct().count()
+    win = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("w"))
+    return (
+        tf.join(df_, "w")
+        .filter(F.col("df") <= n_sources / 2)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("source", F.col("w").alias("term"), "tf", "df", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+TOP_TERMS_PER_SOURCE_SQL = r"""
+WITH words AS (
+  SELECT source, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS w
+  FROM documents
+),
+tf AS (SELECT source, w, COUNT(*) AS tf FROM words GROUP BY source, w),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+ns AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+ranked AS (
+  SELECT tf.source, tf.w AS term, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.source ORDER BY tf.tf DESC, tf.w ASC) AS rank
+  FROM tf JOIN df USING (w), ns
+  WHERE df.df <= ns.n / 2.0
+)
+SELECT source, term, tf, df, rank FROM ranked WHERE rank <= 3
+ORDER BY source, rank
 """

@@ -350,3 +350,63 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT {VOCAB_TOPK}
 """
+
+
+# --- weighted corpus mixing ------------------------------------------
+
+# Per-source sampling weights in percent, keyed by source index % 4 —
+# the "training mix" a pretraining pipeline applies to rebalance
+# sources (books upsampled, web downsampled, ...). Deterministic:
+# membership depends only on doc_id, so the mix is reproducible
+# across runs and engines.
+MIX_WEIGHTS = [100, 50, 25, 10]
+# LCG-style decorrelation of sequential ids before the % 100 bucket
+# (exact int64 in both engines for ids < ~2^47; at larger scales swap
+# xxhash64(id) on the Spark side — the oracle only needs to follow at
+# test SFs)
+_MIX_MULT = 40503
+_MIX_ADD = 1299721
+
+
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: keep each document with its source's
+    sampling percentage, decided by a deterministic per-doc bucket.
+    Returns the per-source accounting (total vs kept vs effective
+    fraction) — the audit table a mix change is reviewed with.
+    Shape: one projection to compute membership (no sampling RNG, no
+    driver state), one partial-agg count shuffle on source."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    src_idx = F.substring(F.col("source"), 4, 10).cast("int")
+    weight = F.element_at(
+        F.array(*[F.lit(w) for w in MIX_WEIGHTS]), src_idx % len(MIX_WEIGHTS) + 1
+    )
+    bucket = (F.col("doc_id") * _MIX_MULT + _MIX_ADD) % 100
+    kept = (bucket < weight).cast("int")
+    return (
+        docs.select("source", weight.alias("weight_pct"), kept.alias("kept"))
+        .groupBy("source", "weight_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 6).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_MIX_WEIGHTED_SQL = f"""
+WITH w AS (
+  SELECT source, doc_id,
+         [{", ".join(str(w) for w in MIX_WEIGHTS)}][(CAST(substr(source, 4, 10) AS INT) % {len(MIX_WEIGHTS)}) + 1] AS weight_pct,
+         CASE WHEN (doc_id * {_MIX_MULT} + {_MIX_ADD}) % 100
+                   < [{", ".join(str(w) for w in MIX_WEIGHTS)}][(CAST(substr(source, 4, 10) AS INT) % {len(MIX_WEIGHTS)}) + 1]
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, weight_pct, COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       round(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+FROM w
+GROUP BY source, weight_pct
+ORDER BY source
+"""

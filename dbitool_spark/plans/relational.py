@@ -770,21 +770,33 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+DORMANT_CUTOFF = "1999-01-01"
+
+
 def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers with above-average positive balance
-    and NO orders — per-segment counts and total balance. The scalar
-    average is a 1-row aggregate cross-joined in (broadcast, no
-    shuffle of the customer side); the no-orders predicate is a
-    LEFT ANTI join on custkey. Balance arithmetic follows the
-    decimal-exact convention so the threshold comparison and the sum
-    hash identically cross-engine."""
+    and no RECENT orders (none on/after DORMANT_CUTOFF — the synthetic
+    corpus gives every customer at least one lifetime order, so the
+    pure no-orders predicate is vacuous at every SF; the dated variant
+    keeps Q22's plan shape non-trivial). The scalar average is a 1-row
+    aggregate cross-joined in (broadcast, no shuffle of the customer
+    side); the dormancy predicate is a LEFT ANTI join on custkey
+    against the date-filtered orders scan (the filter reaches the
+    parquet scan, so the anti join's build side shrinks before any
+    shuffle). Balance arithmetic follows the decimal-exact convention
+    so the threshold comparison and the sum hash identically
+    cross-engine."""
     cust = catalog.load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", money("c_acctbal").alias("bal")
     )
     avg_bal = cust.filter(F.col("bal") > 0).agg(
         davg(F.col("bal"), "avg_bal", scale=2)
     )
-    orders = catalog.load(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        catalog.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF))
+        .select("o_custkey")
+    )
     return (
         cust.crossJoin(avg_bal)
         .filter(F.col("bal") > F.col("avg_bal"))
@@ -798,7 +810,7 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DORMANT_RICH_SQL = """
+DORMANT_RICH_SQL = f"""
 WITH cust AS (
   SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
   FROM customer
@@ -812,7 +824,9 @@ SELECT c_mktsegment,
        CAST(CAST(round(SUM(bal), 2) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
 FROM cust, avg_bal
 WHERE bal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '{DORMANT_CUTOFF}')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """

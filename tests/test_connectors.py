@@ -171,14 +171,74 @@ def test_spreadsheet_csv_sheet_roundtrip(spark, tmpdir):
         testrow.check(tuple(r))
 
 
-def test_spreadsheet_xlsx_gated(spark, tmpdir):
+def test_xlsx_roundtrip_exact_values(spark, tmpdir):
+    """Own-spec SpreadsheetML codec: write the TestRow fixture, read
+    it back, byte-exact check every value (reference spreadsheetread/
+    write buffer whole sheets; same bounded contract here)."""
+    df = testrow.dataframe(spark, 30)
+    path = os.path.join(tmpdir, "t.xlsx")
+    spreadsheet_io.write_spreadsheet(df, path)
+    back = spreadsheet_io.read_spreadsheet(spark, path)
+    assert back.columns == list(testrow.HEADER)
+    rows = project(back, list(testrow.HEADER)).collect()
+    assert len(rows) == 30
+    for r in sorted(rows, key=lambda r: int(r[0])):
+        testrow.check(tuple(r))
+
+
+def test_xlsx_offsets_and_sheet_name(spark, tmpdir):
+    """x/y offsets shift the block on write AND skip on read
+    (reference x=/y= args, scripts/dbitool.pl:2749-2767, :2825-2832);
+    sheet selection works by name and by index."""
     df = testrow.dataframe(spark, 5)
-    if spreadsheet_io._excel_engine_available():
-        pytest.skip("engine installed; gate not exercised")
-    with pytest.raises(ImportError, match="openpyxl"):
-        spreadsheet_io.write_spreadsheet(df, os.path.join(tmpdir, "t.xlsx"))
-    with pytest.raises(ImportError, match="openpyxl"):
-        spreadsheet_io.read_spreadsheet(spark, os.path.join(tmpdir, "t.xlsx"))
+    path = os.path.join(tmpdir, "o.xlsx")
+    spreadsheet_io.write_spreadsheet(df, path, sheet="data", x=2, y=3)
+    back = spreadsheet_io.read_spreadsheet(spark, path, sheet="data", x=2, y=3)
+    assert back.columns == list(testrow.HEADER)
+    assert back.count() == 5
+    by_index = spreadsheet_io.read_spreadsheet(spark, path, sheet=0, x=2, y=3)
+    assert by_index.count() == 5
+    with pytest.raises(ValueError, match="not found"):
+        spreadsheet_io.read_spreadsheet(spark, path, sheet="nope")
+
+
+def test_xlsx_reader_handles_shared_strings(spark, tmpdir):
+    """Files from Excel/openpyxl use a sharedStrings table instead of
+    inline strings — build one by hand (public ECMA-376 layout) and
+    confirm the reader resolves t="s" references and sparse cells."""
+    import zipfile
+
+    from dbitool_spark.io import xlsx_codec
+
+    path = os.path.join(tmpdir, "shared.xlsx")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        # sparse row: C2 present, A2/B2 absent -> padded with ""
+        '<row r="2"><c r="C2" t="s"><v>0</v></c><c r="D2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = (
+        f'<sst xmlns="{ns}" count="2" uniqueCount="2">'
+        "<si><t>hello</t></si><si><r><t>wor</t></r><r><t>ld</t></r></si></sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", xlsx_codec._CONTENT_TYPES)
+        z.writestr("_rels/.rels", xlsx_codec._ROOT_RELS)
+        z.writestr("xl/workbook.xml", xlsx_codec._workbook_xml("S"))
+        z.writestr("xl/_rels/workbook.xml.rels", xlsx_codec._WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+    grid = xlsx_codec.read_xlsx(path)
+    assert grid == [["hello", "world", "", ""], ["", "", "hello", "42"]]
+
+
+def test_xlsx_col_letters_roundtrip():
+    from dbitool_spark.io import xlsx_codec
+
+    for i in (0, 1, 25, 26, 27, 51, 52, 701, 702, 16383):
+        assert xlsx_codec.ref_to_col(xlsx_codec.col_letters(i) + "7") == i
 
 
 def test_sqlite_query_from_stream(spark, tmpdir):

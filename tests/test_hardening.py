@@ -212,3 +212,30 @@ def test_pipeline_unpersist_failure_is_logged(spark, monkeypatch, tmp_path):
     p.run()
     msgs = [m for (_, mod, m, lvl) in log.rows if "unpersist" in m and "failed" in m]
     assert msgs, f"expected an unpersist-failure log line, got {log.rows}"
+
+
+def test_simhash_max_hamming_matches_post_filter(spark):
+    """r6 perf refactor guard: pushing max_hamming INTO the operator
+    (filter before the eager checkpoint) must be semantically identical
+    to filtering the full candidate set afterwards — same pairs, same
+    hamming values."""
+    from dbitool_spark import catalog
+    from tests.conftest import SF_SMOKE
+
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(perturbed)
+    pushed = dedup.simhash_candidates(corpus, "doc_id", "text", max_hamming=3)
+    post = dedup.simhash_candidates(corpus, "doc_id", "text").filter(
+        F.col("hamming") <= 3
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in pushed.collect()}
+    want = {(r.id_a, r.id_b, r.hamming) for r in post.collect()}
+    assert got == want
+    # non-vacuity: the perturbed corpus must actually produce pairs
+    # within the radius, or the equivalence proves nothing
+    assert len(got) > 0

@@ -213,3 +213,15 @@ def test_pack_sequences_window_is_per_bucket(spark):
     assert "hashpartitioning(bucket" in plan
     # a global-window plan would show Exchange SinglePartition
     assert "Exchange SinglePartition" not in plan
+
+
+def test_events_after_busy_hours_broadcasts_interval_side(spark):
+    """The busy-hour interval set is a tiny filtered aggregate: the
+    range join must broadcast it so the full event stream is never
+    shuffled on (bucket, type). A SortMergeJoin here would mean the
+    event side exchanged — the r5 plan this pin retires."""
+    from dbitool_spark.plans.events_ops import events_after_busy_hours
+
+    plan = _plan(events_after_busy_hours(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
