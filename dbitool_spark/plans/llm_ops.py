@@ -1020,12 +1020,27 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines hash identically). Shape: explode -> (source,
     word) partial-agg counts -> tiny word-level df agg joined back ->
     per-source top-k window. The window partitions by source, so the
-    final sort is per-group, never global."""
+    final sort is per-group, never global.
+
+    The synthetic corpus shares one tiny uniform vocabulary (31 words,
+    each in >= 17/20 sources), which makes distinctiveness vacuous —
+    so each source plants a deterministic topic term (topic{idx%5})
+    in half its docs; the planted terms have df = 4 of 20 sources and
+    are exactly what the cut should surface. Oracle mirrors the
+    plant."""
     docs = catalog.load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" topic"),
+            (F.substring(F.col("source"), 4, 10).cast("int") % 5).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
     words = docs.select(
         "source",
         F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            F.array_distinct(F.split(F.lower(F.trim(planted)), r"\s+"))
         ).alias("w"),
     )
     tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
@@ -1046,9 +1061,16 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOP_TERMS_PER_SOURCE_SQL = r"""
-WITH words AS (
-  SELECT source, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS w
+WITH planted AS (
+  SELECT source,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || ' topic' || CAST(CAST(substr(source, 4, 10) AS INT) % 5 AS VARCHAR)
+              ELSE text END AS text
   FROM documents
+),
+words AS (
+  SELECT source, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS w
+  FROM planted
 ),
 tf AS (SELECT source, w, COUNT(*) AS tf FROM words GROUP BY source, w),
 df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
