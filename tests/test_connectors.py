@@ -257,3 +257,43 @@ def test_sqlite_query_from_stream(spark, tmpdir):
     p.add(f"sqliteselect:fname={path}", **{"in": "sqltext", "out": "rows"})
     got = {(r.grp, r.n) for r in p.stream("rows").collect()}
     assert got == {(0, 10), (1, 10), (2, 10)}
+
+
+def test_xlsx_codec_hostile_values_roundtrip(tmpdir):
+    """Codec-level property: XML metacharacters, unicode, leading/
+    trailing whitespace and embedded newlines survive byte-exact
+    (xml:space=preserve on every inline string)."""
+    from dbitool_spark.io import xlsx_codec
+
+    rows = [
+        ("a<b&c>d", '"quoted"', "'apos'"),
+        ("  leading", "trailing  ", " both "),
+        ("line1\nline2", "tab\there", "ünïcødé — 中文"),
+        ("]]>", "<![CDATA[x]]>", "&amp;&lt;"),
+        ("", "empty-left", ""),
+    ]
+    path = os.path.join(tmpdir, "hostile.xlsx")
+    xlsx_codec.write_xlsx(path, rows)
+    got = xlsx_codec.read_xlsx(path)
+    assert got == [list(r) for r in rows]
+
+
+def test_xlsx_pipeline_module_path(spark, tmpdir):
+    """spreadsheetwrite/spreadsheetread as pipeline modules end to
+    end (reference CLI surface, scripts/dbitool.pl:2696-2870)."""
+    from dbitool_spark.pipeline import Pipeline
+
+    src = os.path.join(tmpdir, "in.csv")
+    from dbitool_spark.io import csv_io
+
+    csv_io.write_csv(testrow.dataframe(spark, 8), src, single_file=True)
+    out = os.path.join(tmpdir, "out.xlsx")
+    p = Pipeline(spark)
+    p.add(f"csvread:in={src}")
+    p.add(f"spreadsheetwrite:out={out}:sheet=t:y=1")
+    p.run()
+    back = spreadsheet_io.read_spreadsheet(spark, out, sheet="t", y=1)
+    rows = project(back, list(testrow.HEADER)).collect()
+    assert len(rows) == 8
+    for r in sorted(rows, key=lambda r: int(r[0])):
+        testrow.check(tuple(r))
