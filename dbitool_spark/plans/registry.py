@@ -97,6 +97,11 @@ register(
     pipeline_ops.corpus_mix_weighted,
     pipeline_ops.CORPUS_MIX_WEIGHTED_SQL,
 )
+register(
+    "streaming_hourly_stats_events",
+    state_ops.streaming_hourly_stats_events,
+    state_ops.STREAMING_HOURLY_STATS_SQL,
+)
 
 # --- plans changed in round 6 (re-verify) ----------------------------
 # simhash: max_hamming pushed pre-checkpoint; ngram/minhash: epsilon
@@ -210,7 +215,6 @@ register(
     format_io.quarantine_corrupt_ndjson,
     format_io.QUARANTINE_CORRUPT_NDJSON_SQL,
 )
-register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
 
 # ===================== driver-window boundary (50) ====================
 # Everything below is unchanged this round with the LONGEST green
@@ -222,6 +226,7 @@ register("nation_market_share", relational.nation_market_share, relational.NATIO
 # driver-cross-checked.
 
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
 register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
 register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
 register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)

@@ -45,3 +45,71 @@ SELECT user_id, event_id, event_type, ts_us FROM (
 ) WHERE rn = 1
 ORDER BY user_id
 """
+
+
+def streaming_hourly_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming made driver-visible: events re-published
+    as NDJSON files, consumed by a file-watch stream with bounded
+    triggers (maxFilesPerTrigger=4 — the reference's --streamsize
+    backpressure knob), windowed into tumbling 1-hour per-type counts,
+    and drained with trigger=availableNow into a memory sink. The
+    oracle is the plain batch aggregation over the same rows, so a
+    hash match proves the INCREMENTAL plan (file discovery, trigger
+    batching, window state, final flush) reaches the batch answer —
+    the exactly-once contract, not merely "a stream ran".
+
+    Complete output mode: with availableNow the watermark only reaches
+    max event time, so append mode would withhold every still-open
+    window. State is bounded by distinct (hour, type) — fine for a
+    drain; a production continuous run would use append + watermark
+    (streaming.windowed_counts' default)."""
+    import uuid
+
+    from dbitool_spark import streaming
+    from dbitool_spark.io import json_io
+
+    # bounded-lifetime contract: memory-sink tables from EARLIER calls
+    # are dropped here (the current call's table must outlive the
+    # return, so each call cleans up its predecessor's)
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_hourly_"):
+            spark.catalog.dropTempView(t.name)
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts_ts").alias("ts")
+    )
+    src = os.path.join(
+        tempfile.mkdtemp(prefix="dbitool_stream_hourly_"), "events_ndjson"
+    )
+    json_io.write_ndjson(ev, src)
+    stream = streaming.stream_ndjson(
+        spark,
+        src,
+        "event_id bigint, event_type string, ts timestamp",
+        max_files_per_trigger=4,
+    )
+    windowed = streaming.windowed_counts(
+        stream, "ts", window="1 hour", watermark="0 seconds",
+        group_cols=["event_type"],
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    streaming.drain_to_memory(windowed, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+STREAMING_HOURLY_STATS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
