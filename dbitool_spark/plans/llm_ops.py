@@ -1043,14 +1043,21 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.trim(planted)), r"\s+"))
         ).alias("w"),
     )
-    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    from dbitool_spark.ops.cache import materialize_release
+
+    # tf feeds BOTH the df aggregate and the ranking join; without a
+    # persist Catalyst re-runs the corpus explode+agg once per
+    # reference (no exchange reuse across subplan aliases — the same
+    # reason the minhash band table persists). (source, word) rows are
+    # orders of magnitude below the corpus at any scale.
+    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     # bounded driver-side scalar: the source key space is tiny by
     # construction (a mix has tens of sources, not millions); one
     # small distinct-count job, same class as IVF's centroid sample
     n_sources = docs.select("source").distinct().count()
     win = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("w"))
-    return (
+    result = (
         tf.join(df_, "w")
         .filter(F.col("df") <= n_sources / 2)
         .withColumn("rank", F.row_number().over(win))
@@ -1058,6 +1065,7 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("w").alias("term"), "tf", "df", "rank")
         .orderBy("source", "rank")
     )
+    return materialize_release(result, tf)
 
 
 TOP_TERMS_PER_SOURCE_SQL = r"""
@@ -1083,4 +1091,181 @@ ranked AS (
 )
 SELECT source, term, tf, df, rank FROM ranked WHERE rank <= 3
 ORDER BY source, rank
+"""
+
+
+# --- substring-level duplicate spans ---------------------------------
+
+
+_SPAN_GRAM = 8  # words per gram (the Lee et al. 2022 unit, word-level)
+
+
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection (the exact-substring dedup
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", word-level): every 8-word gram occurring more than
+    once in the corpus marks its positions, and runs of overlapping/
+    adjacent marked positions merge into maximal (doc, span) ranges —
+    the spans a dedup pass would cut out of the training text.
+
+    Scale shape: posexplode positions -> one count shuffle on the gram
+    -> join positions back on the gram -> per-doc window to merge runs
+    (partitioned by doc, never a global sort). The gram table is the
+    suffix-array-free formulation: 2 shuffles keyed on gram + 1 window
+    keyed on doc. At 100 TB you would key the gram shuffle on
+    xxhash64(gram) to shrink shuffle width (negligible collision odds
+    but no longer oracle-exact); the registered entry keeps exact
+    strings."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", w.alias("w")).withColumn("n", F.size("w")).filter(
+        F.col("n") >= _SPAN_GRAM
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (_SPAN_GRAM - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(F.col("w"), i, _SPAN_GRAM), " ").alias("gram"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    ).select("gram")
+    marked = grams.join(dup, "gram").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(win).isNull()
+        | ((F.col("pos") - F.lag("pos").over(win)) > _SPAN_GRAM),
+        1,
+    ).otherwise(0)
+    spans = (
+        marked.withColumn("brk", brk)
+        .withColumn(
+            "span_id",
+            F.sum("brk").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (_SPAN_GRAM - 1)).alias("span_end"),
+        )
+    )
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+    ).orderBy("doc_id", "span_start")
+
+
+DUPLICATE_SPANS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{_SPAN_GRAM - 1}], ' ') AS gram
+  FROM d, LATERAL unnest(generate_series(1, len(w) - {_SPAN_GRAM - 1})) AS t(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_GRAM}
+              THEN 1 ELSE 0 END AS brk
+  FROM p
+),
+s AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM m
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_SPAN_GRAM - 1} AS span_end,
+       MAX(pos) + {_SPAN_GRAM - 1} - MIN(pos) + 1 AS span_len
+FROM s
+GROUP BY doc_id, span_id
+ORDER BY doc_id, span_start
+"""
+
+
+# --- SemDeDup-style embedding dedup ----------------------------------
+
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): cosine
+    near-dup pairs over the perturbed embedding corpus -> connected
+    components -> keep one representative (component-min id) per
+    semantic cluster; singletons keep themselves. Output is the full
+    keep/drop decision table a curation pipeline applies.
+
+    Composition of two already-verified operators (LSH-bucketed cosine
+    pairs + distributed min-label components), so the oracle — honest
+    all-pairs cosine closed with a recursive CTE — checks the whole
+    chain end to end: bucket recall, cosine values, AND component
+    assignment."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pert = base.select(
+        (F.col("vec_id") + _PERTURB_OFFSET).alias("vec_id"),
+        F.concat(F.array(F.element_at("v", 1) * 1.5), F.slice("v", 2, 63)).alias("v"),
+    )
+    corpus = base.unionAll(pert)
+    pairs = similarity.embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="v", dim=64,
+        threshold=0.95, n_tables=16, bits=10,
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    out = corpus.select("vec_id").join(
+        comp, corpus.vec_id == comp.id, "left"
+    )
+    cluster = F.coalesce("cluster_id", F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("vec_id")).alias("kept"),
+    ).orderBy("vec_id")
+
+
+SEMDEDUP_EMBEDDINGS_SQL = f"""
+WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {_PERTURB_OFFSET} AS vec_id,
+         list_concat([v[1] * 1.5], v[2:]) AS v
+  FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT n.id, least(n.id, MIN(r.b)) AS cluster_id
+  FROM nodes n JOIN reach r ON r.a = n.id
+  GROUP BY n.id
+)
+SELECT c.vec_id,
+       COALESCE(comp.cluster_id, c.vec_id) AS cluster_id,
+       (COALESCE(comp.cluster_id, c.vec_id) = c.vec_id) AS kept
+FROM corpus c LEFT JOIN comp ON comp.id = c.vec_id
+ORDER BY c.vec_id
 """

@@ -102,6 +102,12 @@ register(
     state_ops.streaming_hourly_stats_events,
     state_ops.STREAMING_HOURLY_STATS_SQL,
 )
+register(
+    "duplicate_spans_documents",
+    llm_ops.duplicate_spans_documents,
+    llm_ops.DUPLICATE_SPANS_SQL,
+)
+register("semdedup_embeddings", llm_ops.semdedup_embeddings, llm_ops.SEMDEDUP_EMBEDDINGS_SQL)
 
 # --- plans changed in round 6 (re-verify) ----------------------------
 # simhash: max_hamming pushed pre-checkpoint; ngram/minhash: epsilon
@@ -207,9 +213,7 @@ register(
     scalar_ops.stats_functions_lineitem,
     scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
 )
-register("xml_roundtrip_supplier", format_io.xml_roundtrip_supplier, format_io.XML_ROUNDTRIP_SUPPLIER_SQL)
 register("sqlite_roundtrip_part", format_io.sqlite_roundtrip_part, format_io.SQLITE_ROUNDTRIP_PART_SQL)
-register("bson_roundtrip_region", format_io.bson_roundtrip_region, format_io.BSON_ROUNDTRIP_REGION_SQL)
 register(
     "quarantine_corrupt_ndjson",
     format_io.quarantine_corrupt_ndjson,
@@ -226,6 +230,8 @@ register(
 # driver-cross-checked.
 
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register("xml_roundtrip_supplier", format_io.xml_roundtrip_supplier, format_io.XML_ROUNDTRIP_SUPPLIER_SQL)
+register("bson_roundtrip_region", format_io.bson_roundtrip_region, format_io.BSON_ROUNDTRIP_REGION_SQL)
 register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
 register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
 register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
