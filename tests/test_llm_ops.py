@@ -414,3 +414,39 @@ def test_range_join_matches_naive(spark):
     with contextlib.redirect_stdout(buf):
         range_join(pts, iv, "p", "lo", "hi", bucket=16).explain("formatted")
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_real_container_decoders_roundtrip():
+    """Stdlib decoders recover container truth: wave-module WAV
+    duration, BMP/PNG/JPEG dimensions; unknown bytes fall through to
+    the deterministic fake."""
+    import struct
+    import zlib
+
+    from dbitool_spark.ops import multimodal as m
+
+    for mid in range(12):
+        wav = m._synth_wav(mid)
+        _, _, dur, feat = m._decode_one("audio", wav)
+        assert dur == 500 + (mid % 5) * 100
+        assert feat[0] == 1.0 and feat[1] == 2.0  # mono, 16-bit
+        bmp = m._synth_bmp(mid)
+        w, h, _, bfeat = m._decode_one("image", bmp)
+        assert (w, h) == (8 + mid % 16, 8 + mid % 9)
+        assert bfeat == [24.0]
+    # PNG IHDR
+    ihdr = struct.pack(">II", 321, 123) + bytes([8, 6, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert m._decode_one("image", png)[:2] == (321, 123)
+    # JPEG SOF0 behind an APP0 segment
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) + struct.pack(">HH", 240, 320) + b"\x03" + b"\x00" * 9
+    jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9 + sof
+    assert m._decode_one("image", jpg)[:2] == (320, 240)
+    # truncated WAV header must not raise — falls back to the fake
+    broken = b"RIFF\x00\x00\x00\x00WAVE"
+    w, h, d, feat = m._decode_one("audio", broken)
+    assert len(feat) == 8  # fake's 8-dim digest feature
