@@ -261,3 +261,36 @@ def test_pipeline_observability(spark, tmpdir, csv_path):
     assert any("ndjsonwrite@slim rows=50" in m for m in msgs)
     # the log itself is a queryable DataFrame
     assert log.log_df(spark).count() == len(log.rows)
+
+
+def test_cli_main_end_to_end(spark, tmp_path):
+    """python -m dbitool_spark surface: @file shortcuts, module specs,
+    --listmodules, --verbose log capture (reference CLI grammar,
+    scripts/dbitool.pl:66-155)."""
+    import contextlib
+    import io as _io
+
+    from dbitool_spark import testrow
+    from dbitool_spark.__main__ import main
+    from dbitool_spark.io import csv_io
+
+    src = str(tmp_path / "in.csv")
+    csv_io.write_csv(testrow.dataframe(spark, 6), src, single_file=True)
+    out = str(tmp_path / "out.ndjson")
+    rc = main([f"@{src}", "csvread", f"ndjsonwrite:out={out}:single_file=1"])
+    assert rc == 0
+    import glob
+    import json as _json
+
+    lines = []
+    for f in glob.glob(out + "/*.json") + ([out] if not glob.glob(out + "/*.json") else []):
+        with open(f) as fh:
+            lines += [l for l in fh.read().splitlines() if l.strip()]
+    assert len(lines) == 6
+    assert {_json.loads(l)["row"] for l in lines} == {str(i) for i in range(6)}
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--listmodules"]) == 0
+    mods = buf.getvalue().split()
+    assert "csvread" in mods and "ndjsonwrite" in mods
