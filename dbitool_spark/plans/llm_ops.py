@@ -1133,10 +1133,16 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pg"),
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") > 1
-    ).select("gram")
-    marked = grams.join(dup, "gram").select("doc_id", "pos")
+    # single shuffle: a count window over the gram partition marks
+    # duplicated positions in place — the groupBy+join-back alternative
+    # shuffles the full position set on gram TWICE (once into the agg,
+    # once for the join) plus the dup-gram set
+    wg = Window.partitionBy("gram")
+    marked = (
+        grams.withColumn("c", F.count(F.lit(1)).over(wg))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
     win = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(win).isNull()
