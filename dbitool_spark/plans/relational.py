@@ -830,3 +830,177 @@ WHERE bal > avg_bal
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the schema ships no partsupp table, so
+    profit is discounted revenue rather than revenue - supplycost):
+    revenue by supplier nation x ship year for parts whose name
+    carries a marker substring. 3-way join: lineitem ⋈ part (filter
+    pushed to the part scan, AQE-sized join) ⋈ supplier ⋈ nation
+    (broadcast — constant-size dim via maybe_broadcast)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = (
+        catalog.load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    supp = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = catalog.maybe_broadcast(
+        "nation",
+        catalog.load(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+    )
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(revenue, "profit"))
+        .orderBy("nation", F.desc("l_year"))
+    )
+
+
+SUPPLIER_NATION_PROFIT_SQL = """
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(l_shipdate)
+ORDER BY nation, l_year DESC
+"""
+
+
+def priority_by_shipyear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode/commitdate columns, so
+    the bucketing key is the ship year): high- vs low-priority order
+    line counts per year — the dual conditional aggregate over one
+    fact-fact join, computed in a single pass (both CASE sums share
+    the shuffle)."""
+    li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_year")
+    )
+
+
+PRIORITY_BY_SHIPYEAR_SQL = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY year(l_shipdate)
+ORDER BY l_year
+"""
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: suppliers whose 1996 revenue equals the
+    maximum (ALL ties kept — the view + scalar-max semantics),
+    realized as an unpartitioned max window over the per-supplier
+    aggregate. The window input is |suppliers| rows (already reduced),
+    so the single-partition window is a deliberate bounded step on an
+    aggregate, not a global sort of the fact table."""
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - rate("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(dsum(revenue, "total_revenue"))
+    w = Window.partitionBy()
+    best = per_supp.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    supp = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(supp, best.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_REVENUE_SUPPLIERS_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — lineitem rows
+    of one brand whose quantity is below 50% of that part's average
+    quantity. The correlated scalar subquery decorrelates into a
+    per-part average aggregate joined back to the fact rows (the
+    standard Catalyst rewrite, made explicit): the avg side is
+    |parts| rows post-agg, so AQE broadcasts it; the division by 7
+    follows Q17's final form. Threshold compare uses the exact
+    decimal sum / exact count in BOTH engines."""
+    part = (
+        catalog.load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", money("l_quantity").alias("qty"), money("l_extendedprice").alias("price")
+    )
+    branded = li.join(part, li.l_partkey == part.p_partkey)
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+        F.count("qty").alias("n_qty"),
+    )
+    out = (
+        branded.join(avg_qty, branded.l_partkey == F.col("a_partkey"))
+        .filter(
+            F.col("qty").cast("double")
+            < F.lit(0.5) * (F.col("sum_qty").cast("double") / F.col("n_qty"))
+        )
+        .agg(dsum(F.col("price"), "total_price"))
+        .select((F.col("total_price") / F.lit(7.0)).alias("avg_yearly"))
+    )
+    return out
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH branded AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+avg_qty AS (
+  SELECT l_partkey AS a_partkey,
+         CAST(CAST(round(SUM(qty), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+         COUNT(qty) AS n_qty
+  FROM branded GROUP BY l_partkey
+)
+SELECT CAST(CAST(round(SUM(price), 2) AS DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly
+FROM branded JOIN avg_qty ON l_partkey = a_partkey
+WHERE CAST(qty AS DOUBLE) < 0.5 * (sum_qty / n_qty)
+"""
