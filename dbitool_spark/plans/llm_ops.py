@@ -1100,7 +1100,9 @@ ORDER BY source, rank
 _SPAN_GRAM = 8  # words per gram (the Lee et al. 2022 unit, word-level)
 
 
-def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def duplicate_spans_documents(
+    spark: SparkSession, sf_dir: str, *, max_gram_freq: int | None = None
+) -> DataFrame:
     """Substring-level duplicate detection (the exact-substring dedup
     of Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better", word-level): every 8-word gram occurring more than
@@ -1108,14 +1110,21 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent marked positions merge into maximal (doc, span) ranges —
     the spans a dedup pass would cut out of the training text.
 
-    Scale shape: posexplode positions -> one count shuffle on the gram
-    -> join positions back on the gram -> per-doc window to merge runs
-    (partitioned by doc, never a global sort). The gram table is the
-    suffix-array-free formulation: 2 shuffles keyed on gram + 1 window
-    keyed on doc. At 100 TB you would key the gram shuffle on
-    xxhash64(gram) to shrink shuffle width (negligible collision odds
-    but no longer oracle-exact); the registered entry keeps exact
-    strings."""
+    Scale shape: posexplode positions -> one count-window shuffle on
+    the gram -> per-doc window to merge runs (partitioned by doc,
+    never a global sort). The gram table is the suffix-array-free
+    formulation: 1 shuffle keyed on gram + 1 window keyed on doc. At
+    100 TB you would key the gram shuffle on xxhash64(gram) to shrink
+    shuffle width (negligible collision odds but no longer
+    oracle-exact); the registered entry keeps exact strings.
+
+    `max_gram_freq` is the skew guard (same contract as
+    ngram_jaccard_pairs' max_doc_freq): a boilerplate gram occurring
+    in millions of docs makes its window partition hot; capping drops
+    grams above the frequency from span marking — approximate by
+    design (boilerplate that frequent is usually removed by a
+    dedicated boilerplate pass anyway), OFF by default for
+    exactness."""
     docs = catalog.load(spark, sf_dir, "documents")
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = docs.select("doc_id", w.alias("w")).withColumn("n", F.size("w")).filter(
@@ -1138,9 +1147,14 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles the full position set on gram TWICE (once into the agg,
     # once for the join) plus the dup-gram set
     wg = Window.partitionBy("gram")
+    keep = (
+        (F.col("c") > 1)
+        if max_gram_freq is None
+        else ((F.col("c") > 1) & (F.col("c") <= max_gram_freq))
+    )
     marked = (
         grams.withColumn("c", F.count(F.lit(1)).over(wg))
-        .filter(F.col("c") > 1)
+        .filter(keep)
         .select("doc_id", "pos")
     )
     win = Window.partitionBy("doc_id").orderBy("pos")

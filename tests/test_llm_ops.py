@@ -450,3 +450,42 @@ def test_real_container_decoders_roundtrip():
     broken = b"RIFF\x00\x00\x00\x00WAVE"
     w, h, d, feat = m._decode_one("audio", broken)
     assert len(feat) == 8  # fake's 8-dim digest feature
+
+
+def test_duplicate_spans_skew_guard(spark):
+    """max_gram_freq drops ultra-hot grams from span marking: with the
+    cap far above any frequency the output equals the exact path; with
+    cap=1 nothing is a duplicate."""
+    from dbitool_spark.plans.llm_ops import duplicate_spans_documents
+
+    exact = duplicate_spans_documents(spark, SF_SMOKE)
+    capped_loose = duplicate_spans_documents(spark, SF_SMOKE, max_gram_freq=10**6)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, capped_loose.collect())
+    )
+    assert duplicate_spans_documents(spark, SF_SMOKE, max_gram_freq=1).count() == 0
+
+
+@pytest.mark.parametrize("rate,nframes,channels,sampwidth", [
+    (8000, 1, 1, 1),
+    (16000, 12345, 2, 2),
+    (44100, 44100, 1, 2),
+    (48000, 7, 2, 3),
+])
+def test_wav_decode_property(rate, nframes, channels, sampwidth):
+    """Property: the WAV decoder reports the container's exact frame
+    math for arbitrary rates/frame counts/channel layouts."""
+    import io as _io
+    import wave as _wave
+
+    from dbitool_spark.ops import multimodal as m
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (nframes * channels * sampwidth))
+    _, _, dur, feat = m._decode_one("audio", buf.getvalue())
+    assert dur == nframes * 1000 // rate
+    assert feat[0] == float(channels) and feat[1] == float(sampwidth)
