@@ -105,6 +105,11 @@ register(
     state_ops.STREAMING_HOURLY_STATS_SQL,
 )
 register(
+    "streaming_user_sessions_events",
+    state_ops.streaming_user_sessions_events,
+    events_ops.USER_SESSIONS_SQL,
+)
+register(
     "duplicate_spans_documents",
     llm_ops.duplicate_spans_documents,
     llm_ops.DUPLICATE_SPANS_SQL,
@@ -232,11 +237,6 @@ register(
     scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
 )
 register(
-    "stats_functions_lineitem",
-    scalar_ops.stats_functions_lineitem,
-    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
-)
-register(
     "quarantine_corrupt_ndjson",
     format_io.quarantine_corrupt_ndjson,
     format_io.QUARANTINE_CORRUPT_NDJSON_SQL,
@@ -252,6 +252,11 @@ register(
 # driver-cross-checked.
 
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register(
+    "stats_functions_lineitem",
+    scalar_ops.stats_functions_lineitem,
+    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
+)
 register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
 register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
 register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)

@@ -113,3 +113,68 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
 """
+
+
+def streaming_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization made driver-visible: events
+    re-published as NDJSON, consumed as a file-watch stream, grouped
+    by native session windows (merge-on-overlap — the stateful
+    incremental operator), drained availableNow, then aggregated to
+    the per-user (n_sessions, n_events, longest_session_us) summary.
+    Hash-matches the batch lag+cumsum oracle (USER_SESSIONS_SQL), so
+    one driver row cross-checks THREE independent realizations of the
+    same semantics: batch window-function, batch session_window, and
+    incremental stateful session_window.
+
+    Complete output mode for the drain: the availableNow watermark
+    only reaches max event time, so append would withhold every
+    still-open final session. Session length = window length - gap
+    (the window end pads the last event by the gap)."""
+    import uuid
+
+    from dbitool_spark import streaming
+    from dbitool_spark.io import json_io
+    from dbitool_spark.plans.events_ops import SESSION_GAP_MIN
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_sessions_"):
+            spark.catalog.dropTempView(t.name)
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    # microseconds ride as int64 through the NDJSON hop: Spark's JSON
+    # timestamp serialization is millisecond-precision, and the oracle
+    # compares longest_session_us exactly — a lossy text round-trip
+    # here surfaced as sub-ms mismatches
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts_ts")).alias("ts_us")
+    )
+    src = os.path.join(
+        tempfile.mkdtemp(prefix="dbitool_stream_sessions_"), "events_ndjson"
+    )
+    json_io.write_ndjson(ev, src)
+    stream = streaming.stream_ndjson(
+        spark, src, "user_id bigint, ts_us bigint", max_files_per_trigger=4
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    sessions = streaming.stream_user_sessions(
+        stream, "ts", "user_id", gap=f"{SESSION_GAP_MIN} minutes"
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    streaming.drain_to_memory(sessions, name, output_mode="complete")
+    per_session = spark.table(name).select(
+        "user_id",
+        "n_events",
+        (
+            F.unix_micros(F.col("session_end"))
+            - F.unix_micros(F.col("session_start"))
+            - F.lit(gap_us)
+        ).alias("dur_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("dur_us").alias("longest_session_us"),
+        )
+        .orderBy("user_id")
+    )
