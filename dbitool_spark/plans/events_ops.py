@@ -301,3 +301,60 @@ FROM ev JOIN busy ON ev.event_type = busy.event_type
 GROUP BY 1, lo
 ORDER BY 1, lo
 """
+
+
+ASOF_TOLERANCE_DAYS = 8500
+
+
+def events_asof_recent_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's TOLERANCE path driver-visible: like
+    events_asof_latest_order, but matches older than
+    ASOF_TOLERANCE_DAYS before the event are nulled out (pandas
+    merge_asof tolerance semantics — stale features must not leak
+    into a point-in-time training set). The synthetic corpus puts
+    events in 2024 and orders in 1995-2001, so the threshold sits
+    inside the staleness distribution (~22-23 years): at sf0.01
+    roughly half the events keep their match and half null out —
+    both outcomes exercised, not a vacuous all-NULL or all-kept
+    column. Exercises the
+    whole-right-row-struct carry under tolerance: the validated
+    timestamp and the carried value must come from the SAME latest
+    row."""
+    from dbitool_spark.ops.temporal import asof_join
+
+    tol_us = ASOF_TOLERANCE_DAYS * 24 * 3600 * 1_000_000
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts_ts")).alias("ts_us")
+    )
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_ts_us"),
+        "o_orderkey",
+    )
+    return (
+        asof_join(
+            ev, orders, "user_id", "ts_us", "order_ts_us", ["o_orderkey"],
+            tolerance=tol_us,
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("asof_o_orderkey").alias("recent_orderkey"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ASOF_TOLERANCE_SQL = f"""
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderkey AS recent_orderkey
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey = e.user_id
+    AND o_orderdate <= e.ts
+    AND epoch_us(o_orderdate) >= epoch_us(e.ts) - {ASOF_TOLERANCE_DAYS * 24 * 3600 * 1_000_000}
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o ON true
+ORDER BY event_id
+"""

@@ -241,3 +241,43 @@ def xlsx_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 XLSX_ROUNDTRIP_NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def quarantine_corrupt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-side error channel: customer written as CSV plus injected
+    malformed lines (wrong arity), read back PERMISSIVE with a typed
+    schema — rows that fail the schema land in the quarantine column,
+    good rows count exactly (reference error stream + errorsize,
+    scripts/dbitool.pl:234-243, over the csvread module)."""
+    from dbitool_spark.obs import check_errorsize, split_quarantine
+
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    d = _scratch("quarantine_csv")
+    path = os.path.join(d, "cust.csv")
+    csv_io.write_csv(cust, path, single_file=True)
+    part = [f for f in os.listdir(path) if f.endswith(".csv")][0]
+    with open(os.path.join(path, part), "a") as fh:
+        # arity-violating rows: PERMISSIVE null-extends short rows but
+        # a non-numeric key with a typed bigint column quarantines
+        fh.write("not_a_number,garbage,xx\nalso bad,,\n")
+    for crc in os.listdir(path):
+        if crc.endswith(".crc"):
+            os.remove(os.path.join(path, crc))
+    parsed = csv_io.read_csv(
+        spark,
+        path,
+        schema="c_custkey bigint, c_name string, c_acctbal double, _corrupt_record string",
+        permissive_corrupt_col="_corrupt_record",
+    )
+    good, bad = split_quarantine(parsed)
+    n_bad = check_errorsize(bad, errorsize=10)  # below threshold: no abort
+    return good.agg(F.count(F.lit(1)).alias("n_good")).withColumn(
+        "n_bad", F.lit(n_bad).cast("long")
+    )
+
+
+QUARANTINE_CORRUPT_CSV_SQL = """
+SELECT COUNT(*) AS n_good, CAST(2 AS BIGINT) AS n_bad FROM customer
+"""

@@ -110,6 +110,16 @@ register(
     events_ops.USER_SESSIONS_SQL,
 )
 register(
+    "events_asof_recent_order",
+    events_ops.events_asof_recent_order,
+    events_ops.EVENTS_ASOF_TOLERANCE_SQL,
+)
+register(
+    "quarantine_corrupt_csv",
+    format_io.quarantine_corrupt_csv,
+    format_io.QUARANTINE_CORRUPT_CSV_SQL,
+)
+register(
     "duplicate_spans_documents",
     llm_ops.duplicate_spans_documents,
     llm_ops.DUPLICATE_SPANS_SQL,
@@ -231,16 +241,6 @@ register(
 register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
 
 # --- two driver-green rounds (r3+r5 / r4+r5) -------------------------
-register(
-    "array_functions_embeddings",
-    scalar_ops.array_functions_embeddings,
-    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
-)
-register(
-    "quarantine_corrupt_ndjson",
-    format_io.quarantine_corrupt_ndjson,
-    format_io.QUARANTINE_CORRUPT_NDJSON_SQL,
-)
 
 # ===================== driver-window boundary (50) ====================
 # Everything below is unchanged this round with the LONGEST green
@@ -252,6 +252,16 @@ register(
 # driver-cross-checked.
 
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register(
+    "quarantine_corrupt_ndjson",
+    format_io.quarantine_corrupt_ndjson,
+    format_io.QUARANTINE_CORRUPT_NDJSON_SQL,
+)
+register(
+    "array_functions_embeddings",
+    scalar_ops.array_functions_embeddings,
+    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
+)
 register(
     "stats_functions_lineitem",
     scalar_ops.stats_functions_lineitem,
