@@ -225,3 +225,41 @@ def test_events_after_busy_hours_broadcasts_interval_side(spark):
     plan = _plan(events_after_busy_hours(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_supplier_nation_profit_filter_pushed_and_nation_broadcast(spark):
+    """Q9 shape: the p_name marker predicate reaches the part scan
+    (StringContains pushdown) and nation joins as broadcast."""
+    from dbitool_spark.plans.relational import supplier_nation_profit
+
+    plan = _plan(supplier_nation_profit(spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_name" in l and "Contains" in l for l in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_small_quantity_revenue_no_cartesian(spark):
+    """Q17 decorrelation must stay an equi-join on partkey — never a
+    nested-loop product — and the brand filter reaches the part scan."""
+    from dbitool_spark.plans.relational import small_quantity_revenue
+
+    plan = _plan(small_quantity_revenue(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed), pushed
+
+
+def test_top_revenue_suppliers_window_after_aggregate(spark):
+    """Q15: the single-partition max window must sit ABOVE the
+    per-supplier aggregate (bounded rows), which means the plan has a
+    partial+final agg below the window exchange — not a global sort of
+    the fact table."""
+    from dbitool_spark.plans.relational import top_revenue_suppliers
+
+    plan = _plan(top_revenue_suppliers(spark, SF_SMOKE))
+    assert "Window" in plan and "SinglePartition" in plan
+    # tree section prints parents first: the Window node must appear
+    # ABOVE (before) the per-supplier HashAggregate feeding it
+    tree = plan.split("(1) ")[0]
+    assert 0 < tree.find("Window") < tree.find("HashAggregate"), tree
