@@ -189,6 +189,27 @@ def _jdbcselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     return db.read_jdbc(p.spark, a["url"], query=query, table=a.get("table"), **opts)
 
 
+@register_module("cassandraselect")
+def _cassandraselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Reference cassandraselect (scripts/dbitool.pl:1461-1532): the
+    host/keyspace/consistency/query/table argument surface, validated
+    here, execution gated on the spark-cassandra-connector (not in
+    this environment — io.db.read_cassandra raises with the exact
+    format/options recipe)."""
+    if "keyspace" not in a:
+        raise ValueError("keyspace not specified")
+    if a.get("query") is None and a.get("table") is None and not ins:
+        raise ValueError("query nor table nor input stream specified")
+    return db.read_cassandra(
+        p.spark,
+        host=a.get("host", "localhost"),
+        keyspace=a["keyspace"],
+        table=a.get("table"),
+        query=a.get("query"),
+        consistency=a.get("consistency", "ONE"),
+    )
+
+
 @register_module("mysqlselect")
 def _mysqlselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     """Reference mysqlselect (scripts/dbitool.pl:1387-1459): the same
@@ -399,9 +420,9 @@ def _stderr(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
 _SOURCES = {
     "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
     "parquetread", "xmlread", "bsonread", "sqliteselect", "stdin",
-    "spreadsheetread", "jdbcselect", "mysqlselect",
+    "spreadsheetread", "jdbcselect", "mysqlselect", "cassandraselect",
 }
-_STREAMABLE_SOURCES = {"sqliteselect", "jdbcselect", "mysqlselect"}
+_STREAMABLE_SOURCES = {"sqliteselect", "jdbcselect", "mysqlselect", "cassandraselect"}
 # format readers that can also parse an upstream RAW line stream (the
 # reference's raw->row boundary, e.g. `stdin csvread`): their in= is a
 # stream when it names one, a path otherwise; missing in= default-wires

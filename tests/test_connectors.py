@@ -297,3 +297,19 @@ def test_xlsx_pipeline_module_path(spark, tmpdir):
     assert len(rows) == 8
     for r in sorted(rows, key=lambda r: int(r[0])):
         testrow.check(tuple(r))
+
+
+def test_cassandraselect_module_contract(spark):
+    """cassandraselect is a registered module with the reference's arg
+    surface; execution is environment-gated (no connector/cluster)."""
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    assert "cassandraselect" in MODULES
+    p = Pipeline(spark)
+    p.add("cassandraselect:keyspace=ks:table=t")
+    with pytest.raises(NotImplementedError, match="spark-cassandra-connector"):
+        p.run()
+    p2 = Pipeline(spark)
+    with pytest.raises(ValueError, match="keyspace"):
+        p2.add("cassandraselect:table=t")
+        p2.run()
