@@ -119,6 +119,12 @@ register(
     format_io.quarantine_corrupt_csv,
     format_io.QUARANTINE_CORRUPT_CSV_SQL,
 )
+register("hll_accuracy_events", scalar_ops.hll_accuracy_events, scalar_ops.HLL_ACCURACY_SQL)
+register(
+    "quantile_sketch_lineitem",
+    scalar_ops.quantile_sketch_lineitem,
+    scalar_ops.QUANTILE_SKETCH_SQL,
+)
 register(
     "duplicate_spans_documents",
     llm_ops.duplicate_spans_documents,
@@ -222,7 +228,6 @@ register(
     events_ops.events_asof_latest_order,
     events_ops.EVENTS_ASOF_SQL,
 )
-register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
 register(
     "deterministic_split_documents",
     pipeline_ops.deterministic_split_documents,
@@ -238,7 +243,6 @@ register(
     pipeline_ops.sample_stratified_documents,
     pipeline_ops.SAMPLE_STRATIFIED_SQL,
 )
-register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
 
 # --- two driver-green rounds (r3+r5 / r4+r5) -------------------------
 
@@ -252,6 +256,8 @@ register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
 # driver-cross-checked.
 
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
+register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
 register(
     "quarantine_corrupt_ndjson",
     format_io.quarantine_corrupt_ndjson,

@@ -223,3 +223,78 @@ SELECT n_nationkey AS nationkey, n_name AS nation
 FROM minus JOIN nation ON c_nationkey = n_nationkey
 ORDER BY nationkey
 """
+
+
+# --- sketches: accuracy gates ----------------------------------------
+#
+# Approximate aggregates have no value-exact SQL oracle, so like the
+# ANN/SimHash recall companions these entries emit the one scalar the
+# oracle CAN state exactly: the sketch landed inside its published
+# error bound (constant TRUE/1). Both sketches are deterministic for
+# fixed data: HLL++ and QuantileSummaries merges are commutative and
+# RNG-free, so the pass/fail cannot flap run to run.
+
+
+def hll_accuracy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ accuracy gate: approx_count_distinct(user_id)
+    per event_type at rsd=0.05 must land within 3x the requested
+    relative standard deviation of the exact distinct count for EVERY
+    group (3 sigma — the practical certainty bound the sketch's
+    analysis gives). Scale shape: the sketch aggregates with map-side
+    partial merge (fixed-size registers per group), which is the whole
+    point — exact distinct at 100 TB shuffles every key, the sketch
+    shuffles 2^p registers."""
+    from dbitool_spark import catalog
+
+    ev = catalog.load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    bound = F.abs(F.col("approx_users") - F.col("exact_users")) <= (
+        F.lit(3 * 0.05) * F.col("exact_users")
+    )
+    return per_type.agg(
+        F.min(bound.cast("int")).cast("bigint").alias("all_within_bound")
+    )
+
+
+HLL_ACCURACY_SQL = "SELECT CAST(1 AS BIGINT) AS all_within_bound"
+
+
+def quantile_sketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile accuracy gate: percentile_approx of
+    l_extendedprice at accuracy=1000 carries a rank-error guarantee of
+    n/accuracy; the gate checks each approximate percentile's TRUE
+    rank sits within that many positions of the target rank. Exact
+    ranks come from one count + two conditional counts — no full sort
+    anywhere: the sketch is single-pass mergeable state, the check is
+    three scanwide aggregates."""
+    from dbitool_spark import catalog
+
+    acc = 1000
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    approx = li.agg(
+        F.percentile_approx("v", [0.5, 0.9], acc).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.element_at("q", 1).alias("q50"),
+        F.element_at("q", 2).alias("q90"),
+        "n",
+    )
+    checked = li.crossJoin(approx).agg(
+        F.first("n").alias("n"),
+        F.sum((F.col("v") <= F.col("q50")).cast("long")).alias("rank50"),
+        F.sum((F.col("v") <= F.col("q90")).cast("long")).alias("rank90"),
+    )
+    tol = F.col("n") / acc + 1
+    ok = (
+        (F.abs(F.col("rank50") - F.lit(0.5) * F.col("n")) <= tol)
+        & (F.abs(F.col("rank90") - F.lit(0.9) * F.col("n")) <= tol)
+    )
+    return checked.select(ok.cast("bigint").alias("within_rank_error"))
+
+
+QUANTILE_SKETCH_SQL = "SELECT CAST(1 AS BIGINT) AS within_rank_error"
