@@ -358,3 +358,39 @@ FROM events e LEFT JOIN LATERAL (
 ) o ON true
 ORDER BY event_id
 """
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-day event counts spread into one
+    column per type, then unpivoted back long via stack() and
+    re-aggregated — the round trip proves BOTH reshape operators
+    against a conditional-aggregation oracle. The pivot passes its
+    value list EXPLICITLY: without it Spark first runs a distinct job
+    over the pivot column to discover values — a full extra pass at
+    100 TB, and nondeterministic column order; a curated value list is
+    the scale-correct form."""
+    ev = catalog.load(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format(F.col("ts_ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    stack_expr = "stack({n}, {args}) as (event_type, n)".format(
+        n=len(EVENT_TYPES),
+        args=", ".join(f"'{t}', `{t}`" for t in EVENT_TYPES),
+    )
+    long = wide.select("day", F.expr(stack_expr)).filter(F.col("n") > 0)
+    return long.orderBy("day", "event_type")
+
+
+EVENTS_DAILY_TYPE_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(*) > 0
+ORDER BY day, event_type
+"""

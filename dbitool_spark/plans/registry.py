@@ -119,6 +119,11 @@ register(
     format_io.quarantine_corrupt_csv,
     format_io.QUARANTINE_CORRUPT_CSV_SQL,
 )
+register(
+    "events_daily_type_pivot",
+    events_ops.events_daily_type_pivot,
+    events_ops.EVENTS_DAILY_TYPE_PIVOT_SQL,
+)
 register("hll_accuracy_events", scalar_ops.hll_accuracy_events, scalar_ops.HLL_ACCURACY_SQL)
 register(
     "quantile_sketch_lineitem",
@@ -238,11 +243,6 @@ register(
     pipeline_ops.pack_sequences_documents,
     pipeline_ops.PACK_SEQUENCES_SQL,
 )
-register(
-    "sample_stratified_documents",
-    pipeline_ops.sample_stratified_documents,
-    pipeline_ops.SAMPLE_STRATIFIED_SQL,
-)
 
 # --- two driver-green rounds (r3+r5 / r4+r5) -------------------------
 
@@ -256,6 +256,11 @@ register(
 # driver-cross-checked.
 
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register(
+    "sample_stratified_documents",
+    pipeline_ops.sample_stratified_documents,
+    pipeline_ops.SAMPLE_STRATIFIED_SQL,
+)
 register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
 register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
 register(
