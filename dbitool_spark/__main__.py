@@ -55,7 +55,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session("dbitool_spark-cli")
     level = max(args.loglevel, 1 if args.verbose else 0)
     log = EngineLog(level=level) if level else None
-    p = Pipeline(spark, log=log)
+    p = Pipeline(
+        spark,
+        log=log,
+        errorsize=args.errorsize,
+        memorylimit=args.memorylimit,
+        streamsize=args.streamsize,
+    )
     for i, spec in enumerate(args.modules):
         if spec.startswith("@"):
             # reference @file shortcut: source in first position, sink after

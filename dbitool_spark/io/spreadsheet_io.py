@@ -75,16 +75,21 @@ def read_spreadsheet(
             fname,
             skiprows=y,
             header=0 if header else None,
-            nrows=memory_limit,
+            nrows=memory_limit + 1,
         )
+        if len(pdf) > memory_limit:
+            raise MemoryError(f"read_spreadsheet is a bounded edge: >{memory_limit} rows")
         pdf = pdf.iloc[:, x:]
         if not header:
             pdf.columns = [f"col{i + 1}" for i in range(len(pdf.columns))]
         return spark.createDataFrame(pdf.astype(str))
     if ext == ".xlsx":
-        grid = xlsx_codec.read_xlsx(
-            fname, sheet=sheet, max_rows=memory_limit + y + (1 if header else 0)
-        )
+        # bounded edge: read one row past the cap and fail loudly, matching
+        # write_spreadsheet's contract — never silently drop tail rows
+        cap = memory_limit + y + (1 if header else 0)
+        grid = xlsx_codec.read_xlsx(fname, sheet=sheet, max_rows=cap + 1)
+        if len(grid) > cap:
+            raise MemoryError(f"read_spreadsheet is a bounded edge: >{memory_limit} rows")
         return _grid_to_df(spark, grid[y:], header=header, x=x)
     if not _excel_engine_available():
         raise ImportError(
@@ -99,8 +104,10 @@ def read_spreadsheet(
         sheet_name=sheet,
         skiprows=y,
         header=0 if header else None,
-        nrows=memory_limit,
+        nrows=memory_limit + 1,
     )
+    if len(pdf) > memory_limit:
+        raise MemoryError(f"read_spreadsheet is a bounded edge: >{memory_limit} rows")
     pdf = pdf.iloc[:, x:]
     if not header:
         pdf.columns = [f"col{i + 1}" for i in range(len(pdf.columns))]

@@ -110,13 +110,22 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, list[float]]:
     return 0, 0, duration_ms, feature
 
 
-def _decode_bmp(content: bytes) -> tuple[int, int, int, list[float]]:
-    """REAL BMP header decode (BITMAPINFOHEADER, the public Windows
-    DIB layout): width at offset 18, height at 22 (signed — negative
-    means top-down rows), bpp at 28."""
-    width, height = struct.unpack_from("<ii", content, 18)
-    bpp = struct.unpack_from("<H", content, 28)[0]
-    return width, abs(height), 0, [float(bpp)]
+def _decode_bmp(content: bytes) -> tuple[int, int, int, list[float]] | None:
+    """REAL BMP header decode (the public Windows DIB layouts). The DIB
+    header size at offset 14 selects the variant: 12 = BITMAPCOREHEADER
+    (16-bit dims), >= 40 = BITMAPINFOHEADER family (32-bit signed dims;
+    negative height means top-down rows). Unknown sizes fall through to
+    the deterministic fake rather than mis-parsing."""
+    dib_size = struct.unpack_from("<I", content, 14)[0]
+    if dib_size == 12:
+        width, height = struct.unpack_from("<HH", content, 18)
+        bpp = struct.unpack_from("<H", content, 24)[0]
+        return width, height, 0, [float(bpp)]
+    if dib_size >= 40:
+        width, height = struct.unpack_from("<ii", content, 18)
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        return width, abs(height), 0, [float(bpp)]
+    return None
 
 
 def _decode_png_dims(content: bytes) -> tuple[int, int, int, list[float]]:
@@ -134,7 +143,14 @@ def _decode_jpeg_dims(content: bytes) -> tuple[int, int, int, list[float]] | Non
     while i + 9 < len(content):
         if content[i] != 0xFF:
             return None
+        # 0xFF fill bytes may pad between segments (ITU T.81 B.1.1.2)
+        while i + 9 < len(content) and content[i + 1] == 0xFF:
+            i += 1
         marker = content[i + 1]
+        # standalone markers carry no length field: TEM (0x01), RSTn
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             height, width = struct.unpack_from(">HH", content, i + 5)
             return width, height, 0, [float(content[i + 4])]

@@ -94,7 +94,7 @@ def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
             header=_flag(a, "header"),
             schema=a.get("schema"),
         )
-    return csv_io.read_csv(
+    df = csv_io.read_csv(
         p.spark,
         a["in"],
         sep=a.get("sep", ","),
@@ -103,14 +103,22 @@ def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         header=_flag(a, "header"),
         schema=a.get("schema"),
         infer=_flag(a, "infer", False),
+        permissive_corrupt_col="_corrupt_record" if _flag(a, "quarantine", False) else None,
     )
+    return p._apply_quarantine(df, a, "csvread")
 
 
 @register_module("ndjsonread")
 def _ndjsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     if ins:
         return json_io.parse_ndjson_lines(ins[0], schema=a.get("schema"))
-    return json_io.read_ndjson(p.spark, a["in"], schema=a.get("schema"))
+    df = json_io.read_ndjson(
+        p.spark,
+        a["in"],
+        schema=a.get("schema"),
+        permissive_corrupt_col="_corrupt_record" if _flag(a, "quarantine", False) else None,
+    )
+    return p._apply_quarantine(df, a, "ndjsonread")
 
 
 @register_module("jsonread")
@@ -139,7 +147,12 @@ def _xmlread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 
 @register_module("bsonread")
 def _bsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
-    return bson_io.read_bson(p.spark, a["in"], schema=a.get("schema"))
+    return bson_io.read_bson(
+        p.spark,
+        a["in"],
+        schema=a.get("schema"),
+        memory_limit=int(a.get("memory_limit", p.memorylimit)),
+    )
 
 
 @register_module("sqliteselect")
@@ -170,6 +183,7 @@ def _spreadsheetread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         header=_flag(a, "header"),
         x=int(a.get("x", 0)),
         y=int(a.get("y", 0)),
+        memory_limit=int(a.get("memory_limit", p.memorylimit)),
     )
 
 
@@ -300,7 +314,9 @@ def _gunzip(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 
 @register_module("stdin")
 def _stdin(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
-    return text_io.read_stdin(p.spark, max_lines=int(a.get("max_lines", 1_000_000)))
+    return text_io.read_stdin(
+        p.spark, max_lines=int(a.get("max_lines", p.memorylimit))
+    )
 
 
 # --- sinks (file path in `out`, like filewrite out=FILENAME) ---
@@ -342,7 +358,12 @@ def _ndjsonwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
 
 @register_module("jsonwrite")
 def _jsonwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
-    json_io.write_json(ins[0], a["out"], pretty=_flag(a, "pretty", False))
+    json_io.write_json(
+        ins[0],
+        a["out"],
+        pretty=_flag(a, "pretty", False),
+        memory_limit=int(a.get("memory_limit", p.memorylimit)),
+    )
 
 
 @register_module("fixedwidthwrite")
@@ -372,7 +393,9 @@ def _xmlwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
 
 @register_module("bsonwrite")
 def _bsonwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
-    bson_io.write_bson(ins[0], a["out"])
+    bson_io.write_bson(
+        ins[0], a["out"], memory_limit=int(a.get("memory_limit", p.memorylimit))
+    )
 
 
 @register_module("sqliteinsert")
@@ -393,6 +416,7 @@ def _spreadsheetwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
         header=_flag(a, "header"),
         x=int(a.get("x", 0)),
         y=int(a.get("y", 0)),
+        memory_limit=int(a.get("memory_limit", p.memorylimit)),
     )
 
 
@@ -407,14 +431,16 @@ def _jdbcinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
 
 @register_module("stdout")
 def _stdout(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
-    text_io.write_stdout(ins[0])
+    text_io.write_stdout(ins[0], max_rows=int(a.get("max_rows", p.memorylimit)))
 
 
 @register_module("stderr")
 def _stderr(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     import sys
 
-    text_io.write_stdout(ins[0], stream=sys.stderr)
+    text_io.write_stdout(
+        ins[0], stream=sys.stderr, max_rows=int(a.get("max_rows", p.memorylimit))
+    )
 
 
 _SOURCES = {
@@ -464,20 +490,59 @@ class Pipeline:
     exposes any edge as a DataFrame for ad-hoc use.
     """
 
-    def __init__(self, spark: SparkSession, log=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        log=None,
+        *,
+        errorsize: int = 3,
+        memorylimit: int = 100_000,
+        streamsize: int = 1024,
+    ):
         """`log`: optional dbitool_spark.obs.EngineLog. Level >= 1
         records the module tree (reference printtree,
         scripts/dbitool.pl:174-184); level >= 2 adds per-sink row
         counts via plan Observations (reference per-module stats,
         :595-623) — counted inline with the sink action, no extra
-        pass."""
+        pass.
+
+        Engine tuning knobs (reference scripts/dbitool.pl:38-40),
+        used as module-arg defaults — an explicit per-module arg
+        always wins:
+        - errorsize: tolerate-N-then-abort quarantine threshold;
+        - memorylimit: row cap on bounded driver-side edges
+          (single-doc JSON/BSON/xlsx, stdout, stdin);
+        - streamsize: batch Spark has no per-iteration row cap
+          (partitioning subsumes it); kept for the streaming
+          pipeline's maxFilesPerTrigger mapping and CLI compat."""
         self.spark = spark
         self.log = log
+        self.errorsize = errorsize
+        self.memorylimit = memorylimit
+        self.streamsize = streamsize
         self._specs: list[_ModuleSpec] = []
         self._streams: dict[str, DataFrame] = {}
         self._counter = 0
         self._observations: dict[str, object] = {}
         self._with_sinks = False
+
+    def _apply_quarantine(self, df: DataFrame, a: dict, mod: str) -> DataFrame:
+        """quarantine=1 sources: split malformed rows into the error
+        stream and enforce the pipeline's errorsize threshold
+        (reference tolerate-N-then-abort, scripts/dbitool.pl:234-243).
+        No-op unless the source was parsed PERMISSIVE."""
+        if "_corrupt_record" not in df.columns:
+            return df
+        from dbitool_spark.obs import check_errorsize, split_quarantine
+
+        good, bad = split_quarantine(df)
+        check_errorsize(
+            bad,
+            errorsize=int(a.get("errorsize", self.errorsize)),
+            log=self.log,
+            mod=mod,
+        )
+        return good
 
     # -- spec assembly --------------------------------------------------
 

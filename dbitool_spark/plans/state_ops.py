@@ -10,6 +10,7 @@ window: rank by (batch, order...) descending.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,6 +18,17 @@ from pyspark.sql import functions as F
 
 from dbitool_spark import catalog
 from dbitool_spark.ndb import NdbTable
+
+
+def _scratch_dir(query: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch path, wiping the previous
+    run's copy so repeated bench/driver invocations never accumulate
+    unbounded tempdir data (each call republishes its inputs anyway)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"dbitool_scratch_{query}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def ndb_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,7 +39,7 @@ def ndb_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros(F.col("ts_ts")).alias("ts_us")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="dbitool_ndb_"), "events_kv")
+    path = os.path.join(_scratch_dir("ndb_upsert_replay", sf_dir), "events_kv")
     table = NdbTable(spark, path, key="user_id", n_buckets=8)
     table.upsert(ev.filter(F.col("event_id") % 2 == 0), order_by=["ts_us", "event_id"])
     table.upsert(ev.filter(F.col("event_id") % 2 == 1), order_by=["ts_us", "event_id"])
@@ -78,9 +90,7 @@ def streaming_hourly_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = catalog.load(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("ts_ts").alias("ts")
     )
-    src = os.path.join(
-        tempfile.mkdtemp(prefix="dbitool_stream_hourly_"), "events_ndjson"
-    )
+    src = os.path.join(_scratch_dir("stream_hourly", sf_dir), "events_ndjson")
     json_io.write_ndjson(ev, src)
     stream = streaming.stream_ndjson(
         spark,
@@ -148,9 +158,7 @@ def streaming_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFram
     ev = catalog.load(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts_ts")).alias("ts_us")
     )
-    src = os.path.join(
-        tempfile.mkdtemp(prefix="dbitool_stream_sessions_"), "events_ndjson"
-    )
+    src = os.path.join(_scratch_dir("stream_sessions", sf_dir), "events_ndjson")
     json_io.write_ndjson(ev, src)
     stream = streaming.stream_ndjson(
         spark, src, "user_id bigint, ts_us bigint", max_files_per_trigger=4

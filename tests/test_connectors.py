@@ -313,3 +313,31 @@ def test_cassandraselect_module_contract(spark):
     with pytest.raises(ValueError, match="keyspace"):
         p2.add("cassandraselect:table=t")
         p2.run()
+
+
+def test_xlsx_sheet_name_with_quotes_roundtrip(tmpdir):
+    """A sheet name containing double quotes must produce a parseable
+    workbook (name attribute is quoteattr-escaped, not just escape())."""
+    from dbitool_spark.io import xlsx_codec
+
+    path = os.path.join(tmpdir, "q.xlsx")
+    xlsx_codec.write_xlsx(path, [("a", "b"), ("1", "2")], sheet='my "quoted" & <sheet>')
+    assert xlsx_codec.read_xlsx(path) == [["a", "b"], ["1", "2"]]
+
+
+def test_spreadsheet_read_bounded_edge_raises(spark, tmpdir):
+    """read_spreadsheet mirrors write_spreadsheet's bounded-edge
+    contract: past memory_limit it raises MemoryError instead of
+    silently truncating (reference --memorylimit, scripts/dbitool.pl:40)."""
+    import pytest as _pytest
+
+    from dbitool_spark.io import spreadsheet_io, xlsx_codec
+
+    path = os.path.join(tmpdir, "big.xlsx")
+    rows = [("v",)] * 12
+    xlsx_codec.write_xlsx(path, [("c1",)] + rows)
+    with _pytest.raises(MemoryError):
+        spreadsheet_io.read_spreadsheet(spark, path, memory_limit=5)
+    # exactly at the cap: fine
+    df = spreadsheet_io.read_spreadsheet(spark, path, memory_limit=12)
+    assert df.count() == 12

@@ -489,3 +489,35 @@ def test_wav_decode_property(rate, nframes, channels, sampwidth):
     _, _, dur, feat = m._decode_one("audio", buf.getvalue())
     assert dur == nframes * 1000 // rate
     assert feat[0] == float(channels) and feat[1] == float(sampwidth)
+
+
+def test_bmp_core_header_and_jpeg_marker_edge_cases():
+    """BITMAPCOREHEADER (12-byte DIB) parses its 16-bit dims; an
+    unknown DIB size falls through to the fake instead of mis-parsing;
+    the JPEG scan skips 0xFF fill bytes and length-less RST/TEM
+    markers (ITU T.81 B.1.1.2)."""
+    import struct
+
+    from dbitool_spark.ops import multimodal as m
+
+    # BITMAPCOREHEADER: file header (14) + size=12, w=640, h=480, planes=1, bpp=8
+    core = b"BM" + b"\x00" * 12 + struct.pack("<IHHHH", 12, 640, 480, 1, 8)
+    assert m._decode_one("image", core)[:2] == (640, 480)
+    # unknown DIB size (e.g. 16) -> deterministic fake, not garbage dims
+    odd = b"BM" + b"\x00" * 12 + struct.pack("<IHHHH", 16, 9999, 9999, 1, 8)
+    w, h, _, feat = m._decode_one("image", odd)
+    assert len(feat) == 8  # the fake's 8-dim digest feature
+    # JPEG: fill byte + RST0 + TEM before the SOF0 frame header
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+        + struct.pack(">HH", 111, 222) + b"\x03" + b"\x00" * 9
+    )
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xff"          # fill byte prefix before next marker
+        + b"\xd0"               # RST0 (standalone, no length)
+        + b"\xff\x01"          # TEM (standalone)
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + sof
+    )
+    assert m._decode_one("image", jpg)[:2] == (222, 111)

@@ -294,3 +294,45 @@ def test_cli_main_end_to_end(spark, tmp_path):
         assert main(["--listmodules"]) == 0
     mods = buf.getvalue().split()
     assert "csvread" in mods and "ndjsonwrite" in mods
+
+
+def test_pipeline_knobs_thread_into_modules(spark, tmp_path):
+    """--errorsize/--memorylimit are real engine knobs, not parsed-and-
+    dropped flags: a Pipeline(errorsize=N) aborts a quarantine=1 source
+    at >= N corrupt rows, and memorylimit caps the stdin/bounded-edge
+    row defaults (reference scripts/dbitool.pl:38-40, :234-243)."""
+    import pytest as _pytest
+
+    from dbitool_spark.obs import ErrorSizeExceeded
+    from dbitool_spark.pipeline import Pipeline
+
+    src = str(tmp_path / "bad.ndjson")
+    os.makedirs(src)
+    with open(os.path.join(src, "part.json"), "w") as fh:
+        fh.write('{"a": 1}\n{"a": broken\nnot json\n{"a": 2}\n')
+    schema = "a bigint, _corrupt_record string"
+
+    # errorsize=2 <= 2 corrupt rows -> abort
+    p = Pipeline(spark, errorsize=2)
+    p.add(f"ndjsonread:in={src}:quarantine=1:schema={schema}", out="rows")
+    with _pytest.raises(ErrorSizeExceeded):
+        p.stream("rows").collect()
+
+    # errorsize above the corrupt count -> good rows flow through
+    p2 = Pipeline(spark, errorsize=10)
+    p2.add(f"ndjsonread:in={src}:quarantine=1:schema={schema}", out="rows")
+    got = sorted(r.a for r in p2.stream("rows").collect())
+    assert got == [1, 2]
+
+    # memorylimit threads into bounded sinks: jsonwrite past the cap aborts
+    from dbitool_spark import testrow
+    from dbitool_spark.io import csv_io
+
+    csv_src = str(tmp_path / "in.csv")
+    csv_io.write_csv(testrow.dataframe(spark, 8), csv_src, single_file=True)
+    out = str(tmp_path / "out.json")
+    p3 = Pipeline(spark, memorylimit=3)
+    p3.add(f"csvread:in={csv_src}", out="rows")
+    p3.add(f"jsonwrite:out={out}", **{"in": "rows"})
+    with _pytest.raises(MemoryError):
+        p3.run()
