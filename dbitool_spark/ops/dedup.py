@@ -355,6 +355,79 @@ def jaccard_pairs(
     )
 
 
+def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al. 2014)
+    over a both-directions edge frame (src, dst). Each round:
+
+    - large-star: per node u, m = min(N(u) + {u}); rewire every
+      LARGER neighbor v > u to m — long tails fold toward minima;
+    - small-star: orient edges large->small, per node u rewire all
+      smaller neighbors AND u itself to m = min(N(u) + {u}) — stars
+      flatten to their centers.
+
+    Converged when a round leaves the canonical edge set unchanged;
+    at that point every component is a star centered at its minimum,
+    so labels read straight off the (larger -> smaller) edges. The
+    symmetric-difference convergence probe is two anti-joins on the
+    checkpointed edge sets — O(|E|) with no driver data movement."""
+    # canonical undirected form (big, small), one row per edge
+    cur = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        both = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min over {u} + neighbors; rewire v > u
+        m_large = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            both.join(m_large, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the large-star output (edges already u > v)
+        e = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        m_small = e.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            e.join(m_small, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(m_small.select("u", F.col("m").alias("v")))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(cur, ["u", "v"], "left_anti")
+            .unionAll(cur.join(nxt, ["u", "v"], "left_anti"))
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star connected_components did not converge in {max_iter} rounds"
+        )
+    # stars: every edge is (member u -> center v); centers label themselves
+    return cur.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).unionAll(
+        cur.select(F.col("v").alias("id"), F.col("v").alias("cluster_id")).distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -362,6 +435,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 30,
     local_edge_threshold: int | None = 1_000_000,
+    algorithm: str = "flood",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (id,
     cluster_id) for every id appearing in a pair, cluster_id = the
@@ -377,8 +451,16 @@ def connected_components(
     is two shuffles on the node id. Labels are localCheckpoint-ed per
     iteration, so lineage stays flat. For adversarially long chain
     graphs (diameter ~ n) this cap raises rather than looping —
-    switch to the large-star/small-star algorithm (Kiveris et al.)
-    if such graphs ever matter.
+    pass algorithm="star" for those.
+
+    algorithm="star": alternating large-star/small-star (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") —
+    converges in O(log^2 n) rounds on ANY graph shape, including
+    diameter-n chains the flooding cap rejects. Each round is two
+    grouped min-aggregations + edge rewrites (2 shuffles), same
+    per-round cost as flooding; flooding stays the default because
+    near-dup graphs are dense low-diameter clusters where it
+    converges in fewer rounds and the labels are identical.
 
     Small graphs skip the loop entirely: when the (deduped) edge
     count is <= local_edge_threshold, a driver-side union-find
@@ -388,6 +470,8 @@ def connected_components(
     count action regardless of size. Set local_edge_threshold=None to
     force the distributed path.
     """
+    if algorithm not in ("flood", "star"):
+        raise ValueError(f"algorithm must be 'flood' or 'star', got {algorithm!r}")
     ta, tb = pairs.schema[id_a].dataType, pairs.schema[id_b].dataType
     if ta != tb:
         # heterogeneous endpoints would give the union-find fast path a
@@ -449,6 +533,11 @@ def connected_components(
                 )
             finally:
                 edges.unpersist(blocking=True)
+    if algorithm == "star":
+        try:
+            return _star_components(edges, max_iter)
+        finally:
+            edges.unpersist(blocking=True)
     labels = (
         edges.select("src")
         .distinct()

@@ -294,33 +294,63 @@ def _synth_bmp(media_id: int) -> bytes:
     return header + dib + pixels
 
 
+def _synth_png(media_id: int) -> bytes:
+    """Valid RGB8 PNG (public PNG spec: signature + IHDR + IDAT +
+    IEND, CRC-32 per chunk, zlib-deflated filter-0 scanlines) with
+    closed-form dimensions: width = 4 + id % 13, height = 4 + id % 11
+    — the REAL IHDR decode must recover both."""
+    import zlib
+
+    width = 4 + media_id % 13
+    height = 4 + media_id % 11
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    scanline = b"\x00" + bytes(
+        ((media_id + x) % 256) for x in range(width * 3)
+    )
+    idat = zlib.compress(scanline * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
     """mapInPandas media synthesizer: each input id becomes one
-    MEDIA_SCHEMA row with REAL container bytes — WAV for even ids,
-    BMP for odd — whose decoded fields are closed-form functions of
-    the id. This is the verification harness for the real decoders:
-    a SQL oracle can state the expected width/height/duration purely
-    arithmetically, so a driver hash match proves the wave/struct
-    parsing end to end (same pattern as testrow's exact-value
-    fixture)."""
+    MEDIA_SCHEMA row with REAL container bytes — WAV for id % 3 == 0,
+    BMP for == 1, PNG for == 2 — whose decoded fields are closed-form
+    functions of the id. This is the verification harness for the
+    real decoders: a SQL oracle can state the expected width/height/
+    duration purely arithmetically, so a driver hash match proves the
+    wave/struct/IHDR parsing end to end (same pattern as testrow's
+    exact-value fixture)."""
     ids_df = df.select(F.col(id_col).cast("bigint").alias("media_id"))
+    synths = {
+        0: ("audio", "audio/wav", _synth_wav),
+        1: ("image", "image/bmp", _synth_bmp),
+        2: ("image", "image/png", _synth_png),
+    }
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "kind": [], "content": [], "meta": []}
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                kind = "audio" if mid % 2 == 0 else "image"
-                content = _synth_wav(mid) if mid % 2 == 0 else _synth_bmp(mid)
+                kind, mime, fn = synths[mid % 3]
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
-                rows["content"].append(content)
-                rows["meta"].append(
-                    {
-                        "source": "synth",
-                        "declared_mime": "audio/wav" if mid % 2 == 0 else "image/bmp",
-                    }
-                )
+                rows["content"].append(fn(mid))
+                rows["meta"].append({"source": "synth", "declared_mime": mime})
             yield pd.DataFrame(rows)
 
     return ids_df.mapInPandas(synth, schema=MEDIA_SCHEMA)

@@ -1101,7 +1101,11 @@ _SPAN_GRAM = 8  # words per gram (the Lee et al. 2022 unit, word-level)
 
 
 def duplicate_spans_documents(
-    spark: SparkSession, sf_dir: str, *, max_gram_freq: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_gram_freq: int | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Substring-level duplicate detection (the exact-substring dedup
     of Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -1117,6 +1121,15 @@ def duplicate_spans_documents(
     100 TB you would key the gram shuffle on xxhash64(gram) to shrink
     shuffle width (negligible collision odds but no longer
     oracle-exact); the registered entry keeps exact strings.
+    `hash_grams=True` IS that 100 TB path: the gram shuffle keys on
+    xxhash64(gram) — a fixed 8 bytes per key instead of an ~8-word
+    string (~50 bytes), shrinking shuffle volume ~6x on the widest
+    exchange. With ~2^64 hash space, a corpus of 10^12 distinct grams
+    has collision probability ~(10^12)^2 / 2^65 ~ 3% for a SINGLE
+    colliding pair anywhere — and one colliding pair merely marks two
+    unrelated positions as duplicated, a no-op unless they also form
+    an 8-gram run. Parity with the exact path is pytest-pinned at
+    sf0.01 (tests/test_llm_ops.py).
 
     `max_gram_freq` is the skew guard (same contract as
     ngram_jaccard_pairs' max_doc_freq): a boilerplate gram occurring
@@ -1142,6 +1155,10 @@ def duplicate_spans_documents(
             )
         ).alias("pg"),
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    if hash_grams:
+        # 100 TB shuffle-width path: fixed 8-byte keys on the widest
+        # exchange (see docstring for the collision-odds math)
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
     # single shuffle: a count window over the gram partition marks
     # duplicated positions in place — the groupBy+join-back alternative
     # shuffles the full position set on gram TWICE (once into the agg,
@@ -1296,12 +1313,13 @@ ORDER BY c.vec_id
 
 def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end to end: each doc_id synthesizes genuine
-    container bytes distributed-side (mono 16-bit WAV for even ids,
-    24-bit BMP for odd — ops.multimodal.synthesize_media), then the
-    stdlib decoders recover duration / dimensions from the containers.
-    Every decoded field is a closed-form function of the id, so the
-    oracle states the expectation purely arithmetically — a hash match
-    proves the wave-module and BITMAPINFOHEADER parsing exactly, not a
+    container bytes distributed-side (mono 16-bit WAV for id % 3 == 0,
+    24-bit BMP for == 1, RGB8 PNG for == 2 —
+    ops.multimodal.synthesize_media), then the stdlib decoders recover
+    duration / dimensions from the containers. Every decoded field is
+    a closed-form function of the id, so the oracle states the
+    expectation purely arithmetically — a hash match proves the
+    wave-module, BITMAPINFOHEADER, and PNG-IHDR parsing exactly, not a
     digest-keyed fake. Both steps are Arrow-batched mapInPandas; media
     bytes never leave the executors."""
     docs = catalog.load(spark, sf_dir, "documents")
@@ -1314,10 +1332,14 @@ def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_DECODE_ROUNDTRIP_SQL = """
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8 + doc_id % 16 END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8 + doc_id % 9 END AS INT) AS height,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 500 + (doc_id % 5) * 100 ELSE 0 END AS INT) AS duration_ms
+       CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                 WHEN doc_id % 3 = 1 THEN 8 + doc_id % 16
+                 ELSE 4 + doc_id % 13 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                 WHEN doc_id % 3 = 1 THEN 8 + doc_id % 9
+                 ELSE 4 + doc_id % 11 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 500 + (doc_id % 5) * 100 ELSE 0 END AS INT) AS duration_ms
 FROM documents
 ORDER BY media_id
 """

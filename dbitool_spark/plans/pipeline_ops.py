@@ -394,6 +394,137 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composition no single entry
+    exercises: weighted source mix -> exact dedup (keep min doc_id per
+    normalized text) -> benchmark decontamination (drop every doc
+    sharing an 8-gram with the held-out set) -> deterministic train
+    split -> sequence packing, returning the train corpus's per-
+    (bucket, bin) packing stats. Every stage reuses the verified
+    building block (same constants, same expressions), so a hash match
+    against the single CTE-chained oracle proves the stages compose —
+    filters feed filters across module boundaries without breaking
+    each other's invariants.
+
+    Scale shape: stage chain is filter -> one dedup window (keyed on
+    the text hash at 100 TB; the exact string here for oracle
+    equality) -> gram explode + broadcast anti-join -> pure-projection
+    split filter -> per-bucket packing windows. No stage widens the
+    plan: the only shuffles are the dedup key, the gram join, and the
+    PACK_BUCKETS window — each already pinned by its standalone
+    entry."""
+    from dbitool_spark.ops.dedup import shingles as _shingles
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    # stage 1: weighted mix (corpus_mix_weighted's membership rule)
+    src_idx = F.substring(F.col("source"), 4, 10).cast("int")
+    weight = F.element_at(
+        F.array(*[F.lit(w) for w in MIX_WEIGHTS]), src_idx % len(MIX_WEIGHTS) + 1
+    )
+    mix_bucket = (F.col("doc_id") * _MIX_MULT + _MIX_ADD) % 100
+    mixed = docs.filter(mix_bucket < weight)
+    # stage 2: exact dedup — keep the min doc_id per normalized text
+    wdup = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    deduped = (
+        mixed.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # stage 3: decontamination (decontaminate_documents' bench set,
+    # applied as an anti-join filter instead of an audit count)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"))
+        .select(F.explode(_shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        deduped.select(
+            "doc_id", F.explode(_shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
+        )
+        .join(bench, "gram")  # AQE broadcasts the tiny bench side
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    # stage 4: deterministic split, keep train
+    train = clean.filter(_split_bucket("doc_id") < 80)
+    # stage 5: sequence packing over the surviving train docs
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    base = train.select(
+        "doc_id",
+        (_split_bucket("doc_id") % PACK_BUCKETS).alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    wpack = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = base.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(wpack) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return (
+        placed.groupBy("bucket", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("bucket", "bin")
+    )
+
+
+CURATION_PIPELINE_SQL = rf"""
+WITH mixed AS (
+  SELECT doc_id, text FROM documents
+  WHERE (doc_id * {_MIX_MULT} + {_MIX_ADD}) % 100
+        < [{", ".join(str(w) for w in MIX_WEIGHTS)}][(CAST(substr(source, 4, 10) AS INT) % {len(MIX_WEIGHTS)}) + 1]
+),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+    FROM mixed
+  ) WHERE rn = 1
+),
+aw AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+),
+bw AS (SELECT w[1:len(w) - 1] AS w FROM aw WHERE doc_id % {BENCH_MOD} = 0),
+bench AS (SELECT DISTINCT unnest({_DUCK_GRAMS}) AS gram FROM bw),
+dw AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM deduped
+),
+g AS (SELECT doc_id, unnest({_DUCK_GRAMS}) AS gram FROM dw),
+contaminated AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)),
+train AS (
+  SELECT d.doc_id, d.text FROM deduped d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND (((d.doc_id % {SPLIT_PRIME}) * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100 < 80
+),
+base AS (
+  SELECT doc_id,
+         ((((doc_id % {SPLIT_PRIME}) * {SPLIT_MULT}) % {SPLIT_PRIME}) % 100) % {PACK_BUCKETS} AS bucket,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+  FROM train
+),
+placed AS (
+  SELECT bucket,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin,
+         n_tokens
+  FROM base
+)
+SELECT bucket, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM placed
+GROUP BY bucket, bin
+ORDER BY bucket, bin
+"""
+
+
 CORPUS_MIX_WEIGHTED_SQL = f"""
 WITH w AS (
   SELECT source, doc_id,

@@ -60,44 +60,27 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
-# --- NEW in round 6: never driver-checked ----------------------------
+# --- NEW in round 7: never driver-checked ----------------------------
 register(
-    "repetition_stats_documents",
-    llm_ops.repetition_stats_documents,
-    llm_ops.REPETITION_STATS_SQL,
-)
-register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
-register(
-    "customer_order_distribution",
-    relational.customer_order_distribution,
-    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    "streaming_dedup_events",
+    state_ops.streaming_dedup_events,
+    state_ops.STREAMING_DEDUP_EVENTS_SQL,
 )
 register(
-    "dormant_rich_customers",
-    relational.dormant_rich_customers,
-    relational.DORMANT_RICH_SQL,
+    "curation_pipeline_documents",
+    pipeline_ops.curation_pipeline_documents,
+    pipeline_ops.CURATION_PIPELINE_SQL,
 )
+
+# --- plans changed in round 7 (re-verify) ----------------------------
+# media: synthesis + oracle gained the PNG branch (id % 3 routing);
+# streaming pair + ndb replay: deterministic scratch dirs replace
+# mkdtemp-per-call (ndb_upsert_replay re-verifies from the veterans
+# block below)
 register(
-    "xlsx_roundtrip_nation",
-    format_io.xlsx_roundtrip_nation,
-    format_io.XLSX_ROUNDTRIP_NATION_SQL,
-)
-register(
-    "token_count_bpe_documents",
-    llm_ops.token_count_bpe_documents,
-    llm_ops.TOKEN_COUNT_BPE_SQL,
-)
-register(
-    "ngram_repetition_documents",
-    llm_ops.ngram_repetition_documents,
-    llm_ops.NGRAM_REPETITION_SQL,
-)
-register("domain_stats_documents", llm_ops.domain_stats_documents, llm_ops.DOMAIN_STATS_SQL)
-register("top_terms_per_source", llm_ops.top_terms_per_source, llm_ops.TOP_TERMS_PER_SOURCE_SQL)
-register(
-    "corpus_mix_weighted",
-    pipeline_ops.corpus_mix_weighted,
-    pipeline_ops.CORPUS_MIX_WEIGHTED_SQL,
+    "media_decode_roundtrip",
+    llm_ops.media_decode_roundtrip,
+    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
 )
 register(
     "streaming_hourly_stats_events",
@@ -109,152 +92,10 @@ register(
     state_ops.streaming_user_sessions_events,
     events_ops.USER_SESSIONS_SQL,
 )
-register(
-    "events_asof_recent_order",
-    events_ops.events_asof_recent_order,
-    events_ops.EVENTS_ASOF_TOLERANCE_SQL,
-)
-register(
-    "quarantine_corrupt_csv",
-    format_io.quarantine_corrupt_csv,
-    format_io.QUARANTINE_CORRUPT_CSV_SQL,
-)
-register(
-    "events_daily_type_pivot",
-    events_ops.events_daily_type_pivot,
-    events_ops.EVENTS_DAILY_TYPE_PIVOT_SQL,
-)
-register("hll_accuracy_events", scalar_ops.hll_accuracy_events, scalar_ops.HLL_ACCURACY_SQL)
-register(
-    "quantile_sketch_lineitem",
-    scalar_ops.quantile_sketch_lineitem,
-    scalar_ops.QUANTILE_SKETCH_SQL,
-)
-register(
-    "duplicate_spans_documents",
-    llm_ops.duplicate_spans_documents,
-    llm_ops.DUPLICATE_SPANS_SQL,
-)
-register("semdedup_embeddings", llm_ops.semdedup_embeddings, llm_ops.SEMDEDUP_EMBEDDINGS_SQL)
-register(
-    "media_decode_roundtrip",
-    llm_ops.media_decode_roundtrip,
-    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
-)
-register(
-    "supplier_nation_profit",
-    relational.supplier_nation_profit,
-    relational.SUPPLIER_NATION_PROFIT_SQL,
-)
-register(
-    "priority_by_shipyear",
-    relational.priority_by_shipyear,
-    relational.PRIORITY_BY_SHIPYEAR_SQL,
-)
-register(
-    "top_revenue_suppliers",
-    relational.top_revenue_suppliers,
-    relational.TOP_REVENUE_SUPPLIERS_SQL,
-)
-register(
-    "small_quantity_revenue",
-    relational.small_quantity_revenue,
-    relational.SMALL_QUANTITY_REVENUE_SQL,
-)
 
-# --- plans changed in round 6 (re-verify) ----------------------------
-# simhash: max_hamming pushed pre-checkpoint; ngram/minhash: epsilon
-# length prune (Spark + oracle CTE); busy-hours: broadcast range join;
-# simhash recall: non-vacuity guard
-register("simhash_near_dup_documents", llm_ops.simhash_near_dup_documents)  # rows-only
-register("simhash_recall_planted", llm_ops.simhash_recall_planted, llm_ops.CONST_RECALL_SQL)
-register("ngram_jaccard_documents", llm_ops.ngram_jaccard_documents, llm_ops.NGRAM_JACCARD_SQL)
-register(
-    "ngram_jaccard_skewguard_documents",
-    llm_ops.ngram_jaccard_skewguard_documents,
-    llm_ops.NGRAM_JACCARD_SKEWGUARD_SQL,
-)
-register(
-    "minhash_near_dup_documents",
-    llm_ops.minhash_near_dup_documents,
-    llm_ops.MINHASH_NEAR_DUP_SQL,
-)
-register(
-    "near_dup_clusters_documents",
-    llm_ops.near_dup_clusters_documents,
-    llm_ops.NEAR_DUP_CLUSTERS_SQL,
-)
-register(
-    "events_after_busy_hours",
-    events_ops.events_after_busy_hours,
-    events_ops.EVENTS_AFTER_BUSY_SQL,
-)
-
-# --- veterans rotated BACK IN (last driver row r4; policy: no entry
-# --- goes >2 rounds without a driver row) -----------------------------
-register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
-register("q3_shipping_priority", relational.q3_shipping_priority, relational.Q3_SQL)
-register("q5_region_revenue", relational.q5_region_revenue, relational.Q5_SQL)
-register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_SQL)
-register("customer_segment_stats", relational.customer_segment_stats, relational.CUSTOMER_SEGMENT_SQL)
-register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
-register(
-    "customers_without_recent_orders",
-    relational.customers_without_recent_orders,
-    relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
-)
-register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
-register("csv_roundtrip_customer", format_io.csv_roundtrip_customer, format_io.CSV_ROUNDTRIP_CUSTOMER_SQL)
-register("ndjson_roundtrip_orders", format_io.ndjson_roundtrip_orders, format_io.NDJSON_ROUNDTRIP_ORDERS_SQL)
-register("json_roundtrip_region", format_io.json_roundtrip_region, format_io.JSON_ROUNDTRIP_REGION_SQL)
-register(
-    "fixedwidth_roundtrip_nation",
-    format_io.fixedwidth_roundtrip_nation,
-    format_io.FIXEDWIDTH_ROUNDTRIP_NATION_SQL,
-)
-register(
-    "csv_roundtrip_documents",
-    format_io.csv_roundtrip_documents,
-    format_io.CSV_ROUNDTRIP_DOCUMENTS_SQL,
-)
-
-# --- first driver-green in r5 (short streak, stay in window) ---------
-register("ann_lsh_recall", llm_ops.ann_lsh_recall, llm_ops.CONST_RECALL_SQL)
-register("ann_ivf_recall", llm_ops.ann_ivf_recall, llm_ops.CONST_RECALL_SQL)
-register(
-    "user_sessions_window",
-    events_ops.user_sessions_window,
-    # same gap semantics, disjoint plan (native session windows) —
-    # shares the lag+cumsum oracle, so the driver cross-checks both
-    events_ops.USER_SESSIONS_SQL,
-)
-register(
-    "events_asof_latest_order",
-    events_ops.events_asof_latest_order,
-    events_ops.EVENTS_ASOF_SQL,
-)
-register(
-    "deterministic_split_documents",
-    pipeline_ops.deterministic_split_documents,
-    pipeline_ops.DETERMINISTIC_SPLIT_SQL,
-)
-register(
-    "pack_sequences_documents",
-    pipeline_ops.pack_sequences_documents,
-    pipeline_ops.PACK_SEQUENCES_SQL,
-)
-
-# --- two driver-green rounds (r3+r5 / r4+r5) -------------------------
-
-# ===================== driver-window boundary (50) ====================
-# Everything below is unchanged this round with the LONGEST green
-# streaks (3-5 consecutive driver-green rounds, most recently r5) and
-# full pytest oracle-parity coverage every round; parked outside the
-# driver's 50-entry window to make room for the groups above.
-# user_sessions additionally shares its oracle with
-# user_sessions_window (in-window), so its semantics stay
-# driver-cross-checked.
-
+# --- veterans rotated BACK IN (last driver row r5; policy: no entry
+# --- goes >2 rounds without a driver row — all 37 r5-window entries
+# --- occupy r7's window per the r6 brief) ----------------------------
 register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
 register(
     "sample_stratified_documents",
@@ -291,7 +132,7 @@ register("returned_item_revenue", relational.returned_item_revenue, relational.R
 register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
 register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
 register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
-register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via in-window ann_ivf_recall
+register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_ivf_recall
 register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
 register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
 register("text_stats_documents", llm_ops.text_stats_documents, llm_ops.TEXT_STATS_DOCUMENTS_SQL)
@@ -328,3 +169,169 @@ register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops
 register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
 register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
 register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
+
+# --- single driver-green round (r6 only — shortest streaks fill the
+# --- remaining window slots) -----------------------------------------
+register(
+    "repetition_stats_documents",
+    llm_ops.repetition_stats_documents,
+    llm_ops.REPETITION_STATS_SQL,
+)
+register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
+register(
+    "customer_order_distribution",
+    relational.customer_order_distribution,
+    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+)
+register(
+    "dormant_rich_customers",
+    relational.dormant_rich_customers,
+    relational.DORMANT_RICH_SQL,
+)
+register(
+    "xlsx_roundtrip_nation",
+    format_io.xlsx_roundtrip_nation,
+    format_io.XLSX_ROUNDTRIP_NATION_SQL,
+)
+
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r6 (one or more rounds) and is
+# unchanged this round; full pytest oracle-parity coverage continues
+# every round regardless of position.
+
+register(
+    "token_count_bpe_documents",
+    llm_ops.token_count_bpe_documents,
+    llm_ops.TOKEN_COUNT_BPE_SQL,
+)
+register(
+    "ngram_repetition_documents",
+    llm_ops.ngram_repetition_documents,
+    llm_ops.NGRAM_REPETITION_SQL,
+)
+register("domain_stats_documents", llm_ops.domain_stats_documents, llm_ops.DOMAIN_STATS_SQL)
+register("top_terms_per_source", llm_ops.top_terms_per_source, llm_ops.TOP_TERMS_PER_SOURCE_SQL)
+register(
+    "corpus_mix_weighted",
+    pipeline_ops.corpus_mix_weighted,
+    pipeline_ops.CORPUS_MIX_WEIGHTED_SQL,
+)
+register(
+    "events_asof_recent_order",
+    events_ops.events_asof_recent_order,
+    events_ops.EVENTS_ASOF_TOLERANCE_SQL,
+)
+register(
+    "quarantine_corrupt_csv",
+    format_io.quarantine_corrupt_csv,
+    format_io.QUARANTINE_CORRUPT_CSV_SQL,
+)
+register(
+    "events_daily_type_pivot",
+    events_ops.events_daily_type_pivot,
+    events_ops.EVENTS_DAILY_TYPE_PIVOT_SQL,
+)
+register("hll_accuracy_events", scalar_ops.hll_accuracy_events, scalar_ops.HLL_ACCURACY_SQL)
+register(
+    "quantile_sketch_lineitem",
+    scalar_ops.quantile_sketch_lineitem,
+    scalar_ops.QUANTILE_SKETCH_SQL,
+)
+register(
+    "duplicate_spans_documents",
+    llm_ops.duplicate_spans_documents,
+    llm_ops.DUPLICATE_SPANS_SQL,
+)
+register("semdedup_embeddings", llm_ops.semdedup_embeddings, llm_ops.SEMDEDUP_EMBEDDINGS_SQL)
+register(
+    "supplier_nation_profit",
+    relational.supplier_nation_profit,
+    relational.SUPPLIER_NATION_PROFIT_SQL,
+)
+register(
+    "priority_by_shipyear",
+    relational.priority_by_shipyear,
+    relational.PRIORITY_BY_SHIPYEAR_SQL,
+)
+register(
+    "top_revenue_suppliers",
+    relational.top_revenue_suppliers,
+    relational.TOP_REVENUE_SUPPLIERS_SQL,
+)
+register(
+    "small_quantity_revenue",
+    relational.small_quantity_revenue,
+    relational.SMALL_QUANTITY_REVENUE_SQL,
+)
+register("simhash_near_dup_documents", llm_ops.simhash_near_dup_documents)  # rows-only
+register("simhash_recall_planted", llm_ops.simhash_recall_planted, llm_ops.CONST_RECALL_SQL)
+register("ngram_jaccard_documents", llm_ops.ngram_jaccard_documents, llm_ops.NGRAM_JACCARD_SQL)
+register(
+    "ngram_jaccard_skewguard_documents",
+    llm_ops.ngram_jaccard_skewguard_documents,
+    llm_ops.NGRAM_JACCARD_SKEWGUARD_SQL,
+)
+register(
+    "minhash_near_dup_documents",
+    llm_ops.minhash_near_dup_documents,
+    llm_ops.MINHASH_NEAR_DUP_SQL,
+)
+register(
+    "near_dup_clusters_documents",
+    llm_ops.near_dup_clusters_documents,
+    llm_ops.NEAR_DUP_CLUSTERS_SQL,
+)
+register(
+    "events_after_busy_hours",
+    events_ops.events_after_busy_hours,
+    events_ops.EVENTS_AFTER_BUSY_SQL,
+)
+register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
+register("q3_shipping_priority", relational.q3_shipping_priority, relational.Q3_SQL)
+register("q5_region_revenue", relational.q5_region_revenue, relational.Q5_SQL)
+register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_SQL)
+register("customer_segment_stats", relational.customer_segment_stats, relational.CUSTOMER_SEGMENT_SQL)
+register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
+register(
+    "customers_without_recent_orders",
+    relational.customers_without_recent_orders,
+    relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
+)
+register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
+register("csv_roundtrip_customer", format_io.csv_roundtrip_customer, format_io.CSV_ROUNDTRIP_CUSTOMER_SQL)
+register("ndjson_roundtrip_orders", format_io.ndjson_roundtrip_orders, format_io.NDJSON_ROUNDTRIP_ORDERS_SQL)
+register("json_roundtrip_region", format_io.json_roundtrip_region, format_io.JSON_ROUNDTRIP_REGION_SQL)
+register(
+    "fixedwidth_roundtrip_nation",
+    format_io.fixedwidth_roundtrip_nation,
+    format_io.FIXEDWIDTH_ROUNDTRIP_NATION_SQL,
+)
+register(
+    "csv_roundtrip_documents",
+    format_io.csv_roundtrip_documents,
+    format_io.CSV_ROUNDTRIP_DOCUMENTS_SQL,
+)
+register("ann_lsh_recall", llm_ops.ann_lsh_recall, llm_ops.CONST_RECALL_SQL)
+register("ann_ivf_recall", llm_ops.ann_ivf_recall, llm_ops.CONST_RECALL_SQL)
+register(
+    "user_sessions_window",
+    events_ops.user_sessions_window,
+    # same gap semantics, disjoint plan (native session windows) —
+    # shares the lag+cumsum oracle, so the driver cross-checks both
+    events_ops.USER_SESSIONS_SQL,
+)
+register(
+    "events_asof_latest_order",
+    events_ops.events_asof_latest_order,
+    events_ops.EVENTS_ASOF_SQL,
+)
+register(
+    "deterministic_split_documents",
+    pipeline_ops.deterministic_split_documents,
+    pipeline_ops.DETERMINISTIC_SPLIT_SQL,
+)
+register(
+    "pack_sequences_documents",
+    pipeline_ops.pack_sequences_documents,
+    pipeline_ops.PACK_SEQUENCES_SQL,
+)

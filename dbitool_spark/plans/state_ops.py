@@ -125,6 +125,49 @@ ORDER BY hour, event_type
 """
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator made driver-visible:
+    events re-published as NDJSON, replayed through
+    stream_dedup_first_wins (applyInPandasWithState — one boolean of
+    state per key, streaming.py) keyed on (user_id, event_type),
+    drained with availableNow. The operator's contract is exactly one
+    emission per key across ALL micro-batches; projecting the key
+    columns makes the result order-independent (whichever duplicate
+    row wins a key, the key set is identical), so a hash match
+    against the batch DISTINCT oracle proves the stateful incremental
+    plan — first-wins state, cross-batch suppression, final drain —
+    reaches the batch answer. Completes the streaming family next to
+    the windowed-counts and session-window entries."""
+    import uuid
+
+    from dbitool_spark import streaming
+    from dbitool_spark.io import json_io
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_dedup_"):
+            spark.catalog.dropTempView(t.name)
+
+    ev = catalog.load(spark, sf_dir, "events").select("user_id", "event_type")
+    src = os.path.join(_scratch_dir("stream_dedup", sf_dir), "events_ndjson")
+    json_io.write_ndjson(ev, src)
+    stream = streaming.stream_ndjson(
+        spark, src, "user_id bigint, event_type string", max_files_per_trigger=4
+    )
+    deduped = streaming.stream_dedup_first_wins(stream, ["user_id", "event_type"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    streaming.drain_to_memory(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )
+
+
+STREAMING_DEDUP_EVENTS_SQL = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+"""
+
+
 def streaming_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap sessionization made driver-visible: events
     re-published as NDJSON, consumed as a file-watch stream, grouped

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from dbitool_spark import catalog
 from dbitool_spark.ops import dedup, multimodal, similarity, text
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -521,3 +521,44 @@ def test_bmp_core_header_and_jpeg_marker_edge_cases():
         + sof
     )
     assert m._decode_one("image", jpg)[:2] == (222, 111)
+
+
+def test_duplicate_spans_hash_gram_parity(spark):
+    """hash_grams=True (the 100 TB shuffle-width path: xxhash64 gram
+    keys) must produce the exact same spans as the string-keyed path
+    at test scale — collisions are the only possible divergence."""
+    from dbitool_spark.plans.llm_ops import duplicate_spans_documents
+
+    exact = duplicate_spans_documents(spark, SF_ORACLE)
+    hashed = duplicate_spans_documents(spark, SF_ORACLE, hash_grams=True)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, hashed.collect()))
+
+
+def test_connected_components_star_handles_high_diameter(spark):
+    """algorithm='star' (Kiveris large-star/small-star, O(log^2 n)
+    rounds) labels a diameter-99 chain the flooding cap rejects, and
+    matches the union-find + flooding labels on a random graph."""
+    import random
+
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, local_edge_threshold=None, max_iter=10)
+    star = dedup.connected_components(
+        chain, local_edge_threshold=None, algorithm="star"
+    ).collect()
+    assert len(star) == 100 and all(r.cluster_id == 0 for r in star)
+
+    random.seed(7)
+    edges = [(a, b) for a, b in {(random.randrange(200), random.randrange(200))
+                                 for _ in range(150)} if a != b]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got_star = sorted(map(tuple, dedup.connected_components(
+        df, local_edge_threshold=None, algorithm="star").collect()))
+    got_uf = sorted(map(tuple, dedup.connected_components(df).collect()))
+    got_flood = sorted(map(tuple, dedup.connected_components(
+        df, local_edge_threshold=None).collect()))
+    assert got_star == got_uf == got_flood
