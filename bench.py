@@ -47,6 +47,81 @@ import time
 
 REGRESSION_RATIO = 1.5
 
+# Cross-SF scaling gate (BENCH_scaling.json): the near-dup candidate
+# generators' 100 TB story rests on their plan shapes being near-linear
+# (bucket equi-joins, never all-pairs). This gate MEASURES that: each
+# op is timed at sf0.01 and sf0.1 (10x the rows) with identical
+# parameters; a ratio above SCALING_RED_RATIO flags quadratic blowup.
+# 15x allows 10x rows plus log factors and Spark's fixed job overhead
+# moving between the numerator and denominator.
+SCALING_RED_RATIO = 15.0
+SCALING_SF_SMALL = "/root/testdata/sf0.01"
+SCALING_SF_BIG = "/root/testdata/sf0.1"
+
+
+def _scaling_ops():
+    """Op-level (not registry-level) thunks so both SFs run the exact
+    same parameters; count() drives the full candidate plan."""
+    from dbitool_spark import catalog
+    from dbitool_spark.ops import dedup
+
+    def minhash(spark, d):
+        docs = catalog.load(spark, d, "documents")
+        return dedup.minhash_near_dup_pairs(docs, "doc_id", "text")
+
+    def ngram(spark, d):
+        docs = catalog.load(spark, d, "documents")
+        return dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+
+    def simhash(spark, d):
+        docs = catalog.load(spark, d, "documents")
+        return dedup.simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+
+    return {
+        "minhash_near_dup_pairs": minhash,
+        "ngram_jaccard_pairs": ngram,
+        "simhash_candidates": simhash,
+    }
+
+
+def _scaling_gate(spark, repo_dir: str, runs: int = 2) -> None:
+    """Time each near-dup generator at both SFs, write the sidecar,
+    warn red entries to stderr. Stdout stays the single JSON line."""
+    results: dict[str, dict] = {}
+    red: list[str] = []
+    for name, fn in _scaling_ops().items():
+        per_sf: dict[str, float] = {}
+        for sf_dir in (SCALING_SF_SMALL, SCALING_SF_BIG):
+            fn(spark, sf_dir).count()  # warm-up
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            per_sf[os.path.basename(sf_dir)] = round(statistics.median(samples), 4)
+            gc.collect()
+        ratio = round(per_sf["sf0.1"] / per_sf["sf0.01"], 3)
+        results[name] = {**per_sf, "ratio": ratio}
+        if ratio > SCALING_RED_RATIO:
+            red.append(name)
+            print(
+                f"SCALING RED {name}: {ratio}x for 10x rows "
+                f"(threshold {SCALING_RED_RATIO}x)",
+                file=sys.stderr,
+            )
+    sidecar = {
+        "rows_ratio": 10.0,
+        "red_threshold_ratio": SCALING_RED_RATIO,
+        "runs_per_point": runs,
+        "ops": results,
+        "red": red,
+    }
+    try:
+        with open(os.path.join(repo_dir, "BENCH_scaling.json"), "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+    except OSError as exc:
+        print(f"WARN: could not write BENCH_scaling.json: {exc}", file=sys.stderr)
+
 
 def _load_prev_bench(repo_dir: str, sf: float | None) -> tuple[str, dict] | None:
     """Previous run's per-query timings at the same sf.
@@ -182,6 +257,9 @@ def main() -> int:
                 f"({prev_data['queries'][n]}s -> {timings[n]}s)",
                 file=sys.stderr,
             )
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        _scaling_gate(spark, repo_dir)
 
     print(json.dumps(result))
     return 0
