@@ -335,6 +335,81 @@ def ngram_jaccard_pairs(
     return materialize_release(result, sh)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.9,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """EXACT asymmetric n-gram containment pairs: C(A->B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the Broder
+    containment measure. This catches the subset-duplicates Jaccard
+    structurally misses: a short document quoted whole inside a long
+    one has jaccard ~ |A|/|B| (arbitrarily small) but containment 1.0.
+    Returns ORDERED (id_a, id_b, containment) with id_a != id_b and
+    containment >= threshold; both directions are evaluated.
+
+    Scale shape (100 TB): the prefix filter applies on the CONTAINED
+    side only — C(A->B) >= t forces overlap >= ceil(t*|A|), so by the
+    prefix lemma A's rarest |A| - ceil(t*|A|) + 1 shingles must
+    intersect B's FULL shingle set; B admits no prefix bound (the
+    shared shingles may sit anywhere in B's frequency order). The join
+    is therefore prefix(A) x full-index(B) keyed on the shingle — the
+    asymmetric Vernica/Carey/Li construction — with the one valid
+    length prune |B| >= t*|A| (B must hold the overlap), then exact
+    verification on the persisted per-doc arrays. Fan-out is
+    sum_s(prefix_df_s * df_s): strictly below the symmetric join's
+    sum(df^2) because rarest-first prefixes exclude stop-shingles
+    from the probe side. Same epsilon discipline as
+    ngram_jaccard_pairs: rounding may only lengthen prefixes / loosen
+    prunes; the exact containment filter decides membership.
+    `hash_shingles` as in ngram_jaccard_pairs (xxhash64 longs
+    end-to-end, ~2^-65 pairwise collision odds)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    if hash_shingles:
+        sh = sh.withColumn("sh", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+    sh = sh.persist()
+    ix = sh.select("id", "n", F.explode("sh").alias("shingle"))
+    t = F.lit(threshold)
+    freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix_len = F.col("n") - F.ceil(t * F.col("n") - F.lit(1e-9)) + 1
+    pref_a = (
+        ix.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
+    )
+    full_b = ix.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
+    cand = (
+        pref_a.join(full_b, "shingle")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("nb") >= t * F.col("na") - F.lit(1e-9))
+        )
+        .select("id_a", "na", "id_b")
+        .distinct()
+    )
+    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    result = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.col("na"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    return materialize_release(result, sh)
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, shingle_k: int = 3
 ) -> DataFrame:

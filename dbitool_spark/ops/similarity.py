@@ -307,6 +307,90 @@ def ivf_topk(
     )
 
 
+def kmeans_distributed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """DISTRIBUTED Lloyd's k-means over an embedding column — the
+    iterative-algorithm family (unlike _lloyd_kmeans above, which
+    trains on a bounded driver sample for IVF, this assigns and
+    updates over the FULL corpus).
+
+    Per iteration:
+    - assignment: the k centroids (a k-row DataFrame built driver-side
+      — k*dim doubles, the documented bounded edge of every k-means
+      implementation) cross-join the vectors; Spark picks
+      BroadcastNestedLoopJoin from the 8-row side on its own, so the
+      corpus never shuffles. Squared-L2 via zip_with/aggregate in
+      double; argmin = one per-vector window ordered (dist, cid) for
+      deterministic ties.
+    - update: posexplode to (cid, dim_idx, x) -> groupBy(cid, idx)
+      avg — ONE shuffle of corpus*dim rows with map-side partial
+      aggregation, the canonical MLlib shape; the k*dim result
+      collects to rebuild the centroid table. Empty clusters keep
+      their previous centroid (deterministic; matches the oracle's
+      COALESCE).
+
+    Deterministic end to end: seeds are the k smallest ids, no RNG —
+    so the whole 2-iteration run is exactly SQL-expressible and the
+    DuckDB oracle (plans/llm_ops.KMEANS_EMBEDDINGS_SQL) unrolls it.
+    Returns final (cluster_id, n_vecs, inertia) per non-empty cluster.
+    """
+    spark = df.sparkSession
+    vec = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = vec.orderBy("vec_id").limit(k).collect()
+    dim = len(seeds[0].v)
+    cents: list[tuple[int, list[float]]] = [(i, list(r.v)) for i, r in enumerate(seeds)]
+
+    sq_dist = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        return (
+            vec.crossJoin(cdf)
+            .withColumn("d", sq_dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d", "v")
+        )
+
+    schema = "cid int, c array<double>"
+    for _ in range(iters):
+        a = assign(spark.createDataFrame(cents, schema))
+        upd = (
+            a.select("cid", F.posexplode("v").alias("idx", "x"))
+            .groupBy("cid", "idx")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cid.setdefault(r.cid, {})[r.idx] = r.m
+        cents = [
+            (cid, [by_cid[cid][p] for p in range(dim)] if cid in by_cid else old)
+            for cid, old in cents
+        ]
+    final = assign(spark.createDataFrame(cents, schema))
+    return (
+        final.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("d"), 4).alias("inertia_r"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

@@ -1308,6 +1308,123 @@ ORDER BY c.vec_id
 """
 
 
+def ngram_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (dedup.ngram_containment_pairs)
+    over the perturbed corpus at threshold 0.9. The construction makes
+    this provably non-vacuous in ONE direction only: the truncated
+    copy's shingles are (almost) all present in its original —
+    containment(copy -> orig) ~ 1 — while the reverse direction is
+    |copy ∩ orig| / |orig| < 1 and usually below threshold. Catching
+    exactly those asymmetric pairs is what Jaccard-based entries
+    cannot do; the oracle is honest brute force over ordered pairs.
+    Containment is rounded to 1e-6 (exact integer ratio in both
+    engines; rounding only normalizes double formatting)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_containment_pairs(
+        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.9
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment_r")
+    ).orderBy("id_a", "id_b")
+
+
+NGRAM_CONTAINMENT_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
+         array_to_string(ws[1:len(ws) - 1], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
+),
+shn AS (SELECT doc_id, s, len(s) AS n FROM sh),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS li, a.n AS na
+  FROM shn a JOIN shn b ON a.doc_id != b.doc_id
+)
+SELECT id_a, id_b, round(CAST(li AS DOUBLE) / na, 6) AS containment_r
+FROM cand
+WHERE CAST(li AS DOUBLE) / na >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+# --- distributed iterative clustering ---------------------------------
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (ops.similarity.kmeans_distributed)
+    over the full embeddings table: k=8 centroids seeded from the 8
+    smallest vec_ids, 2 iterations, squared-L2 in double. The first
+    ITERATIVE algorithm in the registry with an EXACT oracle: the
+    whole run is deterministic (no RNG, explicit tie-breaks), so the
+    DuckDB oracle unrolls both iterations as chained CTEs — a hash
+    match proves assignment (argmin + tie order), the per-dimension
+    mean update, the empty-cluster rule, and the final inertia, across
+    two full rounds of the loop."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_distributed(
+        emb, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+
+
+def _kmeans_round(i: int, prev: str) -> str:
+    """One unrolled Lloyd iteration as oracle CTEs: assignment against
+    `prev`, per-dim means, COALESCE keeps empty clusters' centroids."""
+    return f"""
+s{i} AS (
+  SELECT v.vec_id, c.cid, power(list_distance(v.v, c.c), 2) AS d, v.v
+  FROM v CROSS JOIN {prev} c
+),
+a{i} AS (
+  SELECT vec_id, cid, d, v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM s{i}
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, idx, avg(x) AS m FROM (
+    SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS x FROM a{i}
+  ) GROUP BY cid, idx
+),
+c{i} AS (
+  SELECT p.cid, COALESCE(lm.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY idx) AS c FROM m{i} GROUP BY cid
+  ) lm USING (cid)
+)"""
+
+
+KMEANS_EMBEDDINGS_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM v ORDER BY vec_id LIMIT {_KMEANS_K}
+),{_kmeans_round(1, "c0")},{_kmeans_round(2, "c1")},
+sf AS (
+  SELECT v.vec_id, c.cid, power(list_distance(v.v, c.c), 2) AS d
+  FROM v CROSS JOIN c2 c
+),
+af AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM sf
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_vecs, round(SUM(d), 4) AS inertia_r
+FROM af GROUP BY cid ORDER BY cluster_id
+"""
+
+
 # --- real-container media decode verification -------------------------
 
 

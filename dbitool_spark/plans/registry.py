@@ -71,6 +71,12 @@ register(
     pipeline_ops.curation_pipeline_documents,
     pipeline_ops.CURATION_PIPELINE_SQL,
 )
+register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
+register(
+    "ngram_containment_documents",
+    llm_ops.ngram_containment_documents,
+    llm_ops.NGRAM_CONTAINMENT_SQL,
+)
 
 # --- plans changed in round 7 (re-verify) ----------------------------
 # media: synthesis + oracle gained the PNG branch (id % 3 routing);
@@ -194,16 +200,16 @@ register(
     format_io.XLSX_ROUNDTRIP_NATION_SQL,
 )
 
-# ===================== driver-window boundary (50) ====================
-# Everything below was driver-green in r6 (one or more rounds) and is
-# unchanged this round; full pytest oracle-parity coverage continues
-# every round regardless of position.
-
 register(
     "token_count_bpe_documents",
     llm_ops.token_count_bpe_documents,
     llm_ops.TOKEN_COUNT_BPE_SQL,
 )
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r6 (one or more rounds) and is
+# unchanged this round; full pytest oracle-parity coverage continues
+# every round regardless of position.
+
 register(
     "ngram_repetition_documents",
     llm_ops.ngram_repetition_documents,

@@ -562,3 +562,18 @@ def test_connected_components_star_handles_high_diameter(spark):
     got_flood = sorted(map(tuple, dedup.connected_components(
         df, local_edge_threshold=None).collect()))
     assert got_star == got_uf == got_flood
+
+
+def test_kmeans_distributed_empty_cluster_rule(spark):
+    """Duplicate seeds force an empty cluster in iteration 1 (all
+    ties break to the lower cid, so c1 gets no members): the
+    empty-cluster rule keeps c1's previous centroid [0,0], which then
+    RECAPTURES the zero vectors in the final assignment after c0's
+    mean moved to [1/3, 1/3] — exactly the keep-previous semantics the
+    oracle's COALESCE encodes."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = similarity.kmeans_distributed(df, "vec_id", "embedding", k=2, iters=1).collect()
+    assert [(r.cluster_id, r.n_vecs) for r in out] == [(0, 1), (1, 2)]
