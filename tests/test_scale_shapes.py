@@ -263,3 +263,47 @@ def test_top_revenue_suppliers_window_after_aggregate(spark):
     # ABOVE (before) the per-supplier HashAggregate feeding it
     tree = plan.split("(1) ")[0]
     assert 0 < tree.find("Window") < tree.find("HashAggregate"), tree
+
+
+def test_kmeans_assignment_broadcasts_centroid_side(spark):
+    """The k-means assignment cross-join must resolve to a broadcast
+    nested-loop from the 8-row centroid side — the corpus side never
+    shuffles for assignment (the scale contract of Lloyd's on Spark)."""
+    from dbitool_spark.plans.llm_ops import kmeans_embeddings
+
+    plan = _plan(kmeans_embeddings(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_containment_asymmetry(spark):
+    """The semantic claim behind the operator: a short doc fully
+    quoted inside a long one scores containment 1.0 in the contained
+    direction while the reverse stays below threshold — and Jaccard
+    at the same threshold would catch NEITHER direction. (The op's
+    result is checkpointed, so the plan shape is pinned by its cost
+    profile in BENCH_scaling-adjacent timings, not by explain().)"""
+    from dbitool_spark.ops.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.containment, 6)
+        for r in ngram_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert jac == []  # symmetric jaccard is blind to this pair
+
+
+def test_curation_pipeline_prunes_columns(spark):
+    """The five-stage composition still reads only the columns it
+    needs from every documents scan (pruning survives composition)."""
+    from dbitool_spark.plans.pipeline_ops import curation_pipeline_documents
+
+    plan = _plan(curation_pipeline_documents(spark, SF_SMOKE))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("n_chars" not in l and "lang" not in l for l in read)
+    assert "CartesianProduct" not in plan
