@@ -101,7 +101,7 @@ def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         quote=a.get("quote", '"'),
         escape=a.get("escape", "\\"),
         header=_flag(a, "header"),
-        schema=a.get("schema"),
+        schema=p._quarantine_schema(a),
         infer=_flag(a, "infer", False),
         permissive_corrupt_col="_corrupt_record" if _flag(a, "quarantine", False) else None,
     )
@@ -115,7 +115,7 @@ def _ndjsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     df = json_io.read_ndjson(
         p.spark,
         a["in"],
-        schema=a.get("schema"),
+        schema=p._quarantine_schema(a),
         permissive_corrupt_col="_corrupt_record" if _flag(a, "quarantine", False) else None,
     )
     return p._apply_quarantine(df, a, "ndjsonread")
@@ -525,6 +525,24 @@ class Pipeline:
         self._counter = 0
         self._observations: dict[str, object] = {}
         self._with_sinks = False
+
+    @staticmethod
+    def _quarantine_schema(a: dict) -> str | None:
+        """quarantine=1 sources need an explicit schema carrying the
+        corrupt column (Spark only materializes _corrupt_record when
+        it is in the schema); append it if the user's schema lacks it,
+        and fail fast if no schema was given at all."""
+        if not _flag(a, "quarantine", False):
+            return a.get("schema")
+        schema = a.get("schema")
+        if schema is None:
+            raise ValueError(
+                "quarantine=1 requires an explicit schema= (PERMISSIVE "
+                "corrupt-record capture needs a declared schema)"
+            )
+        if "_corrupt_record" not in schema:
+            schema = schema.rstrip() + ", _corrupt_record string"
+        return schema
 
     def _apply_quarantine(self, df: DataFrame, a: dict, mod: str) -> DataFrame:
         """quarantine=1 sources: split malformed rows into the error

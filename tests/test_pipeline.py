@@ -318,11 +318,17 @@ def test_pipeline_knobs_thread_into_modules(spark, tmp_path):
     with _pytest.raises(ErrorSizeExceeded):
         p.stream("rows").collect()
 
-    # errorsize above the corrupt count -> good rows flow through
+    # errorsize above the corrupt count -> good rows flow through;
+    # the corrupt column is auto-appended to a schema that lacks it
     p2 = Pipeline(spark, errorsize=10)
-    p2.add(f"ndjsonread:in={src}:quarantine=1:schema={schema}", out="rows")
+    p2.add(f"ndjsonread:in={src}:quarantine=1:schema=a bigint", out="rows")
     got = sorted(r.a for r in p2.stream("rows").collect())
     assert got == [1, 2]
+
+    # quarantine without any schema is an explicit error, not a no-op
+    p2b = Pipeline(spark)
+    with _pytest.raises(ValueError, match="quarantine=1 requires"):
+        p2b.add(f"ndjsonread:in={src}:quarantine=1", out="rows").stream("rows")
 
     # memorylimit threads into bounded sinks: jsonwrite past the cap aborts
     from dbitool_spark import testrow
