@@ -77,10 +77,15 @@ def _scaling_ops():
         docs = catalog.load(spark, d, "documents")
         return dedup.simhash_candidates(docs, "doc_id", "text", max_hamming=3)
 
+    def containment(spark, d):
+        docs = catalog.load(spark, d, "documents")
+        return dedup.ngram_containment_pairs(docs, "doc_id", "text")
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
         "simhash_candidates": simhash,
+        "ngram_containment_pairs": containment,
     }
 
 
