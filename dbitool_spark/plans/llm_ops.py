@@ -1425,6 +1425,83 @@ FROM af GROUP BY cid ORDER BY cluster_id
 """
 
 
+_SEM_OUTLIER_COS = 0.0
+
+
+def semantic_outliers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic quality gate across TWO tables — the only entry
+    joining documents with embeddings (1:1 on doc_id = vec_id): per
+    source, the embedding centroid (per-dimension mean), then each
+    document's cosine against its own source's centroid; reports
+    per-source doc counts, outliers (cos < {thr}), and avg/min cosine.
+    This is the curation stage that drops documents semantically
+    off-profile for their source.
+
+    Scale shape: one equi-join on the id (co-partitionable / bucketable
+    at 100 TB), one partial-agg shuffle of corpus*dim rows for the
+    centroids (result is sources x dim — tiny, AQE broadcasts it back),
+    then a pure projection for the cosine and one final small agg.
+    No driver-side data movement at all. Cosines are compared raw
+    against the threshold and only the REPORTED aggregates are rounded
+    (1e-4): centroid means differ between engines only by summation
+    order (~1e-15 relative)."""
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    j = docs.join(emb, "doc_id")
+    cent = (
+        j.select("source", F.posexplode("v").alias("idx", "x"))
+        .groupBy("source", "idx")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("pm"))
+        .select("source", F.transform("pm", lambda s: s["m"]).alias("c"))
+    )
+    scored = j.join(cent, "source").withColumn(
+        "cos", similarity.cosine(F.col("v"), F.col("c"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("cos") < _SEM_OUTLIER_COS).cast("long")).alias("n_outliers"),
+            F.round(F.avg("cos"), 4).alias("avg_cos_r"),
+            F.round(F.min("cos"), 4).alias("min_cos_r"),
+        )
+        .orderBy("source")
+    )
+
+
+semantic_outliers_documents.__doc__ = semantic_outliers_documents.__doc__.format(
+    thr=_SEM_OUTLIER_COS
+)
+
+
+SEMANTIC_OUTLIERS_SQL = f"""
+WITH j AS (
+  SELECT d.doc_id, d.source, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+cx AS (
+  SELECT source, idx, avg(x) AS m FROM (
+    SELECT source, generate_subscripts(v, 1) AS idx, unnest(v) AS x FROM j
+  ) GROUP BY source, idx
+),
+cent AS (SELECT source, list(m ORDER BY idx) AS c FROM cx GROUP BY source),
+scored AS (
+  SELECT j.source, list_cosine_similarity(j.v, cent.c) AS cos
+  FROM j JOIN cent USING (source)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cos < {_SEM_OUTLIER_COS} THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(avg(cos), 4) AS avg_cos_r,
+       round(min(cos), 4) AS min_cos_r
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 # --- real-container media decode verification -------------------------
 
 

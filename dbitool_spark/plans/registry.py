@@ -77,6 +77,16 @@ register(
     llm_ops.ngram_containment_documents,
     llm_ops.NGRAM_CONTAINMENT_SQL,
 )
+register(
+    "streaming_decontaminate_documents",
+    state_ops.streaming_decontaminate_documents,
+    state_ops.STREAMING_DECONTAMINATE_SQL,
+)
+register(
+    "semantic_outliers_documents",
+    llm_ops.semantic_outliers_documents,
+    llm_ops.SEMANTIC_OUTLIERS_SQL,
+)
 
 # --- plans changed in round 7 (re-verify) ----------------------------
 # media: synthesis + oracle gained the PNG branch (id % 3 routing);
@@ -194,22 +204,22 @@ register(
     relational.dormant_rich_customers,
     relational.DORMANT_RICH_SQL,
 )
-register(
-    "xlsx_roundtrip_nation",
-    format_io.xlsx_roundtrip_nation,
-    format_io.XLSX_ROUNDTRIP_NATION_SQL,
-)
 
-register(
-    "token_count_bpe_documents",
-    llm_ops.token_count_bpe_documents,
-    llm_ops.TOKEN_COUNT_BPE_SQL,
-)
 # ===================== driver-window boundary (50) ====================
 # Everything below was driver-green in r6 (one or more rounds) and is
 # unchanged this round; full pytest oracle-parity coverage continues
 # every round regardless of position.
 
+register(
+    "xlsx_roundtrip_nation",
+    format_io.xlsx_roundtrip_nation,
+    format_io.XLSX_ROUNDTRIP_NATION_SQL,
+)
+register(
+    "token_count_bpe_documents",
+    llm_ops.token_count_bpe_documents,
+    llm_ops.TOKEN_COUNT_BPE_SQL,
+)
 register(
     "ngram_repetition_documents",
     llm_ops.ngram_repetition_documents,

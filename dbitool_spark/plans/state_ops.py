@@ -168,6 +168,74 @@ SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
 """
 
 
+def streaming_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join made driver-visible — the last pytest-only
+    streaming operator: documents re-published as NDJSON and replayed
+    as a file stream, filtered against the STATIC benchmark gram set
+    (the same held-out construction as the batch decontaminate entry:
+    every doc_id % BENCH_MOD == 0 contributes its text minus the last
+    word) via streaming.stream_static_filter_contaminated — the
+    benchmark collapses to one broadcast row and arrays_overlap
+    decides membership per streaming row, stateless. Membership is a
+    pure function of the document text, so the result is invariant to
+    micro-batch order and hash-matches the batch anti-join oracle,
+    proving the stream-static plan (static-side reuse across
+    triggers, per-batch filter, drain) reaches the batch answer."""
+    import uuid
+
+    from dbitool_spark import streaming
+    from dbitool_spark.io import json_io
+    from dbitool_spark.ops.dedup import shingles
+    from dbitool_spark.plans.pipeline_ops import BENCH_MOD, DECONTAM_NGRAM
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_decon_"):
+            spark.catalog.dropTempView(t.name)
+
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench_grams = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"))
+        .select(F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram"))
+        .distinct()
+    )
+    src = os.path.join(_scratch_dir("stream_decon", sf_dir), "docs_ndjson")
+    json_io.write_ndjson(docs, src)
+    stream = streaming.stream_ndjson(
+        spark, src, "doc_id bigint, text string, source string",
+        max_files_per_trigger=4,
+    )
+    clean = streaming.stream_static_filter_contaminated(
+        stream, bench_grams, "text", ngram=DECONTAM_NGRAM
+    )
+    name = f"stream_decon_{uuid.uuid4().hex[:8]}"
+    streaming.drain_to_memory(clean, name, output_mode="append")
+    return spark.table(name).select("doc_id", "source").orderBy("doc_id")
+
+
+def _streaming_decontaminate_sql() -> str:
+    """Oracle shares the batch decontaminate CTEs (same gram builder
+    constant) — survivors instead of overlap counts."""
+    from dbitool_spark.plans.pipeline_ops import _DUCK_GRAMS, BENCH_MOD
+
+    return rf"""
+WITH aw AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+),
+bw AS (SELECT w[1:len(w) - 1] AS w FROM aw WHERE doc_id % {BENCH_MOD} = 0),
+bench AS (SELECT DISTINCT unnest({_DUCK_GRAMS}) AS gram FROM bw),
+g AS (SELECT doc_id, unnest({_DUCK_GRAMS}) AS gram FROM aw),
+contaminated AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram))
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY d.doc_id
+"""
+
+
+STREAMING_DECONTAMINATE_SQL = _streaming_decontaminate_sql()
+
+
 def streaming_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap sessionization made driver-visible: events
     re-published as NDJSON, consumed as a file-watch stream, grouped
