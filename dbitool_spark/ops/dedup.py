@@ -343,6 +343,7 @@ def ngram_containment_pairs(
     shingle_k: int = 3,
     threshold: float = 0.9,
     hash_shingles: bool = True,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT asymmetric n-gram containment pairs: C(A->B) =
     |shingles(A) ∩ shingles(B)| / |shingles(A)| — the Broder
@@ -367,7 +368,17 @@ def ngram_containment_pairs(
     ngram_jaccard_pairs: rounding may only lengthen prefixes / loosen
     prunes; the exact containment filter decides membership.
     `hash_shingles` as in ngram_jaccard_pairs (xxhash64 longs
-    end-to-end, ~2^-65 pairwise collision odds)."""
+    end-to-end, ~2^-65 pairwise collision odds).
+
+    `max_doc_freq` is the skew guard with the SAME contract as
+    ngram_jaccard_pairs': shingles appearing in more than that many
+    docs are dropped from the B-side index (the full-index side is
+    where a stop-shingle's fan-out lives here — prefix_df_s * df_s
+    explodes through df_s). Approximate by design: a pair whose entire
+    overlap is capped shingles generates no candidate, and the
+    verification still counts ALL shared shingles for survivors (the
+    guard bounds candidate generation, not the reported value).
+    OFF by default for exactness."""
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
     ).withColumn("n", F.size("sh"))
@@ -386,6 +397,10 @@ def ngram_containment_pairs(
         .select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
     )
     full_b = ix.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
+    if max_doc_freq is not None:
+        full_b = full_b.join(
+            freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+        )
     cand = (
         pref_a.join(full_b, "shingle")
         .filter(

@@ -22,6 +22,12 @@ NO entry goes more than 2 rounds without a driver row — tail entries
 rotate back toward the front on that clock, and this ordering is
 documented here precisely so the independent verifier can audit what
 rotated out and why rather than discovering it.
+
+CAPACITY NOTE (r7): a 50-entry window on a 2-round clock saturates at
+100 registered entries (50 per round x 2 rounds). At 93 entries the
+registry has ~7 slots of headroom — prefer deepening existing entries
+(harder oracles, composition, scale gates) over net-new registrations
+unless an entry is retired in exchange.
 """
 
 from __future__ import annotations

@@ -577,3 +577,73 @@ def test_kmeans_distributed_empty_cluster_rule(spark):
     )
     out = similarity.kmeans_distributed(df, "vec_id", "embedding", k=2, iters=1).collect()
     assert [(r.cluster_id, r.n_vecs) for r in out] == [(0, 1), (1, 2)]
+
+
+def test_ngram_containment_skew_guard(spark):
+    """max_doc_freq with a cap above every frequency equals the exact
+    path; cap=0 drops every shingle from the index so no candidates
+    survive (the guard bounds candidate generation only)."""
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    exact = sorted(
+        map(tuple, dedup.ngram_containment_pairs(docs, "doc_id", "text",
+                                                 threshold=0.5).collect())
+    )
+    loose = sorted(
+        map(tuple, dedup.ngram_containment_pairs(docs, "doc_id", "text",
+                                                 threshold=0.5,
+                                                 max_doc_freq=10**9).collect())
+    )
+    assert exact == loose and exact  # non-vacuous at threshold 0.5
+    assert dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_doc_freq=0
+    ).count() == 0
+
+
+def test_png_synth_decode_property(spark):
+    """Property over many ids: the synthesized PNG is a VALID container
+    (zlib inflate of IDAT reproduces the filter-0 scanlines at the
+    declared dims) and the IHDR decoder recovers the closed-form
+    width/height."""
+    import struct
+    import zlib
+
+    from dbitool_spark.ops import multimodal as m
+
+    for mid in range(40):
+        png = m._synth_png(mid)
+        w_exp, h_exp = 4 + mid % 13, 4 + mid % 11
+        assert m._decode_one("image", png)[:2] == (w_exp, h_exp)
+        # container validity: walk chunks, inflate IDAT, check geometry
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        i, idat = 8, b""
+        while i < len(png):
+            (ln,) = struct.unpack_from(">I", png, i)
+            tag = png[i + 4:i + 8]
+            body = png[i + 8:i + 8 + ln]
+            (crc,) = struct.unpack_from(">I", png, i + 8 + ln)
+            assert crc == zlib.crc32(tag + body)
+            if tag == b"IDAT":
+                idat += body
+            i += 12 + ln
+        raw = zlib.decompress(idat)
+        assert len(raw) == h_exp * (1 + 3 * w_exp)
+        assert all(raw[r * (1 + 3 * w_exp)] == 0 for r in range(h_exp))
+
+
+def test_star_cc_random_graphs_match_union_find(spark):
+    """Randomized cross-check beyond the fixed-seed case: star labels
+    equal union-find labels on graphs of varying density, including
+    ones with multiple components and self-contained stars."""
+    import random
+
+    for seed, n_nodes, n_edges in [(11, 60, 30), (13, 80, 200), (17, 40, 39)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        star = sorted(map(tuple, dedup.connected_components(
+            df, local_edge_threshold=None, algorithm="star").collect()))
+        uf = sorted(map(tuple, dedup.connected_components(df).collect()))
+        assert star == uf, f"seed {seed}"
