@@ -12,16 +12,19 @@ memory — bounds the working set.
 Codec status (honest tiers):
 - REAL, stdlib-only: WAV container decode (`wave` module — channels,
   sample rate, frame count, exact duration), BMP header decode
-  (BITMAPINFOHEADER width/height/bpp), and PNG / JPEG dimension
-  parsing (IHDR chunk / SOF marker scan) — the published container
-  formats, no external library needed. `_try_real_decode` routes
-  these by magic bytes.
-- STUBBED: full pixel/sample decode of compressed formats (JPEG
-  entropy decode, video codecs) requires libraries this container
-  does not ship; those fall through to the deterministic fake keyed
-  on the content digest. Everything Spark-side — schema, batch
-  iteration, UDF signature, partition behavior — is identical in both
-  tiers; swapping the fake for PIL/ffmpeg is a one-function change.
+  (BITMAPCOREHEADER/BITMAPINFOHEADER width/height/bpp), FULL PNG
+  pixel decode for 8-bit non-interlaced images (chunk CRC walk, zlib
+  inflate, all five scanline filters, per-channel pixel means —
+  _decode_png), and JPEG dimension parsing (SOF marker scan) — the
+  published formats, no external library needed. `_try_real_decode`
+  routes these by magic bytes.
+- STUBBED: entropy-coded formats (JPEG pixels, video codecs) require
+  libraries this container does not ship; those fall through to the
+  deterministic fake keyed on the content digest. Palette/interlaced/
+  16-bit PNGs degrade to header-only decode (dims still real).
+  Everything Spark-side — schema, batch iteration, UDF signature,
+  partition behavior — is identical in both tiers; swapping the fake
+  for PIL/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
@@ -128,12 +131,93 @@ def _decode_bmp(content: bytes) -> tuple[int, int, int, list[float]] | None:
     return None
 
 
-def _decode_png_dims(content: bytes) -> tuple[int, int, int, list[float]]:
-    """PNG IHDR parse (public PNG spec): width/height big-endian at
-    bytes 16..24, bit depth + color type following."""
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9, filter types 0-4:
+    None/Sub/Up/Average/Paeth). `raw` is the inflated IDAT stream —
+    each scanline is one filter byte + width*bpp sample bytes; output
+    is the defiltered pixel bytes."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    prev_start = -1
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        o = y * stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            if prev_start >= 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev_start + i] if prev_start >= 0 else 0
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev_start + i] if prev_start >= 0 else 0
+                c = out[prev_start + i - bpp] if (prev_start >= 0 and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[o : o + stride] = line
+        prev_start = o
+    return out
+
+
+# channels per PNG color type (8-bit, non-interlaced path)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(content: bytes) -> tuple[int, int, int, list[float]]:
+    """FULL PNG decode for 8-bit non-interlaced images, pure stdlib
+    (public PNG spec): chunk walk with CRC-32 verification, zlib
+    inflate of the IDAT stream, scanline unfiltering (all five filter
+    types), then per-channel pixel means as the feature —
+    [bit_depth, color_type, mean_ch0, mean_ch1, ...]. Palette,
+    interlaced, and 16-bit images fall back to the IHDR dimensions
+    with the header-only feature (still real parsing, just not pixel
+    decode)."""
+    import zlib
+
     width, height = struct.unpack_from(">II", content, 16)
-    bit_depth, color_type = content[24], content[25]
-    return width, height, 0, [float(bit_depth), float(color_type)]
+    bit_depth, color_type, _comp, _filt, interlace = content[24:29]
+    header_feature = [float(bit_depth), float(color_type)]
+    channels = _PNG_CHANNELS.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        return width, height, 0, header_feature
+    i, idat = 8, bytearray()
+    try:
+        while i + 8 <= len(content):
+            (ln,) = struct.unpack_from(">I", content, i)
+            tag = content[i + 4 : i + 8]
+            body = content[i + 8 : i + 8 + ln]
+            (crc,) = struct.unpack_from(">I", content, i + 8 + ln)
+            if crc != zlib.crc32(tag + body):
+                return width, height, 0, header_feature
+            if tag == b"IDAT":
+                idat += body
+            if tag == b"IEND":
+                break
+            i += 12 + ln
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != height * (1 + width * channels):
+            return width, height, 0, header_feature
+        pixels = _png_unfilter(raw, width, height, channels)
+    except (zlib.error, ValueError, IndexError):
+        return width, height, 0, header_feature
+    n = width * height
+    means = [
+        round(sum(pixels[c::channels]) / n, 6) if n else 0.0
+        for c in range(channels)
+    ]
+    return width, height, 0, header_feature + means
 
 
 def _decode_jpeg_dims(content: bytes) -> tuple[int, int, int, list[float]] | None:
@@ -169,7 +253,7 @@ def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None
         if content[:2] == b"BM":
             return _decode_bmp(content)
         if content[:8] == b"\x89PNG\r\n\x1a\n":
-            return _decode_png_dims(content)
+            return _decode_png(content)
         if content[:2] == b"\xff\xd8":
             return _decode_jpeg_dims(content)
     except (wave.Error, struct.error, EOFError, IndexError):

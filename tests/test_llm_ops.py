@@ -647,3 +647,92 @@ def test_star_cc_random_graphs_match_union_find(spark):
             df, local_edge_threshold=None, algorithm="star").collect()))
         uf = sorted(map(tuple, dedup.connected_components(df).collect()))
         assert star == uf, f"seed {seed}"
+
+
+def _encode_png(pixels: bytes, width: int, height: int, channels: int,
+                filters: list[int]) -> bytes:
+    """Test-side PNG encoder applying the GIVEN filter type per
+    scanline (spec §9 forward direction), so the decoder's unfilter
+    path is exercised on all five types."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        f = filters[y % len(filters)]
+        line = bytearray(pixels[y * stride:(y + 1) * stride])
+        prev = pixels[(y - 1) * stride: y * stride] if y else bytes(stride)
+        enc = bytearray(line)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - (a + b) // 2) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_full_pixel_decode_all_filters():
+    """The stdlib PNG decoder recovers exact per-channel pixel means
+    through every filter type (None/Sub/Up/Average/Paeth) and both RGB
+    and grayscale; a corrupted chunk CRC degrades to header-only."""
+    import random
+    import struct
+
+    from dbitool_spark.ops import multimodal as m
+
+    rng = random.Random(42)
+    for channels in (1, 3):
+        w, h = 13, 9
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            png = _encode_png(pixels, w, h, channels, filters)
+            gw, gh, _, feat = m._decode_one("image", png)
+            assert (gw, gh) == (w, h)
+            n = w * h
+            exp = [round(sum(pixels[c::channels]) / n, 6) for c in range(channels)]
+            assert feat[2:] == exp, f"filters={filters} ch={channels}"
+    # CRC corruption -> header-only feature, dims still real
+    png = bytearray(_encode_png(pixels, 13, 9, 3, [4]))
+    idat_at = png.find(b"IDAT")
+    png[idat_at + 8] ^= 0xFF  # corrupt IDAT body -> CRC mismatch
+    gw, gh, _, feat = m._decode_one("image", bytes(png))
+    assert (gw, gh) == (13, 9) and len(feat) == 2
+
+
+def test_png_pixel_means_through_spark_pipeline(spark):
+    """End to end through mapInPandas: synthesized PNGs' per-channel
+    means match the closed-form scanline construction ((mid + x) % 256
+    repeated per row)."""
+    from dbitool_spark.ops import multimodal as m
+
+    df = spark.createDataFrame([(i,) for i in range(2, 30, 3)], "doc_id bigint")
+    media = m.synthesize_media(df, "doc_id")
+    feats = {r.media_id: r for r in m.extract_media_features(media).collect()
+             if r.media_id % 3 == 2}
+    assert feats
+    for mid, r in feats.items():
+        w = 4 + mid % 13
+        scan = [(mid + x) % 256 for x in range(w * 3)]
+        exp = [round(sum(scan[c::3]) / w, 6) for c in range(3)]
+        got = [round(v, 5) for v in r.feature[2:]]
+        assert got == [round(e, 5) for e in exp], mid
