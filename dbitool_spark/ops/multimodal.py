@@ -10,14 +10,14 @@ partition (never row-at-a-time), and partition sizing — not driver
 memory — bounds the working set.
 
 Codec status (honest tiers):
-- REAL, stdlib-only: WAV container decode (`wave` module — channels,
-  sample rate, frame count, exact duration), BMP header decode
-  (BITMAPCOREHEADER/BITMAPINFOHEADER width/height/bpp), FULL PNG
-  pixel decode for 8-bit non-interlaced images (chunk CRC walk, zlib
-  inflate, all five scanline filters, per-channel pixel means —
-  _decode_png), and JPEG dimension parsing (SOF marker scan) — the
-  published formats, no external library needed. `_try_real_decode`
-  routes these by magic bytes.
+- REAL, stdlib-only: FULL WAV decode (container fields + 16-bit PCM
+  sample stats: mean-abs and RMS via numpy), FULL BMP 24-bit BI_RGB
+  pixel decode (per-channel means; CORE/INFO header variants), FULL
+  PNG pixel decode for 8-bit non-interlaced images (chunk CRC walk,
+  zlib inflate, all five scanline filters, per-channel means —
+  _decode_png), JPEG dimension parsing (SOF marker scan), and GIF
+  logical-screen dimensions — the published formats, no external
+  library needed. `_try_real_decode` routes these by magic bytes.
 - STUBBED: entropy-coded formats (JPEG pixels, video codecs) require
   libraries this container does not ship; those fall through to the
   deterministic fake keyed on the content digest. Palette/interlaced/
@@ -97,12 +97,17 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, list[float]]:
     """REAL WAV decode via the stdlib wave module: duration from the
     container's frame count / sample rate (exact integer ms for the
     rates used in tests), feature = [channels, sampwidth, framerate/
-    1e5, nframes/1e6] — cheap scalar descriptors, no resampling."""
+    1e5, nframes/1e6, mean_abs/32768, rms/32768] — the last two are
+    FULL sample decode (16-bit PCM via numpy int16 view; other sample
+    widths keep the header-only 4-field feature). Mean-abs and RMS are
+    the standard loudness descriptors an audio curation filter keys
+    on (silence / clipping detection)."""
     with wave.open(io.BytesIO(content), "rb") as w:
         channels = w.getnchannels()
         sampwidth = w.getsampwidth()
         rate = w.getframerate()
         nframes = w.getnframes()
+        frames = w.readframes(nframes) if sampwidth == 2 else b""
     duration_ms = nframes * 1000 // rate if rate else 0
     feature = [
         float(channels),
@@ -110,6 +115,12 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, list[float]]:
         round(rate / 1e5, 6),
         round(nframes / 1e6, 6),
     ]
+    if sampwidth == 2 and frames:
+        import numpy as np
+
+        samples = np.frombuffer(frames, dtype="<i2").astype("float64")
+        feature.append(round(float(np.abs(samples).mean()) / 32768.0, 6))
+        feature.append(round(float(np.sqrt((samples**2).mean())) / 32768.0, 6))
     return 0, 0, duration_ms, feature
 
 
@@ -127,7 +138,26 @@ def _decode_bmp(content: bytes) -> tuple[int, int, int, list[float]] | None:
     if dib_size >= 40:
         width, height = struct.unpack_from("<ii", content, 18)
         bpp = struct.unpack_from("<H", content, 28)[0]
-        return width, abs(height), 0, [float(bpp)]
+        compression = struct.unpack_from("<I", content, 30)[0]
+        feature = [float(bpp)]
+        # FULL pixel decode for the uncompressed 24-bit BI_RGB layout:
+        # bottom-up (or top-down if height < 0) rows, 4-byte padded,
+        # BGR order; per-channel means appended as [bpp, mean_b,
+        # mean_g, mean_r]. Other bit depths / compressions keep the
+        # header-only feature.
+        if bpp == 24 and compression == 0 and width > 0 and height != 0:
+            offset = struct.unpack_from("<I", content, 10)[0]
+            h = abs(height)
+            stride = (width * 3 + 3) & ~3
+            if offset + stride * h <= len(content):
+                sums = [0, 0, 0]
+                for y in range(h):
+                    row = content[offset + y * stride : offset + y * stride + width * 3]
+                    for c in range(3):
+                        sums[c] += sum(row[c::3])
+                n = width * h
+                feature += [round(s / n, 6) for s in sums]
+        return width, abs(height), 0, feature
     return None
 
 
@@ -254,6 +284,10 @@ def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None
             return _decode_bmp(content)
         if content[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png(content)
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            # logical screen descriptor (public GIF spec): w/h LE at 6..10
+            width, height = struct.unpack_from("<HH", content, 6)
+            return width, height, 0, [float(content[10] & 0x07) + 1]  # color depth bits
         if content[:2] == b"\xff\xd8":
             return _decode_jpeg_dims(content)
     except (wave.Error, struct.error, EOFError, IndexError):

@@ -433,7 +433,13 @@ def test_real_container_decoders_roundtrip():
         bmp = m._synth_bmp(mid)
         w, h, _, bfeat = m._decode_one("image", bmp)
         assert (w, h) == (8 + mid % 16, 8 + mid % 9)
-        assert bfeat == [24.0]
+        assert bfeat[0] == 24.0
+        # full pixel decode: synth row is BGR (px, 255-px, 7px) per x,
+        # identical every row -> channel means are closed-form
+        row = [((mid + x) % 256, 255 - (mid + x) % 256, ((mid + x) % 256 * 7) % 256)
+               for x in range(w)]
+        exp = [round(sum(p[c] for p in row) / w, 6) for c in range(3)]
+        assert bfeat[1:] == exp
     # PNG IHDR
     ihdr = struct.pack(">II", 321, 123) + bytes([8, 6, 0, 0, 0])
     png = (
@@ -736,3 +742,23 @@ def test_png_pixel_means_through_spark_pipeline(spark):
         exp = [round(sum(scan[c::3]) / w, 6) for c in range(3)]
         got = [round(v, 5) for v in r.feature[2:]]
         assert got == [round(e, 5) for e in exp], mid
+
+
+def test_wav_sample_stats_and_gif_dims():
+    """Full WAV sample decode: the synthesized square wave's mean-abs
+    and RMS equal amplitude/32768 exactly; GIF logical-screen dims
+    parse from both 87a and 89a headers."""
+    import struct
+
+    from dbitool_spark.ops import multimodal as m
+
+    for mid in (0, 6, 12):
+        wav = m._synth_wav(mid)
+        _, _, _, feat = m._decode_one("audio", wav)
+        amp = 1000 + (mid % 7) * 100
+        assert len(feat) == 6
+        assert feat[4] == feat[5] == round(amp / 32768.0, 6)
+    for magic in (b"GIF87a", b"GIF89a"):
+        gif = magic + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
+        w, h, _, feat = m._decode_one("image", gif)
+        assert (w, h) == (320, 200) and feat == [8.0]
