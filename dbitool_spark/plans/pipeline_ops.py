@@ -425,10 +425,16 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = docs.filter(mix_bucket < weight)
     # stage 2: exact dedup — keep the min doc_id per normalized text
     wdup = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    # persisted: two downstream consumers (the gram stream feeding the
+    # contamination join AND the clean anti-join) would otherwise each
+    # recompute the dedup window — the engine's fan-out rule
+    # (pipeline.py reader-counted persist); released via
+    # materialize_release on return
     deduped = (
         mixed.withColumn("rn", F.row_number().over(wdup))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .persist()
     )
     # stage 3: decontamination (decontaminate_documents' bench set,
     # applied as an anti-join filter instead of an audit count)
@@ -466,7 +472,9 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         F.floor((F.sum("n_tokens").over(wpack) - F.col("n_tokens")) / PACK_BUDGET),
     )
-    return (
+    from dbitool_spark.ops.cache import materialize_release
+
+    result = (
         placed.groupBy("bucket", "bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -474,6 +482,7 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "bin")
     )
+    return materialize_release(result, deduped)
 
 
 CURATION_PIPELINE_SQL = rf"""
