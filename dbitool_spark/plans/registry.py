@@ -24,8 +24,8 @@ documented here precisely so the independent verifier can audit what
 rotated out and why rather than discovering it.
 
 CAPACITY NOTE (r7): a 50-entry window on a 2-round clock saturates at
-100 registered entries (50 per round x 2 rounds). At 93 entries the
-registry has ~7 slots of headroom — prefer deepening existing entries
+100 registered entries (50 per round x 2 rounds). At 94 entries the
+registry has ~6 slots of headroom — prefer deepening existing entries
 (harder oracles, composition, scale gates) over net-new registrations
 unless an entry is retired in exchange.
 """
@@ -92,6 +92,11 @@ register(
     "semantic_outliers_documents",
     llm_ops.semantic_outliers_documents,
     llm_ops.SEMANTIC_OUTLIERS_SQL,
+)
+register(
+    "streaming_hourly_append_events",
+    state_ops.streaming_hourly_append_events,
+    state_ops.STREAMING_HOURLY_APPEND_SQL,
 )
 
 # --- plans changed in round 7 (re-verify) ----------------------------
@@ -205,17 +210,17 @@ register(
     relational.customer_order_distribution,
     relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
 )
-register(
-    "dormant_rich_customers",
-    relational.dormant_rich_customers,
-    relational.DORMANT_RICH_SQL,
-)
 
 # ===================== driver-window boundary (50) ====================
 # Everything below was driver-green in r6 (one or more rounds) and is
 # unchanged this round; full pytest oracle-parity coverage continues
 # every round regardless of position.
 
+register(
+    "dormant_rich_customers",
+    relational.dormant_rich_customers,
+    relational.DORMANT_RICH_SQL,
+)
 register(
     "xlsx_roundtrip_nation",
     format_io.xlsx_roundtrip_nation,

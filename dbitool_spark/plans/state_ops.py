@@ -168,6 +168,71 @@ SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
 """
 
 
+def streaming_hourly_append_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming path, driver-visible: tumbling hourly
+    counts in APPEND mode with a real 1-hour watermark (its two
+    complete-mode siblings exist because append withholds still-open
+    windows — this entry embraces that and proves the emission rule
+    instead). With an availableNow drain the final watermark is
+    max(event time) - delay regardless of how files were batched into
+    triggers, so the emitted set is exactly the windows with
+    window_end <= max_ts - 1h — closed-form, order-invariant, and the
+    oracle states it directly. A hash match proves watermark
+    advancement, append-mode finalization (including the trailing
+    no-data batch that flushes the last closable windows), and state
+    eviction — the exactly-once semantics of the production
+    configuration. Boundary note: with max_ts off whole-hour
+    boundaries (true for the event data's microsecond stamps) the
+    <= comparison cannot sit on an exact tie, so engine rounding
+    differences cannot flip membership."""
+    import uuid
+
+    from dbitool_spark import streaming
+    from dbitool_spark.io import json_io
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_append_"):
+            spark.catalog.dropTempView(t.name)
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts_ts").alias("ts")
+    )
+    src = os.path.join(_scratch_dir("stream_append", sf_dir), "events_ndjson")
+    json_io.write_ndjson(ev, src)
+    stream = streaming.stream_ndjson(
+        spark, src, "event_id bigint, event_type string, ts timestamp",
+        max_files_per_trigger=4,
+    )
+    windowed = streaming.windowed_counts(
+        stream, "ts", window="1 hour", watermark="1 hour",
+        group_cols=["event_type"],
+    )
+    name = f"stream_append_{uuid.uuid4().hex[:8]}"
+    streaming.drain_to_memory(windowed, name, output_mode="append")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+STREAMING_HOURLY_APPEND_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(agg.h, '%Y-%m-%d %H:%M:%S') AS hour, agg.event_type, agg.n
+FROM agg, mx
+WHERE agg.h + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+ORDER BY hour, event_type
+"""
+
+
 def streaming_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join made driver-visible — the last pytest-only
     streaming operator: documents re-published as NDJSON and replayed
