@@ -105,7 +105,7 @@ def _scaling_gate(spark, repo_dir: str, runs: int = 2) -> None:
                 samples.append(time.perf_counter() - t0)
             per_sf[os.path.basename(sf_dir)] = round(statistics.median(samples), 4)
             gc.collect()
-        ratio = round(per_sf["sf0.1"] / per_sf["sf0.01"], 3)
+        ratio = round(per_sf["sf0.1"] / max(per_sf["sf0.01"], 1e-6), 3)
         results[name] = {**per_sf, "ratio": ratio}
         if ratio > SCALING_RED_RATIO:
             red.append(name)
@@ -263,8 +263,15 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+    # The gate must never break the single-JSON-line stdout contract
+    # (the exact failure mode this file's docstring documents): any
+    # gate error — missing sf dirs on a foreign sandbox, a Spark
+    # hiccup — degrades to a stderr warning, headline still prints.
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        _scaling_gate(spark, repo_dir)
+        try:
+            _scaling_gate(spark, repo_dir)
+        except Exception as exc:
+            print(f"WARN: scaling gate skipped: {exc}", file=sys.stderr)
 
     print(json.dumps(result))
     return 0

@@ -513,9 +513,17 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
             f"star connected_components did not converge in {max_iter} rounds"
         )
     # stars: every edge is (member u -> center v); centers label themselves
-    return cur.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).unionAll(
+    labels = cur.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).unionAll(
         cur.select(F.col("v").alias("id"), F.col("v").alias("cluster_id")).distinct()
     )
+    # nodes whose only edges were self-loops vanish from the canonical
+    # (u > v) edge set; re-add them as singletons so the output matches
+    # flood/union-find ("every id appearing in a pair")
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    singletons = nodes.join(labels, "id", "left_anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    return labels.unionAll(singletons)
 
 
 def connected_components(

@@ -150,13 +150,18 @@ def _decode_bmp(content: bytes) -> tuple[int, int, int, list[float]] | None:
             h = abs(height)
             stride = (width * 3 + 3) & ~3
             if offset + stride * h <= len(content):
-                sums = [0, 0, 0]
-                for y in range(h):
-                    row = content[offset + y * stride : offset + y * stride + width * 3]
-                    for c in range(3):
-                        sums[c] += sum(row[c::3])
-                n = width * h
-                feature += [round(s / n, 6) for s in sums]
+                import numpy as np
+
+                # vectorized: strided view drops the row padding, then
+                # one C-level mean per channel (the per-row Python loop
+                # was O(3*W*H) interpreted work in the mapInPandas path)
+                px = (
+                    np.frombuffer(content, dtype=np.uint8,
+                                  count=stride * h, offset=offset)
+                    .reshape(h, stride)[:, : width * 3]
+                    .reshape(-1, 3)
+                )
+                feature += [round(float(m), 6) for m in px.mean(axis=0, dtype="float64")]
         return width, abs(height), 0, feature
     return None
 
@@ -240,7 +245,9 @@ def _decode_png(content: bytes) -> tuple[int, int, int, list[float]]:
         if len(raw) != height * (1 + width * channels):
             return width, height, 0, header_feature
         pixels = _png_unfilter(raw, width, height, channels)
-    except (zlib.error, ValueError, IndexError):
+    except (zlib.error, ValueError, IndexError, struct.error):
+        # incl. a chunk truncated mid-walk: keep the already-parsed
+        # IHDR dims (header-only degrade), never the digest fake
         return width, height, 0, header_feature
     n = width * height
     means = [
@@ -290,7 +297,7 @@ def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None
             return width, height, 0, [float(content[10] & 0x07) + 1]  # color depth bits
         if content[:2] == b"\xff\xd8":
             return _decode_jpeg_dims(content)
-    except (wave.Error, struct.error, EOFError, IndexError):
+    except (wave.Error, struct.error, EOFError, IndexError, ValueError):
         return None
     return None
 

@@ -314,6 +314,7 @@ def kmeans_distributed(
     *,
     k: int = 8,
     iters: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """DISTRIBUTED Lloyd's k-means over an embedding column — the
     iterative-algorithm family (unlike _lloyd_kmeans above, which
@@ -341,9 +342,13 @@ def kmeans_distributed(
     Returns final (cluster_id, n_vecs, inertia) per non-empty cluster.
     """
     spark = df.sparkSession
+    # persisted: every iteration reads vec twice (assignment + update)
+    # plus the seed collect and the final assignment — without the
+    # persist each action re-scans and re-casts the source (the
+    # engine's reader-counted fan-out rule); released before return
     vec = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).persist()
     seeds = vec.orderBy("vec_id").limit(k).collect()
     dim = len(seeds[0].v)
     cents: list[tuple[int, list[float]]] = [(i, list(r.v)) for i, r in enumerate(seeds)]
@@ -381,7 +386,7 @@ def kmeans_distributed(
             for cid, old in cents
         ]
     final = assign(spark.createDataFrame(cents, schema))
-    return (
+    result = (
         final.groupBy(F.col("cid").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -389,6 +394,11 @@ def kmeans_distributed(
         )
         .orderBy("cluster_id")
     )
+    if not materialize:
+        # lazy mode for plan inspection (tests): caller owns the
+        # persisted vec lifetime
+        return result
+    return materialize_release(result, vec)
 
 
 def embedding_near_dup_pairs(

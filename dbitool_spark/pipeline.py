@@ -84,6 +84,13 @@ def _fileread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 @register_module("csvread")
 def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     if ins:
+        if _flag(a, "quarantine", False):
+            raise ValueError(
+                "quarantine=1 is only supported on the file-read path; "
+                "the raw-stream parse branch has no PERMISSIVE corrupt "
+                "capture (split the stream with obs.split_quarantine "
+                "after an explicit from_csv instead)"
+            )
         # raw->row boundary: parse an upstream raw line stream
         # (reference `stdin csvread`, scripts/dbitool.pl:3273-3276)
         return csv_io.parse_csv_lines(
@@ -111,6 +118,13 @@ def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 @register_module("ndjsonread")
 def _ndjsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     if ins:
+        if _flag(a, "quarantine", False):
+            raise ValueError(
+                "quarantine=1 is only supported on the file-read path; "
+                "the raw-stream parse branch has no PERMISSIVE corrupt "
+                "capture (split the stream with obs.split_quarantine "
+                "after an explicit from_json instead)"
+            )
         return json_io.parse_ndjson_lines(ins[0], schema=a.get("schema"))
     df = json_io.read_ndjson(
         p.spark,
@@ -548,8 +562,11 @@ class Pipeline:
         """quarantine=1 sources: split malformed rows into the error
         stream and enforce the pipeline's errorsize threshold
         (reference tolerate-N-then-abort, scripts/dbitool.pl:234-243).
-        No-op unless the source was parsed PERMISSIVE."""
-        if "_corrupt_record" not in df.columns:
+        Gated on the REQUEST, not column presence: a user who declares
+        their own _corrupt_record column without quarantine=1 keeps it
+        untouched (Spark's default corrupt-column name would otherwise
+        make us silently drop rows the user asked to see)."""
+        if not _flag(a, "quarantine", False) or "_corrupt_record" not in df.columns:
             return df
         from dbitool_spark.obs import check_errorsize, split_quarantine
 

@@ -69,6 +69,64 @@ def _split_bucket(id_col: str) -> F.Column:
     )
 
 
+def bench_gram_set(docs: DataFrame) -> DataFrame:
+    """The held-out benchmark's distinct word 8-gram set (one `gram`
+    column): every doc with doc_id % BENCH_MOD == 0 contributes its
+    text minus the last word — the shared construction behind
+    decontaminate_documents, the curation pipeline's stage 3, and the
+    stream-static decontamination entry (one definition, three
+    consumers, so they cannot drift)."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"))
+        .select(F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram"))
+        .distinct()
+    )
+
+
+def mix_keep_condition() -> F.Column:
+    """Weighted-mix membership: keep a doc iff its deterministic LCG
+    bucket falls under its source's weight percentage — shared by
+    corpus_mix_weighted (audit) and the curation pipeline (filter)."""
+    src_idx = F.substring(F.col("source"), 4, 10).cast("int")
+    weight = F.element_at(
+        F.array(*[F.lit(w) for w in MIX_WEIGHTS]), src_idx % len(MIX_WEIGHTS) + 1
+    )
+    bucket = (F.col("doc_id") * _MIX_MULT + _MIX_ADD) % 100
+    return bucket < weight
+
+
+def pack_stats(docs: DataFrame) -> DataFrame:
+    """Per-(bucket, bin) sequence-packing fill stats over (doc_id,
+    text) rows — the shared stage behind pack_sequences_documents and
+    the curation pipeline's stage 5 (see pack_sequences_documents for
+    the scale rationale)."""
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    base = docs.select(
+        "doc_id",
+        (_split_bucket("doc_id") % PACK_BUCKETS).alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = base.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return (
+        placed.groupBy("bucket", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("bucket", "bin")
+    )
+
+
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: count, per corpus document, the
     distinct word 8-grams it shares with any document in a held-out
@@ -84,16 +142,7 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops (no UDF); a downstream filter would drop the rows returned
     here."""
     docs = catalog.load(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    bench_docs = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select(
-        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text")
-    )
-    bench = (
-        bench_docs.select(
-            F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
-        )
-        .distinct()
-    )
+    bench = bench_gram_set(docs)
     grams = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
     )
@@ -183,29 +232,7 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on bucket; the window sort is per-bucket, so the plan
     parallelizes by PACK_BUCKETS regardless of corpus size."""
     docs = catalog.load(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    base = docs.select(
-        "doc_id",
-        (_split_bucket("doc_id") % PACK_BUCKETS).alias("bucket"),
-        toks.alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    placed = base.withColumn(
-        "bin",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
-    )
-    return (
-        placed.groupBy("bucket", "bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-        )
-        .orderBy("bucket", "bin")
-    )
+    return pack_stats(docs)
 
 
 PACK_SEQUENCES_SQL = rf"""
@@ -380,8 +407,7 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = F.element_at(
         F.array(*[F.lit(w) for w in MIX_WEIGHTS]), src_idx % len(MIX_WEIGHTS) + 1
     )
-    bucket = (F.col("doc_id") * _MIX_MULT + _MIX_ADD) % 100
-    kept = (bucket < weight).cast("int")
+    kept = mix_keep_condition().cast("int")
     return (
         docs.select("source", weight.alias("weight_pct"), kept.alias("kept"))
         .groupBy("source", "weight_pct")
@@ -394,7 +420,9 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_pipeline_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """End-to-end curation pipeline — the composition no single entry
     exercises: weighted source mix -> exact dedup (keep min doc_id per
     normalized text) -> benchmark decontamination (drop every doc
@@ -413,16 +441,13 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan: the only shuffles are the dedup key, the gram join, and the
     PACK_BUCKETS window — each already pinned by its standalone
     entry."""
-    from dbitool_spark.ops.dedup import shingles as _shingles
-
     docs = catalog.load(spark, sf_dir, "documents")
-    # stage 1: weighted mix (corpus_mix_weighted's membership rule)
-    src_idx = F.substring(F.col("source"), 4, 10).cast("int")
-    weight = F.element_at(
-        F.array(*[F.lit(w) for w in MIX_WEIGHTS]), src_idx % len(MIX_WEIGHTS) + 1
-    )
-    mix_bucket = (F.col("doc_id") * _MIX_MULT + _MIX_ADD) % 100
-    mixed = docs.filter(mix_bucket < weight)
+    # stage 1: weighted mix (THE corpus_mix_weighted membership rule).
+    # Project down to the carried columns BEFORE the persist below:
+    # Catalyst cannot push column pruning through an InMemoryRelation
+    # boundary, so an unprojected persist would force the scan to read
+    # the full row (plan-pinned in test_curation_pipeline_prunes_columns)
+    mixed = docs.filter(mix_keep_condition()).select("doc_id", "text")
     # stage 2: exact dedup — keep the min doc_id per normalized text
     wdup = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
     # persisted: two downstream consumers (the gram stream feeding the
@@ -436,18 +461,12 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .persist()
     )
-    # stage 3: decontamination (decontaminate_documents' bench set,
+    # stage 3: decontamination (THE decontaminate_documents bench set,
     # applied as an anti-join filter instead of an audit count)
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    bench = (
-        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select(F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"))
-        .select(F.explode(_shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram"))
-        .distinct()
-    )
+    bench = bench_gram_set(docs)
     contaminated = (
         deduped.select(
-            "doc_id", F.explode(_shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
+            "doc_id", F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
         )
         .join(bench, "gram")  # AQE broadcasts the tiny bench side
         .select("doc_id")
@@ -457,31 +476,11 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 4: deterministic split, keep train
     train = clean.filter(_split_bucket("doc_id") < 80)
     # stage 5: sequence packing over the surviving train docs
-    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    base = train.select(
-        "doc_id",
-        (_split_bucket("doc_id") % PACK_BUCKETS).alias("bucket"),
-        toks.alias("n_tokens"),
-    )
-    wpack = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    placed = base.withColumn(
-        "bin",
-        F.floor((F.sum("n_tokens").over(wpack) - F.col("n_tokens")) / PACK_BUDGET),
-    )
     from dbitool_spark.ops.cache import materialize_release
 
-    result = (
-        placed.groupBy("bucket", "bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-        )
-        .orderBy("bucket", "bin")
-    )
+    result = pack_stats(train)
+    if not materialize:
+        return result  # lazy mode for plan inspection (tests)
     return materialize_release(result, deduped)
 
 

@@ -21,11 +21,32 @@ from dbitool_spark.ndb import NdbTable
 
 
 def _scratch_dir(query: str, sf_dir: str) -> str:
-    """Deterministic per-(query, sf) scratch path, wiping the previous
-    run's copy so repeated bench/driver invocations never accumulate
-    unbounded tempdir data (each call republishes its inputs anyway)."""
+    """Bounded scratch path per (query, sf): a per-PID subdir under a
+    deterministic base. Same process re-running the query wipes only
+    ITS OWN previous copy; sibling subdirs are reclaimed once their
+    owning process is dead (os.kill(pid, 0) probe). This keeps the
+    no-unbounded-accumulation property of a fixed path without the
+    live-collision hazard of rmtree-ing a directory another process
+    (a concurrent bench + driver run) is mid-read on."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"dbitool_scratch_{query}_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"dbitool_scratch_{query}_{tag}")
+    os.makedirs(base, exist_ok=True)
+    for sub in os.listdir(base):
+        if not sub.startswith("pid"):
+            continue
+        try:
+            pid = int(sub[3:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+    path = os.path.join(base, f"pid{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
@@ -250,21 +271,14 @@ def streaming_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataF
 
     from dbitool_spark import streaming
     from dbitool_spark.io import json_io
-    from dbitool_spark.ops.dedup import shingles
-    from dbitool_spark.plans.pipeline_ops import BENCH_MOD, DECONTAM_NGRAM
+    from dbitool_spark.plans.pipeline_ops import DECONTAM_NGRAM, bench_gram_set
 
     for t in spark.catalog.listTables():
         if t.name.startswith("stream_decon_"):
             spark.catalog.dropTempView(t.name)
 
     docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    bench_grams = (
-        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select(F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"))
-        .select(F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram"))
-        .distinct()
-    )
+    bench_grams = bench_gram_set(docs)
     src = os.path.join(_scratch_dir("stream_decon", sf_dir), "docs_ndjson")
     json_io.write_ndjson(docs, src)
     stream = streaming.stream_ndjson(

@@ -762,3 +762,43 @@ def test_wav_sample_stats_and_gif_dims():
         gif = magic + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
         w, h, _, feat = m._decode_one("image", gif)
         assert (w, h) == (320, 200) and feat == [8.0]
+
+
+def test_decoder_truncation_falls_through_not_crashes():
+    """Truncated containers never escape the decode routing (review
+    finding: ValueError from np.frombuffer / short-slice unpacks
+    crashed the mapInPandas job): truncated WAV -> fake; PNG truncated
+    mid-chunk -> header-only dims (not the fake)."""
+    import struct
+    import zlib
+
+    from dbitool_spark.ops import multimodal as m
+
+    # valid header, sample data cut to an odd byte count
+    wav = bytearray(m._synth_wav(3))
+    broken_wav = bytes(wav[: 44 + 7])
+    w, h, d, feat = m._decode_one("audio", broken_wav)
+    assert len(feat) in (4, 6, 8)  # decodes partially or falls to fake, never raises
+
+    ihdr = struct.pack(">IIBBBBB", 50, 40, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + struct.pack(">I", 9999) + b"IDAT" + b"\x00" * 3  # truncated chunk
+    )
+    assert m._decode_one("image", png)[:2] == (50, 40)
+
+
+def test_star_cc_self_loop_singletons(spark):
+    """Self-loop-only nodes stay in the star output as singletons,
+    matching flood and union-find (review finding)."""
+    df = spark.createDataFrame(
+        [(5, 5), (1, 2)], "id_a bigint, id_b bigint"
+    )
+    star = sorted(map(tuple, dedup.connected_components(
+        df, local_edge_threshold=None, algorithm="star").collect()))
+    uf = sorted(map(tuple, dedup.connected_components(df).collect()))
+    flood = sorted(map(tuple, dedup.connected_components(
+        df, local_edge_threshold=None).collect()))
+    assert star == uf == flood == [(1, 1), (2, 1), (5, 5)]

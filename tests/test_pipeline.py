@@ -342,3 +342,38 @@ def test_pipeline_knobs_thread_into_modules(spark, tmp_path):
     p3.add(f"jsonwrite:out={out}", **{"in": "rows"})
     with _pytest.raises(MemoryError):
         p3.run()
+
+
+def test_user_declared_corrupt_column_untouched_without_flag(spark, tmp_path):
+    """A user who declares their own _corrupt_record column WITHOUT
+    quarantine=1 must get it back verbatim — no silent row dropping,
+    no errorsize abort (review finding: the split was gated on column
+    presence instead of the request)."""
+    src = str(tmp_path / "mixed.ndjson")
+    os.makedirs(src)
+    with open(os.path.join(src, "part.json"), "w") as fh:
+        fh.write('{"a": 1}\nbroken line\n{"a": 2}\nworse\nworst\n')
+    p = Pipeline(spark)  # default errorsize=3 would abort if mis-gated
+    p.add(
+        f"ndjsonread:in={src}:schema=a bigint, _corrupt_record string",
+        out="rows",
+    )
+    rows = p.stream("rows").collect()
+    assert len(rows) == 5
+    assert "_corrupt_record" in p.stream("rows").columns
+    assert sum(r._corrupt_record is not None for r in rows) == 3
+
+
+def test_quarantine_rejected_on_raw_stream_branch(spark, tmp_path):
+    """quarantine=1 on the raw-stream parse path fails fast instead of
+    silently dropping the flag."""
+    import pytest as _pytest
+
+    raw = str(tmp_path / "raw.txt")
+    with open(raw, "w") as fh:
+        fh.write("a\n1\n")
+    p = Pipeline(spark)
+    p.add(f"fileread:in={raw}", out="lines")
+    p.add("csvread:quarantine=1", **{"in": "lines", "out": "rows"})
+    with _pytest.raises(ValueError, match="raw-stream parse"):
+        p.stream("rows")

@@ -271,7 +271,11 @@ def test_kmeans_assignment_broadcasts_centroid_side(spark):
     shuffles for assignment (the scale contract of Lloyd's on Spark)."""
     from dbitool_spark.plans.llm_ops import kmeans_embeddings
 
-    plan = _plan(kmeans_embeddings(spark, SF_SMOKE))
+    from dbitool_spark import catalog as _cat
+    from dbitool_spark.ops.similarity import kmeans_distributed
+
+    emb = _cat.load(spark, SF_SMOKE, "embeddings")
+    plan = _plan(kmeans_distributed(emb, "vec_id", "embedding", materialize=False))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -303,7 +307,7 @@ def test_curation_pipeline_prunes_columns(spark):
     needs from every documents scan (pruning survives composition)."""
     from dbitool_spark.plans.pipeline_ops import curation_pipeline_documents
 
-    plan = _plan(curation_pipeline_documents(spark, SF_SMOKE))
+    plan = _plan(curation_pipeline_documents(spark, SF_SMOKE, materialize=False))
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and all("n_chars" not in l and "lang" not in l for l in read)
     assert "CartesianProduct" not in plan
