@@ -123,3 +123,63 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     }
     want = {i: expect(k, t) for i, (k, t) in enumerate(left)}
     assert got == want
+
+
+# --- near-dup exactness properties ------------------------------------
+
+_word = st.sampled_from([f"w{i}" for i in range(12)])  # tiny vocab forces overlap
+_doc = st.lists(_word, min_size=3, max_size=12).map(" ".join)
+
+
+def _shingle_set(text: str, k: int = 3) -> frozenset:
+    ws = text.lower().split()
+    if len(ws) < k:
+        return frozenset([" ".join(ws)])
+    return frozenset(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1))
+
+
+@given(docs=st.lists(_doc, min_size=2, max_size=10, unique=True))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ngram_containment_matches_bruteforce(spark, docs):
+    """The asymmetric prefix-filter construction must lose NOTHING:
+    for arbitrary small-vocab corpora the (id_a, id_b, containment)
+    set equals brute force over python shingle sets. This pins the
+    one-sided prefix lemma implementation (rarest-first ordering,
+    epsilon handling, |B| >= t|A| prune), not just the fixture corpus."""
+    from dbitool_spark.ops.dedup import ngram_containment_pairs
+
+    t = 0.5
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.containment, 9)
+        for r in ngram_containment_pairs(df, "doc_id", "text", threshold=t).collect()
+    }
+    sets = {i: _shingle_set(d) for i, d in enumerate(docs)}
+    expected = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= t:
+                expected[(a, b)] = round(c, 9)
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_cc_matches_union_find_property(spark, edges):
+    """algorithm='star' labels equal union-find labels on arbitrary
+    graphs, including self-loops, multi-edges, and disconnected
+    pieces (the fixed-seed tests can't cover this space)."""
+    from dbitool_spark.ops.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    star = sorted(map(tuple, connected_components(
+        df, local_edge_threshold=None, algorithm="star").collect()))
+    uf = sorted(map(tuple, connected_components(df).collect()))
+    assert star == uf
