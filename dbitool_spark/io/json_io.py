@@ -75,15 +75,29 @@ def read_json(
     path: str,
     *,
     schema: str | None = None,
+    memory_limit: int | None = None,
 ) -> DataFrame:
     """Whole-document JSON array of objects. multiLine=True makes each
     FILE one parse unit -- a genuine single-task cost the optimizer
     cannot split, so this is for bounded edges only (same contract as
-    the reference's in-memory jsonread)."""
+    the reference's in-memory jsonread). memory_limit enforces that
+    contract the way the reference's --memorylimit aborts an
+    over-budget in-memory module (scripts/dbitool.pl:40, :777-778):
+    when set, a bounded probe fails loudly past the cap instead of
+    letting a giant single-doc file monopolize one task. None skips
+    the probe (one extra small job) for trusted inputs."""
     reader = spark.read.option("multiLine", True)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.json(path)
+    df = reader.json(path)
+    if memory_limit is not None:
+        n = df.limit(memory_limit + 1).count()
+        if n > memory_limit:
+            raise MemoryError(
+                f"read_json is a bounded edge: >{memory_limit} rows "
+                "(use read_ndjson for large corpora)"
+            )
+    return df
 
 
 def write_json(

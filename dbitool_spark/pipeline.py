@@ -137,7 +137,12 @@ def _ndjsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 
 @register_module("jsonread")
 def _jsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
-    return json_io.read_json(p.spark, a["in"], schema=a.get("schema"))
+    return json_io.read_json(
+        p.spark,
+        a["in"],
+        schema=a.get("schema"),
+        memory_limit=int(a.get("memory_limit", p.memorylimit)),
+    )
 
 
 @register_module("fixedwidthread")

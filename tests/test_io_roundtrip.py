@@ -151,3 +151,19 @@ def test_gzip_text_roundtrip(spark, tmpdir):
     back = read_text(spark, path)
     got = sorted(r[0] for r in back.collect())
     assert got == sorted(lines)
+
+
+def test_json_read_respects_memory_limit(spark, tmpdir):
+    """jsonread mirrors the reference's in-memory --memorylimit abort
+    on the READ side too (scripts/dbitool.pl:40, :777-778): past the
+    cap the bounded edge raises instead of silently monopolizing one
+    parse task."""
+    import pytest as _pytest
+
+    from dbitool_spark.io import json_io
+
+    path = os.path.join(tmpdir, "big.json")
+    json_io.write_json(testrow.dataframe(spark, 9), path)
+    with _pytest.raises(MemoryError):
+        json_io.read_json(spark, path, memory_limit=5)
+    assert json_io.read_json(spark, path, memory_limit=9).count() == 9
