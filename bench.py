@@ -161,6 +161,27 @@ def _load_prev_bench(repo_dir: str, sf: float | None) -> tuple[str, dict] | None
     return best
 
 
+def _plan_sha(df) -> str:
+    """Normalized fingerprint of the optimized physical plan: expression
+    ids (#123), plan ids, and object hashes stripped so the hash is
+    stable across sessions. Lets the next round's vs_prev distinguish
+    'slower because the plan changed' from 'slower because the sandbox
+    was loaded' — a timing ratio plus an unchanged plan_sha is noise."""
+    import contextlib
+    import hashlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    text = re.sub(r"#\d+", "#", text)
+    text = re.sub(r"plan_id=\d+", "plan_id=", text)
+    text = re.sub(r"@[0-9a-f]{6,}", "@", text)
+    text = re.sub(r"Statistics\([^)]*\)", "Statistics()", text)
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -189,9 +210,14 @@ def main() -> int:
     prev = _load_prev_bench(repo_dir, sf)
 
     timings: dict[str, float] = {}
+    plan_shas: dict[str, str] = {}
     for name, fn in registry.queries().items():
         # warm-up run: JIT, parquet footer cache, AQE stats
         fn(spark, sf_dir).count()
+        try:
+            plan_shas[name] = _plan_sha(fn(spark, sf_dir))
+        except Exception:
+            pass  # fingerprint is advisory; never fail the bench on it
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -226,6 +252,7 @@ def main() -> int:
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "queries": timings,
+        "plan_shas": plan_shas,
     }
     try:
         with open(os.path.join(repo_dir, "BENCH_queries.json"), "w") as fh:
@@ -244,12 +271,20 @@ def main() -> int:
             (n for n, r in ratios.items() if r > REGRESSION_RATIO),
             key=lambda n: -ratios[n],
         )
+        prev_shas = prev_data.get("plan_shas", {})
         vs_prev = {
             "baseline": prev_name,
             "loadavg_start": load_start,
             "loadavg_end": load_end,
             "ratios": ratios,
             "regressions": regressions,
+            # a flagged ratio with an UNCHANGED plan fingerprint is
+            # sandbox noise; with a changed one it's a real plan diff
+            "regressions_with_plan_change": [
+                n for n in regressions
+                if prev_shas.get(n) and plan_shas.get(n)
+                and prev_shas[n] != plan_shas[n]
+            ],
         }
         try:
             with open(os.path.join(repo_dir, "BENCH_vs_prev.json"), "w") as fh:
