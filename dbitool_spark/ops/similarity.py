@@ -349,7 +349,18 @@ def kmeans_distributed(
     vec = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).persist()
-    seeds = vec.orderBy("vec_id").limit(k).collect()
+    try:
+        seeds = vec.orderBy("vec_id").limit(k).collect()
+        if not seeds:
+            raise ValueError("kmeans_distributed: input has no rows")
+        if len(seeds) < k:
+            raise ValueError(
+                f"kmeans_distributed: k={k} exceeds input rows ({len(seeds)}); "
+                "pass k <= row count"
+            )
+    except Exception:
+        vec.unpersist()
+        raise
     dim = len(seeds[0].v)
     cents: list[tuple[int, list[float]]] = [(i, list(r.v)) for i, r in enumerate(seeds)]
 
@@ -370,21 +381,25 @@ def kmeans_distributed(
         )
 
     schema = "cid int, c array<double>"
-    for _ in range(iters):
-        a = assign(spark.createDataFrame(cents, schema))
-        upd = (
-            a.select("cid", F.posexplode("v").alias("idx", "x"))
-            .groupBy("cid", "idx")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in upd:
-            by_cid.setdefault(r.cid, {})[r.idx] = r.m
-        cents = [
-            (cid, [by_cid[cid][p] for p in range(dim)] if cid in by_cid else old)
-            for cid, old in cents
-        ]
+    try:
+        for _ in range(iters):
+            a = assign(spark.createDataFrame(cents, schema))
+            upd = (
+                a.select("cid", F.posexplode("v").alias("idx", "x"))
+                .groupBy("cid", "idx")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in upd:
+                by_cid.setdefault(r.cid, {})[r.idx] = r.m
+            cents = [
+                (cid, [by_cid[cid][p] for p in range(dim)] if cid in by_cid else old)
+                for cid, old in cents
+            ]
+    except Exception:
+        vec.unpersist()
+        raise
     final = assign(spark.createDataFrame(cents, schema))
     result = (
         final.groupBy(F.col("cid").alias("cluster_id"))

@@ -559,7 +559,16 @@ class Pipeline:
                 "quarantine=1 requires an explicit schema= (PERMISSIVE "
                 "corrupt-record capture needs a declared schema)"
             )
-        if "_corrupt_record" not in schema:
+        # exact field-name check, not substring: a user column named
+        # e.g. 'my_corrupt_record2' must not suppress the append (it
+        # would silently neuter quarantine=1). DDL field names are the
+        # first token of each comma-separated "name type" pair.
+        fields = {
+            part.strip().split()[0].strip("`").lower()
+            for part in schema.split(",")
+            if part.strip()
+        }
+        if "_corrupt_record" not in fields:
             schema = schema.rstrip() + ", _corrupt_record string"
         return schema
 
@@ -571,8 +580,16 @@ class Pipeline:
         their own _corrupt_record column without quarantine=1 keeps it
         untouched (Spark's default corrupt-column name would otherwise
         make us silently drop rows the user asked to see)."""
-        if not _flag(a, "quarantine", False) or "_corrupt_record" not in df.columns:
+        if not _flag(a, "quarantine", False):
             return df
+        if "_corrupt_record" not in df.columns:
+            # _quarantine_schema should have appended it; a missing
+            # column here means the source dropped it — fail loudly
+            # rather than let quarantine=1 silently become a no-op.
+            raise ValueError(
+                f"{mod}: quarantine=1 but the read produced no "
+                "_corrupt_record column (source did not honor the schema)"
+            )
         from dbitool_spark.obs import check_errorsize, split_quarantine
 
         good, bad = split_quarantine(df)

@@ -20,14 +20,34 @@ from dbitool_spark import catalog
 from dbitool_spark.ndb import NdbTable
 
 
+def _proc_start_ticks(pid: int) -> int | None:
+    """Kernel start time (clock ticks since boot) of `pid` from
+    /proc/<pid>/stat field 22 — the stable identity that survives PID
+    reuse. None if the process is gone or /proc is unavailable."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read()
+        # comm (field 2) may contain spaces/parens; fields after the
+        # closing paren are space-split, starttime is the 20th of those
+        return int(stat.rsplit(b")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _scratch_dir(query: str, sf_dir: str) -> str:
     """Bounded scratch path per (query, sf): a per-PID subdir under a
     deterministic base. Same process re-running the query wipes only
     ITS OWN previous copy; sibling subdirs are reclaimed once their
-    owning process is dead (os.kill(pid, 0) probe). This keeps the
-    no-unbounded-accumulation property of a fixed path without the
-    live-collision hazard of rmtree-ing a directory another process
-    (a concurrent bench + driver run) is mid-read on."""
+    owning process is dead. Liveness is probed by PID *plus* the
+    owner's kernel start time (written to an `owner` stamp file at
+    creation): a recycled PID now owned by an unrelated process no
+    longer counts as alive, so stale dirs can't survive reclamation
+    indefinitely, and a live unrelated process's dir is still only
+    removed when its stamp mismatches — i.e. it provably isn't the
+    original owner. This keeps the no-unbounded-accumulation property
+    of a fixed path without the live-collision hazard of rmtree-ing a
+    directory another process (a concurrent bench + driver run) is
+    mid-read on."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     base = os.path.join(tempfile.gettempdir(), f"dbitool_scratch_{query}_{tag}")
     os.makedirs(base, exist_ok=True)
@@ -40,15 +60,26 @@ def _scratch_dir(query: str, sf_dir: str) -> str:
             continue
         if pid == os.getpid():
             continue
+        sub_path = os.path.join(base, sub)
+        ticks = _proc_start_ticks(pid)
+        if ticks is None:
+            shutil.rmtree(sub_path, ignore_errors=True)  # owner gone
+            continue
         try:
-            os.kill(pid, 0)  # raises if the owner is gone
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
-        except PermissionError:
-            pass  # alive under another uid — leave it
+            with open(os.path.join(sub_path, "owner")) as fh:
+                stamped = int(fh.read().strip())
+        except (OSError, ValueError):
+            continue  # no/unreadable stamp: be conservative, leave it
+        if stamped != ticks:
+            # PID recycled — the stamped owner is dead
+            shutil.rmtree(sub_path, ignore_errors=True)
     path = os.path.join(base, f"pid{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
+    own = _proc_start_ticks(os.getpid())
+    if own is not None:
+        with open(os.path.join(path, "owner"), "w") as fh:
+            fh.write(str(own))
     return path
 
 
