@@ -108,28 +108,27 @@ def write_json(
     memory_limit: int = DEFAULT_MEMORY_LIMIT,
 ) -> None:
     """Single-document JSON array sink -- inherently driver-side
-    (one document has one writer). Rows STREAM through
-    toLocalIterator in executor-batch increments, so driver memory
-    stays constant; memory_limit guards the output size exactly as
-    the reference guards its in-memory modules. For unbounded data
-    use write_ndjson. Writes one file at `path`."""
+    (one document has one writer). memory_limit guards the output
+    size exactly as the reference guards its in-memory modules, so
+    at most memory_limit rows ever reach the driver — fetch them in
+    ONE limit(memory_limit+1) job (the write_spreadsheet bounded-edge
+    pattern) rather than toLocalIterator's one-sequential-job-per-
+    partition waves, which cost seconds of pure scheduling on many-
+    partition inputs. JSON encoding stays JVM-side via toJSON(). For
+    unbounded data use write_ndjson. Writes one file at `path`."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     sep = ",\n  " if pretty else ","
     tmp = path + ".tmp"
-    n = 0
+    rows = df.limit(memory_limit + 1).toJSON().collect()
+    if len(rows) > memory_limit:
+        raise MemoryError(
+            f"write_json is a bounded edge: >{memory_limit} rows "
+            "(reference memorylimit semantics); use write_ndjson"
+        )
     try:
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write("[\n  " if pretty else "[")
-            for row_json in df.toJSON().toLocalIterator():
-                if n >= memory_limit:
-                    raise MemoryError(
-                        f"write_json is a bounded edge: >{memory_limit} rows "
-                        "(reference memorylimit semantics); use write_ndjson"
-                    )
-                if n:
-                    fh.write(sep)
-                fh.write(row_json)
-                n += 1
+            fh.write(sep.join(rows))
             fh.write("\n]" if pretty else "]")
         os.replace(tmp, path)  # no partial document on failure
     finally:

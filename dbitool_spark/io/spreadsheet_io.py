@@ -8,11 +8,12 @@ row; it also accepts CSV as a "sheet" format. Mapping:
 - .xlsx goes through the engine's own stdlib SpreadsheetML codec
   (io/xlsx_codec.py — ECMA-376 subset, no Excel engine needed),
   bounded/driver-side exactly like the reference buffers whole sheets;
+- legacy binary .xls goes through the engine's own stdlib BIFF8 codec
+  (io/xls_codec.py — [MS-CFB] container + [MS-XLS] record subset),
+  same bounded contract;
 - .csv "sheets" use the engine's own distributed CSV path, honoring
   the same x/y offset semantics driver-side only when offsets are
-  used (offsets imply a bounded, positional read);
-- legacy binary .xls (BIFF) stays import-gated: it is a pre-OOXML
-  closed binary format with no engine in this environment.
+  used (offsets imply a bounded, positional read).
 """
 
 from __future__ import annotations
@@ -21,19 +22,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbitool_spark.io import csv_io, xlsx_codec
+from dbitool_spark.io import csv_io, xls_codec, xlsx_codec
 
 DEFAULT_MEMORY_LIMIT = 100_000
-
-
-def _excel_engine_available() -> bool:
-    """Only legacy binary .xls needs an external engine now."""
-    try:
-        import xlrd  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
 
 
 def _grid_to_df(
@@ -83,35 +74,18 @@ def read_spreadsheet(
         if not header:
             pdf.columns = [f"col{i + 1}" for i in range(len(pdf.columns))]
         return spark.createDataFrame(pdf.astype(str))
-    if ext == ".xlsx":
+    if ext in (".xlsx", ".xls"):
         # bounded edge: read one row past the cap and fail loudly, matching
         # write_spreadsheet's contract — never silently drop tail rows
         cap = memory_limit + y + (1 if header else 0)
-        grid = xlsx_codec.read_xlsx(fname, sheet=sheet, max_rows=cap + 1)
+        reader = xlsx_codec.read_xlsx if ext == ".xlsx" else xls_codec.read_xls
+        grid = reader(fname, sheet=sheet, max_rows=cap + 1)
         if len(grid) > cap:
             raise MemoryError(f"read_spreadsheet is a bounded edge: >{memory_limit} rows")
         return _grid_to_df(spark, grid[y:], header=header, x=x)
-    if not _excel_engine_available():
-        raise ImportError(
-            "legacy binary .xls needs an external engine (xlrd); none is "
-            "installed in this environment. Use .xlsx (native codec) or "
-            ".csv sheets instead."
-        )
-    import pandas as pd
-
-    pdf = pd.read_excel(
-        fname,
-        sheet_name=sheet,
-        skiprows=y,
-        header=0 if header else None,
-        nrows=memory_limit + 1,
+    raise ValueError(
+        f"read_spreadsheet supports .csv, .xlsx and .xls, got {ext!r}"
     )
-    if len(pdf) > memory_limit:
-        raise MemoryError(f"read_spreadsheet is a bounded edge: >{memory_limit} rows")
-    pdf = pdf.iloc[:, x:]
-    if not header:
-        pdf.columns = [f"col{i + 1}" for i in range(len(pdf.columns))]
-    return spark.createDataFrame(pdf.astype(str))
 
 
 def write_spreadsheet(
@@ -132,11 +106,8 @@ def write_spreadsheet(
     if ext == ".csv":
         csv_io.write_csv(df, fname, header=header, single_file=True)
         return
-    if ext != ".xlsx":
-        raise ValueError(
-            f"write_spreadsheet supports .csv and .xlsx, got {ext!r} "
-            "(legacy binary .xls writing is not supported)"
-        )
+    if ext not in (".xlsx", ".xls"):
+        raise ValueError(f"write_spreadsheet supports .csv, .xlsx and .xls, got {ext!r}")
     # bounded edge: whole-sheet formats are in-memory by nature — the
     # reference enforces the same contract via --memorylimit
     rows = df.limit(memory_limit + 1).collect()
@@ -144,4 +115,7 @@ def write_spreadsheet(
         raise MemoryError(f"write_spreadsheet is a bounded edge: >{memory_limit} rows")
     out: list[tuple] = [tuple(df.columns)] if header else []
     out += [tuple(r) for r in rows]
-    xlsx_codec.write_xlsx(fname, out, sheet=sheet, x=x, y=y)
+    if ext == ".xls":
+        xls_codec.write_xls(fname, out, sheet=sheet, x=x, y=y)
+    else:
+        xlsx_codec.write_xlsx(fname, out, sheet=sheet, x=x, y=y)

@@ -394,3 +394,54 @@ GROUP BY 1, 2
 HAVING COUNT(*) > 0
 ORDER BY day, event_type
 """
+
+
+def skewed_user_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rollup routed through ops.scale.salted_agg — the
+    driver-visible proof of the engine's skewed-AGGREGATION answer
+    (AQE's skew handling covers joins, not aggregation; at 100 TB a
+    hot user key would stall a plain groupBy task). Two-stage plan:
+    partial agg on (user_id, salt-of-16) fans a hot key over 16 tasks,
+    final agg re-combines 16 partials per key — verify in the plan:
+    TWO HashAggregate+Exchange pairs, the second exchanging at most
+    n_salts rows per key. Oracle is the plain one-stage GROUP BY; the
+    hash match proves the decomposition (count/sum/min/max recombine
+    rules + the decimal-exact sum) is lossless.
+
+    Reference parity: the reference has no aggregation at all
+    (TODO:61-78); this realizes the intended relational scope at the
+    skew design point, cf. SURVEY.md §7 M5."""
+    from dbitool_spark.ops import scale
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+
+    def aggs() -> list:
+        return [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ]
+
+    rolled = scale.salted_agg(ev, ["user_id"], aggs, n_salts=16)
+    return rolled.select(
+        "user_id",
+        "n_events",
+        F.col("sum_value").cast("decimal(18,6)").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("user_id")
+
+
+SKEWED_USER_ROLLUP_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value,
+       CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

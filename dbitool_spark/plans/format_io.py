@@ -183,6 +183,227 @@ def bson_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 BSON_ROUNDTRIP_REGION_SQL = "SELECT r_regionkey, r_name FROM region"
 
 
+# --- composite multi-format chains (r8 registry merge policy) --------
+#
+# The reference's own chained-conversion example (csv -> json -> xml in
+# one pipeline, scripts/dbitool.pl:3273-3276) is the model: one entry
+# drives SEVERAL sink+source pairs in sequence, so a single green row
+# proves every codec in the chain preserves values exactly. These
+# replace the six retired single-format round-trips (csv_roundtrip_
+# customer/documents, ndjson_roundtrip_orders, json_roundtrip_region,
+# fixedwidth_roundtrip_nation, xlsx_roundtrip_nation) — each retiree's
+# coverage is carried by exactly one chain hop below, and the per-codec
+# pytest round-trips (tests/test_io_roundtrip.py) remain unchanged.
+
+
+def format_chain_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → fixed-width → xlsx (own-spec OOXML codec, offset x=1,
+    y=2) → bounded JSON → back. Covers the fixedwidthwrite/read,
+    spreadsheetwrite/read and jsonwrite/read pairs in one entry;
+    values re-typed between hops exactly as the retired single-format
+    entries did (fixed-width and xlsx carry strings on the wire)."""
+    from dbitool_spark.io import spreadsheet_io
+
+    nation = catalog.load(spark, sf_dir, "nation")
+    d = _scratch("chain_nation")
+
+    fw = os.path.join(d, "nation.fw")
+    fixedwidth.write_fixedwidth(nation, fw, [12, 20, 12])
+    hop1 = fixedwidth.read_fixedwidth(spark, fw, [12, 20, 12]).select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+    xlsx = os.path.join(d, "nation.xlsx")
+    spreadsheet_io.write_spreadsheet(hop1, xlsx, sheet="nation", x=1, y=2)
+    hop2 = spreadsheet_io.read_spreadsheet(spark, xlsx, sheet="nation", x=1, y=2).select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+    js = os.path.join(d, "nation.json")
+    json_io.write_json(hop2, js)
+    back = json_io.read_json(
+        spark, js, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    return project(back, ["n_nationkey", "n_name", "n_regionkey"])
+
+
+FORMAT_CHAIN_NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def format_chain_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (free text with punctuation — the quoting/escape
+    stress content) → quoted CSV → NDJSON → back. Covers the csvwrite/
+    read pair on hostile text plus the ndjsonwrite/read pair in one
+    entry."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    d = _scratch("chain_docs")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    csvp = os.path.join(d, "documents.csv")
+    csv_io.write_csv(docs, csvp)
+    hop1 = csv_io.read_csv(spark, csvp, schema=schema)
+
+    ndj = os.path.join(d, "documents.ndjson")
+    json_io.write_ndjson(hop1, ndj)
+    back = json_io.read_ndjson(spark, ndj, schema=schema)
+    return project(back, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+FORMAT_CHAIN_DOCUMENTS_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+def format_chain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (timestamps + doubles) → NDJSON → CSV (sep='|', gzip) →
+    back. Timestamps ride NDJSON as ISO strings and are formatted to a
+    plain string before the CSV hop (engine-neutral, exactly the
+    retired ndjson entry's convention); the CSV hop carries the typed
+    doubles/bigints through sep/gzip — the retired customer-CSV
+    coverage."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    d = _scratch("chain_orders")
+
+    ndj = os.path.join(d, "orders.ndjson")
+    json_io.write_ndjson(orders, ndj)
+    hop1 = json_io.read_ndjson(
+        spark,
+        ndj,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+        "o_orderpriority",
+    )
+
+    csvp = os.path.join(d, "orders.csv")
+    csv_io.write_csv(hop1, csvp, sep="|", compression="gzip")
+    back = csv_io.read_csv(
+        spark,
+        csvp,
+        sep="|",
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, orderdate string, o_orderpriority string",
+    )
+    return project(
+        back,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "orderdate",
+         "o_orderpriority"],
+    )
+
+
+FORMAT_CHAIN_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+       o_orderpriority
+FROM orders
+"""
+
+
+def xmlbson_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → XML → BSON (own-spec bounded codec) → back — merges
+    the r7-green xml_roundtrip_supplier and bson_roundtrip_region
+    entries into one chain (registry capacity policy); supplier is a
+    dimension table, safely inside the BSON edge's memorylimit."""
+    supp = catalog.load(spark, sf_dir, "supplier")
+    d = _scratch("chain_xmlbson")
+    schema = "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+
+    xmlp = os.path.join(d, "supplier.xml")
+    xml_io.write_xml(supp, xmlp, root_tag="suppliers", row_tag="supplier")
+    hop1 = xml_io.read_xml(spark, xmlp, row_tag="supplier", schema=schema)
+
+    bsonp = os.path.join(d, "supplier.bson")
+    bson_io.write_bson(hop1, bsonp)
+    back = bson_io.read_bson(spark, bsonp, schema=schema)
+    return project(back, ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+
+
+XMLBSON_ROUNDTRIP_SUPPLIER_SQL = (
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+)
+
+
+def sqlite_query_from_stream_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's streamed-SQL entry point, end to end
+    (lifecycle §3.2, scripts/dbitool.pl:1442-1457): the SQL text
+    itself arrives on an upstream RAW STREAM — here a text file read
+    through the engine's fileread source — is drained by
+    db.query_from_stream (bounded collect; SQL text is tiny by
+    contract), and executes inside the source database via the
+    distributed partitioned sqlite read. Supersedes the retired
+    sqlite_roundtrip_part: this entry drives the same sqliteinsert +
+    partitioned sqliteselect pair PLUS the query-from-stream
+    signature."""
+    from dbitool_spark.io import text_io
+
+    part = catalog.load(spark, sf_dir, "part")
+    d = _scratch("sqlite_qstream")
+    dbf = os.path.join(d, "t.db")
+    db.write_sqlite(part, dbf, "part", mode="overwrite")
+
+    # the SQL text arrives as a raw upstream stream (reference: a
+    # fileread feeding mysqlselect/sqliteselect's query input)
+    sql_path = os.path.join(d, "query.sql")
+    with open(sql_path, "w") as fh:
+        fh.write(
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice\n"
+            "FROM part\n"
+            "WHERE p_size >= 10\n"
+        )
+    sql_stream = text_io.read_text(spark, sql_path)
+    query = db.query_from_stream(sql_stream)
+
+    back = db.read_sqlite(
+        spark, dbf, query=query, partition_column="p_partkey", num_partitions=4
+    )
+    return back.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        F.col("p_size").cast("int").alias("p_size"),
+        "p_retailprice",
+    )
+
+
+SQLITE_QUERY_FROM_STREAM_PART_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+FROM part WHERE p_size >= 10
+"""
+
+
+def xls_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation through the own-spec legacy BIFF8 codec (io/xls_codec.py:
+    [MS-CFB] container + SST/LABELSST/NUMBER records, pure stdlib —
+    reference spreadsheetread handles .xls via Spreadsheet::Read,
+    scripts/dbitool.pl:2696-2784) at a (x=1, y=2) offset. Bounded edge
+    like every whole-sheet format; nation is a constant-size
+    dimension."""
+    from dbitool_spark.io import spreadsheet_io
+
+    nation = catalog.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = os.path.join(_scratch("xls"), "nation.xls")
+    spreadsheet_io.write_spreadsheet(nation, path, sheet="nation", x=1, y=2)
+    back = spreadsheet_io.read_spreadsheet(spark, path, sheet="nation", x=1, y=2)
+    return back.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+
+
+XLS_ROUNDTRIP_NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
 def quarantine_corrupt_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-channel semantics end to end: documents written as
     NDJSON plus two injected malformed lines, read back PERMISSIVE —

@@ -23,11 +23,36 @@ rotate back toward the front on that clock, and this ordering is
 documented here precisely so the independent verifier can audit what
 rotated out and why rather than discovering it.
 
-CAPACITY NOTE (r7): a 50-entry window on a 2-round clock saturates at
-100 registered entries (50 per round x 2 rounds). At 94 entries the
-registry has ~6 slots of headroom — prefer deepening existing entries
-(harder oracles, composition, scale gates) over net-new registrations
-unless an entry is retired in exchange.
+RETIREMENT/MERGE POLICY (r8, the capacity answer — a 50-slot window
+on a 2-round clock saturates at 100 entries): when coverage overlaps,
+entries MERGE into one composite that drives every constituent
+codepath (the reference's own chained-conversion example,
+scripts/dbitool.pl:3273-3276), or RETIRE when a newer entry strictly
+supersedes them. Retired entries keep their functions and their
+pytest coverage (tests/test_io_roundtrip.py et al.) — only the
+registry row is reclaimed. Ledger:
+
+r8 retirements (9 rows reclaimed, all still pytest-covered):
+- csv_roundtrip_customer + ndjson_roundtrip_orders  -> merged into
+  format_chain_orders (ndjson -> csv with sep/gzip, typed doubles +
+  timestamps);
+- csv_roundtrip_documents                           -> merged into
+  format_chain_documents (quoted csv -> ndjson on hostile text);
+- json_roundtrip_region + fixedwidth_roundtrip_nation +
+  xlsx_roundtrip_nation                             -> merged into
+  format_chain_nation (fixedwidth -> xlsx -> bounded json);
+- xml_roundtrip_supplier + bson_roundtrip_region    -> merged into
+  xmlbson_roundtrip_supplier (xml -> bson chain);
+- sqlite_roundtrip_part                             -> superseded by
+  sqlite_query_from_stream_part (same sqliteinsert + partitioned
+  sqliteselect pair PLUS the streamed-SQL entry point).
+
+Current capacity: 97 registered / 50-slot window -> 47 tail rows, all
+driver-green in r7; every entry is covered by CORRECTNESS_r07 ∪ r08.
+r9 headroom: 3 net-new slots; next merge candidates if more are
+needed: quarantine_corrupt_csv+ndjson (one two-format quarantine
+entry), events_asof_recent_order+events_asof_latest_order (tolerance
+is a parameter, the plan family is shared).
 """
 
 from __future__ import annotations
@@ -66,165 +91,68 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
-# --- NEW in round 7: never driver-checked ----------------------------
+# --- NEW in round 8: never driver-checked ----------------------------
+# composite format chains (merge policy above)
 register(
-    "streaming_dedup_events",
-    state_ops.streaming_dedup_events,
-    state_ops.STREAMING_DEDUP_EVENTS_SQL,
+    "format_chain_nation",
+    format_io.format_chain_nation,
+    format_io.FORMAT_CHAIN_NATION_SQL,
 )
 register(
-    "curation_pipeline_documents",
-    pipeline_ops.curation_pipeline_documents,
-    pipeline_ops.CURATION_PIPELINE_SQL,
-)
-register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
-register(
-    "ngram_containment_documents",
-    llm_ops.ngram_containment_documents,
-    llm_ops.NGRAM_CONTAINMENT_SQL,
+    "format_chain_documents",
+    format_io.format_chain_documents,
+    format_io.FORMAT_CHAIN_DOCUMENTS_SQL,
 )
 register(
-    "streaming_decontaminate_documents",
-    state_ops.streaming_decontaminate_documents,
-    state_ops.STREAMING_DECONTAMINATE_SQL,
+    "format_chain_orders",
+    format_io.format_chain_orders,
+    format_io.FORMAT_CHAIN_ORDERS_SQL,
 )
 register(
-    "semantic_outliers_documents",
-    llm_ops.semantic_outliers_documents,
-    llm_ops.SEMANTIC_OUTLIERS_SQL,
+    "xmlbson_roundtrip_supplier",
+    format_io.xmlbson_roundtrip_supplier,
+    format_io.XMLBSON_ROUNDTRIP_SUPPLIER_SQL,
+)
+# the legacy-BIFF8 codec (spreadsheetread's last format gap)
+register(
+    "xls_roundtrip_nation",
+    format_io.xls_roundtrip_nation,
+    format_io.XLS_ROUNDTRIP_NATION_SQL,
+)
+# the reference's streamed-SQL entry point (lifecycle §3.2)
+register(
+    "sqlite_query_from_stream_part",
+    format_io.sqlite_query_from_stream_part,
+    format_io.SQLITE_QUERY_FROM_STREAM_PART_SQL,
+)
+# ops/scale.py made driver-visible: skew-safe two-stage aggregation
+register(
+    "skewed_user_rollup_events",
+    events_ops.skewed_user_rollup_events,
+    events_ops.SKEWED_USER_ROLLUP_SQL,
+)
+# the five partsupp-blocked TPC-H shapes (deterministic fixture,
+# plans/relational.py PARTSUPP_FIXTURE_SQL)
+register("q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_SQL)
+register("q11_important_stock", relational.q11_important_stock, relational.Q11_SQL)
+register(
+    "q16_supplier_part_counts",
+    relational.q16_supplier_part_counts,
+    relational.Q16_SQL,
 )
 register(
-    "streaming_hourly_append_events",
-    state_ops.streaming_hourly_append_events,
-    state_ops.STREAMING_HOURLY_APPEND_SQL,
+    "q20_potential_part_promotion",
+    relational.q20_potential_part_promotion,
+    relational.Q20_SQL,
 )
+register("q21_waiting_suppliers", relational.q21_waiting_suppliers, relational.Q21_SQL)
 
-# --- plans changed in round 7 (re-verify) ----------------------------
-# media: synthesis + oracle gained the PNG branch (id % 3 routing);
-# streaming pair + ndb replay: deterministic scratch dirs replace
-# mkdtemp-per-call (ndb_upsert_replay re-verifies from the veterans
-# block below)
-register(
-    "media_decode_roundtrip",
-    llm_ops.media_decode_roundtrip,
-    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
-)
-register(
-    "streaming_hourly_stats_events",
-    state_ops.streaming_hourly_stats_events,
-    state_ops.STREAMING_HOURLY_STATS_SQL,
-)
-register(
-    "streaming_user_sessions_events",
-    state_ops.streaming_user_sessions_events,
-    events_ops.USER_SESSIONS_SQL,
-)
-
-# --- veterans rotated BACK IN (last driver row r5; policy: no entry
-# --- goes >2 rounds without a driver row — all 37 r5-window entries
-# --- occupy r7's window per the r6 brief) ----------------------------
-register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
-register(
-    "sample_stratified_documents",
-    pipeline_ops.sample_stratified_documents,
-    pipeline_ops.SAMPLE_STRATIFIED_SQL,
-)
-register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
-register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
-register(
-    "quarantine_corrupt_ndjson",
-    format_io.quarantine_corrupt_ndjson,
-    format_io.QUARANTINE_CORRUPT_NDJSON_SQL,
-)
-register(
-    "array_functions_embeddings",
-    scalar_ops.array_functions_embeddings,
-    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
-)
-register(
-    "stats_functions_lineitem",
-    scalar_ops.stats_functions_lineitem,
-    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
-)
-register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
-register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
-register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
-register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
-register("sqlite_roundtrip_part", format_io.sqlite_roundtrip_part, format_io.SQLITE_ROUNDTRIP_PART_SQL)
-register("xml_roundtrip_supplier", format_io.xml_roundtrip_supplier, format_io.XML_ROUNDTRIP_SUPPLIER_SQL)
-register("bson_roundtrip_region", format_io.bson_roundtrip_region, format_io.BSON_ROUNDTRIP_REGION_SQL)
-register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
-register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
-register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
-register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
-register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
-register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
-register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_ivf_recall
-register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
-register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
-register("text_stats_documents", llm_ops.text_stats_documents, llm_ops.TEXT_STATS_DOCUMENTS_SQL)
-register("langid_documents", llm_ops.langid_documents, llm_ops.LANGID_DOCUMENTS_SQL)
-register(
-    "fingerprint_dedup_counts",
-    llm_ops.fingerprint_dedup_counts,
-    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
-)
-register(
-    "quality_scores_documents",
-    llm_ops.quality_scores_documents,
-    llm_ops.QUALITY_SCORES_DOCUMENTS_SQL,
-)
-register(
-    "media_features_documents",
-    llm_ops.media_features_documents,
-    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
-)
-register(
-    "frame_sample_documents",
-    llm_ops.frame_sample_documents,
-    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
-)
-register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
-register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
-register(
-    "decontaminate_documents",
-    pipeline_ops.decontaminate_documents,
-    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
-)
-register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
-register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
-register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
-register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
-register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
-
-# --- single driver-green round (r6 only — shortest streaks fill the
-# --- remaining window slots) -----------------------------------------
-register(
-    "repetition_stats_documents",
-    llm_ops.repetition_stats_documents,
-    llm_ops.REPETITION_STATS_SQL,
-)
-register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
-register(
-    "customer_order_distribution",
-    relational.customer_order_distribution,
-    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
-)
-
-# ===================== driver-window boundary (50) ====================
-# Everything below was driver-green in r6 (one or more rounds) and is
-# unchanged this round; full pytest oracle-parity coverage continues
-# every round regardless of position.
-
+# --- veterans rotated BACK IN (last driver row r6; policy: no entry
+# --- goes >2 rounds without a driver row) -----------------------------
 register(
     "dormant_rich_customers",
     relational.dormant_rich_customers,
     relational.DORMANT_RICH_SQL,
-)
-register(
-    "xlsx_roundtrip_nation",
-    format_io.xlsx_roundtrip_nation,
-    format_io.XLSX_ROUNDTRIP_NATION_SQL,
 )
 register(
     "token_count_bpe_documents",
@@ -325,19 +253,6 @@ register(
     relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
 )
 register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
-register("csv_roundtrip_customer", format_io.csv_roundtrip_customer, format_io.CSV_ROUNDTRIP_CUSTOMER_SQL)
-register("ndjson_roundtrip_orders", format_io.ndjson_roundtrip_orders, format_io.NDJSON_ROUNDTRIP_ORDERS_SQL)
-register("json_roundtrip_region", format_io.json_roundtrip_region, format_io.JSON_ROUNDTRIP_REGION_SQL)
-register(
-    "fixedwidth_roundtrip_nation",
-    format_io.fixedwidth_roundtrip_nation,
-    format_io.FIXEDWIDTH_ROUNDTRIP_NATION_SQL,
-)
-register(
-    "csv_roundtrip_documents",
-    format_io.csv_roundtrip_documents,
-    format_io.CSV_ROUNDTRIP_DOCUMENTS_SQL,
-)
 register("ann_lsh_recall", llm_ops.ann_lsh_recall, llm_ops.CONST_RECALL_SQL)
 register("ann_ivf_recall", llm_ops.ann_ivf_recall, llm_ops.CONST_RECALL_SQL)
 register(
@@ -361,4 +276,137 @@ register(
     "pack_sequences_documents",
     pipeline_ops.pack_sequences_documents,
     pipeline_ops.PACK_SEQUENCES_SQL,
+)
+
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r7 and is unchanged this round;
+# full pytest oracle-parity coverage continues every round regardless
+# of position.
+
+register(
+    "streaming_dedup_events",
+    state_ops.streaming_dedup_events,
+    state_ops.STREAMING_DEDUP_EVENTS_SQL,
+)
+register(
+    "curation_pipeline_documents",
+    pipeline_ops.curation_pipeline_documents,
+    pipeline_ops.CURATION_PIPELINE_SQL,
+)
+register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
+register(
+    "ngram_containment_documents",
+    llm_ops.ngram_containment_documents,
+    llm_ops.NGRAM_CONTAINMENT_SQL,
+)
+register(
+    "streaming_decontaminate_documents",
+    state_ops.streaming_decontaminate_documents,
+    state_ops.STREAMING_DECONTAMINATE_SQL,
+)
+register(
+    "semantic_outliers_documents",
+    llm_ops.semantic_outliers_documents,
+    llm_ops.SEMANTIC_OUTLIERS_SQL,
+)
+register(
+    "streaming_hourly_append_events",
+    state_ops.streaming_hourly_append_events,
+    state_ops.STREAMING_HOURLY_APPEND_SQL,
+)
+register(
+    "media_decode_roundtrip",
+    llm_ops.media_decode_roundtrip,
+    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
+)
+register(
+    "streaming_hourly_stats_events",
+    state_ops.streaming_hourly_stats_events,
+    state_ops.STREAMING_HOURLY_STATS_SQL,
+)
+register(
+    "streaming_user_sessions_events",
+    state_ops.streaming_user_sessions_events,
+    events_ops.USER_SESSIONS_SQL,
+)
+register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register(
+    "sample_stratified_documents",
+    pipeline_ops.sample_stratified_documents,
+    pipeline_ops.SAMPLE_STRATIFIED_SQL,
+)
+register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
+register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
+register(
+    "quarantine_corrupt_ndjson",
+    format_io.quarantine_corrupt_ndjson,
+    format_io.QUARANTINE_CORRUPT_NDJSON_SQL,
+)
+register(
+    "array_functions_embeddings",
+    scalar_ops.array_functions_embeddings,
+    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
+)
+register(
+    "stats_functions_lineitem",
+    scalar_ops.stats_functions_lineitem,
+    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
+)
+register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
+register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
+register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
+register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
+register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
+register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
+register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
+register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
+register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
+register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
+register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_ivf_recall
+register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
+register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
+register("text_stats_documents", llm_ops.text_stats_documents, llm_ops.TEXT_STATS_DOCUMENTS_SQL)
+register("langid_documents", llm_ops.langid_documents, llm_ops.LANGID_DOCUMENTS_SQL)
+register(
+    "fingerprint_dedup_counts",
+    llm_ops.fingerprint_dedup_counts,
+    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
+)
+register(
+    "quality_scores_documents",
+    llm_ops.quality_scores_documents,
+    llm_ops.QUALITY_SCORES_DOCUMENTS_SQL,
+)
+register(
+    "media_features_documents",
+    llm_ops.media_features_documents,
+    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
+)
+register(
+    "frame_sample_documents",
+    llm_ops.frame_sample_documents,
+    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
+)
+register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
+register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
+register(
+    "decontaminate_documents",
+    pipeline_ops.decontaminate_documents,
+    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
+)
+register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
+register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
+register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
+register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
+register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
+register(
+    "repetition_stats_documents",
+    llm_ops.repetition_stats_documents,
+    llm_ops.REPETITION_STATS_SQL,
+)
+register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
+register(
+    "customer_order_distribution",
+    relational.customer_order_distribution,
+    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
 )

@@ -341,3 +341,139 @@ def test_spreadsheet_read_bounded_edge_raises(spark, tmpdir):
     # exactly at the cap: fine
     df = spreadsheet_io.read_spreadsheet(spark, path, memory_limit=12)
     assert df.count() == 12
+
+
+def test_xls_roundtrip_exact_values(spark, tmpdir):
+    """Own-spec BIFF8 codec (io/xls_codec.py): write the TestRow
+    fixture as legacy .xls, read it back, byte-exact check every value
+    (reference handles .xls via Spreadsheet::Read,
+    scripts/dbitool.pl:2696-2784 — same bounded whole-sheet contract)."""
+    df = testrow.dataframe(spark, 30)
+    path = os.path.join(tmpdir, "t.xls")
+    spreadsheet_io.write_spreadsheet(df, path)
+    back = spreadsheet_io.read_spreadsheet(spark, path)
+    assert back.columns == list(testrow.HEADER)
+    rows = project(back, list(testrow.HEADER)).collect()
+    assert len(rows) == 30
+    for r in sorted(rows, key=lambda r: int(r[0])):
+        testrow.check(tuple(r))
+
+
+def test_xls_offsets_and_sheet_name(spark, tmpdir):
+    """x/y offsets and sheet selection parity with the xlsx path
+    (reference x=/y= args, scripts/dbitool.pl:2749-2767, :2825-2832)."""
+    df = testrow.dataframe(spark, 5)
+    path = os.path.join(tmpdir, "o.xls")
+    spreadsheet_io.write_spreadsheet(df, path, sheet="data", x=2, y=3)
+    back = spreadsheet_io.read_spreadsheet(spark, path, sheet="data", x=2, y=3)
+    assert back.columns == list(testrow.HEADER)
+    assert back.count() == 5
+    by_index = spreadsheet_io.read_spreadsheet(spark, path, sheet=0, x=2, y=3)
+    assert by_index.count() == 5
+    with pytest.raises(ValueError, match="not found"):
+        spreadsheet_io.read_spreadsheet(spark, path, sheet="nope")
+
+
+def test_xls_codec_hostile_values_roundtrip(tmpdir):
+    """Codec-level: unicode beyond latin-1 forces the UTF-16 wide-string
+    branch; embedded newlines, quotes and empty cells survive; numeric
+    cells format Excel-'General'-style (integral doubles drop .0)."""
+    from dbitool_spark.io import xls_codec
+
+    rows = [
+        ("plain", 'quo"ted', "apos'trophe"),
+        ("ünïcødé — 中文", "line1\nline2", "tab\there"),
+        ("", "empty-left", ""),
+        (42, 3.25, -7),
+    ]
+    path = os.path.join(tmpdir, "hostile.xls")
+    xls_codec.write_xls(path, rows)
+    got = xls_codec.read_xls(path)
+    assert got == [
+        ["plain", 'quo"ted', "apos'trophe"],
+        ["ünïcødé — 中文", "line1\nline2", "tab\there"],
+        ["", "empty-left", ""],
+        ["42", "3.25", "-7"],
+    ]
+
+
+def test_xls_reader_handles_rk_mulrk_label(tmpdir):
+    """Real-world .xls files use RK / MULRK / inline-LABEL records our
+    writer never emits — hand-build a sheet with them ([MS-XLS]
+    2.4.220, 2.4.175, 2.4.148) and confirm the reader decodes both RK
+    forms (integer and x100) and MULRK runs."""
+    import struct
+
+    from dbitool_spark.io import xls_codec
+
+    def rk_int(v):
+        return ((v & 0x3FFFFFFF) << 2) | 0x02
+
+    def rk_x100_int(v):
+        return ((v & 0x3FFFFFFF) << 2) | 0x03
+
+    def rk_float(v):
+        (bits,) = struct.unpack("<Q", struct.pack("<d", v))
+        return (bits >> 32) & 0xFFFFFFFC
+
+    globals_parts = [
+        xls_codec._rec(0x0809, struct.pack("<HHHHIHH", 0x0600, 0x0005, 0, 0, 0, 0, 0)),
+        xls_codec._rec(0x0085, struct.pack("<IH", 0, 0) + bytes([1, 0]) + b"S"),
+        xls_codec._rec(0x000A, b""),
+    ]
+    gbytes = b"".join(globals_parts)
+    bs_off = len(globals_parts[0]) + 4
+    gbytes = gbytes[:bs_off] + struct.pack("<I", len(gbytes)) + gbytes[bs_off + 4 :]
+
+    sheet = b"".join(
+        [
+            xls_codec._rec(0x0809, struct.pack("<HHHHIHH", 0x0600, 0x0010, 0, 0, 0, 0, 0)),
+            # RK integer 7 at A1, RK x100 integer 325 (=3.25) at B1
+            xls_codec._rec(0x027E, struct.pack("<HHHI", 0, 0, 0, rk_int(7))),
+            xls_codec._rec(0x027E, struct.pack("<HHHI", 0, 1, 0, rk_x100_int(325))),
+            # RK float 1.5 at C1
+            xls_codec._rec(0x027E, struct.pack("<HHHI", 0, 2, 0, rk_float(1.5))),
+            # MULRK row 2: cols 0..2 = 10, 20, 30
+            xls_codec._rec(
+                0x00BD,
+                struct.pack("<HH", 1, 0)
+                + b"".join(struct.pack("<HI", 0, rk_int(v)) for v in (10, 20, 30))
+                + struct.pack("<H", 2),
+            ),
+            # inline LABEL at A3
+            xls_codec._rec(
+                0x0204, struct.pack("<HHH", 2, 0, 0) + struct.pack("<HB", 5, 0) + b"hello"
+            ),
+            xls_codec._rec(0x000A, b""),
+        ]
+    )
+    path = os.path.join(tmpdir, "rk.xls")
+    with open(path, "wb") as fh:
+        fh.write(xls_codec._cfb_write("Workbook", gbytes + sheet))
+    grid = xls_codec.read_xls(path)
+    assert grid == [["7", "3.25", "1.5"], ["10", "20", "30"], ["hello", "", ""]]
+
+
+def test_xls_large_stream_regular_sectors(tmpdir):
+    """Workbooks over the 4096B CFB mini-cutoff chain regular 512B
+    sectors, and a big SST splits across CONTINUE records at string
+    boundaries — both paths in one file."""
+    from dbitool_spark.io import xls_codec
+
+    rows = [(f"string-{i:05d}-" + "x" * 40, i, float(i) + 0.5) for i in range(400)]
+    path = os.path.join(tmpdir, "big.xls")
+    xls_codec.write_xls(path, rows)
+    assert os.path.getsize(path) > 4096
+    got = xls_codec.read_xls(path)
+    assert len(got) == 400
+    assert got[399] == [f"string-00399-" + "x" * 40, "399", "399.5"]
+
+
+def test_xls_bounded_edges(spark, tmpdir):
+    """Same --memorylimit contract as every other whole-document edge:
+    read fails loudly past the cap instead of silently truncating."""
+    df = testrow.dataframe(spark, 12)
+    path = os.path.join(tmpdir, "cap.xls")
+    spreadsheet_io.write_spreadsheet(df, path)
+    with pytest.raises(MemoryError, match="bounded edge"):
+        spreadsheet_io.read_spreadsheet(spark, path, memory_limit=5)

@@ -311,3 +311,45 @@ def test_curation_pipeline_prunes_columns(spark):
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and all("n_chars" not in l and "lang" not in l for l in read)
     assert "CartesianProduct" not in plan
+
+
+def test_skewed_user_rollup_is_two_stage(spark):
+    """The driver-visible skew entry must actually produce the salted
+    two-stage plan: partial agg keyed by (user_id, salt) behind one
+    exchange, final agg re-combining behind a second — a hot user key
+    fans over n_salts tasks instead of stalling one."""
+    from dbitool_spark.plans.events_ops import skewed_user_rollup_events
+
+    plan = _plan(skewed_user_rollup_events(spark, SF_SMOKE))
+    n_hash_agg = plan.count("HashAggregate")
+    # >= 4 operator ids: partial+final for the salted stage, then
+    # partial+final for the recombine stage
+    assert n_hash_agg >= 4, plan
+    assert plan.count("Exchange") >= 2, plan
+    assert "_salt" in plan, plan
+
+
+def test_partsupp_fixture_shapes(spark):
+    """The partsupp fixture derives 4 rows per part with pure
+    projection — no shuffle, no driver edge; Q2's correlated min-cost
+    subquery must keep its region filter pushed to the region scan."""
+    from dbitool_spark.plans import relational
+
+    ps = relational._partsupp(spark, SF_SMOKE)
+    n_part = catalog.load(spark, SF_SMOKE, "part").count()
+    assert ps.count() == 4 * n_part
+    # 4 distinct suppliers per part at every shipped SF (|supplier|>9,
+    # not divisible by 3 — the docstring invariant)
+    from pyspark.sql import functions as F2
+
+    dup = (
+        ps.groupBy("ps_partkey")
+        .agg(F2.countDistinct("ps_suppkey").alias("n"))
+        .filter("n <> 4")
+        .count()
+    )
+    assert dup == 0
+    plan = _plan(relational.q2_min_cost_supplier(spark, SF_SMOKE))
+    assert any(
+        "PushedFilters" in l and "r_name" in l for l in plan.splitlines()
+    ), plan
