@@ -192,14 +192,56 @@ def write_jdbc(
     writer.save()
 
 
-def read_cassandra(*args, **kwargs):
-    """cassandraselect equivalent. Needs the spark-cassandra-connector
-    package (com.datastax.spark:spark-cassandra-connector_2.13) on the
-    classpath plus a reachable cluster; neither exists in this
-    environment, so this raises rather than pretending."""
-    raise NotImplementedError(
-        "Cassandra reads require the spark-cassandra-connector package: "
-        "spark.read.format('org.apache.spark.sql.cassandra')"
-        ".options(keyspace=..., table=...). Add the connector jar and a "
-        "contact point, then use read_jdbc-style options through that format."
+def read_cassandra(
+    spark: SparkSession,
+    keyspace: str,
+    table: str | None = None,
+    *,
+    query: str | None = None,
+    host: str | None = None,
+    port: int | None = None,
+    consistency: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """cassandraselect equivalent (reference arg contract
+    scripts/dbitool.pl:1461-1532: host/keyspace/table/consistency).
+    Issues the real DataSource V2 read through the public
+    spark-cassandra-connector format — partition-per-token-range scan
+    with predicate/column pushdown, the scale-correct path on a live
+    cluster. The connector reads TABLES (filters belong on the
+    DataFrame, where they push down to CQL); the reference's raw-CQL
+    query= form has no DataFrame-API equivalent, so it raises with
+    that guidance. The connector package (com.datastax.spark:
+    spark-cassandra-connector_2.13) is not in this environment —
+    without it the load fails naturally at plan time, and the except
+    re-raises with the exact --packages recipe instead of a raw
+    ClassNotFoundException."""
+    if query is not None:
+        raise ValueError(
+            "the Cassandra DataFrame connector reads tables, not raw CQL: "
+            "pass table= and express the predicate as .filter(...) — the "
+            "connector pushes it down to CQL token-range scans"
+        )
+    if table is None:
+        raise ValueError("table not specified")
+    reader = spark.read.format("org.apache.spark.sql.cassandra").options(
+        keyspace=keyspace, table=table
     )
+    if host is not None:
+        reader = reader.option("spark.cassandra.connection.host", host)
+    if port is not None:
+        reader = reader.option("spark.cassandra.connection.port", str(port))
+    if consistency is not None:
+        reader = reader.option("spark.cassandra.input.consistency.level", consistency)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as exc:  # connector jar absent or cluster unreachable
+        raise RuntimeError(
+            "Cassandra read failed — the spark-cassandra-connector package "
+            "is required on the classpath: start the session with "
+            "--packages com.datastax.spark:spark-cassandra-connector_2.13:3.5.1 "
+            "and set spark.cassandra.connection.host to a contact point. "
+            f"Underlying error: {type(exc).__name__}: {exc}"
+        ) from exc

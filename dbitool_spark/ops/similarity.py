@@ -315,6 +315,7 @@ def kmeans_distributed(
     k: int = 8,
     iters: int = 2,
     materialize: bool = True,
+    centroid_updates: str = "auto",
 ) -> DataFrame:
     """DISTRIBUTED Lloyd's k-means over an embedding column — the
     iterative-algorithm family (unlike _lloyd_kmeans above, which
@@ -331,10 +332,17 @@ def kmeans_distributed(
       deterministic ties.
     - update: posexplode to (cid, dim_idx, x) -> groupBy(cid, idx)
       avg — ONE shuffle of corpus*dim rows with map-side partial
-      aggregation, the canonical MLlib shape; the k*dim result
-      collects to rebuild the centroid table. Empty clusters keep
+      aggregation, the canonical MLlib shape. Empty clusters keep
       their previous centroid (deterministic; matches the oracle's
-      COALESCE).
+      COALESCE). How the k-row centroid table is rebuilt is the
+      centroid_updates knob: 'driver' collects the k*dim result
+      (bounded; keeps the run exactly SQL-expressible for the oracle),
+      'cluster' rebuilds it executor-side and localCheckpoints it per
+      round — no centroid values ever cross the driver, lineage stays
+      flat, so production iteration counts don't accumulate plan depth
+      or driver round-trips. 'auto' picks driver for iters<=2 (the
+      registered oracle entry) and cluster beyond. Identical math and
+      shuffle shape either way — tests/test_llm_ops pins parity.
 
     Deterministic end to end: seeds are the k smallest ids, no RNG —
     so the whole 2-iteration run is exactly SQL-expressible and the
@@ -380,27 +388,72 @@ def kmeans_distributed(
             .select("vec_id", "cid", "d", "v")
         )
 
+    if centroid_updates not in ("auto", "driver", "cluster"):
+        raise ValueError(
+            f"centroid_updates must be auto|driver|cluster, got {centroid_updates!r}"
+        )
+    if centroid_updates == "auto":
+        centroid_updates = "driver" if iters <= 2 else "cluster"
     schema = "cid int, c array<double>"
     try:
-        for _ in range(iters):
-            a = assign(spark.createDataFrame(cents, schema))
-            upd = (
-                a.select("cid", F.posexplode("v").alias("idx", "x"))
-                .groupBy("cid", "idx")
-                .agg(F.avg("x").alias("m"))
-                .collect()
-            )
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in upd:
-                by_cid.setdefault(r.cid, {})[r.idx] = r.m
-            cents = [
-                (cid, [by_cid[cid][p] for p in range(dim)] if cid in by_cid else old)
-                for cid, old in cents
-            ]
+        if centroid_updates == "driver":
+            # driver-update path: k*dim doubles collect per iteration —
+            # bounded and exactly SQL-expressible, which is what lets
+            # the registered 2-iteration entry unroll as DuckDB CTEs
+            for _ in range(iters):
+                a = assign(spark.createDataFrame(cents, schema))
+                upd = (
+                    a.select("cid", F.posexplode("v").alias("idx", "x"))
+                    .groupBy("cid", "idx")
+                    .agg(F.avg("x").alias("m"))
+                    .collect()
+                )
+                by_cid: dict[int, dict[int, float]] = {}
+                for r in upd:
+                    by_cid.setdefault(r.cid, {})[r.idx] = r.m
+                cents = [
+                    (cid, [by_cid[cid][p] for p in range(dim)] if cid in by_cid else old)
+                    for cid, old in cents
+                ]
+            cdf = spark.createDataFrame(cents, schema)
+        else:
+            # cluster-side update path for production iteration counts:
+            # the SAME per-dim avg (identical math, identical shuffle
+            # with map-side partial agg), but the k-row centroid table
+            # is rebuilt executor-side (collect_list of dim structs per
+            # cid, idx-sorted) and localCheckpoint-ed each round — the
+            # checkpoint truncates the lineage so iteration N's plan
+            # doesn't re-embed iterations 1..N-1, and centroid values
+            # never round-trip through the driver. Per iteration the
+            # driver only schedules jobs; the treeAggregate-style
+            # alternative moves the same corpus*dim rows, so this is
+            # the shuffle-minimal shape at any iters.
+            cdf = spark.createDataFrame(cents, schema)
+            for _ in range(iters):
+                a = assign(cdf)
+                new = (
+                    a.select("cid", F.posexplode("v").alias("idx", "x"))
+                    .groupBy("cid", "idx")
+                    .agg(F.avg("x").alias("m"))
+                    .groupBy("cid")
+                    .agg(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                            lambda s: s["m"],
+                        ).alias("c_new")
+                    )
+                )
+                # empty clusters keep their previous centroid (absent
+                # cid on the new side) — same rule as the driver path
+                cdf = (
+                    cdf.join(new, "cid", "left")
+                    .select("cid", F.coalesce("c_new", "c").alias("c"))
+                    .localCheckpoint()
+                )
     except Exception:
         vec.unpersist()
         raise
-    final = assign(spark.createDataFrame(cents, schema))
+    final = assign(cdf)
     result = (
         final.groupBy(F.col("cid").alias("cluster_id"))
         .agg(

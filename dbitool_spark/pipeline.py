@@ -226,9 +226,9 @@ def _jdbcselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 def _cassandraselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     """Reference cassandraselect (scripts/dbitool.pl:1461-1532): the
     host/keyspace/consistency/query/table argument surface, validated
-    here, execution gated on the spark-cassandra-connector (not in
-    this environment — io.db.read_cassandra raises with the exact
-    format/options recipe)."""
+    here; io.db.read_cassandra issues the real connector-format load,
+    which fails naturally (with the --packages recipe) when the
+    spark-cassandra-connector jar is absent, as in this environment."""
     if "keyspace" not in a:
         raise ValueError("keyspace not specified")
     if a.get("query") is None and a.get("table") is None and not ins:

@@ -155,9 +155,19 @@ def test_sqlite_arg_contract(spark, tmpdir):
         db.read_sqlite(spark, "x.db", query="SELECT 1", table="t")
 
 
-def test_cassandra_stub():
-    with pytest.raises(NotImplementedError, match="cassandra"):
-        db.read_cassandra()
+def test_cassandra_real_read_env_blocked(spark):
+    """read_cassandra issues the REAL connector-format load and fails
+    naturally when the package is absent — the failure must name the
+    exact --packages recipe, not a raw ClassNotFoundException."""
+    with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
+        db.read_cassandra(spark, "ks", "events", host="127.0.0.1")
+
+
+def test_cassandra_arg_contract(spark):
+    with pytest.raises(ValueError, match="table not specified"):
+        db.read_cassandra(spark, "ks")
+    with pytest.raises(ValueError, match="reads tables, not raw CQL"):
+        db.read_cassandra(spark, "ks", query="SELECT * FROM ks.t")
 
 
 def test_spreadsheet_csv_sheet_roundtrip(spark, tmpdir):
@@ -301,13 +311,14 @@ def test_xlsx_pipeline_module_path(spark, tmpdir):
 
 def test_cassandraselect_module_contract(spark):
     """cassandraselect is a registered module with the reference's arg
-    surface; execution is environment-gated (no connector/cluster)."""
+    surface; the read is real and fails naturally on the missing
+    connector package (environment-gated, not stubbed)."""
     from dbitool_spark.pipeline import MODULES, Pipeline
 
     assert "cassandraselect" in MODULES
     p = Pipeline(spark)
     p.add("cassandraselect:keyspace=ks:table=t")
-    with pytest.raises(NotImplementedError, match="spark-cassandra-connector"):
+    with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
         p.run()
     p2 = Pipeline(spark)
     with pytest.raises(ValueError, match="keyspace"):

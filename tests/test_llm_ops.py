@@ -585,6 +585,31 @@ def test_kmeans_distributed_empty_cluster_rule(spark):
     assert [(r.cluster_id, r.n_vecs) for r in out] == [(0, 1), (1, 2)]
 
 
+def test_kmeans_cluster_updates_parity_and_depth(spark):
+    """The iters>2 production path (cluster-side centroid updates,
+    localCheckpoint per round) must be bit-identical to the driver-
+    collect path at the same iteration count, and must actually run a
+    10-iteration fit with non-increasing inertia vs the 2-iteration
+    fit — the thing the per-iteration driver round-trip made painful."""
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
+
+    def run(**kw):
+        return sorted(
+            (r.cluster_id, r.n_vecs, r.inertia_r)
+            for r in similarity.kmeans_distributed(
+                emb, "vec_id", "embedding", k=4, **kw
+            ).collect()
+        )
+
+    a = run(iters=2, centroid_updates="driver")
+    b = run(iters=2, centroid_updates="cluster")
+    assert a == b
+    ten = run(iters=10)  # auto -> cluster path
+    assert sum(x[2] for x in ten) <= sum(x[2] for x in a) + 1e-6
+    with pytest.raises(ValueError, match="auto|driver|cluster"):
+        run(iters=2, centroid_updates="bogus")
+
+
 def test_ngram_containment_skew_guard(spark):
     """max_doc_freq with a cap above every frequency equals the exact
     path; cap=0 drops every shingle from the index so no candidates
