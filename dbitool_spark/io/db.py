@@ -163,6 +163,16 @@ def query_from_stream(df: DataFrame, *, max_lines: int = 10_000) -> str:
     return "\n".join(r[0] for r in rows)
 
 
+def _quiet_derby(spark: SparkSession, url: str) -> None:
+    """Embedded Derby writes derby.log into the JVM's CWD unless told
+    otherwise; route it to /tmp BEFORE the engine's first boot (the
+    property is read once at boot — a later set is a harmless no-op)."""
+    if url.startswith("jdbc:derby:"):
+        spark._jvm.java.lang.System.setProperty(
+            "derby.stream.error.file", "/tmp/dbitool_derby.log"
+        )
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -176,6 +186,7 @@ def read_jdbc(
     the reference's argument contract."""
     if (query is None) == (table is None):
         raise ValueError("specify exactly one of query= or table=")
+    _quiet_derby(spark, url)
     reader = spark.read.format("jdbc").option("url", url)
     reader = reader.option("query", query) if query else reader.option("dbtable", table)
     for k, v in options.items():
@@ -186,6 +197,7 @@ def read_jdbc(
 def write_jdbc(
     df: DataFrame, url: str, table: str, *, mode: str = "append", **options: str
 ) -> None:
+    _quiet_derby(df.sparkSession, url)
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
     for k, v in options.items():
         writer = writer.option(k, v)

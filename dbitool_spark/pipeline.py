@@ -247,7 +247,12 @@ def _cassandraselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 def _mysqlselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     """Reference mysqlselect (scripts/dbitool.pl:1387-1459): the same
     host/port/db/user/pw argument surface, mapped onto a jdbc:mysql://
-    URL (needs the MySQL Connector/J jar on the classpath)."""
+    URL (needs the MySQL Connector/J jar on the classpath). The shared
+    JDBC execution path underneath — write, ranged partitioned read,
+    query form, query-from-stream, engine-side pushdown — is EXECUTED
+    against embedded Derby (in every Spark distribution) by the
+    jdbc_roundtrip_part driver entry and tests/test_connectors.py;
+    only the MySQL URL itself is env-gated."""
     if "db" not in a:
         raise ValueError("database (db) not specified")
     url = f"jdbc:mysql://{a.get('host', 'localhost')}:{int(a.get('port', 3306))}/{a['db']}"

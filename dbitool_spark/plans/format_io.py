@@ -502,3 +502,65 @@ def quarantine_corrupt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUARANTINE_CORRUPT_CSV_SQL = """
 SELECT COUNT(*) AS n_good, CAST(2 AS BIGINT) AS n_bad FROM customer
 """
+
+
+# --- executed JDBC path (r8) -----------------------------------------
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_url(name: str) -> str:
+    """Embedded-Derby JDBC URL in a scratch dir. Derby ships inside
+    the Spark distribution (metastore dependency), so this is the one
+    JDBC engine every Spark install can execute against — which turns
+    the mysqlselect/jdbcselect code path from arg-mapping-only into an
+    EXECUTED read: same spark.read.format('jdbc') machinery, same
+    partitioned scans and pushdown, only the URL differs (io.db
+    routes Derby's error log to /tmp before first boot)."""
+    return f"jdbc:derby:{os.path.join(_scratch(name), 'db')};create=true"
+
+
+def jdbc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → real JDBC write (df.write.format('jdbc'), VARCHAR
+    column-type mapping) → partitioned JDBC read back (4 range slices
+    on p_partkey — each Spark task issues its own bounded SELECT, the
+    reference's streamed-resultset analogue at executor parallelism,
+    scripts/dbitool.pl:1318-1385). Filters on the returned frame push
+    down into the external engine's SQL (PushedFilters shows
+    *GreaterThan — JDBC-side, not Spark-side). On a cluster the URL
+    points at a server; embedded Derby here proves the identical code
+    path in-distribution."""
+    part = catalog.load(spark, sf_dir, "part")
+    url = _derby_url("jdbc")
+    db.write_jdbc(
+        part,
+        url,
+        "part",
+        mode="overwrite",
+        driver=DERBY_DRIVER,
+        createTableColumnTypes="p_name VARCHAR(128), p_brand VARCHAR(32), p_type VARCHAR(64)",
+    )
+    back = db.read_jdbc(
+        spark,
+        url,
+        table="part",
+        driver=DERBY_DRIVER,
+        partitionColumn="p_partkey",
+        numPartitions="4",
+        lowerBound="0",
+        upperBound="10000000",
+    )
+    return back.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        F.col("p_size").cast("int").alias("p_size"),
+        "p_retailprice",
+    )
+
+
+JDBC_ROUNDTRIP_PART_SQL = (
+    "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part"
+)

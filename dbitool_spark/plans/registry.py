@@ -47,9 +47,9 @@ r8 retirements (9 rows reclaimed, all still pytest-covered):
   sqlite_query_from_stream_part (same sqliteinsert + partitioned
   sqliteselect pair PLUS the streamed-SQL entry point).
 
-Current capacity: 97 registered / 50-slot window -> 47 tail rows, all
+Current capacity: 98 registered / 50-slot window -> 48 tail rows, all
 driver-green in r7; every entry is covered by CORRECTNESS_r07 ∪ r08.
-r9 headroom: 3 net-new slots; next merge candidates if more are
+r9 headroom: 2 net-new slots; next merge candidates if more are
 needed: quarantine_corrupt_csv+ndjson (one two-format quarantine
 entry), events_asof_recent_order+events_asof_latest_order (tolerance
 is a parameter, the plan family is shared).
@@ -124,6 +124,12 @@ register(
     "sqlite_query_from_stream_part",
     format_io.sqlite_query_from_stream_part,
     format_io.SQLITE_QUERY_FROM_STREAM_PART_SQL,
+)
+# the EXECUTED JDBC path (embedded Derby ships in the Spark distro)
+register(
+    "jdbc_roundtrip_part",
+    format_io.jdbc_roundtrip_part,
+    format_io.JDBC_ROUNDTRIP_PART_SQL,
 )
 # ops/scale.py made driver-visible: skew-safe two-stage aggregation
 register(

@@ -488,3 +488,74 @@ def test_xls_bounded_edges(spark, tmpdir):
     spreadsheet_io.write_spreadsheet(df, path)
     with pytest.raises(MemoryError, match="bounded edge"):
         spreadsheet_io.read_spreadsheet(spark, path, memory_limit=5)
+
+
+def test_jdbc_executed_roundtrip_derby(spark, tmpdir):
+    """The mysqlselect/jdbcselect code path EXECUTED, not just
+    arg-mapped: embedded Derby ships inside the Spark distribution, so
+    the real spark.read.format('jdbc') machinery runs — write, ranged
+    partitioned read, query-form read, and JDBC-side predicate
+    pushdown (PushedFilters on the scan)."""
+    import contextlib
+    import io as _io
+
+    from dbitool_spark.plans import format_io
+
+    url = f"jdbc:derby:{os.path.join(tmpdir, 'db')};create=true"
+    df = spark.createDataFrame(
+        [(i, f"name-{i}", float(i) * 1.5) for i in range(100)],
+        "id bigint, name string, score double",
+    )
+    db.write_jdbc(
+        df, url, "t", mode="overwrite", driver=format_io.DERBY_DRIVER,
+        createTableColumnTypes="name VARCHAR(32)",
+    )
+    back = db.read_jdbc(
+        spark, url, table="t", driver=format_io.DERBY_DRIVER,
+        partitionColumn="id", numPartitions="4", lowerBound="0", upperBound="100",
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    assert sorted((r.id, r.name, r.score) for r in back.collect())[7] == (7, "name-7", 10.5)
+    # query form (Derby folds unquoted identifiers to upper case;
+    # Spark-written columns are quoted lower case)
+    q = db.read_jdbc(
+        spark, url, driver=format_io.DERBY_DRIVER,
+        query='SELECT COUNT(*) AS \"n\" FROM t WHERE \"id\" < 50',
+    )
+    assert q.collect()[0].n == 50
+    # predicate pushdown reaches the external engine
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter("score > 100.0").explain("formatted")
+    pushed = [l for l in buf.getvalue().splitlines() if "PushedFilters" in l]
+    assert any("GreaterThan(score,100.0)" in l for l in pushed), pushed
+
+
+def test_jdbcselect_pipeline_query_from_stream(spark, tmpdir):
+    """jdbcselect as a pipeline module with the SQL text arriving on an
+    upstream raw stream (reference third signature,
+    scripts/dbitool.pl:1442-1457) — against a real JDBC engine."""
+    from dbitool_spark.pipeline import Pipeline
+    from dbitool_spark.plans import format_io
+
+    url = f"jdbc:derby:{os.path.join(tmpdir, 'db2')};create=true"
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], "id bigint, grp bigint"
+    )
+    db.write_jdbc(df, url, "t", mode="overwrite", driver=format_io.DERBY_DRIVER)
+    sql_file = os.path.join(tmpdir, "q.sql")
+    with open(sql_file, "w") as fh:
+        fh.write('SELECT "grp", COUNT(*) AS "n"\nFROM t GROUP BY "grp"\n')
+    p = Pipeline(spark)
+    p.add(f"fileread:in={sql_file}:out=sqltext")
+    # the URL contains ':' — pass it through the dict/kwargs spec form
+    # (the CLI colon syntax is for simple values, reference :93-103)
+    p.add(
+        "jdbcselect",
+        url=url,
+        driver=format_io.DERBY_DRIVER,
+        **{"in": "sqltext", "out": "rows"},
+    )
+    got = {(r.grp, r.n) for r in p.stream("rows").collect()}
+    assert got == {(g, 10) for g in range(5)}
