@@ -283,12 +283,18 @@ def _rec(rid: int, body: bytes) -> bytes:
 
 def _biff_string(s: str) -> bytes:
     """XLUnicodeString: cch(2) grbit(1) chars (compressed when every
-    code point fits a byte, else UTF-16LE)."""
-    if len(s) > 32767:
-        raise MemoryError("BIFF string exceeds 32767 chars")
+    code point fits a byte, else UTF-16LE). cch counts UTF-16 CODE
+    UNITS, not code points — astral-plane chars are surrogate pairs
+    and count as 2 ([MS-XLS] 2.5.294)."""
     if all(ord(c) < 256 for c in s):
+        if len(s) > 32767:
+            raise MemoryError("BIFF string exceeds 32767 chars")
         return struct.pack("<HB", len(s), 0x00) + s.encode("latin-1")
-    return struct.pack("<HB", len(s), 0x01) + s.encode("utf-16-le")
+    enc = s.encode("utf-16-le")
+    cch = len(enc) // 2
+    if cch > 32767:
+        raise MemoryError("BIFF string exceeds 32767 UTF-16 code units")
+    return struct.pack("<HB", cch, 0x01) + enc
 
 
 def _fmt_number(v: float) -> str:
@@ -441,21 +447,32 @@ def _parse_sst(body: bytes, continues: list[bytes]) -> list[str]:
         ext = bool(grbit & 0x04)
         c_run = struct.unpack("<H", take(2))[0] if rich else 0
         cb_ext = struct.unpack("<i", take(4))[0] if ext else 0
-        chars: list[str] = []
+        # segments are (wide, raw) — decode AFTER merging adjacent
+        # same-width runs: cch counts UTF-16 code units, so a record
+        # boundary may fall between the two halves of a surrogate
+        # pair, and decoding per-segment would explode on the lone
+        # high surrogate
+        segs: list[tuple[bool, bytes]] = []
         wide = bool(grbit & 0x01)
         need = cch
         while need:
             advance()
             if ci >= len(chunks):
                 break
-            if off == 0 and chars:
+            if off == 0 and segs:
                 # continuation boundary: fresh grbit byte
                 wide = bool(take(1)[0] & 0x01)
             avail = remaining() // (2 if wide else 1)
             n = min(need, avail)
             raw = take(n * (2 if wide else 1))
-            chars.append(raw.decode("utf-16-le" if wide else "latin-1"))
+            if segs and segs[-1][0] == wide:
+                segs[-1] = (wide, segs[-1][1] + raw)
+            else:
+                segs.append((wide, raw))
             need -= n
+        chars = [
+            raw.decode("utf-16-le" if w else "latin-1") for w, raw in segs
+        ]
         # skip rich-text runs and extended data (may also span records)
         skip = c_run * 4 + cb_ext
         while skip:

@@ -183,3 +183,75 @@ def test_star_cc_matches_union_find_property(spark, edges):
         df, local_edge_threshold=None, algorithm="star").collect()))
     uf = sorted(map(tuple, connected_components(df).collect()))
     assert star == uf
+
+
+# --- spreadsheet codecs: arbitrary grids survive byte-exact ----------
+#
+# Both codecs promise the same contract: scalars in, strings out,
+# values byte-exact after the documented stringification (numbers
+# format Excel-"General"-style: integral doubles drop the .0). The
+# strategies stress the encoders' branch points: latin-1 vs UTF-16
+# strings (xls), XML metacharacters (xlsx), shared-string dedup, and
+# numeric formatting.
+
+_sheet_text = st.text(max_size=30).filter(
+    # xml 1.0 can't carry control chars; BIFF strings can't carry
+    # lone surrogates (handled by the filter in st.text already)
+    lambda s: all(ord(c) >= 0x20 or c in "\t\n" for c in s)
+)
+_sheet_cell = st.one_of(
+    _sheet_text,
+    st.integers(min_value=-(2**50), max_value=2**50),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+_grid = st.lists(
+    st.tuples(_sheet_cell, _sheet_cell, _sheet_cell), min_size=1, max_size=25
+)
+
+
+def _expected_cell(v) -> str:
+    if isinstance(v, str):
+        return v
+    f = float(v)
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return repr(f)
+
+
+@given(rows=_grid)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_xls_codec_roundtrip_property(tmpdir, rows):
+    from dbitool_spark.io import xls_codec
+
+    path = os.path.join(tmpdir, "p.xls")
+    xls_codec.write_xls(path, rows)
+    got = xls_codec.read_xls(path)
+    want = [[_expected_cell(v) for v in r] for r in rows]
+    # trailing all-empty rows/cols are indistinguishable from absent
+    # cells in a sparse grid — compare against the dense expectation
+    # padded the same way the reader pads
+    n_cols = max(len(r) for r in want)
+    assert len(got) <= len(want)
+    for gi, g in enumerate(got):
+        assert g == (want[gi] + [""] * n_cols)[: len(g)]
+    # every non-empty expected cell must be present
+    for ri, r in enumerate(want):
+        for ci, v in enumerate(r):
+            if v != "":
+                assert got[ri][ci] == v
+
+
+@given(rows=_grid)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_xlsx_codec_roundtrip_property(tmpdir, rows):
+    from dbitool_spark.io import xlsx_codec
+
+    path = os.path.join(tmpdir, "p.xlsx")
+    xlsx_codec.write_xlsx(path, [tuple(map(str, r)) for r in rows])
+    got = xlsx_codec.read_xlsx(path)
+    want = [[str(v) for v in r] for r in rows]
+    n_cols = max(len(r) for r in want)
+    for ri, r in enumerate(want):
+        for ci, v in enumerate(r):
+            if v != "":
+                assert got[ri][ci] == v
