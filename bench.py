@@ -89,11 +89,31 @@ def _scaling_ops():
         docs = catalog.load(spark, d, "documents")
         return dedup.ngram_containment_pairs(docs, "doc_id", "text")
 
+    def kmeans_cluster_path(spark, d):
+        # the iters>2 production path (cluster-side centroid updates):
+        # growth must stay linear in corpus size — the per-iteration
+        # cost is one broadcast-NLJ assignment + one corpus*dim shuffle
+        from dbitool_spark.ops import similarity
+
+        emb = catalog.load(spark, d, "embeddings")
+        # materialize=True: the work happens inside this call (which
+        # the gate's timer wraps) and the persisted input is released
+        return similarity.kmeans_distributed(emb, "vec_id", "embedding", k=8, iters=5)
+
+    def salted_rollup(spark, d):
+        # the skew answer: two-stage agg must track input size, with
+        # the second stage bounded by keys*n_salts
+        from dbitool_spark.plans.events_ops import skewed_user_rollup_events
+
+        return skewed_user_rollup_events(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
         "simhash_candidates": simhash,
         "ngram_containment_pairs": containment,
+        "kmeans_cluster_updates": kmeans_cluster_path,
+        "salted_user_rollup": salted_rollup,
     }
 
 
