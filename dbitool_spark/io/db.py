@@ -249,11 +249,27 @@ def read_cassandra(
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as exc:  # connector jar absent or cluster unreachable
-        raise RuntimeError(
-            "Cassandra read failed — the spark-cassandra-connector package "
-            "is required on the classpath: start the session with "
-            "--packages com.datastax.spark:spark-cassandra-connector_2.13:3.5.1 "
-            "and set spark.cassandra.connection.host to a contact point. "
-            f"Underlying error: {type(exc).__name__}: {exc}"
-        ) from exc
+    except Exception as exc:
+        # rewrap ONLY the missing-package failure modes with the
+        # --packages recipe; everything else (wrong table, auth,
+        # unreachable cluster on a working install) propagates with
+        # its real diagnosis
+        msg = str(exc)
+        if any(
+            marker in msg
+            for marker in (
+                "ClassNotFoundException",
+                "DATA_SOURCE_NOT_FOUND",
+                "Failed to find data source",
+                "Failed to find the data source",
+            )
+        ):
+            raise RuntimeError(
+                "Cassandra read failed — the spark-cassandra-connector "
+                "package is required on the classpath: start the session "
+                "with --packages "
+                "com.datastax.spark:spark-cassandra-connector_2.13:3.5.1 "
+                "and set spark.cassandra.connection.host to a contact "
+                f"point. Underlying error: {type(exc).__name__}: {exc}"
+            ) from exc
+        raise

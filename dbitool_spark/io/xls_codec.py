@@ -36,6 +36,7 @@ re-casts cleanly.
 
 from __future__ import annotations
 
+import math
 import struct
 
 _CFB_SIG = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -74,9 +75,11 @@ def _cfb_write(stream_name: str, payload: bytes) -> bytes:
             struct.pack("<I", i + 1 if i + 1 < n_mini else _ENDOFCHAIN)
             for i in range(n_mini)
         )
+        # unused mini-FAT slots are FREESECT (0xFFFFFFFF) per spec —
+        # pad with 0xff BEFORE slicing so the fill actually lands
+        minifat = minifat + b"\xff" * (-len(minifat) % _SECT or _SECT * (not minifat))
         minifat_sectors = [
-            pad(minifat[i : i + _SECT], _SECT).ljust(_SECT, b"\xff")
-            for i in range(0, max(len(minifat), 1), _SECT)
+            minifat[i : i + _SECT] for i in range(0, len(minifat), _SECT)
         ]
         ministream_sectors = [mini[i : i + _SECT] for i in range(0, len(mini), _SECT)]
     else:
@@ -115,6 +118,15 @@ def _cfb_write(stream_name: str, payload: bytes) -> bytes:
             break
         n_fat += 1
 
+    if n_fat > 109:
+        # header DIFAT holds 109 FAT-sector pointers (109*128 sectors
+        # ≈ 7 MB); extended-DIFAT emission is not implemented, and
+        # writing past it would produce a silently corrupt container
+        raise MemoryError(
+            f"CFB payload needs {n_fat} FAT sectors (>109 header DIFAT "
+            "slots, ≈7 MB) — a bounded whole-sheet edge; use csv/"
+            "parquet for big tables"
+        )
     dir_abs = n_fat
     if use_mini:
         minifat_abs = dir_abs + 1
@@ -298,8 +310,10 @@ def _biff_string(s: str) -> bytes:
 
 
 def _fmt_number(v: float) -> str:
-    """Excel-'General'-style numeric text: integral doubles drop .0."""
-    if v == int(v) and abs(v) < 1e15:
+    """Excel-'General'-style numeric text: integral doubles drop .0.
+    NUMBER records can legally carry inf/nan doubles — surface their
+    repr instead of crashing on int(inf)."""
+    if math.isfinite(v) and v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)
 
@@ -319,7 +333,10 @@ def write_xls(
     the SST + LABELSST pair."""
     if len(rows) > 65536 - y:
         raise MemoryError("BIFF8 sheets cap at 65536 rows")
-    if rows and len(rows[0]) > 256 - x:
+    n_cols = max((len(r) for r in rows), default=0)
+    if n_cols > 256 - x:
+        # checked over EVERY row — ragged rows longer than the first
+        # would otherwise emit out-of-spec columns silently
         raise MemoryError("BIFF8 sheets cap at 256 columns")
 
     # shared string table: unique strings in first-seen order
@@ -356,7 +373,6 @@ def write_xls(
 
     # sheet substream
     n_rows = len(rows)
-    n_cols = len(rows[0]) if rows else 0
     sheet_parts = [
         _rec(0x0809, struct.pack("<HHHHIHH", 0x0600, 0x0010, 0x0DBB, 0x07CC, 0, 0, 0)),
         _rec(
@@ -374,12 +390,16 @@ def write_xls(
 
     # workbook globals; BOUNDSHEET needs the sheet BOF offset — assemble
     # with a placeholder, then patch (the offset is the globals' length)
+    # BOUNDSHEET name is a ShortXLUnicodeString: wide encoding when any
+    # char exceeds latin-1 so non-ASCII sheet names round-trip (the
+    # reader keys sheet selection on the exact name)
     name = sheet[:31]
-    bsheet_body = (
-        struct.pack("<IH", 0, 0)
-        + struct.pack("<BB", len(name), 0)
-        + name.encode("latin-1", errors="replace")
-    )
+    if all(ord(c) < 256 for c in name):
+        name_bytes = struct.pack("<BB", len(name), 0) + name.encode("latin-1")
+    else:
+        enc = name.encode("utf-16-le")
+        name_bytes = struct.pack("<BB", len(enc) // 2, 1) + enc
+    bsheet_body = struct.pack("<IH", 0, 0) + name_bytes
     globals_parts = [
         _rec(0x0809, struct.pack("<HHHHIHH", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0, 0)),
         _rec(0x0042, struct.pack("<H", 0x04B0)),  # CODEPAGE: UTF-16
@@ -455,14 +475,30 @@ def _parse_sst(body: bytes, continues: list[bytes]) -> list[str]:
         segs: list[tuple[bool, bytes]] = []
         wide = bool(grbit & 0x01)
         need = cch
+        # chunk the header ended in: character data continuing into a
+        # LATER chunk re-states the grbit byte at the boundary — even
+        # when zero characters were read before it (header flush
+        # against the record end, spec-legal)
+        cur_chunk = ci
         while need:
             advance()
             if ci >= len(chunks):
                 break
-            if off == 0 and segs:
-                # continuation boundary: fresh grbit byte
+            if ci != cur_chunk:
                 wide = bool(take(1)[0] & 0x01)
+                cur_chunk = ci
+                advance()
+                if ci >= len(chunks):
+                    break
+                cur_chunk = ci
             avail = remaining() // (2 if wide else 1)
+            if avail == 0:
+                # odd trailing byte of a wide run (truncated/corrupt
+                # record): consuming 0 would spin forever
+                raise ValueError(
+                    "corrupt SST: record ends mid-character in a "
+                    "UTF-16 string"
+                )
             n = min(need, avail)
             raw = take(n * (2 if wide else 1))
             if segs and segs[-1][0] == wide:
@@ -581,7 +617,14 @@ def read_xls(
         elif rid == 0x0204:  # LABEL (inline BIFF8 string)
             r, c, _xf = struct.unpack_from("<HHH", body, 0)
             cch, grbit = struct.unpack_from("<HB", body, 6)
-            raw = body[9 : 9 + cch * (2 if grbit & 0x01 else 1)]
+            # rich-text run count / extended size sit BETWEEN grbit
+            # and the character data when flagged ([MS-XLS] 2.5.294)
+            pos = 9
+            if grbit & 0x08:
+                pos += 2
+            if grbit & 0x04:
+                pos += 4
+            raw = body[pos : pos + cch * (2 if grbit & 0x01 else 1)]
             put(r, c, raw.decode("utf-16-le" if grbit & 0x01 else "latin-1"))
 
     out: list[list[str]] = []

@@ -445,3 +445,52 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite as-of entry (r8 merge of events_asof_latest_order +
+    events_asof_recent_order — the plan family is shared and tolerance
+    is a parameter; both constituent functions and their pytest
+    coverage remain, only the registry rows merged): the plain
+    backward as-of and the tolerance-bounded variant run in one entry,
+    tagged by variant, so a single green row proves both the
+    union+window join shape and the stale-match nulling."""
+    plain = events_asof_latest_order(spark, sf_dir).select(
+        F.lit("latest").alias("variant"),
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("latest_orderkey").alias("asof_orderkey"),
+    )
+    tol = events_asof_recent_order(spark, sf_dir).select(
+        F.lit("recent").alias("variant"),
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("recent_orderkey").alias("asof_orderkey"),
+    )
+    return plain.unionByName(tol).orderBy("variant", "event_id")
+
+
+EVENTS_ASOF_ORDERS_SQL = f"""
+SELECT 'latest' AS variant, e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       o.o_orderkey AS asof_orderkey
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o ON true
+UNION ALL
+SELECT 'recent' AS variant, e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       o.o_orderkey AS asof_orderkey
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey = e.user_id
+    AND o_orderdate <= e.ts
+    AND epoch_us(o_orderdate) >= epoch_us(e.ts) - {ASOF_TOLERANCE_DAYS * 24 * 3600 * 1_000_000}
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o ON true
+ORDER BY variant, event_id
+"""

@@ -564,3 +564,27 @@ def jdbc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 JDBC_ROUNDTRIP_PART_SQL = (
     "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part"
 )
+
+
+def quarantine_corrupt_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite error-channel entry (r8 merge of quarantine_corrupt_
+    csv + quarantine_corrupt_ndjson — both constituent functions and
+    their pytest coverage remain; only the registry rows merged): the
+    CSV and NDJSON quarantine splits run in one entry, tagged by
+    format, so a single green row proves the PERMISSIVE->split->
+    errorsize path for both parsers (reference error stream,
+    scripts/dbitool.pl:234-243)."""
+    csv_counts = quarantine_corrupt_csv(spark, sf_dir).withColumn(
+        "fmt", F.lit("csv")
+    )
+    ndjson_counts = quarantine_corrupt_ndjson(spark, sf_dir).withColumn(
+        "fmt", F.lit("ndjson")
+    )
+    return csv_counts.unionByName(ndjson_counts).select("fmt", "n_good", "n_bad")
+
+
+QUARANTINE_CORRUPT_FORMATS_SQL = """
+SELECT 'csv' AS fmt, COUNT(*) AS n_good, CAST(2 AS BIGINT) AS n_bad FROM customer
+UNION ALL
+SELECT 'ndjson' AS fmt, COUNT(*) AS n_good, CAST(2 AS BIGINT) AS n_bad FROM documents
+"""

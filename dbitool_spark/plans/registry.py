@@ -47,12 +47,21 @@ r8 retirements (9 rows reclaimed, all still pytest-covered):
   sqlite_query_from_stream_part (same sqliteinsert + partitioned
   sqliteselect pair PLUS the streamed-SQL entry point).
 
-Current capacity: 98 registered / 50-slot window -> 48 tail rows, all
+r8 second wave (the jdbc_roundtrip_part addition made 51 entries due
+an r8 row against 50 slots, so both previously-flagged merge
+candidates executed):
+- quarantine_corrupt_csv + quarantine_corrupt_ndjson -> merged into
+  quarantine_corrupt_formats (both splits, format-tagged);
+- events_asof_recent_order + events_asof_latest_order -> merged into
+  events_asof_orders (variant-tagged; tolerance is a parameter of the
+  shared union+window plan family).
+
+Current capacity: 96 registered / 50-slot window -> 46 tail rows, all
 driver-green in r7; every entry is covered by CORRECTNESS_r07 ∪ r08.
-r9 headroom: 2 net-new slots; next merge candidates if more are
-needed: quarantine_corrupt_csv+ndjson (one two-format quarantine
-entry), events_asof_recent_order+events_asof_latest_order (tolerance
-is a parameter, the plan family is shared).
+r9 headroom: 4 net-new slots; next merge candidates if more are
+needed: the three scalar-function families (string/date/array share
+the one-table projection shape), hll_accuracy_events +
+quantile_sketch_lineitem (one sketch-accuracy entry).
 """
 
 from __future__ import annotations
@@ -178,14 +187,14 @@ register(
     pipeline_ops.CORPUS_MIX_WEIGHTED_SQL,
 )
 register(
-    "events_asof_recent_order",
-    events_ops.events_asof_recent_order,
-    events_ops.EVENTS_ASOF_TOLERANCE_SQL,
+    "events_asof_orders",
+    events_ops.events_asof_orders,
+    events_ops.EVENTS_ASOF_ORDERS_SQL,
 )
 register(
-    "quarantine_corrupt_csv",
-    format_io.quarantine_corrupt_csv,
-    format_io.QUARANTINE_CORRUPT_CSV_SQL,
+    "quarantine_corrupt_formats",
+    format_io.quarantine_corrupt_formats,
+    format_io.QUARANTINE_CORRUPT_FORMATS_SQL,
 )
 register(
     "events_daily_type_pivot",
@@ -269,11 +278,6 @@ register(
     events_ops.USER_SESSIONS_SQL,
 )
 register(
-    "events_asof_latest_order",
-    events_ops.events_asof_latest_order,
-    events_ops.EVENTS_ASOF_SQL,
-)
-register(
     "deterministic_split_documents",
     pipeline_ops.deterministic_split_documents,
     pipeline_ops.DETERMINISTIC_SPLIT_SQL,
@@ -343,11 +347,6 @@ register(
 )
 register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
 register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
-register(
-    "quarantine_corrupt_ndjson",
-    format_io.quarantine_corrupt_ndjson,
-    format_io.QUARANTINE_CORRUPT_NDJSON_SQL,
-)
 register(
     "array_functions_embeddings",
     scalar_ops.array_functions_embeddings,

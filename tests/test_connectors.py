@@ -559,3 +559,60 @@ def test_jdbcselect_pipeline_query_from_stream(spark, tmpdir):
     )
     got = {(r.grp, r.n) for r in p.stream("rows").collect()}
     assert got == {(g, 10) for g in range(5)}
+
+
+def test_xls_codec_hardening(tmpdir):
+    """Regression pins for the r8 review findings: ragged-row column
+    cap, unicode sheet names, rich-text LABEL offsets, corrupt-SST
+    raise instead of hang, non-finite number formatting."""
+    import struct
+
+    from dbitool_spark.io import xls_codec
+
+    # ragged rows: a LATER row over 256 cols must be rejected
+    with pytest.raises(MemoryError, match="256 columns"):
+        xls_codec.write_xls(
+            os.path.join(tmpdir, "wide.xls"), [(1,), tuple(range(300))]
+        )
+
+    # non-latin1 sheet name round-trips by exact name
+    p = os.path.join(tmpdir, "uni.xls")
+    xls_codec.write_xls(p, [("a", "b")], sheet="データ")
+    assert xls_codec.read_xls(p, sheet="データ") == [["a", "b"]]
+
+    # rich-text inline LABEL: cRun sits between grbit and chars
+    globals_parts = [
+        xls_codec._rec(0x0809, struct.pack("<HHHHIHH", 0x0600, 0x0005, 0, 0, 0, 0, 0)),
+        xls_codec._rec(0x0085, struct.pack("<IH", 0, 0) + bytes([1, 0]) + b"S"),
+        xls_codec._rec(0x000A, b""),
+    ]
+    g = b"".join(globals_parts)
+    off = len(globals_parts[0]) + 4
+    g = g[:off] + struct.pack("<I", len(g)) + g[off + 4 :]
+    sheet = b"".join(
+        [
+            xls_codec._rec(0x0809, struct.pack("<HHHHIHH", 0x0600, 0x0010, 0, 0, 0, 0, 0)),
+            xls_codec._rec(
+                0x0204,
+                struct.pack("<HHH", 0, 0, 0)
+                + struct.pack("<HB", 2, 0x08)  # cch=2, rich flag
+                + struct.pack("<H", 1)  # cRun=1
+                + b"ok"
+                + b"\x00\x00\x00\x00",  # one 4-byte run descriptor
+            ),
+            xls_codec._rec(0x000A, b""),
+        ]
+    )
+    rich = os.path.join(tmpdir, "rich.xls")
+    with open(rich, "wb") as fh:
+        fh.write(xls_codec._cfb_write("Workbook", g + sheet))
+    assert xls_codec.read_xls(rich) == [["ok"]]
+
+    # corrupt SST (odd trailing byte mid-wide-char) raises, not hangs
+    bad_sst = struct.pack("<ii", 1, 1) + struct.pack("<HB", 2, 0x01) + b"\x41"
+    with pytest.raises(ValueError, match="corrupt SST"):
+        xls_codec._parse_sst(struct.pack("<ii", 1, 1) + bad_sst[8:], [])
+
+    # inf/nan numbers surface as text instead of crashing
+    assert xls_codec._fmt_number(float("inf")) == "inf"
+    assert xls_codec._fmt_number(float("nan")) == "nan"
