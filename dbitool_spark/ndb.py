@@ -63,6 +63,22 @@ class NdbTable:
             version = fh.read().strip()
         return os.path.join(self.path, version) if version else None
 
+    def _current_gen(self) -> int | None:
+        """Generation number encoded in the pointer's version string
+        (`v{gen}`) — the authoritative counter. Deriving it from
+        max(__ndb_gen) over the stored rows would (a) pay a full state
+        scan per upsert and (b) go stale after an empty batch (a v2
+        written from an empty upsert still carries only _GEN=1 rows,
+        so the next max()+1 would collide with the LIVE v2 dir and
+        overwrite the path being read)."""
+        current = self._current_dir()
+        if current is None:
+            return None
+        version = os.path.basename(current)
+        if not version.startswith("v"):
+            raise ValueError(f"ndb pointer names a non-version dir {version!r}")
+        return int(version[1:])
+
     def _flip_pointer(self, version: str) -> None:
         ptr = os.path.join(self.path, _POINTER)
         tmp = ptr + ".tmp"
@@ -86,7 +102,8 @@ class NdbTable:
         if self.key not in df.columns:
             raise ValueError(f"key {self.key!r} not in columns {df.columns}")
         state = self._state()
-        gen = 0 if state is None else (state.agg(F.max(_GEN)).first()[0] or 0) + 1
+        prev_gen = self._current_gen()
+        gen = 0 if prev_gen is None else prev_gen + 1
         batch = df.withColumn(_GEN, F.lit(gen).cast("long"))
         merged = batch if state is None else state.unionByName(batch)
 
@@ -112,6 +129,25 @@ class NdbTable:
             .parquet(out_dir)
         )
         self._flip_pointer(version)
+        self._gc_versions(keep={version, f"v{prev_gen}"})
+
+    def _gc_versions(self, keep: set[str]) -> None:
+        """Delete superseded version dirs after the pointer flip —
+        without this, every micro-batch of a long-running
+        stream_upsert_ndb leaves a full state copy behind (unbounded
+        disk growth). The immediately-previous version is kept as the
+        crash-recovery fallback; anything older is garbage."""
+        import shutil
+
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and name not in keep
+                and os.path.isdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
 
     def replay(self) -> DataFrame:
         """The table as a source (reference ndb-without-input mode:

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,8 +36,8 @@ def _proc_start_ticks(pid: int) -> int | None:
 
 
 def _scratch_dir(query: str, sf_dir: str) -> str:
-    """Bounded scratch path per (query, sf): a per-PID subdir under a
-    deterministic base. Same process re-running the query wipes only
+    """Bounded scratch path per (query, sf): a per-PID/per-thread
+    subdir under a deterministic base. Same process re-running the query wipes only
     ITS OWN previous copy; sibling subdirs are reclaimed once their
     owning process is dead. Liveness is probed by PID *plus* the
     owner's kernel start time (written to an `owner` stamp file at
@@ -63,6 +64,18 @@ def _scratch_dir(query: str, sf_dir: str) -> str:
         sub_path = os.path.join(base, sub)
         ticks = _proc_start_ticks(pid)
         if ticks is None:
+            # /proc gone for this pid — but on non-Linux /proc doesn't
+            # exist AT ALL, and "no /proc" must not read as "every
+            # sibling is dead" (it would rmtree a LIVE process's dir);
+            # fall back to the signal-0 probe there
+            if not os.path.isdir("/proc"):
+                try:
+                    os.kill(pid, 0)
+                    continue  # alive (or at least existing) — leave it
+                except ProcessLookupError:
+                    pass
+                except PermissionError:
+                    continue  # exists under another uid — leave it
             shutil.rmtree(sub_path, ignore_errors=True)  # owner gone
             continue
         try:
@@ -73,13 +86,20 @@ def _scratch_dir(query: str, sf_dir: str) -> str:
         if stamped != ticks:
             # PID recycled — the stamped owner is dead
             shutil.rmtree(sub_path, ignore_errors=True)
-    path = os.path.join(base, f"pid{os.getpid()}")
+    pid_path = os.path.join(base, f"pid{os.getpid()}")
+    os.makedirs(pid_path, exist_ok=True)
+    own = _proc_start_ticks(os.getpid())
+    if own is not None and not os.path.exists(os.path.join(pid_path, "owner")):
+        with open(os.path.join(pid_path, "owner"), "w") as fh:
+            fh.write(str(own))
+    # per-THREAD leaf: two threads of one process running the same
+    # query tag must not wipe each other mid-read (the pid dir is
+    # never rmtree'd by its owner — only dead-owner reclamation above
+    # removes it wholesale); thread count is bounded, so accumulation
+    # stays bounded per live process
+    path = os.path.join(pid_path, f"tid{threading.get_ident()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    own = _proc_start_ticks(os.getpid())
-    if own is not None:
-        with open(os.path.join(path, "owner"), "w") as fh:
-            fh.write(str(own))
     return path
 
 
@@ -111,6 +131,46 @@ ORDER BY user_id
 """
 
 
+def _drain_streaming_entry(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    prefix: str,
+    source_df: DataFrame,
+    schema: str,
+    plan,
+    output_mode: str,
+) -> DataFrame:
+    """Shared scaffold of every streaming driver entry (one place to
+    fix, five entries that can't drift): drop the previous call's
+    memory-sink views for this prefix, re-publish the source as NDJSON
+    in the per-(query, sf, pid, thread) scratch dir, consume it as a
+    file-watch stream with bounded triggers (maxFilesPerTrigger=4 —
+    the reference's --streamsize backpressure knob), apply `plan` to
+    the stream, drain with trigger=availableNow into a uuid-named
+    memory table, and return it as a DataFrame. drain_to_memory raises
+    on an expired drain, so a partial sink can never read as a
+    result."""
+    import uuid
+
+    from dbitool_spark import streaming
+    from dbitool_spark.io import json_io
+
+    # bounded-lifetime contract: memory-sink tables from EARLIER calls
+    # are dropped here (the current call's table must outlive the
+    # return, so each call cleans up its predecessor's)
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.catalog.dropTempView(t.name)
+    src = os.path.join(_scratch_dir(prefix.rstrip("_"), sf_dir), "ndjson")
+    json_io.write_ndjson(source_df, src)
+    stream = streaming.stream_ndjson(spark, src, schema, max_files_per_trigger=4)
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
+    streaming.drain_to_memory(plan(stream), name, output_mode=output_mode)
+    return spark.table(name)
+
+
+
 def streaming_hourly_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming made driver-visible: events re-published
     as NDJSON files, consumed by a file-watch stream with bounded
@@ -127,37 +187,25 @@ def streaming_hourly_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame
     window. State is bounded by distinct (hour, type) — fine for a
     drain; a production continuous run would use append + watermark
     (streaming.windowed_counts' default)."""
-    import uuid
-
     from dbitool_spark import streaming
-    from dbitool_spark.io import json_io
-
-    # bounded-lifetime contract: memory-sink tables from EARLIER calls
-    # are dropped here (the current call's table must outlive the
-    # return, so each call cleans up its predecessor's)
-    for t in spark.catalog.listTables():
-        if t.name.startswith("stream_hourly_"):
-            spark.catalog.dropTempView(t.name)
 
     ev = catalog.load(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("ts_ts").alias("ts")
     )
-    src = os.path.join(_scratch_dir("stream_hourly", sf_dir), "events_ndjson")
-    json_io.write_ndjson(ev, src)
-    stream = streaming.stream_ndjson(
+    sink = _drain_streaming_entry(
         spark,
-        src,
-        "event_id bigint, event_type string, ts timestamp",
-        max_files_per_trigger=4,
+        sf_dir,
+        prefix="stream_hourly_",
+        source_df=ev,
+        schema="event_id bigint, event_type string, ts timestamp",
+        plan=lambda stream: streaming.windowed_counts(
+            stream, "ts", window="1 hour", watermark="0 seconds",
+            group_cols=["event_type"],
+        ),
+        output_mode="complete",
     )
-    windowed = streaming.windowed_counts(
-        stream, "ts", window="1 hour", watermark="0 seconds",
-        group_cols=["event_type"],
-    )
-    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    streaming.drain_to_memory(windowed, name, output_mode="complete")
     return (
-        spark.table(name)
+        sink
         .select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
@@ -190,29 +238,21 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan — first-wins state, cross-batch suppression, final drain —
     reaches the batch answer. Completes the streaming family next to
     the windowed-counts and session-window entries."""
-    import uuid
-
     from dbitool_spark import streaming
-    from dbitool_spark.io import json_io
-
-    for t in spark.catalog.listTables():
-        if t.name.startswith("stream_dedup_"):
-            spark.catalog.dropTempView(t.name)
 
     ev = catalog.load(spark, sf_dir, "events").select("user_id", "event_type")
-    src = os.path.join(_scratch_dir("stream_dedup", sf_dir), "events_ndjson")
-    json_io.write_ndjson(ev, src)
-    stream = streaming.stream_ndjson(
-        spark, src, "user_id bigint, event_type string", max_files_per_trigger=4
+    sink = _drain_streaming_entry(
+        spark,
+        sf_dir,
+        prefix="stream_dedup_",
+        source_df=ev,
+        schema="user_id bigint, event_type string",
+        plan=lambda stream: streaming.stream_dedup_first_wins(
+            stream, ["user_id", "event_type"]
+        ),
+        output_mode="append",
     )
-    deduped = streaming.stream_dedup_first_wins(stream, ["user_id", "event_type"])
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    streaming.drain_to_memory(deduped, name, output_mode="append")
-    return (
-        spark.table(name)
-        .select("user_id", "event_type")
-        .orderBy("user_id", "event_type")
-    )
+    return sink.select("user_id", "event_type").orderBy("user_id", "event_type")
 
 
 STREAMING_DEDUP_EVENTS_SQL = """
@@ -237,32 +277,25 @@ def streaming_hourly_append_events(spark: SparkSession, sf_dir: str) -> DataFram
     boundaries (true for the event data's microsecond stamps) the
     <= comparison cannot sit on an exact tie, so engine rounding
     differences cannot flip membership."""
-    import uuid
-
     from dbitool_spark import streaming
-    from dbitool_spark.io import json_io
-
-    for t in spark.catalog.listTables():
-        if t.name.startswith("stream_append_"):
-            spark.catalog.dropTempView(t.name)
 
     ev = catalog.load(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("ts_ts").alias("ts")
     )
-    src = os.path.join(_scratch_dir("stream_append", sf_dir), "events_ndjson")
-    json_io.write_ndjson(ev, src)
-    stream = streaming.stream_ndjson(
-        spark, src, "event_id bigint, event_type string, ts timestamp",
-        max_files_per_trigger=4,
+    sink = _drain_streaming_entry(
+        spark,
+        sf_dir,
+        prefix="stream_append_",
+        source_df=ev,
+        schema="event_id bigint, event_type string, ts timestamp",
+        plan=lambda stream: streaming.windowed_counts(
+            stream, "ts", window="1 hour", watermark="1 hour",
+            group_cols=["event_type"],
+        ),
+        output_mode="append",
     )
-    windowed = streaming.windowed_counts(
-        stream, "ts", window="1 hour", watermark="1 hour",
-        group_cols=["event_type"],
-    )
-    name = f"stream_append_{uuid.uuid4().hex[:8]}"
-    streaming.drain_to_memory(windowed, name, output_mode="append")
     return (
-        spark.table(name)
+        sink
         .select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
@@ -298,30 +331,23 @@ def streaming_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataF
     micro-batch order and hash-matches the batch anti-join oracle,
     proving the stream-static plan (static-side reuse across
     triggers, per-batch filter, drain) reaches the batch answer."""
-    import uuid
-
     from dbitool_spark import streaming
-    from dbitool_spark.io import json_io
     from dbitool_spark.plans.pipeline_ops import DECONTAM_NGRAM, bench_gram_set
-
-    for t in spark.catalog.listTables():
-        if t.name.startswith("stream_decon_"):
-            spark.catalog.dropTempView(t.name)
 
     docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     bench_grams = bench_gram_set(docs)
-    src = os.path.join(_scratch_dir("stream_decon", sf_dir), "docs_ndjson")
-    json_io.write_ndjson(docs, src)
-    stream = streaming.stream_ndjson(
-        spark, src, "doc_id bigint, text string, source string",
-        max_files_per_trigger=4,
+    sink = _drain_streaming_entry(
+        spark,
+        sf_dir,
+        prefix="stream_decon_",
+        source_df=docs,
+        schema="doc_id bigint, text string, source string",
+        plan=lambda stream: streaming.stream_static_filter_contaminated(
+            stream, bench_grams, "text", ngram=DECONTAM_NGRAM
+        ),
+        output_mode="append",
     )
-    clean = streaming.stream_static_filter_contaminated(
-        stream, bench_grams, "text", ngram=DECONTAM_NGRAM
-    )
-    name = f"stream_decon_{uuid.uuid4().hex[:8]}"
-    streaming.drain_to_memory(clean, name, output_mode="append")
-    return spark.table(name).select("doc_id", "source").orderBy("doc_id")
+    return sink.select("doc_id", "source").orderBy("doc_id")
 
 
 def _streaming_decontaminate_sql() -> str:
@@ -361,15 +387,8 @@ def streaming_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFram
     only reaches max event time, so append would withhold every
     still-open final session. Session length = window length - gap
     (the window end pads the last event by the gap)."""
-    import uuid
-
     from dbitool_spark import streaming
-    from dbitool_spark.io import json_io
     from dbitool_spark.plans.events_ops import SESSION_GAP_MIN
-
-    for t in spark.catalog.listTables():
-        if t.name.startswith("stream_sessions_"):
-            spark.catalog.dropTempView(t.name)
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     # microseconds ride as int64 through the NDJSON hop: Spark's JSON
@@ -379,17 +398,21 @@ def streaming_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFram
     ev = catalog.load(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts_ts")).alias("ts_us")
     )
-    src = os.path.join(_scratch_dir("stream_sessions", sf_dir), "events_ndjson")
-    json_io.write_ndjson(ev, src)
-    stream = streaming.stream_ndjson(
-        spark, src, "user_id bigint, ts_us bigint", max_files_per_trigger=4
-    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-    sessions = streaming.stream_user_sessions(
-        stream, "ts", "user_id", gap=f"{SESSION_GAP_MIN} minutes"
+    sink = _drain_streaming_entry(
+        spark,
+        sf_dir,
+        prefix="stream_sessions_",
+        source_df=ev,
+        schema="user_id bigint, ts_us bigint",
+        plan=lambda stream: streaming.stream_user_sessions(
+            stream.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+            "ts",
+            "user_id",
+            gap=f"{SESSION_GAP_MIN} minutes",
+        ),
+        output_mode="complete",
     )
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    streaming.drain_to_memory(sessions, name, output_mode="complete")
-    per_session = spark.table(name).select(
+    per_session = sink.select(
         "user_id",
         "n_events",
         (

@@ -137,6 +137,13 @@ def drain_to_memory(
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()
+        raise TimeoutError(
+            f"availableNow drain into memory table {name!r} did not finish "
+            f"within {timeout_sec}s — the sink holds a PARTIAL result. "
+            "Either the drain is genuinely slow (raise timeout_sec) or the "
+            "plan registered processing-time timers, which availableNow can "
+            "never run to completion (use start_parquet_stream)."
+        )
     return q
 
 
@@ -218,7 +225,11 @@ def drain_to_parquet(
         .start()
     )
     if not q.awaitTermination(timeout_sec):
-        q.stop()  # same guard as drain_to_memory: never leak the query
+        q.stop()  # never leak the query...
+        raise TimeoutError(  # ...but a partial sink is a wrong answer, not a result
+            f"availableNow drain into {path!r} did not finish within "
+            f"{timeout_sec}s; the checkpoint allows a clean re-drain"
+        )
     return q
 
 
@@ -279,10 +290,14 @@ def stream_static_filter_contaminated(
     contaminated = F.arrays_overlap(
         shingles(F.col(text_col), ngram), F.col("__bench")
     )
+    # NULL text => shingles() is NULL => arrays_overlap is NULL; the
+    # batch oracle's NOT IN keeps such docs (their grams unnest to
+    # zero rows), so coalesce to not-contaminated instead of letting
+    # three-valued logic silently drop them
     return (
         stream.withColumn("__k", F.lit(1))
         .join(F.broadcast(bench_arr), "__k")  # static side: 1 row
-        .filter(~contaminated)
+        .filter(~F.coalesce(contaminated, F.lit(False)))
         .drop("__k", "__bench")
     )
 
@@ -317,4 +332,9 @@ def stream_upsert_ndb(
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()
+        raise TimeoutError(
+            f"availableNow ndb upsert stream did not finish within "
+            f"{timeout_sec}s — the table may hold only a prefix of the "
+            "input batches; the checkpoint allows a clean resume"
+        )
     return q

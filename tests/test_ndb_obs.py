@@ -69,6 +69,33 @@ def test_ndb_empty_replay_raises(spark, tmpdir):
         t.replay()
 
 
+def test_ndb_empty_batch_then_upsert(spark, tmpdir):
+    """Regression (r8 review): the generation counter comes from the
+    pointer, not max(_GEN) over rows — an EMPTY upsert batch used to
+    leave max(_GEN) stale so the NEXT upsert recomputed the same gen
+    and overwrote the live version dir it was reading from."""
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k")
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    t.upsert(spark.createDataFrame([], "k bigint, v string"))  # empty batch
+    t.upsert(spark.createDataFrame([(1, "b"), (2, "c")], "k bigint, v string"))
+    got = sorted((r.k, r.v) for r in t.replay().collect())
+    assert got == [(1, "b"), (2, "c")]
+
+
+def test_ndb_version_gc(spark, tmpdir):
+    """Superseded version dirs are deleted after the pointer flip
+    (keep current + previous as the crash-recovery fallback) — a
+    long-running upsert stream must not accumulate one full state
+    copy per micro-batch."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k")
+    for i in range(5):
+        t.upsert(spark.createDataFrame([(1, f"v{i}")], "k bigint, v string"))
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit())
+    assert vdirs == ["v3", "v4"], vdirs
+    assert [r.v for r in t.replay().collect()] == ["v4"]
+
+
 def test_observed_counts(spark):
     df = spark.range(100)
     df2, obs = observed(df.filter(F.col("id") < 40), "filtered")

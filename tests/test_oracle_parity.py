@@ -27,6 +27,44 @@ _CASES = [
     for name, fn in registry.queries().items()
 ]
 
+# Entries retired from the registry by the r8 merge policy keep their
+# oracle-parity coverage HERE (the policy's contract: only the
+# registry row is reclaimed, never the correctness check). Their
+# composites exercise the same codepaths in the driver window; this
+# list pins the constituents' standalone semantics too.
+from dbitool_spark.plans import events_ops as _ev
+from dbitool_spark.plans import format_io as _fmt
+
+_RETIRED_CASES = [
+    ("retired_quarantine_corrupt_csv", _fmt.quarantine_corrupt_csv,
+     _fmt.QUARANTINE_CORRUPT_CSV_SQL),
+    ("retired_quarantine_corrupt_ndjson", _fmt.quarantine_corrupt_ndjson,
+     _fmt.QUARANTINE_CORRUPT_NDJSON_SQL),
+    ("retired_events_asof_latest_order", _ev.events_asof_latest_order,
+     _ev.EVENTS_ASOF_SQL),
+    ("retired_events_asof_recent_order", _ev.events_asof_recent_order,
+     _ev.EVENTS_ASOF_TOLERANCE_SQL),
+    ("retired_csv_roundtrip_customer", _fmt.csv_roundtrip_customer,
+     _fmt.CSV_ROUNDTRIP_CUSTOMER_SQL),
+    ("retired_csv_roundtrip_documents", _fmt.csv_roundtrip_documents,
+     _fmt.CSV_ROUNDTRIP_DOCUMENTS_SQL),
+    ("retired_ndjson_roundtrip_orders", _fmt.ndjson_roundtrip_orders,
+     _fmt.NDJSON_ROUNDTRIP_ORDERS_SQL),
+    ("retired_json_roundtrip_region", _fmt.json_roundtrip_region,
+     _fmt.JSON_ROUNDTRIP_REGION_SQL),
+    ("retired_fixedwidth_roundtrip_nation", _fmt.fixedwidth_roundtrip_nation,
+     _fmt.FIXEDWIDTH_ROUNDTRIP_NATION_SQL),
+    ("retired_xlsx_roundtrip_nation", _fmt.xlsx_roundtrip_nation,
+     _fmt.XLSX_ROUNDTRIP_NATION_SQL),
+    ("retired_sqlite_roundtrip_part", _fmt.sqlite_roundtrip_part,
+     _fmt.SQLITE_ROUNDTRIP_PART_SQL),
+    ("retired_xml_roundtrip_supplier", _fmt.xml_roundtrip_supplier,
+     _fmt.XML_ROUNDTRIP_SUPPLIER_SQL),
+    ("retired_bson_roundtrip_region", _fmt.bson_roundtrip_region,
+     _fmt.BSON_ROUNDTRIP_REGION_SQL),
+]
+_CASES = _CASES + _RETIRED_CASES
+
 
 @pytest.mark.parametrize(
     "name,fn,sql", [c for c in _CASES if c[2] is not None], ids=[c[0] for c in _CASES if c[2] is not None]
