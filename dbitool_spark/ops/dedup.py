@@ -73,6 +73,21 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def _validate_threshold(threshold: float) -> None:
+    """The shingle-keyed join construction is exact only for
+    threshold > 0 (a qualifying pair must share >= 1 shingle, which
+    ceil(t*n) >= 1 guarantees iff t > 0); t = 0 would make every
+    disjoint pair qualify while the join can never generate it —
+    a silently incomplete result, so reject like the minhash bands
+    check does rather than degrade."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}: the exact "
+            "shingle-join construction requires every qualifying pair "
+            "to share at least one shingle"
+        )
+
+
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = 64
 ) -> DataFrame:
@@ -244,6 +259,7 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    _validate_threshold(threshold)
     # one row per doc — persisted so the interpreted zip_with shingle
     # build runs once across index construction, frequency pass, and
     # verification; released on return via materialize_release
@@ -257,9 +273,9 @@ def ngram_jaccard_pairs(
     sh = sh.persist()
     ix = sh.select("id", "n", F.explode("sh").alias("shingle"))
     t = F.lit(threshold)
+    freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is None:
         # --- prefix-filtered exact path ---
-        freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         # global rarest-first order; row_number gives each doc its
         # shingles ranked by that order (one shuffle on id)
         w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
@@ -268,12 +284,18 @@ def ngram_jaccard_pairs(
         # can only LENGTHEN the prefix, never shorten it (shorter =
         # potential false negatives)
         prefix_len = F.col("n") - F.ceil(t * F.col("n") - F.lit(1e-9)) + 1
+        # persisted: a/b below are two ALIASES of this plan, and
+        # Catalyst's exchange reuse only covers the shuffle below the
+        # window — without the persist the freq join + per-doc window
+        # sort + prefix filter execute once per self-join side (the
+        # same re-run-per-alias cost `sh` and simhash's `sig` persists
+        # exist to avoid); released via materialize_release on return
         pref = (
             ix.join(freq, "shingle")
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= prefix_len)
             .select("id", "n", "shingle")
-        )
+        ).persist()
         a = pref.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
         b = pref.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
         # length-ratio prune with the SAME epsilon as prefix_len: for
@@ -305,12 +327,13 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        return materialize_release(result, sh)
+        return materialize_release(result, sh, pref)
     # --- skew-guard path (df-capped inverted index, r4 plan) ---
-    freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # persisted for the same two-aliases reason as `pref` above: the
+    # freq join would otherwise run once per self-join side
     ix = ix.join(
         freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
-    )
+    ).persist()
     a = ix.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
     b = ix.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
     inter = (
@@ -332,7 +355,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return materialize_release(result, sh)
+    return materialize_release(result, sh, ix)
 
 
 def ngram_containment_pairs(
@@ -374,11 +397,16 @@ def ngram_containment_pairs(
     ngram_jaccard_pairs': shingles appearing in more than that many
     docs are dropped from the B-side index (the full-index side is
     where a stop-shingle's fan-out lives here — prefix_df_s * df_s
-    explodes through df_s). Approximate by design: a pair whose entire
-    overlap is capped shingles generates no candidate, and the
-    verification still counts ALL shared shingles for survivors (the
-    guard bounds candidate generation, not the reported value).
-    OFF by default for exactness."""
+    explodes through df_s). Approximate by design, and the miss set
+    is wider than "pairs whose entire overlap is capped": a pair is
+    lost whenever prefix(A) ∩ kept(B) is empty, which can happen as
+    soon as ONE capped shingle displaces the only prefix shingle the
+    pair shares — even if most of the overlap is uncapped (A's prefix
+    is its rarest shingles, but "rare" is relative to A; all of them
+    may still exceed the cap). Verification still counts ALL shared
+    shingles for survivors (the guard bounds candidate generation,
+    not the reported value). OFF by default for exactness."""
+    _validate_threshold(threshold)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
     ).withColumn("n", F.size("sh"))
@@ -726,6 +754,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("id", packed.alias("sig"))
 
 
+def _validate_simhash_banding(n_blocks: int, bits_per_block: int) -> None:
+    if n_blocks < 1 or bits_per_block < 1 or n_blocks * bits_per_block > 64:
+        raise ValueError(
+            f"invalid banding: need n_blocks*bits_per_block <= 64, got "
+            f"{n_blocks}x{bits_per_block}"
+        )
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -771,7 +807,12 @@ def simhash_candidates(
     does not reuse the exchange across self-join aliases) and
     released before returning — the result is eagerly materialized
     (ops.cache.materialize_release) so repeated calls do not
-    accumulate executor storage."""
+    accumulate executor storage. Banding params are validated BEFORE
+    the persist: a post-persist raise would leave the signature plan
+    registered in the CacheManager with no release point, and any
+    later plan-identical signature subplan would silently materialize
+    through the orphaned entry (the BENCH_r03 silent-reuse leak)."""
+    _validate_simhash_banding(n_blocks, bits_per_block)
     sig = simhash_signatures(df, id_col, text_col).persist()
     result = simhash_band_candidates(
         sig, n_blocks=n_blocks, bits_per_block=bits_per_block, max_hamming=max_hamming
@@ -793,11 +834,7 @@ def simhash_band_candidates(
     (64 SUMs over the exploded word stream) and feeding this from an
     unpersisted plan would re-run it per self-join side. Pass a
     persisted `sig`; the caller owns its release."""
-    if n_blocks < 1 or bits_per_block < 1 or n_blocks * bits_per_block > 64:
-        raise ValueError(
-            f"invalid banding: need n_blocks*bits_per_block <= 64, got "
-            f"{n_blocks}x{bits_per_block}"
-        )
+    _validate_simhash_banding(n_blocks, bits_per_block)
     mask = (1 << bits_per_block) - 1
     chunks = sig.select(
         "id",

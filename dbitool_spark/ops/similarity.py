@@ -58,16 +58,28 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     query_vec_col: str | None = None,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cos). The
-    query side is broadcast (must be small); self-matches excluded.
-    Rank ties break on neighbor id for determinism."""
+    query side is broadcast (must be small); rank ties break on
+    neighbor id for determinism.
+
+    `exclude_self` defaults to auto: self-matches (neighbor_id ==
+    query_id) are excluded only when the queries share the corpus id
+    space (query_id_col is None — queries drawn from the corpus, where
+    a "neighbor" at cos 1.0 is the vector itself). When query ids come
+    from a DIFFERENT table via query_id_col, equal ids are coincidence
+    between unrelated entities, so nothing is excluded — pass
+    exclude_self explicitly to override either way."""
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
+    if exclude_self is None:
+        exclude_self = query_id_col is None
     q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    on = F.col("neighbor_id") != F.col("query_id") if exclude_self else F.lit(True)
     scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        c.join(F.broadcast(q), on)
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -108,7 +120,18 @@ def _lsh_buckets(
     expressions costs ~dim * tables * bits interpreted evals per row
     (measured ~8s for 5000x64 at 16x4), while one BLAS matmul over an
     Arrow batch is milliseconds. The rest of the LSH pipeline (bucket
-    join, cosine rank) stays in the JVM."""
+    join, cosine rank) stays in the JVM.
+
+    The output id field keeps the INPUT id column's Spark type (the
+    mapInPandas schema is built from it, not hardcoded) so string /
+    int ids survive the Arrow round-trip; buckets are bigint, and
+    bits is capped at 62 so the packed bucket fits int64."""
+    if n_tables < 1 or not 1 <= bits <= 62:
+        raise ValueError(
+            f"invalid LSH shape: need n_tables >= 1 and 1 <= bits <= 62 "
+            f"(bucket packs into int64), got {n_tables}x{bits}"
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
     planes = _hyperplanes(n_tables, bits, dim)
     w = np.array(planes, dtype=np.float64).reshape(n_tables * bits, dim).T  # dim x (t*b)
     weights = [1 << (bits - 1 - b) for b in range(bits)]
@@ -120,7 +143,7 @@ def _lsh_buckets(
             mat = np.vstack(pdf[vec_col].map(np.asarray))  # rows x dim
             signs = (mat @ w) > 0  # rows x (tables*bits)
             signs = signs.reshape(len(pdf), n_tables, bits)
-            buckets = (signs * np.array(weights)).sum(axis=2)  # rows x tables
+            buckets = (signs * np.array(weights, dtype=np.int64)).sum(axis=2)  # rows x tables
             out = pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy().repeat(n_tables),
@@ -131,7 +154,7 @@ def _lsh_buckets(
             yield out
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        assign, schema="id long, table int, bucket int"
+        assign, schema=f"id {id_type}, table int, bucket long"
     )
 
 
@@ -145,8 +168,14 @@ def lsh_topk(
     dim: int = 64,
     n_tables: int = 16,
     bits: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
+
+    Queries and corpus share `id_col`'s id space (the common case:
+    queries are a subset of the corpus), so self-matches are excluded
+    by default; pass exclude_self=False when the query ids are an
+    unrelated namespace where equal ids are coincidence.
 
     Signature per table = `bits` sign bits of hyperplane dot products
     packed into an int bucket id. A corpus vector is a candidate for a
@@ -171,7 +200,9 @@ def lsh_topk(
     pairs = (
         c.select(F.col("id").alias("neighbor_id"), "table", "bucket")
         .join(q.select(F.col("id").alias("query_id"), "table", "bucket"), ["table", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(
+            F.col("neighbor_id") != F.col("query_id") if exclude_self else F.lit(True)
+        )
         .select("query_id", "neighbor_id")
         .distinct()
     )
@@ -233,6 +264,7 @@ def ivf_topk(
     seed: int = 42,
     max_train: int = 100_000,
     max_iter: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means partitions the
     corpus into `n_centroids` cells; a query only scans its `n_probe`
@@ -250,7 +282,13 @@ def ivf_topk(
     key, never all-pairs. Deterministic via the fixed seed.
 
     Returns (query_id, neighbor_id, rank, cos) within probed cells.
+    Self-match exclusion follows lsh_topk's contract: queries share
+    id_col's id space by default; exclude_self=False for unrelated
+    query id namespaces. The id field keeps the input column's Spark
+    type through the mapInPandas cell assignment (schema derived, not
+    hardcoded).
     """
+    id_type = corpus.schema[id_col].dataType.simpleString()
     sampled = corpus.select(F.col(vec_col).alias("v"))
     n_corpus = sampled.count()
     if n_corpus > max_train:
@@ -280,15 +318,17 @@ def ivf_topk(
 
     c_cells = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(cell_assigner(1), schema="id long, cell long")
+    ).mapInPandas(cell_assigner(1), schema=f"id {id_type}, cell long")
     q_cells = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(cell_assigner(n_probe), schema="id long, cell long")
+    ).mapInPandas(cell_assigner(n_probe), schema=f"id {id_type}, cell long")
 
     pairs = (
         c_cells.withColumnRenamed("id", "neighbor_id")
         .join(q_cells.withColumnRenamed("id", "query_id"), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(
+            F.col("neighbor_id") != F.col("query_id") if exclude_self else F.lit(True)
+        )
         .select("query_id", "neighbor_id")
         .distinct()
     )

@@ -68,6 +68,10 @@ ORDER BY user_id
 
 
 _PERTURB_OFFSET = 1_000_000
+# Planted-ANN query count: the first N vec_ids serve as queries in the
+# recall fixtures and the top-k entries; the brute-force oracle SQL
+# pins the same bound.
+_N_ANN_QUERIES = 10
 
 
 def _perturbed_corpus(docs: DataFrame) -> DataFrame:
@@ -96,11 +100,14 @@ def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-# Brute-force oracle CTEs. |A ∪ B| = |A| + |B| - |A ∩ B| (shingle
-# lists are distinct), and pairs are pre-pruned by the length-ratio
-# bound implied by jaccard >= t: min(|A|,|B|) >= t * max(|A|,|B|).
-# Shared by the pair oracle and the cluster (recursive-closure) oracle.
-_MINHASH_PAIRS_CTES = rf"""corpus AS (
+# Perturbed-corpus + 3-shingle CTEs shared by EVERY shingle-based
+# oracle (minhash, exact jaccard, skew-guard, containment): one
+# definition of the corpus doubling and the shingle construction, so
+# a change (e.g. the len(w) < 3 branch) lands in all of them at once
+# rather than silently desynchronizing one oracle from its operator.
+# `shn` goes unused by the skew-guard oracle — DuckDB inlines CTEs
+# lazily, so an unreferenced one costs nothing.
+_CORPUS_SH_CTES = rf"""corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
@@ -114,7 +121,13 @@ sh AS (
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
   FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
 ),
-shn AS (SELECT doc_id, s, len(s) AS n FROM sh),
+shn AS (SELECT doc_id, s, len(s) AS n FROM sh)"""
+
+# Brute-force oracle CTEs. |A ∪ B| = |A| + |B| - |A ∩ B| (shingle
+# lists are distinct), and pairs are pre-pruned by the length-ratio
+# bound implied by jaccard >= t: min(|A|,|B|) >= t * max(|A|,|B|).
+# Shared by the pair oracle and the cluster (recursive-closure) oracle.
+_MINHASH_PAIRS_CTES = rf"""{_CORPUS_SH_CTES},
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.s, b.s)) AS li, a.n AS na, b.n AS nb
@@ -187,22 +200,8 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-NGRAM_JACCARD_SQL = rf"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
-         array_to_string(ws[1:len(ws) - 1], ' ') AS text
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-           ELSE list_transform(generate_series(1, len(w) - 2),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
-),
-shn AS (SELECT doc_id, s, len(s) AS n FROM sh),
+NGRAM_JACCARD_SQL = f"""
+WITH {_CORPUS_SH_CTES},
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.s, b.s)) AS li, a.n AS na, b.n AS nb
@@ -242,16 +241,16 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_cosine_similarity. Emits ranks plus the cosine rounded to
     1e-6 (both engines accumulate in double over the same order)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter(F.col("vec_id") < _N_ANN_QUERIES)
     topk = similarity.brute_force_topk(emb, queries, k=5)
     return topk.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
     ).orderBy("query_id", "rank")
 
 
-ANN_TOPK_BRUTEFORCE_SQL = """
+ANN_TOPK_BRUTEFORCE_SQL = f"""
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 10),
+           FROM embeddings WHERE vec_id < {_N_ANN_QUERIES}),
 scored AS (
   SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
@@ -267,6 +266,37 @@ ORDER BY query_id, rank
 """
 
 
+_EMBED_DIM = 64
+
+
+def _perturbed_embeddings(base: DataFrame, *, dim: int = _EMBED_DIM) -> DataFrame:
+    """Planted near-identical copies of (vec_id, v) rows: ids shift by
+    _PERTURB_OFFSET, element 0 scales 1.5x. cos(source, copy) =
+    (1+0.5r)/sqrt(1+1.25r) >= 0.9798 for ANY element-0 energy share r,
+    far above this corpus's ~0.28 natural ceiling — perfect planted
+    ground truth. The ONE definition behind every embedding fixture
+    (near-dup, ANN recall, SemDeDup); the DuckDB mirror is
+    _PERTURBED_CORPUS_SQL — change them together."""
+    return base.select(
+        (F.col("vec_id") + _PERTURB_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) * 1.5), F.slice("v", 2, dim - 1)
+        ).alias("v"),
+    )
+
+
+# DuckDB mirror of base + _perturbed_embeddings(base): the doubled
+# corpus CTE shared by the embedding oracles.
+_PERTURBED_CORPUS_SQL = f"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {_PERTURB_OFFSET} AS vec_id,
+         list_concat([v[1] * 1.5], v[2:]) AS v
+  FROM base
+)"""
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over a perturbed corpus: each vector
     plus a copy with element 0 scaled 1.5x. Construction gives every
@@ -277,13 +307,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket recall AND cosine values end to end."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    pert = base.select(
-        (F.col("vec_id") + _PERTURB_OFFSET).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("v", 1) * 1.5), F.slice("v", 2, 63)
-        ).alias("v"),
-    )
-    corpus = base.unionAll(pert)
+    corpus = base.unionAll(_perturbed_embeddings(base))
     # 16 tables x 10 bits: P(miss) per cos>=0.98 pair is (1-0.9364^10)^16
     # ~ 8e-6 — deterministic via seeded hyperplanes, verified at sf0.01
     # and sf0.1; 1024 buckets/table keeps the candidate set ~5x smaller
@@ -298,14 +322,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
-WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-corpus AS (
-  SELECT vec_id, v FROM base
-  UNION ALL
-  SELECT vec_id + {_PERTURB_OFFSET} AS vec_id,
-         list_concat([v[1] * 1.5], v[2:]) AS v
-  FROM base
-),
+WITH {_PERTURBED_CORPUS_SQL},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_cosine_similarity(a.v, b.v) AS cos
@@ -322,7 +339,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path (bucket joins, never all-pairs). Rows-only entry;
     recall vs brute force is asserted in pytest."""
     emb = catalog.load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter(F.col("vec_id") < _N_ANN_QUERIES)
     topk = similarity.lsh_topk(emb, queries, k=5)
     return topk.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
@@ -335,7 +352,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only entry (k-means assignment is not SQL-expressible);
     recall vs brute force asserted in pytest."""
     emb = catalog.load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter(F.col("vec_id") < _N_ANN_QUERIES)
     topk = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
     return topk.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
@@ -424,21 +441,27 @@ def _planted_ann_setup(spark: SparkSession, sf_dir: str):
     the true rank-1 neighbor of its query by construction)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    queries = base.filter(F.col("vec_id") < 10)
-    planted = queries.select(
-        (F.col("vec_id") + _PERTURB_OFFSET).alias("vec_id"),
-        F.concat(F.array(F.element_at("v", 1) * 1.5), F.slice("v", 2, 63)).alias("v"),
-    )
-    return base.unionAll(planted), queries
+    queries = base.filter(F.col("vec_id") < _N_ANN_QUERIES)
+    return base.unionAll(_perturbed_embeddings(queries)), queries
 
 
-def _ann_recall(topk: DataFrame) -> DataFrame:
-    """Fraction of the 10 queries whose approximate top-k contains
-    their planted near-identical neighbor."""
+def _ann_recall(topk: DataFrame, queries: DataFrame) -> DataFrame:
+    """Fraction of queries whose approximate top-k contains their
+    planted near-identical neighbor. The denominator is DERIVED from
+    the query frame (1-row agg cross-joined, the scalar pattern), not
+    the _N_ANN_QUERIES literal: at a scale factor with fewer than
+    _N_ANN_QUERIES embeddings the planted set shrinks, and a
+    hardcoded 10 would report recall < 1.0 and misdiagnose a banding
+    regression."""
     hits = topk.filter(
         F.col("neighbor_id") == F.col("query_id") + _PERTURB_OFFSET
     ).select("query_id").distinct()
-    return hits.agg((F.count(F.lit(1)) / F.lit(10)).cast("double").alias("recall"))
+    n_q = queries.agg(F.count_distinct("vec_id").alias("__nq"))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("__nh"))
+        .crossJoin(F.broadcast(n_q))
+        .select((F.col("__nh") / F.col("__nq")).cast("double").alias("recall"))
+    )
 
 
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +471,7 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expected recall is exactly 1.0 every run."""
     corpus, queries = _planted_ann_setup(spark, sf_dir)
     topk = similarity.lsh_topk(corpus, queries, k=5, id_col="vec_id", vec_col="v")
-    return _ann_recall(topk)
+    return _ann_recall(topk, queries)
 
 
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,7 +483,32 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = similarity.ivf_topk(
         corpus, queries, k=5, id_col="vec_id", vec_col="v", n_centroids=16, n_probe=4
     )
-    return _ann_recall(topk)
+    return _ann_recall(topk, queries)
+
+
+def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 registry merge of ann_lsh_recall + ann_ivf_recall (the
+    policy's method-tag shape, like events_asof_orders): one driver
+    row runs BOTH approximate indexes against the shared planted
+    fixture and emits (method, recall). Each constituent keeps its
+    standalone oracle-parity row in tests/test_oracle_parity.py's
+    retired list; both deterministic arguments for recall == 1.0 are
+    in the constituents' docstrings."""
+    lsh = ann_lsh_recall(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "recall"
+    )
+    ivf = ann_ivf_recall(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "recall"
+    )
+    return lsh.unionAll(ivf).orderBy("method")
+
+
+ANN_RECALL_PLANTED_SQL = """
+SELECT 'ivf' AS method, CAST(1.0 AS DOUBLE) AS recall
+UNION ALL
+SELECT 'lsh' AS method, CAST(1.0 AS DOUBLE) AS recall
+ORDER BY method
+"""
 
 
 # --- text analysis ----------------------------------------------------
@@ -660,21 +708,8 @@ def ngram_jaccard_skewguard_documents(spark: SparkSession, sf_dir: str) -> DataF
     return pairs.orderBy("id_a", "id_b")
 
 
-NGRAM_JACCARD_SKEWGUARD_SQL = rf"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
-         array_to_string(ws[1:len(ws) - 1], ' ') AS text
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-           ELSE list_transform(generate_series(1, len(w) - 2),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
-),
+NGRAM_JACCARD_SKEWGUARD_SQL = f"""
+WITH {_CORPUS_SH_CTES},
 ix AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
 freq AS (SELECT shingle, COUNT(*) AS df FROM ix GROUP BY 1),
 kept AS (SELECT ix.doc_id, ix.n, ix.shingle FROM ix JOIN freq USING (shingle)
@@ -1249,11 +1284,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    pert = base.select(
-        (F.col("vec_id") + _PERTURB_OFFSET).alias("vec_id"),
-        F.concat(F.array(F.element_at("v", 1) * 1.5), F.slice("v", 2, 63)).alias("v"),
-    )
-    corpus = base.unionAll(pert)
+    corpus = base.unionAll(_perturbed_embeddings(base))
     pairs = similarity.embedding_near_dup_pairs(
         corpus, id_col="vec_id", vec_col="v", dim=64,
         threshold=0.95, n_tables=16, bits=10,
@@ -1271,14 +1302,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_EMBEDDINGS_SQL = f"""
-WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-corpus AS (
-  SELECT vec_id, v FROM base
-  UNION ALL
-  SELECT vec_id + {_PERTURB_OFFSET} AS vec_id,
-         list_concat([v[1] * 1.5], v[2:]) AS v
-  FROM base
-),
+WITH RECURSIVE {_PERTURBED_CORPUS_SQL},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -1328,22 +1352,8 @@ def ngram_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-NGRAM_CONTAINMENT_SQL = rf"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
-         array_to_string(ws[1:len(ws) - 1], ' ') AS text
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-           ELSE list_transform(generate_series(1, len(w) - 2),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
-),
-shn AS (SELECT doc_id, s, len(s) AS n FROM sh),
+NGRAM_CONTAINMENT_SQL = f"""
+WITH {_CORPUS_SH_CTES},
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.s, b.s)) AS li, a.n AS na

@@ -56,6 +56,13 @@ candidates executed):
   events_asof_orders (variant-tagged; tolerance is a parameter of the
   shared union+window plan family).
 
+r8 third wave (the streaming_click_purchase_join addition needed a
+window slot and the window held ZERO r7-green slack — every one of
+the 50 was r6-only and due its r8 row):
+- ann_lsh_recall + ann_ivf_recall -> merged into ann_recall_planted
+  (method-tagged, one driver row runs both indexes against the shared
+  planted fixture).
+
 Current capacity: 96 registered / 50-slot window -> 46 tail rows, all
 driver-green in r7; every entry is covered by CORRECTNESS_r07 ∪ r08.
 r9 headroom: 4 net-new slots; next merge candidates if more are
@@ -101,6 +108,20 @@ def oracle_sql() -> dict[str, str]:
 
 
 # --- NEW in round 8: never driver-checked ----------------------------
+# watermarked stream-stream interval join — the last canonical
+# Structured Streaming stateful shape the registry had not proven
+register(
+    "streaming_click_purchase_join",
+    state_ops.streaming_click_purchase_join,
+    state_ops.STREAMING_CLICK_PURCHASE_JOIN_SQL,
+)
+# r8 third-wave merge (freed the slot the entry above occupies):
+# ann_lsh_recall + ann_ivf_recall -> method-tagged composite
+register(
+    "ann_recall_planted",
+    llm_ops.ann_recall_planted,
+    llm_ops.ANN_RECALL_PLANTED_SQL,
+)
 # composite format chains (merge policy above)
 register(
     "format_chain_nation",
@@ -268,8 +289,6 @@ register(
     relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
 )
 register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
-register("ann_lsh_recall", llm_ops.ann_lsh_recall, llm_ops.CONST_RECALL_SQL)
-register("ann_ivf_recall", llm_ops.ann_ivf_recall, llm_ops.CONST_RECALL_SQL)
 register(
     "user_sessions_window",
     events_ops.user_sessions_window,

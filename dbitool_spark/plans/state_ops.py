@@ -430,3 +430,77 @@ def streaming_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join made driver-visible —
+    the one canonical Structured Streaming stateful shape the registry
+    did not yet prove (covered so far: windowed aggs, session windows,
+    applyInPandasWithState dedup, stream-STATIC join, foreachBatch
+    upsert). Events re-publish as NDJSON once; clicks and purchases
+    are two filters of the SAME file-watch stream (a stream-stream
+    SELF-join — two stateful sides, one source), joined per user where
+    the click precedes the purchase by at most 120 minutes, drained
+    availableNow in append mode (the only mode stream-stream inner
+    joins support), and hash-matched against the plain batch self-join
+    oracle — exactly-once over the incremental plan, not "a stream
+    ran".
+
+    Timestamps ride the NDJSON hop as int64 MICROS (Spark's JSON
+    timestamp text is millisecond-lossy; a truncated boundary row
+    would flip the interval comparison vs the micros-exact oracle).
+    The replay watermark delay (35 days) covers the full ~30-day span
+    of the unordered file replay so no late row is dropped and parity
+    is exact; the production knob is the same parameter sized to real
+    out-of-orderness, which is what bounds the join state (see
+    streaming.interval_join's scale contract)."""
+    from dbitool_spark import streaming
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts_ts")).alias("ts_us"),
+    )
+    def plan(stream: DataFrame) -> DataFrame:
+        typed = stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        clicks = typed.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = typed.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        return streaming.interval_join(
+            clicks, purchases,
+            on=["user_id"],
+            left_time_col="click_ts",
+            right_time_col="purchase_ts",
+            lower="0 seconds", upper="120 minutes",
+            left_watermark="35 days", right_watermark="35 days",
+        )
+    sink = _drain_streaming_entry(
+        spark,
+        sf_dir,
+        prefix="stream_ssjoin_",
+        source_df=ev,
+        schema="event_id bigint, user_id bigint, event_type string, ts_us bigint",
+        plan=plan,
+        output_mode="append",
+    )
+    return sink.select(
+        "user_id", "click_id", "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+STREAMING_CLICK_PURCHASE_JOIN_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       date_diff('microsecond', c.ts, p.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 120 MINUTE
+ORDER BY 1, 2, 3
+"""

@@ -302,6 +302,62 @@ def stream_static_filter_contaminated(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_time_col: str,
+    right_time_col: str,
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join — the canonical
+    Structured Streaming stateful-join shape (reference parity: the
+    engine's batch as-of/range joins, ops/temporal.py, expressed over
+    two live streams). Matches rows with equal `on` keys where
+    right_time - lower >= left_time >= right_time - upper, i.e. the
+    left event happened within [upper ago, lower ago] of the right
+    event (lower <= upper; "0 seconds"/"30 minutes" = left precedes
+    right by at most 30 minutes).
+
+    Scale shape (100 TB): both sides shuffle on the equality keys and
+    the join state is keyed by them; the watermarks plus the interval
+    bound let Spark EVICT state — left rows older than
+    (right watermark - upper) can never match again and are dropped
+    from the store, so state is bounded by key cardinality x interval
+    x arrival rate, not by stream length. Without the time bound a
+    stream-stream join's state grows forever; this wrapper therefore
+    REQUIRES the interval. Works identically on batch frames (the
+    condition is plain SQL), which is how the drain-parity oracle
+    checks it.
+
+    Column contract: output = left columns + right columns; the
+    caller aliases/prefixes to avoid collisions (the equality keys
+    appear once). Watermark delays trade completeness for state: a
+    delay shorter than the source's out-of-orderness drops late rows
+    (exactly-once against the batch answer then fails honestly) —
+    drain-style replays over unordered files should pass a delay
+    covering the full replayed span."""
+    lw = left.withWatermark(left_time_col, left_watermark)
+    rw = right.withWatermark(right_time_col, right_watermark)
+    lt, rt = F.col(left_time_col), F.col(right_time_col)
+    cond = (
+        (lt >= rt - F.expr(f"INTERVAL {upper}"))
+        & (lt <= rt - F.expr(f"INTERVAL {lower}"))
+    )
+    for k in on:
+        cond = cond & (lw[k] == rw[k])
+    joined = lw.join(rw, cond, "inner")
+    # equality keys appear on both sides after a condition-form join;
+    # keep the left copy once, drop the right duplicates
+    for k in on:
+        joined = joined.drop(rw[k])
+    return joined
+
+
 def stream_upsert_ndb(
     stream: DataFrame,
     table,

@@ -306,3 +306,63 @@ def test_stream_upsert_ndb_last_write_wins(spark, tmpdir):
     assert got[1] == (101, "c")
     assert got[2] == (250, "d")
     assert got[3] == (300, "e")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
+    """Watermarked stream-stream interval self-join == the identical
+    batch join: same matched pairs, exact boundary semantics (a click
+    exactly `upper` before the purchase is IN; one microsecond earlier
+    is OUT). Replay watermark covers the whole span, so state eviction
+    cannot drop a late file — exactly-once against the batch answer."""
+    base = 1_700_000_000_000_000  # epoch micros
+    MIN = 60 * 1_000_000
+    rows = [
+        # (event_id, user_id, type, ts_us)
+        (1, 1, "click", base),
+        (2, 1, "purchase", base + 30 * MIN),      # in: 30 min after click 1
+        (3, 1, "purchase", base + 120 * MIN),     # in: exactly at upper bound
+        (4, 1, "purchase", base + 120 * MIN + 1), # out: 1 us past the bound
+        (5, 2, "click", base),
+        (6, 3, "purchase", base + MIN),           # out: different user
+        (7, 2, "purchase", base - 1),             # out: purchase precedes click
+    ]
+    src = os.path.join(tmpdir, "ssj")
+    schema = "event_id bigint, user_id bigint, event_type string, ts_us bigint"
+    ev = spark.createDataFrame(rows, schema)
+    json_io.write_ndjson(ev, src)
+
+    def plan(df):
+        typed = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        clicks = typed.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = typed.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        return streaming.interval_join(
+            clicks, purchases, on=["user_id"],
+            left_time_col="click_ts", right_time_col="purchase_ts",
+            lower="0 seconds", upper="120 minutes",
+            left_watermark="10 days", right_watermark="10 days",
+        )
+
+    stream = streaming.stream_ndjson(spark, src, schema, max_files_per_trigger=1)
+    name = "ssj_test"
+    q = streaming.drain_to_memory(plan(stream), name, output_mode="append")
+    assert not q.isActive
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table(name).collect()
+    }
+    # the SAME plan over the batch frame (interval_join works on both)
+    batch = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in plan(spark.read.schema(schema).json(src)).collect()
+    }
+    assert got == batch == {(1, 1, 2), (1, 1, 3)}
+    # output columns: equality key once, both time columns preserved
+    assert set(spark.table(name).columns) == {
+        "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts"
+    }

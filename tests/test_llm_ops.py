@@ -180,10 +180,18 @@ def test_simhash_banding_parameterized(spark, docs):
         ).collect()
     }
     assert want <= got
+    # invalid banding must raise BEFORE the signature persist — a
+    # post-persist raise would orphan a CacheManager entry that later
+    # plan-identical signature subplans silently materialize through
     with pytest.raises(ValueError, match="banding"):
         dedup.simhash_candidates(
             corpus, "doc_id", "text", n_blocks=5, bits_per_block=16
         )
+    probe = dedup.simhash_signatures(corpus, "doc_id", "text")
+    cached_plan = probe._jdf.queryExecution().withCachedData().toString()
+    assert "InMemoryRelation" not in cached_plan, (
+        "failed validation left the signature plan in the CacheManager"
+    )
 
 
 def test_near_dup_ops_release_cached_intermediates(spark, docs, emb):
@@ -222,6 +230,52 @@ def test_lsh_ann_recall_and_candidate_bound(spark, emb):
     }
     recall = len(true & approx) / len(true)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_topk_cross_table_queries_keep_coincidental_ids(spark, emb):
+    """When queries come from a DIFFERENT table (query_id_col set),
+    id equality is coincidence between unrelated entities: corpus
+    vector 0 must stay eligible as a neighbor of query 0. Same-table
+    queries (default) still exclude the self-match."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cross = similarity.brute_force_topk(
+        emb, queries, k=emb.count(), query_id_col="qid", query_vec_col="qv"
+    )
+    # every query sees the FULL corpus — including its own id, which
+    # here ranks first at cos 1.0 because qv is that same vector
+    top1 = {r.query_id: r.neighbor_id for r in cross.filter("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    same = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    assert same.filter("query_id = neighbor_id").count() == 0
+
+
+def test_lsh_buckets_preserve_string_id_type(spark, emb):
+    """The mapInPandas schemas derive the id field from the input
+    column type — string ids must survive LSH and IVF end to end
+    rather than dying in Arrow conversion against a hardcoded long."""
+    s = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    queries = s.filter(F.col("vec_id").isin("doc-0", "doc-1"))
+    got = similarity.lsh_topk(s, queries, k=3).collect()
+    assert got and all(isinstance(r.neighbor_id, str) for r in got)
+    got_ivf = similarity.ivf_topk(s, queries, k=3, n_centroids=4).collect()
+    assert got_ivf and all(isinstance(r.neighbor_id, str) for r in got_ivf)
+    with pytest.raises(ValueError, match="1 <= bits <= 62"):
+        similarity.lsh_topk(s, queries, k=3, bits=63)
+
+
+def test_ngram_threshold_validation(spark, docs):
+    """threshold <= 0 breaks the exact shingle-join construction
+    (disjoint pairs would qualify but can never be generated) — the
+    ops must reject it instead of silently under-reporting."""
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=bad)
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.ngram_containment_pairs(docs, "doc_id", "text", threshold=bad)
 
 
 def test_embedding_near_dup_pairs_finds_self_dups(spark, emb):

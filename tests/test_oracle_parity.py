@@ -63,6 +63,13 @@ _RETIRED_CASES = [
     ("retired_bson_roundtrip_region", _fmt.bson_roundtrip_region,
      _fmt.BSON_ROUNDTRIP_REGION_SQL),
 ]
+
+from dbitool_spark.plans import llm_ops as _llm
+
+_RETIRED_CASES += [
+    ("retired_ann_lsh_recall", _llm.ann_lsh_recall, _llm.CONST_RECALL_SQL),
+    ("retired_ann_ivf_recall", _llm.ann_ivf_recall, _llm.CONST_RECALL_SQL),
+]
 _CASES = _CASES + _RETIRED_CASES
 
 
