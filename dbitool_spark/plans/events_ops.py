@@ -447,6 +447,54 @@ ORDER BY user_id
 """
 
 
+def skewed_segment_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-to-customer enrichment routed through
+    ops.scale.salted_join — the driver-visible proof of the engine's
+    skewed-JOIN answer next to skewed_user_rollup_events' aggregation
+    one. The fact side salts per row, the dimension side replicates
+    over the 16 salts, and the join key becomes (custkey, salt): a hot
+    user's rows spread over 16 tasks instead of stalling one. This is
+    the fix for the case AQE's skew split does not cover — a skewed
+    key on a dimension too big to broadcast but small enough to
+    replicate (at bench scale Catalyst still picks broadcast for the
+    exploded side; the SHAPE — two-column join key, per-row salt — is
+    what the plan fingerprint pins). user_id maps into the customer
+    key space as user_id + 1 (ids are dense from 0; custkeys dense
+    from 1, 10x the user count at every shipped SF).
+
+    Oracle is the plain unsalted join + GROUP BY: the hash match
+    proves the salt/replicate construction is join-lossless."""
+    from dbitool_spark.ops import scale
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        (F.col("user_id") + 1).alias("c_custkey"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = scale.salted_join(ev, cust, "c_custkey", n_salts=16)
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("decimal(18,6)").cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+SKEWED_SEGMENT_JOIN_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite as-of entry (r8 merge of events_asof_latest_order +
     events_asof_recent_order — the plan family is shared and tolerance

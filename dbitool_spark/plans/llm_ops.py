@@ -988,6 +988,30 @@ ORDER BY doc_id
 """
 
 
+def token_repetition_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 registry merge of token_count_bpe_documents +
+    ngram_repetition_documents (the policy's column-composite shape:
+    both are per-doc single-projection metric tables on documents, so
+    one doc_id join drives both codepaths in one driver row; the
+    constituents keep standalone parity rows in the retired list).
+    Inner join is lossless here — both sides emit exactly one row per
+    document."""
+    toks = token_count_bpe_documents(spark, sf_dir)
+    reps = ngram_repetition_documents(spark, sf_dir)
+    return toks.join(reps, "doc_id").orderBy("doc_id")
+
+
+TOKEN_REPETITION_METRICS_SQL = f"""
+WITH toks AS ({TOKEN_COUNT_BPE_SQL.replace("ORDER BY doc_id", "")}),
+reps AS ({NGRAM_REPETITION_SQL.replace("ORDER BY doc_id", "")})
+SELECT toks.doc_id, n_bpeish, n_ws_tokens, chars_per_token,
+       subwords_per_word, total_2grams, distinct_2grams,
+       dup_2gram_frac, repetitive
+FROM toks JOIN reps ON toks.doc_id = reps.doc_id
+ORDER BY toks.doc_id
+"""
+
+
 # --- URL / domain audit ----------------------------------------------
 
 # Deterministic planted URLs (the synthetic corpus has none): every

@@ -61,7 +61,12 @@ window slot and the window held ZERO r7-green slack — every one of
 the 50 was r6-only and due its r8 row):
 - ann_lsh_recall + ann_ivf_recall -> merged into ann_recall_planted
   (method-tagged, one driver row runs both indexes against the shared
-  planted fixture).
+  planted fixture);
+- token_count_bpe_documents + ngram_repetition_documents -> merged
+  into token_repetition_metrics_documents (column-composite: both are
+  one-row-per-doc projections on documents, joined on doc_id), which
+  freed the slot for skewed_segment_join_events (salted_join made
+  driver-visible).
 
 Current capacity: 96 registered / 50-slot window -> 46 tail rows, all
 driver-green in r7; every entry is covered by CORRECTNESS_r07 ∪ r08.
@@ -121,6 +126,23 @@ register(
     "ann_recall_planted",
     llm_ops.ann_recall_planted,
     llm_ops.ANN_RECALL_PLANTED_SQL,
+)
+# salted_join made driver-visible (judge r7 brief named the whole
+# ops/scale.py family; salted_agg got skewed_user_rollup_events, this
+# covers the join half). Slot freed by the token_repetition_metrics
+# column-composite merge below.
+register(
+    "skewed_segment_join_events",
+    events_ops.skewed_segment_join_events,
+    events_ops.SKEWED_SEGMENT_JOIN_SQL,
+)
+# the column-composite that freed the slot above — itself a new,
+# never-driver-checked plan (the doc_id join of two r6-green
+# constituents), so it lives in this section, not with the veterans
+register(
+    "token_repetition_metrics_documents",
+    llm_ops.token_repetition_metrics_documents,
+    llm_ops.TOKEN_REPETITION_METRICS_SQL,
 )
 # composite format chains (merge policy above)
 register(
@@ -189,16 +211,6 @@ register(
     "dormant_rich_customers",
     relational.dormant_rich_customers,
     relational.DORMANT_RICH_SQL,
-)
-register(
-    "token_count_bpe_documents",
-    llm_ops.token_count_bpe_documents,
-    llm_ops.TOKEN_COUNT_BPE_SQL,
-)
-register(
-    "ngram_repetition_documents",
-    llm_ops.ngram_repetition_documents,
-    llm_ops.NGRAM_REPETITION_SQL,
 )
 register("domain_stats_documents", llm_ops.domain_stats_documents, llm_ops.DOMAIN_STATS_SQL)
 register("top_terms_per_source", llm_ops.top_terms_per_source, llm_ops.TOP_TERMS_PER_SOURCE_SQL)

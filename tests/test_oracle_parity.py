@@ -69,6 +69,10 @@ from dbitool_spark.plans import llm_ops as _llm
 _RETIRED_CASES += [
     ("retired_ann_lsh_recall", _llm.ann_lsh_recall, _llm.CONST_RECALL_SQL),
     ("retired_ann_ivf_recall", _llm.ann_ivf_recall, _llm.CONST_RECALL_SQL),
+    ("retired_token_count_bpe_documents", _llm.token_count_bpe_documents,
+     _llm.TOKEN_COUNT_BPE_SQL),
+    ("retired_ngram_repetition_documents", _llm.ngram_repetition_documents,
+     _llm.NGRAM_REPETITION_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 

@@ -13,6 +13,7 @@ import tempfile
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from dbitool_spark import testrow
 from dbitool_spark.io import bson_io, csv_io
@@ -255,3 +256,48 @@ def test_xlsx_codec_roundtrip_property(tmpdir, rows):
         for ci, v in enumerate(r):
             if v != "":
                 assert got[ri][ci] == v
+
+
+# --- stream-stream interval join batch semantics ----------------------
+
+_ij_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=20
+)
+_ij_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=20
+)
+
+
+@given(left=_ij_left, right=_ij_right)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_join_matches_bruteforce(spark, left, right):
+    """Random keyed timelines through streaming.interval_join run as a
+    BATCH plan (the condition is plain SQL — same code path the
+    streaming state manager evaluates): must equal the quadratic
+    reference lower <= rt - lt <= upper on matching keys, boundaries
+    inclusive. Seconds-scale timestamps; lower=10s upper=30s."""
+    from dbitool_spark import streaming
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k bigint, lt_s bigint, lid bigint",
+    ).withColumn("lt", F.timestamp_seconds(F.col("lt_s"))).drop("lt_s")
+    rdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(right)],
+        "k bigint, rt_s bigint, rid bigint",
+    ).withColumn("rt", F.timestamp_seconds(F.col("rt_s"))).drop("rt_s")
+
+    got = {
+        (r.lid, r.rid)
+        for r in streaming.interval_join(
+            ldf, rdf, on=["k"], left_time_col="lt", right_time_col="rt",
+            lower="10 seconds", upper="30 seconds",
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and 10 <= rt - lt <= 30
+    }
+    assert got == want
