@@ -273,3 +273,53 @@ def read_cassandra(
                 f"point. Underlying error: {type(exc).__name__}: {exc}"
             ) from exc
         raise
+
+
+def write_cassandra(
+    df: DataFrame,
+    keyspace: str,
+    table: str,
+    *,
+    host: str | None = None,
+    port: int | None = None,
+    consistency: str | None = None,
+    mode: str = "append",
+    **options: str,
+) -> None:
+    """cassandrainsert (reference TODO:42): the connector-format write
+    — executor-parallel, token-aware batched mutations on a live
+    cluster, the same env-gate contract as read_cassandra (fails
+    naturally with the --packages recipe when the jar is absent)."""
+    writer = df.write.format("org.apache.spark.sql.cassandra").options(
+        keyspace=keyspace, table=table
+    )
+    if host is not None:
+        writer = writer.option("spark.cassandra.connection.host", host)
+    if port is not None:
+        writer = writer.option("spark.cassandra.connection.port", str(port))
+    if consistency is not None:
+        writer = writer.option("spark.cassandra.output.consistency.level", consistency)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        writer.mode(mode).save()
+    except Exception as exc:
+        msg = str(exc)
+        if any(
+            marker in msg
+            for marker in (
+                "ClassNotFoundException",
+                "DATA_SOURCE_NOT_FOUND",
+                "Failed to find data source",
+                "Failed to find the data source",
+            )
+        ):
+            raise RuntimeError(
+                "Cassandra write failed — the spark-cassandra-connector "
+                "package is required on the classpath: start the session "
+                "with --packages "
+                "com.datastax.spark:spark-cassandra-connector_2.13:3.5.1 "
+                "and set spark.cassandra.connection.host to a contact "
+                f"point. Underlying error: {type(exc).__name__}: {exc}"
+            ) from exc
+        raise

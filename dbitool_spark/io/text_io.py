@@ -18,10 +18,33 @@ from pyspark.sql import DataFrame, SparkSession
 RAW_COL = "value"  # Spark's text column; the reference calls it col1
 
 
-def read_text(spark: SparkSession, path: str, *, wholetext: bool = False) -> DataFrame:
+def read_text(
+    spark: SparkSession,
+    path: str | list[str],
+    *,
+    wholetext: bool = False,
+    with_file: bool = False,
+) -> DataFrame:
     """Line-per-row text source. `.gz` inputs decompress transparently.
-    wholetext=True reads each file as a single row (blob mode)."""
-    return spark.read.text(path, wholetext=wholetext)
+    wholetext=True reads each file as a single row (blob mode).
+
+    Multi-file containers (reference TODO:53-56): `path` may be a
+    directory, a glob, or a comma-separated list — Spark plans one
+    scan over all matches, split-parallel. with_file=True adds a
+    `file` provenance column (input_file_name()), the one-DataFrame
+    answer to the TODO's dynamically-allocated stream-per-file: group
+    or partition by `file` downstream to recover per-file streams."""
+    from pyspark.sql import functions as F
+
+    paths = (
+        [s.strip() for s in path.split(",") if s.strip()]
+        if isinstance(path, str)
+        else list(path)
+    )
+    df = spark.read.text(paths, wholetext=wholetext)
+    if with_file:
+        df = df.select(F.input_file_name().alias("file"), RAW_COL)
+    return df
 
 
 def write_text(

@@ -35,11 +35,13 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from dbitool_spark.io import (
+    archive_io,
     bson_io,
     csv_io,
     db,
     fixedwidth,
     json_io,
+    net_io,
     spreadsheet_io,
     text_io,
     xml_io,
@@ -78,7 +80,12 @@ def _widths(args: dict) -> list[int]:
 
 @register_module("fileread")
 def _fileread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
-    return text_io.read_text(p.spark, a["in"], wholetext=_flag(a, "wholetext", False))
+    return text_io.read_text(
+        p.spark,
+        a["in"],
+        wholetext=_flag(a, "wholetext", False),
+        with_file=_flag(a, "withfile", False),
+    )
 
 
 @register_module("csvread")
@@ -343,6 +350,67 @@ def _stdin(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     )
 
 
+@register_module("zipread")
+def _zipread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Zip archive source (reference TODO:48-49): distributed
+    binaryFile scan + per-task member extraction; (archive, member)
+    provenance columns are the Spark answer to TODO:53-56's
+    stream-per-file fan-out. drop_provenance=1 yields a plain raw
+    stream for the raw->row parse boundaries."""
+    df = archive_io.read_zip(
+        p.spark,
+        a["in"],
+        member_glob=a.get("member"),
+        binary=_flag(a, "binary", False),
+        member_limit=int(a.get("member_limit", 256 * 1024 * 1024)),
+    )
+    if _flag(a, "drop_provenance", False):
+        df = df.drop("archive", "member")
+    return df
+
+
+@register_module("tcpread")
+def _tcpread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Bounded TCP client source (reference TODO:58-59); unbounded
+    feeds belong on streaming.stream_socket."""
+    return net_io.read_tcp(
+        p.spark,
+        a.get("host", "localhost"),
+        int(a["port"]),
+        max_rows=int(a.get("max_rows", p.memorylimit)),
+        timeout=float(a.get("timeout", 30.0)),
+    )
+
+
+@register_module("exec")
+def _exec(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """External-program filter (reference TODO:31-32): the raw stream
+    pipes through `cmd` batch-wise inside each executor task."""
+    from dbitool_spark.ops.process import exec_pipe
+
+    ok = a.get("ok_codes", (0,))
+    if isinstance(ok, str):
+        ok = tuple(int(x) for x in ok.split(","))
+    return exec_pipe(
+        ins[0], a["cmd"], timeout=float(a.get("timeout", 300.0)), ok_codes=tuple(ok)
+    )
+
+
+@register_module("eval")
+def _eval(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Row-expression module — the Spark-first analogue of the
+    reference's perl-eval TODO:34: instead of arbitrary interpreted
+    code per row (the slow path AND an injection surface), expressions
+    are Spark SQL strings compiled by Catalyst into codegen'd column
+    ops. expr= takes one expression or a list (each may alias:
+    "price * 0.9 AS discounted"); keep=0 drops the input columns."""
+    exprs = a["expr"]
+    if isinstance(exprs, str):
+        exprs = [exprs]
+    base = [] if not _flag(a, "keep", True) else ["*"]
+    return ins[0].selectExpr(*base, *exprs)
+
+
 # --- sinks (file path in `out`, like filewrite out=FILENAME) ---
 
 
@@ -453,6 +521,116 @@ def _jdbcinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     db.write_jdbc(ins[0], a["url"], a["table"], mode=a.get("mode", "append"), **opts)
 
 
+@register_module("zipwrite")
+def _zipwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    """Single-file zip sink (reference TODO:50-51): bounded driver
+    edge, memorylimit-guarded like jsonwrite."""
+    archive_io.write_zip(
+        ins[0],
+        a["out"],
+        member=a.get("member", "data.txt"),
+        max_rows=int(a.get("max_rows", p.memorylimit)),
+    )
+
+
+@register_module("tcpwrite")
+def _tcpwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    """TCP client sink (reference TODO:58-59): one connection per
+    partition inside the executors; single_conn=1 funnels through one
+    driver-side socket."""
+    net_io.write_tcp(
+        ins[0],
+        a.get("host", "localhost"),
+        int(a["port"]),
+        single_conn=_flag(a, "single_conn", False),
+        timeout=float(a.get("timeout", 30.0)),
+    )
+
+
+def _flavored_jdbc_url(a: dict, flavor: str) -> str:
+    if "db" not in a:
+        raise ValueError("database (db) not specified")
+    host = a.get("host", "localhost")
+    if flavor == "mysql":
+        return f"jdbc:mysql://{host}:{int(a.get('port', 3306))}/{a['db']}"
+    # SQL Server: semicolon properties, not a path component
+    return (
+        f"jdbc:sqlserver://{host}:{int(a.get('port', 1433))};"
+        f"databaseName={a['db']}"
+    )
+
+
+_FLAVOR_EXCLUDE = _JDBC_PASSTHROUGH_EXCLUDE | {"host", "port", "db", "user", "pw"}
+
+
+def _flavor_opts(a: dict) -> dict:
+    opts = {k: v for k, v in a.items() if k not in _FLAVOR_EXCLUDE}
+    if "user" in a:
+        opts["user"] = a["user"]
+    if "pw" in a:
+        opts["password"] = a["pw"]
+    return opts
+
+
+@register_module("mysqlinsert")
+def _mysqlinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    """Reference TODO:40 (mysqlinsert): the mysqlselect arg surface on
+    the shared JDBC write path (executor-parallel batched inserts —
+    EXECUTED against embedded Derby by jdbc_roundtrip_part; only the
+    MySQL URL itself is env-gated, like mysqlselect)."""
+    if "table" not in a:
+        raise ValueError("table not specified")
+    db.write_jdbc(
+        ins[0], _flavored_jdbc_url(a, "mysql"), a["table"],
+        mode=a.get("mode", "append"), **_flavor_opts(a),
+    )
+
+
+@register_module("mssqlselect")
+def _mssqlselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Reference TODO:44 (mssqlselect): SQL Server URL assembly over
+    the shared JDBC read path (query XOR table, query-from-stream)."""
+    query = a.get("query")
+    if ins and query is None and a.get("table") is None:
+        query = db.query_from_stream(ins[0])
+    if query is None and a.get("table") is None:
+        raise ValueError("query nor table nor input stream specified")
+    return db.read_jdbc(
+        p.spark, _flavored_jdbc_url(a, "mssql"),
+        query=query, table=a.get("table"), **_flavor_opts(a),
+    )
+
+
+@register_module("mssqlinsert")
+def _mssqlinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    """Reference TODO:44 (mssqlinsert): SQL Server flavor of the
+    shared JDBC write path."""
+    if "table" not in a:
+        raise ValueError("table not specified")
+    db.write_jdbc(
+        ins[0], _flavored_jdbc_url(a, "mssql"), a["table"],
+        mode=a.get("mode", "append"), **_flavor_opts(a),
+    )
+
+
+@register_module("cassandrainsert")
+def _cassandrainsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    """Reference TODO:42 (cassandrainsert): connector-format write,
+    same env-gate contract as cassandraselect."""
+    if "keyspace" not in a:
+        raise ValueError("keyspace not specified")
+    if "table" not in a:
+        raise ValueError("table not specified")
+    db.write_cassandra(
+        ins[0],
+        a["keyspace"],
+        a["table"],
+        host=a.get("host"),
+        consistency=a.get("consistency"),
+        mode=a.get("mode", "append"),
+    )
+
+
 @register_module("stdout")
 def _stdout(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     text_io.write_stdout(ins[0], max_rows=int(a.get("max_rows", p.memorylimit)))
@@ -471,8 +649,11 @@ _SOURCES = {
     "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
     "parquetread", "xmlread", "bsonread", "sqliteselect", "stdin",
     "spreadsheetread", "jdbcselect", "mysqlselect", "cassandraselect",
+    "zipread", "tcpread", "mssqlselect",
 }
-_STREAMABLE_SOURCES = {"sqliteselect", "jdbcselect", "mysqlselect", "cassandraselect"}
+_STREAMABLE_SOURCES = {
+    "sqliteselect", "jdbcselect", "mysqlselect", "cassandraselect", "mssqlselect",
+}
 # format readers that can also parse an upstream RAW line stream (the
 # reference's raw->row boundary, e.g. `stdin csvread`): their in= is a
 # stream when it names one, a path otherwise; missing in= default-wires
@@ -481,7 +662,8 @@ _RAW_CONSUMING_SOURCES = {"csvread", "ndjsonread"}
 _SINKS = {
     "filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite",
     "parquetwrite", "xmlwrite", "bsonwrite", "sqliteinsert", "stdout", "stderr",
-    "spreadsheetwrite", "jdbcinsert",
+    "spreadsheetwrite", "jdbcinsert", "zipwrite", "tcpwrite", "mysqlinsert",
+    "mssqlinsert", "cassandrainsert",
 }
 # modules that are source OR sink OR passthrough depending on wiring
 # (the reference's ndb: in+out = passthrough upsert, in only = sink,

@@ -236,9 +236,15 @@ FORMAT_CHAIN_NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 def format_chain_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (free text with punctuation — the quoting/escape
-    stress content) → quoted CSV → NDJSON → back. Covers the csvwrite/
-    read pair on hostile text plus the ndjsonwrite/read pair in one
-    entry."""
+    stress content) → quoted CSV → NDJSON → single-file ZIP →
+    distributed zipread → raw->row NDJSON parse → back. Covers the
+    csvwrite/read pair on hostile text, the ndjsonwrite pair, the
+    TODO:48-51 zip codec both directions (write_zip's bounded
+    single-archive edge, read_zip's binaryFile+mapInPandas member
+    explode), and the raw-stream parse boundary — one driver row, five
+    sink/source pairs."""
+    from dbitool_spark.io import archive_io, text_io
+
     docs = catalog.load(spark, sf_dir, "documents")
     d = _scratch("chain_docs")
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -249,7 +255,14 @@ def format_chain_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ndj = os.path.join(d, "documents.ndjson")
     json_io.write_ndjson(hop1, ndj)
-    back = json_io.read_ndjson(spark, ndj, schema=schema)
+
+    zp = os.path.join(d, "documents.zip")
+    archive_io.write_zip(
+        text_io.read_text(spark, ndj), zp, member="documents.ndjson"
+    )
+    back = json_io.parse_ndjson_lines(
+        archive_io.read_zip(spark, zp).select("value"), schema=schema
+    )
     return project(back, ["doc_id", "text", "lang", "source", "n_chars"])
 
 

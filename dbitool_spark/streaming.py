@@ -54,6 +54,22 @@ def stream_ndjson(
     return reader.json(path)
 
 
+def stream_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Unbounded TCP client source (reference TODO:58-59's input
+    side): Spark's socket source connects to a listening endpoint and
+    emits lines as they arrive — `value: string`, the raw-stream
+    contract, composable with every downstream streaming op. The
+    driver holds the connection and distributes rows; it is the
+    engine-native tail of a network feed (the bounded batch analogue
+    is io.net_io.read_tcp)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
 def stream_rate(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     """Synthetic unbounded source (timestamp, value) — the test stand-in
     for stdin-like feeds."""

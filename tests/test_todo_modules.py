@@ -1,0 +1,388 @@
+"""Reference TODO-scope modules (TODO:31-59): zip archives,
+multi-file containers, TCP client modules, the external-process
+filter, the eval expression module, and the DB-flavor JDBC/Cassandra
+modules. Each test pins the Spark-first shape documented in the
+module docstrings."""
+
+from __future__ import annotations
+
+import os
+import socket
+import threading
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbitool_spark.io import archive_io, net_io, text_io
+from dbitool_spark.ops.process import exec_pipe
+
+
+# --- zip archives (TODO:48-51) ----------------------------------------
+
+
+def _lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_zip_roundtrip_single_member(spark, tmp_path):
+    lines = [f"row-{i}|{i * i}" for i in range(200)]
+    zp = str(tmp_path / "one.zip")
+    n = archive_io.write_zip(_lines_df(spark, lines), zp, member="data.csv")
+    assert n == 200
+    back = archive_io.read_zip(spark, zp)
+    got = [r.value for r in back.orderBy("value").collect()]
+    assert got == sorted(lines)
+    provs = back.select("archive", "member").distinct().collect()
+    assert len(provs) == 1 and provs[0].member == "data.csv"
+
+
+def test_zip_multi_member_and_glob(spark, tmp_path):
+    zp = str(tmp_path / "multi.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("a/part-0.csv", "1,x\n2,y\n")
+        zf.writestr("a/part-1.csv", "3,z\n")
+        zf.writestr("README.txt", "not data\n")
+    all_rows = archive_io.read_zip(spark, zp)
+    assert all_rows.count() == 4
+    csv_only = archive_io.read_zip(spark, zp, member_glob="a/*.csv")
+    assert csv_only.count() == 3
+    assert set(
+        r.member for r in csv_only.select("member").distinct().collect()
+    ) == {"a/part-0.csv", "a/part-1.csv"}
+
+
+def test_zip_directory_of_archives(spark, tmp_path):
+    # TODO:53-56's multi-file container: a directory of zips scans as
+    # one DataFrame, archive-per-task, provenance recovers the files
+    for i in range(3):
+        with zipfile.ZipFile(str(tmp_path / f"arc{i}.zip"), "w") as zf:
+            zf.writestr("m.txt", f"from-{i}\n")
+    (tmp_path / "ignored.bin").write_bytes(b"\x00")
+    df = archive_io.read_zip(spark, str(tmp_path))
+    rows = df.collect()
+    assert sorted(r.value for r in rows) == ["from-0", "from-1", "from-2"]
+    assert len({r.archive for r in rows}) == 3
+
+
+def test_zip_binary_mode(spark, tmp_path):
+    zp = str(tmp_path / "bin.zip")
+    payload = bytes(range(256))
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("blob.bin", payload)
+    row = archive_io.read_zip(spark, zp, binary=True).collect()[0]
+    assert bytes(row.content) == payload and row.member == "blob.bin"
+
+
+def test_zip_member_limit_guard(spark, tmp_path):
+    zp = str(tmp_path / "fat.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("fat.txt", "x" * 10_000)
+    with pytest.raises(Exception, match="member_limit"):
+        archive_io.read_zip(spark, zp, member_limit=1_000).collect()
+
+
+def test_write_zip_max_rows_guard(spark, tmp_path):
+    with pytest.raises(MemoryError, match="max_rows"):
+        archive_io.write_zip(
+            _lines_df(spark, [str(i) for i in range(50)]),
+            str(tmp_path / "over.zip"),
+            max_rows=10,
+        )
+
+
+def test_zipread_pipeline_csv_chain(spark, tmp_path):
+    """zipread -> raw->row CSV parse, the zipped-CSV chain the TODO
+    sketches, through the pipeline module surface."""
+    from dbitool_spark.io import csv_io
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    zp = str(tmp_path / "nation.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("n.csv", "1,alpha\n2,beta\n3,gamma\n")
+    p = Pipeline(spark)
+    raw = MODULES["zipread"](p, [], {"in": zp, "drop_provenance": 1})
+    parsed = csv_io.parse_csv_lines(raw, schema="k int, name string", header=False)
+    assert [(r.k, r.name) for r in parsed.orderBy("k").collect()] == [
+        (1, "alpha"), (2, "beta"), (3, "gamma"),
+    ]
+
+
+# --- multi-file / directory sources (TODO:53-56) -----------------------
+
+
+def test_read_text_comma_list_and_provenance(spark, tmp_path):
+    fa, fb = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    with open(fa, "w") as f:
+        f.write("a1\na2\n")
+    with open(fb, "w") as f:
+        f.write("b1\n")
+    df = text_io.read_text(spark, f"{fa} , {fb}", with_file=True)
+    rows = df.collect()
+    assert sorted(r.value for r in rows) == ["a1", "a2", "b1"]
+    by_file = {
+        os.path.basename(r.file.replace("file://", "")): r.value for r in rows
+    }
+    assert by_file["b.txt"] == "b1"
+    # directory form scans every file beneath
+    assert text_io.read_text(spark, str(tmp_path)).count() == 3
+
+
+# --- TCP client modules (TODO:58-59) -----------------------------------
+
+
+class _Collector:
+    """Accepts any number of connections, collects all lines."""
+
+    def __init__(self):
+        self.srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self.srv.getsockname()[1]
+        self.lines: list[str] = []
+        self._lock = threading.Lock()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        self.srv.settimeout(0.2)
+        workers = []
+        while not self._stop:
+            try:
+                conn, _ = self.srv.accept()
+            except TimeoutError:
+                continue
+            t = threading.Thread(target=self._drain, args=(conn,), daemon=True)
+            t.start()
+            workers.append(t)
+        for t in workers:
+            t.join(5)
+
+    def _drain(self, conn):
+        buf = b""
+        with conn:
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+        with self._lock:
+            self.lines.extend(buf.decode().splitlines())
+
+    def close(self):
+        self._stop = True
+        self._thread.join(5)
+        self.srv.close()
+
+
+def test_write_tcp_distributed(spark):
+    lines = [f"line-{i}" for i in range(100)]
+    coll = _Collector()
+    try:
+        net_io.write_tcp(
+            _lines_df(spark, lines).repartition(4), "127.0.0.1", coll.port
+        )
+        coll._stop = True
+        coll._thread.join(10)
+        assert sorted(coll.lines) == sorted(lines)
+    finally:
+        coll.close()
+
+
+def test_write_tcp_single_conn(spark):
+    coll = _Collector()
+    try:
+        net_io.write_tcp(
+            _lines_df(spark, ["a", "b", "c"]), "127.0.0.1", coll.port,
+            single_conn=True,
+        )
+        coll._stop = True
+        coll._thread.join(10)
+        assert sorted(coll.lines) == ["a", "b", "c"]
+    finally:
+        coll.close()
+
+
+def test_read_tcp_bounded(spark):
+    payload = [f"r{i}" for i in range(50)]
+
+    def _serve(srv):
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(payload) + "\n").encode())
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    t = threading.Thread(target=_serve, args=(srv,), daemon=True)
+    t.start()
+    try:
+        df = net_io.read_tcp(spark, "127.0.0.1", srv.getsockname()[1])
+        assert [r.value for r in df.collect()] == payload
+    finally:
+        t.join(5)
+        srv.close()
+
+
+def test_read_tcp_max_rows_guard(spark):
+    def _serve(srv):
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(b"a\nb\nc\nd\n")
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    t = threading.Thread(target=_serve, args=(srv,), daemon=True)
+    t.start()
+    try:
+        with pytest.raises(MemoryError, match="max_rows"):
+            net_io.read_tcp(spark, "127.0.0.1", srv.getsockname()[1], max_rows=2)
+    finally:
+        t.join(5)
+        srv.close()
+
+
+# --- external-process filter (TODO:31-32) ------------------------------
+
+
+def test_exec_pipe_tr_uppercase(spark):
+    lines = [f"mixed Case {i}" for i in range(300)]
+    df = _lines_df(spark, lines).repartition(4)
+    got = sorted(
+        r.value for r in exec_pipe(df, ["tr", "a-z", "A-Z"]).collect()
+    )
+    want = sorted(
+        r.up for r in df.select(F.upper("value").alias("up")).collect()
+    )
+    assert got == want
+
+
+def test_exec_pipe_grep_filter(spark):
+    df = _lines_df(spark, [f"keep-{i}" if i % 3 == 0 else f"drop-{i}" for i in range(90)])
+    got = exec_pipe(df.repartition(3), ["grep", "^keep"], ok_codes=(0, 1)).collect()
+    assert len(got) == 30 and all(r.value.startswith("keep-") for r in got)
+
+
+def test_exec_pipe_failure_raises(spark):
+    df = _lines_df(spark, ["x"])
+    with pytest.raises(Exception, match="exited"):
+        exec_pipe(df, ["sh", "-c", "exit 3"]).collect()
+
+
+def test_exec_pipe_no_shell_injection(spark):
+    # hostile row content is payload, never command line: the command
+    # runs without a shell, so this "line" cannot spawn anything
+    df = _lines_df(spark, ["$(touch /tmp/pwned_exec_pipe); `id`"])
+    out = exec_pipe(df, ["cat"]).collect()
+    assert out[0].value == "$(touch /tmp/pwned_exec_pipe); `id`"
+    assert not os.path.exists("/tmp/pwned_exec_pipe")
+
+
+# --- eval expression module (TODO:34) ----------------------------------
+
+
+def test_eval_module_selectexpr(spark):
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    p = Pipeline(spark)
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, price double")
+    out = MODULES["eval"](p, [df], {"expr": "price * 0.9 AS discounted"})
+    assert out.columns == ["k", "price", "discounted"]
+    assert [r.discounted for r in out.orderBy("k").collect()] == [9.0, 18.0]
+    only = MODULES["eval"](p, [df], {"expr": ["k + 100 AS k2"], "keep": 0})
+    assert only.columns == ["k2"]
+
+
+# --- DB flavor modules (TODO:40-46) -------------------------------------
+
+
+def test_mysql_mssql_url_assembly(spark, monkeypatch):
+    from dbitool_spark import pipeline as P
+
+    captured = {}
+
+    def fake_write(df, url, table, mode="append", **opts):
+        captured["write"] = (url, table, mode, opts)
+
+    def fake_read(spark_, url, query=None, table=None, **opts):
+        captured["read"] = (url, query, table, opts)
+        return spark.range(1)
+
+    monkeypatch.setattr(P.db, "write_jdbc", fake_write)
+    monkeypatch.setattr(P.db, "read_jdbc", fake_read)
+    p = P.Pipeline(spark)
+    df = spark.range(3)
+
+    P.MODULES["mysqlinsert"](
+        p, [df], {"db": "shop", "table": "t", "user": "u", "pw": "s"}
+    )
+    url, table, mode, opts = captured["write"]
+    assert url == "jdbc:mysql://localhost:3306/shop" and table == "t"
+    assert opts == {"user": "u", "password": "s"}
+
+    P.MODULES["mssqlinsert"](
+        p, [df], {"db": "shop", "host": "h1", "port": 14330, "table": "t2"}
+    )
+    url, table, mode, opts = captured["write"]
+    assert url == "jdbc:sqlserver://h1:14330;databaseName=shop"
+
+    P.MODULES["mssqlselect"](p, [], {"db": "shop", "query": "SELECT 1 AS x"})
+    url, query, table, opts = captured["read"]
+    assert url.startswith("jdbc:sqlserver://localhost:1433;") and query == "SELECT 1 AS x"
+
+    with pytest.raises(ValueError, match="table not specified"):
+        P.MODULES["mysqlinsert"](p, [df], {"db": "shop"})
+    with pytest.raises(ValueError, match="db"):
+        P.MODULES["mssqlselect"](p, [], {"query": "SELECT 1"})
+
+
+def test_cassandrainsert_env_gate(spark):
+    """Without the connector package the write must fail with the
+    --packages recipe (same contract as cassandraselect), proving the
+    real format write is attempted."""
+    from dbitool_spark.io import db as iodb
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(RuntimeError, match="--packages"):
+        iodb.write_cassandra(df, "ks", "tbl", host="127.0.0.1")
+
+
+# --- streaming socket source (TODO:58-59, unbounded input) --------------
+
+
+def test_stream_socket_source(spark):
+    """The engine-native TCP tail: a throwaway server feeds lines, the
+    socket-source stream drains into a memory sink."""
+    import time
+    import uuid
+
+    from dbitool_spark import streaming
+
+    payload = [f"s{i}" for i in range(20)]
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def _serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(payload) + "\n").encode())
+            time.sleep(2.0)  # keep open so the source reads everything
+
+    t = threading.Thread(target=_serve, daemon=True)
+    t.start()
+    name = f"sock_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming.stream_socket(spark, "127.0.0.1", port)
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table(name).count() >= len(payload):
+                break
+            time.sleep(0.25)
+        got = [r.value for r in spark.table(name).collect()]
+        assert sorted(got) == sorted(payload)
+    finally:
+        q.stop()
+        t.join(5)
+        srv.close()
+        spark.catalog.dropTempView(name)
