@@ -18,6 +18,7 @@ defaults (SURVEY.md §7 M5 "shuffle-partitioned and skew-aware"):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -101,7 +102,23 @@ def write_bucketed(
 ) -> None:
     """Persist `df` as a bucketed (and bucket-sorted) managed table:
     the one-time shuffle that makes every later equi-join/aggregation
-    on `bucket_col` exchange-free."""
+    on `bucket_col` exchange-free.
+
+    Idempotent across PROCESSES, not just sessions: a managed table's
+    warehouse directory outlives the in-memory catalog that created
+    it, so a fresh session sees LOCATION_ALREADY_EXISTS on a name its
+    catalog has never heard of. Drop-if-exists clears the catalog
+    entry; the explicit rmtree clears the orphaned location (scoped
+    to the session's own warehouse dir, never user paths)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(warehouse, table.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
@@ -113,5 +130,14 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables: Catalyst sees the matching
     output partitioning and plans a SortMergeJoin with ZERO Exchange
-    on either side (verify with .explain — tested)."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)
+    on either side (verify with .explain — tested).
+
+    The MERGE hint pins that strategy: at 100 TB both sides are far
+    over the broadcast threshold so SMJ is what Catalyst picks anyway,
+    but at test scale it would broadcast the smaller side — which
+    ignores bucketing entirely and would make every plan assertion
+    vacuous. Hinting the physical strategy is exactly what bucketing
+    is FOR (the partitioning was bought at write time; use it)."""
+    return spark.table(left_table).hint("merge").join(
+        spark.table(right_table), on, how
+    )

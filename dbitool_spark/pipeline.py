@@ -323,6 +323,56 @@ def _union(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     return out
 
 
+def _key_list(a: dict) -> list[str]:
+    key = a["key"]
+    return [k.strip() for k in key.split(",")] if isinstance(key, str) else list(key)
+
+
+@register_module("join")
+def _join(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Two-stream join module (reference TODO:67-72: "join modules
+    that join two streams … hash in memory / external queries / tree
+    structure"). All three of the TODO's index structures collapse
+    into ONE declarative operator here: Catalyst picks broadcast-hash
+    (the in-memory hash), sort-merge (the tree/sorted index), or
+    shuffled-hash from size estimates and AQE runtime stats — choosing
+    the physical strategy by hand is exactly what a Spark-first design
+    must NOT do. how= passes any Spark join type (inner/left/right/
+    full/semi/anti)."""
+    if len(ins) < 2:
+        raise ValueError("join needs two input streams")
+    return ins[0].join(ins[1], _key_list(a), a.get("how", "inner"))
+
+
+@register_module("lookup")
+def _lookup(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Lookup/enrichment module (reference TODO:61-65: "lookup modules
+    that use a second stream to lookup values from the main one - hash
+    in memory"). The reference's in-memory hash IS a broadcast hash
+    join — the lookup side is small by contract (it must fit in one
+    process's memory in the reference design), so the explicit
+    broadcast hint reproduces that contract distributed: every
+    executor gets the hash table, the main stream never shuffles.
+    broadcast=0 drops the hint for lookup tables that outgrew the
+    contract (Catalyst then sizes the strategy itself). select= prunes
+    the lookup side to key + named columns; rows with no match keep
+    NULLs (left join), matching lookup-enrichment semantics rather
+    than filtering inner-join semantics."""
+    from pyspark.sql import functions as F
+
+    if len(ins) < 2:
+        raise ValueError("lookup needs two input streams (main, lookup)")
+    keys = _key_list(a)
+    right = ins[1]
+    sel = a.get("select")
+    if sel:
+        cols = [c.strip() for c in sel.split(",")] if isinstance(sel, str) else list(sel)
+        right = right.select(*keys, *cols)
+    if _flag(a, "broadcast", True):
+        right = F.broadcast(right)
+    return ins[0].join(right, keys, "left")
+
+
 @register_module("gzip")
 def _gzip(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     """Codec module (reference scripts/dbitool.pl:1176-1242). In Spark,

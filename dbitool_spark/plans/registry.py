@@ -68,12 +68,19 @@ the 50 was r6-only and due its r8 row):
   freed the slot for skewed_segment_join_events (salted_join made
   driver-visible).
 
+r8 fourth wave (bucketed_orders_customer_join — the bucketing leg of
+the ops/scale.py family — needed a slot):
+- hll_accuracy_events + quantile_sketch_lineitem -> merged into
+  sketch_accuracy_gates (gate-composite: both emit one 1-row boolean
+  gate, crossJoined into one two-column row; also removes the two
+  noisiest sub-half-second bench entries flagged in the r7 verdict).
+
 Current capacity: 96 registered / 50-slot window -> 46 tail rows, all
 driver-green in r7; every entry is covered by CORRECTNESS_r07 ∪ r08.
 r9 headroom: 4 net-new slots; next merge candidates if more are
 needed: the three scalar-function families (string/date/array share
-the one-table projection shape), hll_accuracy_events +
-quantile_sketch_lineitem (one sketch-accuracy entry).
+the one-table projection shape), the two quarantine/roundtrip
+composites (format_chain_nation + xmlbson_roundtrip_supplier chain).
 """
 
 from __future__ import annotations
@@ -143,6 +150,22 @@ register(
     "token_repetition_metrics_documents",
     llm_ops.token_repetition_metrics_documents,
     llm_ops.TOKEN_REPETITION_METRICS_SQL,
+)
+# fourth wave: hll_accuracy_events + quantile_sketch_lineitem merged
+# into the gate-composite below (both 1-row boolean gates; also the
+# bench-hygiene fix for the two noisiest entries), funding the slot
+# for bucketed_orders_customer_join — write_bucketed/bucketed_join
+# made driver-visible, completing the ops/scale.py family next to the
+# two salted entries.
+register(
+    "sketch_accuracy_gates",
+    scalar_ops.sketch_accuracy_gates,
+    scalar_ops.SKETCH_ACCURACY_GATES_SQL,
+)
+register(
+    "bucketed_orders_customer_join",
+    relational.bucketed_orders_customer_join,
+    relational.BUCKETED_ORDERS_CUSTOMER_SQL,
 )
 # composite format chains (merge policy above)
 register(
@@ -233,12 +256,6 @@ register(
     "events_daily_type_pivot",
     events_ops.events_daily_type_pivot,
     events_ops.EVENTS_DAILY_TYPE_PIVOT_SQL,
-)
-register("hll_accuracy_events", scalar_ops.hll_accuracy_events, scalar_ops.HLL_ACCURACY_SQL)
-register(
-    "quantile_sketch_lineitem",
-    scalar_ops.quantile_sketch_lineitem,
-    scalar_ops.QUANTILE_SKETCH_SQL,
 )
 register(
     "duplicate_spans_documents",

@@ -1413,3 +1413,57 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+def bucketed_orders_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join made driver-visible — the third leg of
+    the ops/scale.py family (salted_agg and salted_join have
+    skewed_user_rollup_events / skewed_segment_join_events; this
+    covers write_bucketed + bucketed_join). orders and customer are
+    persisted ONCE as 16-bucket managed tables on the customer key
+    (the amortized shuffle), then joined and aggregated ON THE BUCKET
+    KEY — the whole join + groupBy pipeline runs with ZERO Exchange
+    on either fact path (bucketed scan -> sort -> SortMergeJoin ->
+    partial+final agg reuse the bucket partitioning). At 100 TB this
+    is the shape for a dimension repeatedly joined by many queries:
+    pay the shuffle at ingest, never again.
+
+    The oracle is the plain join + GROUP BY: a hash match proves the
+    bucketed physical path is result-identical to the logical plan.
+    Table names carry the SF so sf0.01 and sf0.1 runs never collide;
+    overwrite mode makes re-runs idempotent."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+
+    from dbitool_spark.ops import scale
+
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey", money("o_totalprice").alias("price")
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    scale.write_bucketed(orders, t_orders, "o_custkey", n_buckets=16)
+    scale.write_bucketed(cust, t_cust, "o_custkey", n_buckets=16)
+
+    joined = scale.bucketed_join(spark, t_orders, t_cust, "o_custkey")
+    return (
+        joined.groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("price"), "sum_totalprice"),
+        )
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+BUCKETED_ORDERS_CUSTOMER_SQL = """
+SELECT o.o_custkey AS c_custkey, c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+         AS sum_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1
+"""

@@ -74,6 +74,15 @@ _RETIRED_CASES += [
     ("retired_ngram_repetition_documents", _llm.ngram_repetition_documents,
      _llm.NGRAM_REPETITION_SQL),
 ]
+
+from dbitool_spark.plans import scalar_ops as _scalar
+
+_RETIRED_CASES += [
+    ("retired_hll_accuracy_events", _scalar.hll_accuracy_events,
+     _scalar.HLL_ACCURACY_SQL),
+    ("retired_quantile_sketch_lineitem", _scalar.quantile_sketch_lineitem,
+     _scalar.QUANTILE_SKETCH_SQL),
+]
 _CASES = _CASES + _RETIRED_CASES
 
 

@@ -386,3 +386,44 @@ def test_stream_socket_source(spark):
         t.join(5)
         srv.close()
         spark.catalog.dropTempView(name)
+
+
+# --- join / lookup stream modules (TODO:61-72) ---------------------------
+
+
+def test_join_module(spark):
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    p = Pipeline(spark)
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, 10), (3, 30), (4, 40)], "k int, w int")
+    out = MODULES["join"](p, [left, right], {"key": "k"})
+    assert sorted((r.k, r.v, r.w) for r in out.collect()) == [(1, "a", 10), (3, "c", 30)]
+    anti = MODULES["join"](p, [left, right], {"key": "k", "how": "left_anti"})
+    assert [r.k for r in anti.collect()] == [2]
+    with pytest.raises(ValueError, match="two input"):
+        MODULES["join"](p, [left], {"key": "k"})
+
+
+def test_lookup_module_broadcast(spark):
+    """Lookup = broadcast-hash left join: enrichment keeps unmatched
+    rows (NULLs), the hint shows in the physical plan, and select=
+    prunes the lookup side."""
+    import contextlib
+    import io
+
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    p = Pipeline(spark)
+    main = spark.createDataFrame([(1,), (2,), (9,)], "k int")
+    lut = spark.createDataFrame(
+        [(1, "one", "x"), (2, "two", "y")], "k int, name string, junk string"
+    )
+    out = MODULES["lookup"](p, [main, lut], {"key": "k", "select": "name"})
+    assert out.columns == ["k", "name"]
+    rows = {r.k: r.name for r in out.collect()}
+    assert rows == {1: "one", 2: "two", 9: None}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
