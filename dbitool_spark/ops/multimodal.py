@@ -279,6 +279,113 @@ def _decode_png(content: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, 0, header_feature + means
 
 
+def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> bytearray | None:
+    """GIF LZW decompression (public GIF89a spec, appendix F): variable
+    -width codes LSB-first, CLEAR resets the dictionary, width grows
+    when the next code would not fit, capped at 12 bits. Sequential by
+    nature (each code depends on the dictionary built so far), but the
+    stream is bounded by the n_pixels cap upstream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    dictionary: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # truncated stream: return what decoded
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = dictionary[: clear + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(dictionary):
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None and len(dictionary) < 4096:
+            dictionary.append(prev + entry[:1])
+        prev = entry
+        if len(dictionary) >= (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _decode_gif(content: bytes) -> tuple[int, int, int, list[float]]:
+    """REAL GIF decode, pure stdlib (public GIF87a/89a spec): logical
+    screen descriptor, global/local color table, block walk, and FULL
+    LZW decompression of the first image's pixel indices mapped
+    through the palette — features [palette_bits, mean_r, mean_g,
+    mean_b], the same channel-mean convention as the BMP/PNG decoders.
+    Interlaced images and frames over the 4M-pixel cap keep the
+    dims-only feature (the cap bounds the sequential LZW loop per
+    executor task, same rationale as the PNG area guard)."""
+    width, height = struct.unpack_from("<HH", content, 6)
+    packed = content[10]
+    bits = (packed & 0x07) + 1
+    feature = [float(bits)]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (1 << bits)
+        gct = content[pos : pos + n]
+        pos += n
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            iw, ih = struct.unpack_from("<HH", content, pos + 5)
+            ipacked = content[pos + 9]
+            pos += 10
+            palette = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 3 * (1 << ((ipacked & 0x07) + 1))
+                palette = content[pos : pos + n]
+                pos += n
+            interlaced = bool(ipacked & 0x40)
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if interlaced or palette is None or iw * ih > (1 << 22):
+                return width, height, 0, feature
+            idx = _gif_lzw(bytes(data), min_code, iw * ih)
+            if idx is None or not idx:
+                return width, height, 0, feature
+            import numpy as np
+
+            pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+            px = pal[np.frombuffer(bytes(idx), dtype=np.uint8) % len(pal)]
+            feature += [round(float(m), 6) for m in px.mean(axis=0, dtype="float64")]
+            return width, height, 0, feature
+        else:  # 0x3B trailer or unknown
+            break
+    return width, height, 0, feature
+
+
 def _decode_jpeg_dims(content: bytes) -> tuple[int, int, int, list[float]] | None:
     """JPEG dimension scan: walk the marker stream to the first SOFn
     frame header (public JFIF layout); no entropy decode."""
@@ -314,9 +421,7 @@ def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None
         if content[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png(content)
         if content[:6] in (b"GIF87a", b"GIF89a"):
-            # logical screen descriptor (public GIF spec): w/h LE at 6..10
-            width, height = struct.unpack_from("<HH", content, 6)
-            return width, height, 0, [float(content[10] & 0x07) + 1]  # color depth bits
+            return _decode_gif(content)
         if content[:2] == b"\xff\xd8":
             return _decode_jpeg_dims(content)
     except (wave.Error, struct.error, EOFError, IndexError, ValueError):
@@ -472,7 +577,54 @@ def _synth_png(media_id: int) -> bytes:
     )
 
 
-def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
+def _synth_gif(media_id: int) -> bytes:
+    """Valid GIF89a (public spec) with closed-form dimensions:
+    width = 6 + id % 10, height = 6 + id % 7, a 4-color global palette
+    keyed by the id, and pixels LZW-coded with the classic
+    "uncompressed GIF" technique — a CLEAR code before every literal
+    keeps the code width fixed at min_code_size+1, so the encoder
+    needs no dictionary while remaining fully spec-conformant for any
+    decoder. Pixel (x, y) has palette index (x + y + id) % 4, so the
+    REAL LZW decode's channel means are closed-form checkable."""
+    width = 6 + media_id % 10
+    height = 6 + media_id % 7
+    palette = b""
+    for c in range(4):
+        palette += bytes((
+            (media_id * 31 + c * 67) % 256,
+            (media_id * 53 + c * 29) % 256,
+            (media_id * 17 + c * 101) % 256,
+        ))
+    # LSD: GCT flag set, 4-entry table -> size field 1 (2^(1+1) = 4)
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | 0x01, 0, 0)
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    min_code = 2  # 4 literals; CLEAR=4, END=5, 3-bit codes
+    codes = []
+    for y in range(height):
+        for x in range(width):
+            codes.append(4)  # CLEAR: dictionary never grows past 3 bits
+            codes.append((x + y + media_id) % 4)
+    codes.append(5)  # END
+    acc = nbits = 0
+    packed = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += 3
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    blocks = bytearray((min_code,))
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        blocks += bytes((len(chunk),)) + chunk
+    blocks += b"\x00"
+    return b"GIF89a" + lsd + palette + img_desc + bytes(blocks) + b"\x3b"
+
+
+def synthesize_media(df: DataFrame, id_col: str, *, families: int = 3) -> DataFrame:
     """mapInPandas media synthesizer: each input id becomes one
     MEDIA_SCHEMA row with REAL container bytes — WAV for id % 3 == 0,
     BMP for == 1, PNG for == 2 — whose decoded fields are closed-form
@@ -480,20 +632,25 @@ def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
     real decoders: a SQL oracle can state the expected width/height/
     duration purely arithmetically, so a driver hash match proves the
     wave/struct/IHDR parsing end to end (same pattern as testrow's
-    exact-value fixture)."""
+    exact-value fixture). families=4 adds GIF at id % 4 == 3 (full
+    LZW decode); the driver entry stays at 3 until it re-enters the
+    rotation window so its recorded row always matches the code."""
     ids_df = df.select(F.col(id_col).cast("bigint").alias("media_id"))
     synths = {
         0: ("audio", "audio/wav", _synth_wav),
         1: ("image", "image/bmp", _synth_bmp),
         2: ("image", "image/png", _synth_png),
+        3: ("image", "image/gif", _synth_gif),
     }
+    if families not in (3, 4):
+        raise ValueError(f"families must be 3 or 4, got {families}")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "kind": [], "content": [], "meta": []}
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                kind, mime, fn = synths[mid % 3]
+                kind, mime, fn = synths[mid % families]
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
                 rows["content"].append(fn(mid))

@@ -881,3 +881,111 @@ def test_star_cc_self_loop_singletons(spark):
     flood = sorted(map(tuple, dedup.connected_components(
         df, local_edge_threshold=None).collect()))
     assert star == uf == flood == [(1, 1), (2, 1), (5, 5)]
+
+
+def test_gif_codec_closed_form():
+    """_synth_gif emits spec-valid GIF89a (clear-before-every-literal
+    LZW) and _decode_gif's FULL pixel decode recovers the closed-form
+    dims and channel means for every id family."""
+    from dbitool_spark.ops import multimodal as m
+
+    for mid in range(25):
+        w, h, _, feat = m._decode_one("image", m._synth_gif(mid))
+        assert (w, h) == (6 + mid % 10, 6 + mid % 7)
+        assert feat[0] == 2.0  # 4-entry palette -> 2 bits
+        pal = [
+            (
+                (mid * 31 + c * 67) % 256,
+                (mid * 53 + c * 29) % 256,
+                (mid * 17 + c * 101) % 256,
+            )
+            for c in range(4)
+        ]
+        px = [pal[(x + y + mid) % 4] for y in range(h) for x in range(w)]
+        for ch in range(3):
+            exp = round(sum(p[ch] for p in px) / len(px), 6)
+            assert abs(feat[1 + ch] - exp) < 1e-5, (mid, ch)
+
+
+def _lzw_encode(indices, min_code_size):
+    """Reference GIF-LZW encoder with a GROWING dictionary (the real
+    compression path my clear-heavy synth sidesteps): emits CLEAR,
+    then standard LZW with width bumps mirrored to the decoder rule
+    (bump when next_code hits 2^width), freezing the dictionary at
+    4096 (deferred-clear convention)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    codes = [clear]
+    table = {bytes((i,)): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    w = b""
+    for k in indices:
+        wk = w + bytes((k,))
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # decoder adds entries ONE CODE BEHIND the encoder (it
+            # learns entry i only while processing code i+1), so the
+            # width bump fires at 2^width + 1, not 2^width — the
+            # classic GIF "early change" off-by-one
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes((k,))
+    if w:
+        codes.append((table[w], width))
+    codes.append((end, width))
+    # pack: first element (CLEAR) at initial width
+    acc = nbits = 0
+    out = bytearray()
+    packed = [(clear, min_code_size + 1)] + codes[1:]
+    for code, cw in packed:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_growing_dictionary_roundtrip():
+    """_gif_lzw against the reference encoder: random index streams
+    with real dictionary growth (width 3 -> 12), the KwKwK case, and
+    streams long enough to freeze the table at 4096 entries."""
+    import random
+
+    from dbitool_spark.ops import multimodal as m
+
+    rng = random.Random(7)
+    for trial, (alphabet, n, mcs) in enumerate(
+        [(4, 50, 2), (4, 2000, 2), (2, 30, 2), (16, 5000, 4), (4, 60000, 2)]
+    ):
+        seq = [rng.randrange(alphabet) for _ in range(n)]
+        # prepend a KwKwK trigger: aa ab aab aaba...
+        seq[:6] = [0, 0, 0, 1, 0, 0]
+        data = _lzw_encode(seq, mcs)
+        got = m._gif_lzw(data, mcs, n)
+        assert got is not None and list(got) == seq, f"trial {trial}"
+
+
+def test_synthesize_media_families4(spark):
+    """families=4 routes id%4==3 to GIF; the pipeline-level decode
+    returns the closed-form dims and a 4-element feature (palette
+    bits + 3 channel means)."""
+    from dbitool_spark.ops import multimodal as m
+
+    ids = spark.range(3, 40, 4)  # all id % 4 == 3
+    feats = m.extract_media_features(m.synthesize_media(ids, "id", families=4))
+    rows = feats.collect()
+    assert len(rows) == 10
+    for r in rows:
+        mid = r.media_id
+        assert (r.width, r.height) == (6 + mid % 10, 6 + mid % 7)
+        assert len(r.feature) == 4 and r.feature[0] == 2.0
