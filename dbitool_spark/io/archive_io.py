@@ -59,11 +59,21 @@ def read_zip(
 
     member_limit bounds the uncompressed size per member; a member
     over the cap raises (zip-bomb guard) rather than silently OOMing
-    an executor."""
+    an executor.
+
+    Non-zip files under a directory/glob scan are skipped by MAGIC
+    check inside the task (a directory of archives routinely carries
+    _SUCCESS markers, READMEs, checksums) — a driver-side isdir test
+    could not see object-store paths, and feeding a marker file to
+    ZipFile would fail the whole scan. A scan whose matches contain
+    no zip at all therefore yields zero rows; point fileread at plain
+    files."""
 
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for archive_path, blob in zip(pdf["path"], pdf["content"]):
+                if bytes(blob[:2]) != b"PK":
+                    continue  # not a zip: marker/readme in a dir scan
                 with zipfile.ZipFile(io.BytesIO(blob)) as zf:
                     for info in zf.infolist():
                         if info.is_dir():
@@ -89,8 +99,18 @@ def read_zip(
                                 }
                             )
                         else:
+                            # \n-exact splitting to match Spark's text
+                            # reader: str.splitlines would also split
+                            # on U+2028/U+0085/\x0b etc., silently
+                            # breaking round-trips of content that
+                            # carries those inside a line
                             text = data.decode(encoding)
-                            lines = text.splitlines()
+                            lines = text.split("\n")
+                            if lines and lines[-1] == "":
+                                lines.pop()
+                            lines = [
+                                l[:-1] if l.endswith("\r") else l for l in lines
+                            ]
                             yield pd.DataFrame(
                                 {
                                     "archive": [archive_path] * len(lines),
@@ -99,12 +119,7 @@ def read_zip(
                                 }
                             )
 
-    blobs = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.zip" if os.path.isdir(path) else "*")
-        .load(path)
-        .select("path", "content")
-    )
+    blobs = spark.read.format("binaryFile").load(path).select("path", "content")
     return blobs.mapInPandas(_explode, _READ_SCHEMA_BIN if binary else _READ_SCHEMA)
 
 

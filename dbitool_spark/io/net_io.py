@@ -46,6 +46,17 @@ def read_tcp(
     guard (exceeding it raises — an unbounded feed belongs on
     streaming.stream_socket)."""
     lines: list[str] = []
+
+    def _push(raw: bytes) -> None:
+        if len(lines) >= max_rows:
+            raise MemoryError(
+                f"read_tcp exceeded max_rows={max_rows}; use the "
+                "streaming socket source for unbounded feeds"
+            )
+        if raw.endswith(b"\r"):  # CRLF peers
+            raw = raw[:-1]
+        lines.append(raw.decode(encoding))
+
     with socket.create_connection((host, port), timeout=timeout) as sock:
         sock.settimeout(timeout)
         buf = b""
@@ -56,14 +67,9 @@ def read_tcp(
             buf += chunk
             while b"\n" in buf:
                 line, buf = buf.split(b"\n", 1)
-                lines.append(line.decode(encoding))
-                if len(lines) > max_rows:
-                    raise MemoryError(
-                        f"read_tcp exceeded max_rows={max_rows}; use the "
-                        "streaming socket source for unbounded feeds"
-                    )
+                _push(line)
         if buf:
-            lines.append(buf.decode(encoding))
+            _push(buf)  # unterminated trailing line counts toward the cap too
     return spark.createDataFrame([(l,) for l in lines], f"{RAW_COL} string")
 
 

@@ -29,18 +29,17 @@ def read_text(
     wholetext=True reads each file as a single row (blob mode).
 
     Multi-file containers (reference TODO:53-56): `path` may be a
-    directory, a glob, or a comma-separated list — Spark plans one
-    scan over all matches, split-parallel. with_file=True adds a
-    `file` provenance column (input_file_name()), the one-DataFrame
-    answer to the TODO's dynamically-allocated stream-per-file: group
-    or partition by `file` downstream to recover per-file streams."""
+    directory, a glob (including brace alternation — which is why a
+    string is passed through VERBATIM, never comma-split: '{a,b}'
+    globs and literal commas in filenames must survive), or an
+    explicit list of paths — Spark plans one scan over all matches,
+    split-parallel. with_file=True adds a `file` provenance column
+    (input_file_name()), the one-DataFrame answer to the TODO's
+    dynamically-allocated stream-per-file: group or partition by
+    `file` downstream to recover per-file streams."""
     from pyspark.sql import functions as F
 
-    paths = (
-        [s.strip() for s in path.split(",") if s.strip()]
-        if isinstance(path, str)
-        else list(path)
-    )
+    paths = path if isinstance(path, str) else list(path)
     df = spark.read.text(paths, wholetext=wholetext)
     if with_file:
         df = df.select(F.input_file_name().alias("file"), RAW_COL)

@@ -75,7 +75,13 @@ def exec_pipe(
                     f"exec_pipe command {argv} exited {proc.returncode}: "
                     f"{proc.stderr.decode(encoding, 'replace')[:500]}"
                 )
-            out = proc.stdout.decode(encoding)
-            yield pd.DataFrame({RAW_COL: out.splitlines()})
+            # \n-exact splitting (str.splitlines would also break on
+            # U+2028/U+0085 INSIDE a line, turning one row into two);
+            # trailing \r stripped for CRLF-emitting programs
+            lines = proc.stdout.decode(encoding).split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            lines = [l[:-1] if l.endswith("\r") else l for l in lines]
+            yield pd.DataFrame({RAW_COL: lines})
 
     return df.mapInPandas(_run, f"{RAW_COL} string")

@@ -104,21 +104,24 @@ def write_bucketed(
     the one-time shuffle that makes every later equi-join/aggregation
     on `bucket_col` exchange-free.
 
-    Idempotent across PROCESSES, not just sessions: a managed table's
-    warehouse directory outlives the in-memory catalog that created
-    it, so a fresh session sees LOCATION_ALREADY_EXISTS on a name its
-    catalog has never heard of. Drop-if-exists clears the catalog
-    entry; the explicit rmtree clears the orphaned location (scoped
-    to the session's own warehouse dir, never user paths)."""
-    import shutil
-    from urllib.parse import urlparse
-
+    Overwrite mode is idempotent across PROCESSES, not just sessions:
+    a managed table's warehouse directory outlives the in-memory
+    catalog that created it, so a fresh session sees
+    LOCATION_ALREADY_EXISTS on a name its catalog has never heard of.
+    Drop-if-exists clears the catalog entry; the explicit rmtree
+    clears the orphaned location (scoped to the session's own
+    warehouse dir, never user paths). Gated on mode="overwrite" —
+    append/errorifexists/ignore keep their Spark semantics untouched."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    stale = os.path.join(warehouse, table.lower())
-    if os.path.isdir(stale):
-        shutil.rmtree(stale, ignore_errors=True)
+    if mode == "overwrite":
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(warehouse, table.lower())
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)

@@ -80,9 +80,15 @@ def _widths(args: dict) -> list[int]:
 
 @register_module("fileread")
 def _fileread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    # multi=1 opts into comma-splitting `in` into a path list; it is
+    # NOT the default because globs use braces ('{2023,2024}/*.log')
+    # and filenames may contain literal commas
+    path = a["in"]
+    if _flag(a, "multi", False) and isinstance(path, str):
+        path = [s.strip() for s in path.split(",") if s.strip()]
     return text_io.read_text(
         p.spark,
-        a["in"],
+        path,
         wholetext=_flag(a, "wholetext", False),
         with_file=_flag(a, "withfile", False),
     )
@@ -214,6 +220,31 @@ def _spreadsheetread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 
 
 _JDBC_PASSTHROUGH_EXCLUDE = {"url", "query", "table", "in", "out", "mode"}
+_FLAVOR_EXCLUDE = _JDBC_PASSTHROUGH_EXCLUDE | {"host", "port", "db", "user", "pw"}
+
+
+def _flavored_jdbc_url(a: dict, flavor: str) -> str:
+    """URL assembly shared by the mysql/mssql select AND insert
+    modules (one place for the host/port/db contract)."""
+    if "db" not in a:
+        raise ValueError("database (db) not specified")
+    host = a.get("host", "localhost")
+    if flavor == "mysql":
+        return f"jdbc:mysql://{host}:{int(a.get('port', 3306))}/{a['db']}"
+    # SQL Server: semicolon properties, not a path component
+    return (
+        f"jdbc:sqlserver://{host}:{int(a.get('port', 1433))};"
+        f"databaseName={a['db']}"
+    )
+
+
+def _flavor_opts(a: dict) -> dict:
+    opts = {k: v for k, v in a.items() if k not in _FLAVOR_EXCLUDE}
+    if "user" in a:
+        opts["user"] = a["user"]
+    if "pw" in a:
+        opts["password"] = a["pw"]
+    return opts
 
 
 @register_module("jdbcselect")
@@ -260,24 +291,15 @@ def _mysqlselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     against embedded Derby (in every Spark distribution) by the
     jdbc_roundtrip_part driver entry and tests/test_connectors.py;
     only the MySQL URL itself is env-gated."""
-    if "db" not in a:
-        raise ValueError("database (db) not specified")
-    url = f"jdbc:mysql://{a.get('host', 'localhost')}:{int(a.get('port', 3306))}/{a['db']}"
     query = a.get("query")
     if ins and query is None and a.get("table") is None:
         query = db.query_from_stream(ins[0])
     if query is None and a.get("table") is None:
         raise ValueError("query nor table nor input stream specified")
-    opts = {
-        k: v
-        for k, v in a.items()
-        if k not in _JDBC_PASSTHROUGH_EXCLUDE | {"host", "port", "db", "user", "pw"}
-    }
-    if "user" in a:
-        opts["user"] = a["user"]
-    if "pw" in a:
-        opts["password"] = a["pw"]
-    return db.read_jdbc(p.spark, url, query=query, table=a.get("table"), **opts)
+    return db.read_jdbc(
+        p.spark, _flavored_jdbc_url(a, "mysql"),
+        query=query, table=a.get("table"), **_flavor_opts(a),
+    )
 
 
 @register_module("ndb")
@@ -367,6 +389,9 @@ def _lookup(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     sel = a.get("select")
     if sel:
         cols = [c.strip() for c in sel.split(",")] if isinstance(sel, str) else list(sel)
+        # keys are always carried; naming one in select= must not
+        # duplicate it (a duplicate column breaks the join resolution)
+        cols = [c for c in cols if c not in keys]
         right = right.select(*keys, *cols)
     if _flag(a, "broadcast", True):
         right = F.broadcast(right)
@@ -597,31 +622,6 @@ def _tcpwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     )
 
 
-def _flavored_jdbc_url(a: dict, flavor: str) -> str:
-    if "db" not in a:
-        raise ValueError("database (db) not specified")
-    host = a.get("host", "localhost")
-    if flavor == "mysql":
-        return f"jdbc:mysql://{host}:{int(a.get('port', 3306))}/{a['db']}"
-    # SQL Server: semicolon properties, not a path component
-    return (
-        f"jdbc:sqlserver://{host}:{int(a.get('port', 1433))};"
-        f"databaseName={a['db']}"
-    )
-
-
-_FLAVOR_EXCLUDE = _JDBC_PASSTHROUGH_EXCLUDE | {"host", "port", "db", "user", "pw"}
-
-
-def _flavor_opts(a: dict) -> dict:
-    opts = {k: v for k, v in a.items() if k not in _FLAVOR_EXCLUDE}
-    if "user" in a:
-        opts["user"] = a["user"]
-    if "pw" in a:
-        opts["password"] = a["pw"]
-    return opts
-
-
 @register_module("mysqlinsert")
 def _mysqlinsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     """Reference TODO:40 (mysqlinsert): the mysqlselect arg surface on
@@ -671,13 +671,21 @@ def _cassandrainsert(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
         raise ValueError("keyspace not specified")
     if "table" not in a:
         raise ValueError("table not specified")
+    extra = {
+        k: v
+        for k, v in a.items()
+        if k not in {"keyspace", "table", "host", "port", "consistency",
+                     "in", "out", "mode"}
+    }
     db.write_cassandra(
         ins[0],
         a["keyspace"],
         a["table"],
         host=a.get("host"),
+        port=int(a["port"]) if "port" in a else None,
         consistency=a.get("consistency"),
         mode=a.get("mode", "append"),
+        **extra,
     )
 
 

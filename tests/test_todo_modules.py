@@ -111,13 +111,14 @@ def test_zipread_pipeline_csv_chain(spark, tmp_path):
 # --- multi-file / directory sources (TODO:53-56) -----------------------
 
 
-def test_read_text_comma_list_and_provenance(spark, tmp_path):
+def test_read_text_multi_and_provenance(spark, tmp_path):
     fa, fb = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
     with open(fa, "w") as f:
         f.write("a1\na2\n")
     with open(fb, "w") as f:
         f.write("b1\n")
-    df = text_io.read_text(spark, f"{fa} , {fb}", with_file=True)
+    # explicit path list + provenance column
+    df = text_io.read_text(spark, [fa, fb], with_file=True)
     rows = df.collect()
     assert sorted(r.value for r in rows) == ["a1", "a2", "b1"]
     by_file = {
@@ -126,6 +127,23 @@ def test_read_text_comma_list_and_provenance(spark, tmp_path):
     assert by_file["b.txt"] == "b1"
     # directory form scans every file beneath
     assert text_io.read_text(spark, str(tmp_path)).count() == 3
+    # the fileread module's multi=1 opts into comma-splitting
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    p = Pipeline(spark)
+    got = MODULES["fileread"](p, [], {"in": f"{fa} , {fb}", "multi": 1})
+    assert got.count() == 3
+
+
+def test_read_text_brace_glob_not_comma_split(spark, tmp_path):
+    """A string path passes through verbatim: '{a,b}' brace globs
+    (and literal commas in names) must NOT be comma-split."""
+    for sub in ("2023", "2024", "2025"):
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "log.txt").write_text(f"{sub}-line\n")
+    df = text_io.read_text(spark, str(tmp_path / "{2023,2024}" / "log.txt"))
+    assert sorted(r.value for r in df.collect()) == ["2023-line", "2024-line"]
 
 
 # --- TCP client modules (TODO:58-59) -----------------------------------
@@ -427,3 +445,43 @@ def test_lookup_module_broadcast(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_zip_roundtrip_preserves_unicode_linebreak_chars(spark, tmp_path):
+    """U+2028/U+0085 INSIDE a line must survive the zip text hop (the
+    \\n-exact splitting contract — str.splitlines would cut the row in
+    two and break the format-chain oracle)."""
+    lines = ["plain", "has\u2028inside", "nel\u0085char", "tab\x0bvt"]
+    zp = str(tmp_path / "uni.zip")
+    archive_io.write_zip(_lines_df(spark, lines), zp)
+    got = sorted(r.value for r in archive_io.read_zip(spark, zp).collect())
+    assert got == sorted(lines)
+
+
+def test_exec_pipe_preserves_unicode_linebreak_chars(spark):
+    lines = ["a\u2028b", "c\u0085d"]
+    got = sorted(r.value for r in exec_pipe(_lines_df(spark, lines), ["cat"]).collect())
+    assert got == sorted(lines)
+
+
+def test_lookup_select_naming_key_is_deduped(spark):
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    p = Pipeline(spark)
+    main = spark.createDataFrame([(1,)], "k int")
+    lut = spark.createDataFrame([(1, "one")], "k int, name string")
+    out = MODULES["lookup"](p, [main, lut], {"key": "k", "select": "k,name"})
+    assert out.columns == ["k", "name"] and out.collect()[0].name == "one"
+
+
+def test_write_bucketed_append_mode_preserved(spark, tmp_path):
+    """mode='append' must NOT drop the existing table (the overwrite
+    idempotence cleanup is gated on mode)."""
+    from dbitool_spark.ops import scale
+
+    df1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    df2 = spark.createDataFrame([(2, "b")], "k int, v string")
+    scale.write_bucketed(df1, "bkt_append_test", "k", n_buckets=2)
+    scale.write_bucketed(df2, "bkt_append_test", "k", n_buckets=2, mode="append")
+    assert spark.table("bkt_append_test").count() == 2
+    spark.sql("DROP TABLE IF EXISTS bkt_append_test")
