@@ -123,6 +123,79 @@ def read_zip(
     return blobs.mapInPandas(_explode, _READ_SCHEMA_BIN if binary else _READ_SCHEMA)
 
 
+def read_tar(
+    spark: SparkSession,
+    path: str,
+    *,
+    member_glob: str | None = None,
+    binary: bool = False,
+    member_limit: int = 256 * 1024 * 1024,
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """Distributed tar source — the other container TODO:53-56 names
+    ("multiple file container (zip, tar, etc.)"). Same shape as
+    read_zip: binaryFile scan, per-task member extraction via the
+    stdlib tarfile codec, (archive, member) provenance, member_limit
+    bomb guard, \\n-exact text splitting. mode='r:*' auto-detects
+    gzip/bz2/xz-compressed tarballs from the byte stream, so .tar,
+    .tar.gz and .tgz all route through this one reader. Non-tar files
+    under a directory/glob scan are skipped by a tarfile probe inside
+    the task (same rationale as read_zip's magic skip)."""
+    import tarfile
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for archive_path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    tf = tarfile.open(fileobj=io.BytesIO(blob), mode="r:*")
+                except tarfile.TarError:
+                    continue  # not a tar: marker/readme in a dir scan
+                with tf:
+                    for info in tf:
+                        if not info.isfile():
+                            continue
+                        if member_glob and not fnmatch.fnmatch(
+                            info.name, member_glob
+                        ):
+                            continue
+                        if info.size > member_limit:
+                            raise ValueError(
+                                f"tar member {info.name!r} in {archive_path} is "
+                                f"{info.size} bytes, over the member_limit of "
+                                f"{member_limit} (raise it explicitly for "
+                                "trusted fat members)"
+                            )
+                        fh = tf.extractfile(info)
+                        if fh is None:
+                            continue
+                        data = fh.read()
+                        if binary:
+                            yield pd.DataFrame(
+                                {
+                                    "archive": [archive_path],
+                                    "member": [info.name],
+                                    "content": [data],
+                                }
+                            )
+                        else:
+                            lines = data.decode(encoding).split("\n")
+                            if lines and lines[-1] == "":
+                                lines.pop()
+                            lines = [
+                                l[:-1] if l.endswith("\r") else l for l in lines
+                            ]
+                            yield pd.DataFrame(
+                                {
+                                    "archive": [archive_path] * len(lines),
+                                    "member": [info.name] * len(lines),
+                                    "value": lines,
+                                }
+                            )
+
+    blobs = spark.read.format("binaryFile").load(path).select("path", "content")
+    return blobs.mapInPandas(_explode, _READ_SCHEMA_BIN if binary else _READ_SCHEMA)
+
+
 def write_zip(
     df: DataFrame,
     path: str,

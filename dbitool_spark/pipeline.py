@@ -444,6 +444,22 @@ def _zipread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     return df
 
 
+@register_module("tarread")
+def _tarread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Tar container source (reference TODO:53-56's "zip, tar, etc.");
+    auto-detects gzip/bz2/xz tarballs."""
+    df = archive_io.read_tar(
+        p.spark,
+        a["in"],
+        member_glob=a.get("member"),
+        binary=_flag(a, "binary", False),
+        member_limit=int(a.get("member_limit", 256 * 1024 * 1024)),
+    )
+    if _flag(a, "drop_provenance", False):
+        df = df.drop("archive", "member")
+    return df
+
+
 @register_module("tcpread")
 def _tcpread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     """Bounded TCP client source (reference TODO:58-59); unbounded
@@ -707,7 +723,7 @@ _SOURCES = {
     "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
     "parquetread", "xmlread", "bsonread", "sqliteselect", "stdin",
     "spreadsheetread", "jdbcselect", "mysqlselect", "cassandraselect",
-    "zipread", "tcpread", "mssqlselect",
+    "zipread", "tarread", "tcpread", "mssqlselect",
 }
 _STREAMABLE_SOURCES = {
     "sqliteselect", "jdbcselect", "mysqlselect", "cassandraselect", "mssqlselect",

@@ -485,3 +485,79 @@ def test_write_bucketed_append_mode_preserved(spark, tmp_path):
     scale.write_bucketed(df2, "bkt_append_test", "k", n_buckets=2, mode="append")
     assert spark.table("bkt_append_test").count() == 2
     spark.sql("DROP TABLE IF EXISTS bkt_append_test")
+
+
+def test_tar_roundtrip_and_compressed(spark, tmp_path):
+    """read_tar: plain tar with multiple members, a .tar.gz of the
+    same content (mode='r:*' auto-detect), member_glob pruning, and
+    binary mode."""
+    import gzip
+    import tarfile
+
+    def make_tar(path, compress=None):
+        mode = "w:gz" if compress else "w"
+        with tarfile.open(path, mode) as tf:
+            for name, body in [
+                ("data/a.txt", b"x1\nx2\n"),
+                ("data/b.txt", b"y1\n"),
+                ("notes.md", b"skip me\n"),
+            ]:
+                import io as _io
+
+                info = tarfile.TarInfo(name)
+                info.size = len(body)
+                tf.addfile(info, _io.BytesIO(body))
+
+    tp = str(tmp_path / "plain.tar")
+    make_tar(tp)
+    df = archive_io.read_tar(spark, tp)
+    assert sorted(r.value for r in df.collect()) == ["skip me", "x1", "x2", "y1"]
+    only = archive_io.read_tar(spark, tp, member_glob="data/*.txt")
+    assert sorted(r.value for r in only.collect()) == ["x1", "x2", "y1"]
+
+    tgz = str(tmp_path / "packed.tar.gz")
+    make_tar(tgz, compress=True)
+    assert archive_io.read_tar(spark, tgz).count() == 4
+
+    blob = archive_io.read_tar(spark, tp, binary=True, member_glob="data/b.txt")
+    row = blob.collect()[0]
+    assert bytes(row.content) == b"y1\n" and row.member == "data/b.txt"
+
+
+def test_tar_member_limit_and_nontar_skip(spark, tmp_path):
+    import io as _io
+    import tarfile
+
+    tp = str(tmp_path / "fat.tar")
+    with tarfile.open(tp, "w") as tf:
+        info = tarfile.TarInfo("fat.bin")
+        body = b"z" * 5000
+        info.size = len(body)
+        tf.addfile(info, _io.BytesIO(body))
+    with pytest.raises(Exception, match="member_limit"):
+        archive_io.read_tar(spark, tp, member_limit=100).collect()
+    # directory scan skips non-tar files instead of crashing
+    (tmp_path / "junk.bin").write_bytes(b"\x00\x01")
+    assert archive_io.read_tar(spark, str(tmp_path), member_limit=10000).count() == 1
+
+
+def test_tarread_pipeline_module(spark, tmp_path):
+    import io as _io
+    import tarfile
+
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    tp = str(tmp_path / "m.tar")
+    with tarfile.open(tp, "w") as tf:
+        info = tarfile.TarInfo("rows.csv")
+        body = b"7,seven\n8,eight\n"
+        info.size = len(body)
+        tf.addfile(info, _io.BytesIO(body))
+    p = Pipeline(spark)
+    raw = MODULES["tarread"](p, [], {"in": tp, "drop_provenance": 1})
+    from dbitool_spark.io import csv_io
+
+    parsed = csv_io.parse_csv_lines(raw, schema="k int, name string", header=False)
+    assert [(r.k, r.name) for r in parsed.orderBy("k").collect()] == [
+        (7, "seven"), (8, "eight"),
+    ]
