@@ -15,10 +15,12 @@ Codec status (honest tiers):
   pixel decode (per-channel means; CORE/INFO header variants), FULL
   PNG pixel decode for 8-bit non-interlaced images (chunk CRC walk,
   zlib inflate, all five scanline filters, per-channel means —
-  _decode_png), JPEG dimension parsing (SOF marker scan), and GIF
-  logical-screen dimensions — the published formats, no external
+  _decode_png), FULL GIF pixel decode (own LZW decompressor + palette
+  mapping — _decode_gif), JPEG dimension parsing (SOF marker scan),
+  and MP4/ISO-BMFF container metadata (box walk: mvhd duration, tkhd
+  track dims — _decode_mp4) — the published formats, no external
   library needed. `_try_real_decode` routes these by magic bytes.
-- STUBBED: entropy-coded formats (JPEG pixels, video codecs) require
+- STUBBED: entropy-coded formats (JPEG pixels, video FRAME codecs) require
   libraries this container does not ship; those fall through to the
   deterministic fake keyed on the content digest. Palette/interlaced/
   16-bit PNGs degrade to header-only decode (dims still real).
@@ -409,6 +411,65 @@ def _decode_jpeg_dims(content: bytes) -> tuple[int, int, int, list[float]] | Non
     return None
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over ISO-BMFF boxes in
+    buf[start:end]; handles 64-bit largesize boxes."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def _decode_mp4(content: bytes) -> tuple[int, int, int, list[float]]:
+    """REAL MP4/ISO-BMFF container metadata decode, pure stdlib
+    (public ISO 14496-12 box structure): walks ftyp/moov, reads mvhd
+    (v0 and v1) for timescale+duration -> duration_ms, and each
+    trak/tkhd for the 16.16 fixed-point presentation width/height
+    (first visual track wins). Feature = [n_tracks]. Frame PIXEL
+    decode stays env-gated (entropy-coded video codecs need external
+    libraries); this is the container tier — the same honest split as
+    JPEG's dimension-only SOF scan."""
+    width = height = duration_ms = 0
+    n_tracks = 0
+    for btype, body, bend in _mp4_boxes(content, 0, len(content)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _mp4_boxes(content, body, bend):
+            if ctype == b"mvhd":
+                version = content[cbody]
+                if version == 1:
+                    timescale = struct.unpack_from(">I", content, cbody + 20)[0]
+                    duration = struct.unpack_from(">Q", content, cbody + 24)[0]
+                else:
+                    timescale = struct.unpack_from(">I", content, cbody + 12)[0]
+                    duration = struct.unpack_from(">I", content, cbody + 16)[0]
+                if timescale:
+                    duration_ms = duration * 1000 // timescale
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, tbody, tend in _mp4_boxes(content, cbody, cend):
+                    if ttype != b"tkhd":
+                        continue
+                    off = 88 if content[tbody] == 1 else 76
+                    w = struct.unpack_from(">I", content, tbody + off)[0] >> 16
+                    h = struct.unpack_from(">I", content, tbody + off + 4)[0] >> 16
+                    if w and h and not width:
+                        width, height = w, h
+    return width, height, duration_ms, [float(n_tracks)]
+
+
 def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None:
     """Route by magic bytes to the stdlib container decoders; None
     falls through to the deterministic fake (unknown/compressed
@@ -424,6 +485,8 @@ def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None
             return _decode_gif(content)
         if content[:2] == b"\xff\xd8":
             return _decode_jpeg_dims(content)
+        if len(content) >= 12 and content[4:8] == b"ftyp":
+            return _decode_mp4(content)
     except (wave.Error, struct.error, EOFError, IndexError, ValueError):
         return None
     return None
@@ -622,6 +685,43 @@ def _synth_gif(media_id: int) -> bytes:
         blocks += bytes((len(chunk),)) + chunk
     blocks += b"\x00"
     return b"GIF89a" + lsd + palette + img_desc + bytes(blocks) + b"\x3b"
+
+
+def _synth_mp4(media_id: int) -> bytes:
+    """Minimal valid ISO-BMFF container (ftyp + moov[mvhd + trak[tkhd]])
+    with closed-form metadata: duration_ms = 1000 + (id % 20) * 250
+    (timescale 1000), width = 160 + (id % 8) * 16,
+    height = 96 + (id % 5) * 24 — the REAL box-walk decode must
+    recover all three. No media data: this is the container tier."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    duration = 1000 + (media_id % 20) * 250  # ms at timescale 1000
+    width = 160 + (media_id % 8) * 16
+    height = 96 + (media_id % 5) * 24
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1000, duration)  # v0, times, scale, dur
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x03"  # version 0, flags: enabled | in_movie
+        + struct.pack(">III", 0, 0, 1)  # ctime, mtime, track_id
+        + b"\x00" * 4  # reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, alt_group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
 
 
 def synthesize_media(df: DataFrame, id_col: str, *, families: int = 3) -> DataFrame:

@@ -989,3 +989,42 @@ def test_synthesize_media_families4(spark):
         mid = r.media_id
         assert (r.width, r.height) == (6 + mid % 10, 6 + mid % 7)
         assert len(r.feature) == 4 and r.feature[0] == 2.0
+
+
+def test_mp4_container_metadata_decode():
+    """_synth_mp4 emits a minimal valid ISO-BMFF container and the
+    box-walk decode recovers the closed-form duration/width/height
+    (container tier — frame pixel decode stays env-gated)."""
+    from dbitool_spark.ops import multimodal as m
+
+    for mid in range(30):
+        w, h, dur, feat = m._decode_one("video", m._synth_mp4(mid))
+        assert (w, h) == (160 + (mid % 8) * 16, 96 + (mid % 5) * 24)
+        assert dur == 1000 + (mid % 20) * 250
+        assert feat == [1.0]
+
+
+def test_mp4_v1_and_largesize_boxes():
+    """64-bit largesize boxes and version-1 mvhd (64-bit times) parse;
+    truncated/garbage box streams degrade to zeros instead of raising."""
+    import struct
+
+    from dbitool_spark.ops import multimodal as m
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def largebox(t, body):
+        return struct.pack(">I", 1) + t + struct.pack(">Q", 16 + len(body)) + body
+
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+        + b"\x00" * 80,
+    )
+    content = box(b"ftyp", b"isom" + b"\x00" * 8) + largebox(b"moov", mvhd1)
+    w, h, dur, feat = m._decode_mp4(content)
+    assert dur == 7000 and feat == [0.0]
+    # garbage after ftyp: no crash, zero metadata
+    bad = box(b"ftyp", b"isom" + b"\x00" * 8) + b"\x00\x00\x00\x05zzz"
+    assert m._decode_mp4(bad)[2] == 0
