@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session("dbitool_spark-cli")
     level = max(args.loglevel, 1 if args.verbose else 0)
     log = EngineLog(level=level) if level else None
+    if log is not None and level >= 2:
+        # TODO:24-26 progress relay: microbatch progress events land
+        # in the log stream (printed under --verbose)
+        from dbitool_spark.obs import StreamProgressLogger
+
+        StreamProgressLogger(spark, log, level=2)
     p = Pipeline(
         spark,
         log=log,

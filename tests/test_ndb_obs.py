@@ -136,3 +136,40 @@ def test_log_levels(spark):
     msgs = [r.msg for r in log.log_df(spark).collect()]
     assert "level1" in msgs and "ERROR: boom" in msgs
     assert all("level3" not in m for m in msgs)
+
+
+def test_stream_progress_logger(spark, tmp_path):
+    """TODO:24-26 progress relay: a drained file stream must leave
+    started/batch-progress/terminated rows in the EngineLog, and
+    detach() must stop further capture."""
+    import time
+
+    from dbitool_spark import streaming
+    from dbitool_spark.io import json_io
+    from dbitool_spark.obs import EngineLog, StreamProgressLogger
+
+    src = str(tmp_path / "prog_src")
+    json_io.write_ndjson(
+        spark.range(100).selectExpr("id", "id * 2 AS v"), src
+    )
+    log = EngineLog(level=3)
+    prog = StreamProgressLogger(spark, log, level=2)
+    try:
+        stream = streaming.stream_ndjson(spark, src, "id bigint, v bigint")
+        streaming.drain_to_memory(stream, "prog_sink_test", output_mode="append")
+        # listener events are delivered asynchronously off the bus
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            msgs = [m for _, mod, m, _ in log.rows if mod == "progress"]
+            if any("batch=" in m for m in msgs) and any(
+                "terminated" in m for m in msgs
+            ):
+                break
+            time.sleep(0.25)
+        msgs = [m for _, mod, m, _ in log.rows if mod == "progress"]
+        assert any("started" in m for m in msgs)
+        assert any("batch=" in m and "rows=" in m for m in msgs)
+        assert any("terminated" in m for m in msgs)
+    finally:
+        prog.detach()
+        spark.catalog.dropTempView("prog_sink_test")
