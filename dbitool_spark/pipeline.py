@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dbitool_spark.io import (
     archive_io,
@@ -64,6 +65,15 @@ def register_module(name: str) -> Callable[[ModuleFn], ModuleFn]:
 def _flag(args: dict, key: str, default: bool = True) -> bool:
     v = args.get(key, default)
     return v in (True, 1, "1", "true")
+
+
+def _with_file(df: DataFrame, a: dict) -> DataFrame:
+    """withfile=1 provenance on the file-scan sources (TODO:53-56's
+    stream-per-file, as a column): prepend input_file_name() so
+    downstream grouping recovers per-file streams."""
+    if _flag(a, "withfile", False):
+        return df.select(F.input_file_name().alias("file"), "*")
+    return df
 
 
 def _widths(args: dict) -> list[int]:
@@ -125,7 +135,7 @@ def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         infer=_flag(a, "infer", False),
         permissive_corrupt_col="_corrupt_record" if _flag(a, "quarantine", False) else None,
     )
-    return p._apply_quarantine(df, a, "csvread")
+    return _with_file(p._apply_quarantine(df, a, "csvread"), a)
 
 
 @register_module("ndjsonread")
@@ -145,7 +155,7 @@ def _ndjsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         schema=p._quarantine_schema(a),
         permissive_corrupt_col="_corrupt_record" if _flag(a, "quarantine", False) else None,
     )
-    return p._apply_quarantine(df, a, "ndjsonread")
+    return _with_file(p._apply_quarantine(df, a, "ndjsonread"), a)
 
 
 @register_module("jsonread")
@@ -167,7 +177,7 @@ def _fixedwidthread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
 
 @register_module("parquetread")
 def _parquetread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
-    return p.spark.read.parquet(a["in"])
+    return _with_file(p.spark.read.parquet(a["in"]), a)
 
 
 @register_module("xmlread")

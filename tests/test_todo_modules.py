@@ -561,3 +561,30 @@ def test_tarread_pipeline_module(spark, tmp_path):
     assert [(r.k, r.name) for r in parsed.orderBy("k").collect()] == [
         (7, "seven"), (8, "eight"),
     ]
+
+
+def test_withfile_provenance_on_row_sources(spark, tmp_path):
+    """withfile=1 adds the input_file_name provenance column on the
+    csv/ndjson/parquet scan modules too (TODO:53-56 across the file
+    sources, not just fileread)."""
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    p = Pipeline(spark)
+    for sub, body in [("p1", "1,a\n"), ("p2", "2,b\n")]:
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "x.csv").write_text(body)
+    got = MODULES["csvread"](
+        p, [], {"in": str(tmp_path / "*" / "x.csv"),
+                 "schema": "k int, v string", "header": 0, "withfile": 1}
+    )
+    assert got.columns[0] == "file"
+    rows = got.collect()
+    assert len(rows) == 2 and all("x.csv" in r.file for r in rows)
+    files = {os.path.basename(os.path.dirname(r.file)) for r in rows}
+    assert files == {"p1", "p2"}
+
+    pq = str(tmp_path / "t.parquet")
+    spark.range(3).write.parquet(pq)
+    out = MODULES["parquetread"](p, [], {"in": pq, "withfile": 1})
+    assert out.columns[0] == "file" and out.count() == 3
