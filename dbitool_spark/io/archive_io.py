@@ -39,6 +39,43 @@ _READ_SCHEMA = "archive string, member string, value string"
 _READ_SCHEMA_BIN = "archive string, member string, content binary"
 
 
+def _check_member_limit(
+    kind: str, member: str, archive: str, size: int, limit: int
+) -> None:
+    if size > limit:
+        raise ValueError(
+            f"{kind} member {member!r} in {archive} decompresses to "
+            f"{size} bytes, over the member_limit of {limit} (raise it "
+            "explicitly for trusted fat members)"
+        )
+
+
+def _member_frame(
+    archive: str, member: str, data: bytes, binary: bool, encoding: str
+) -> pd.DataFrame:
+    """One member -> one output frame, shared by the zip and tar
+    exploders so the line-splitting contract cannot drift between
+    them. Text mode is \\n-exact to match Spark's text reader
+    (str.splitlines would also split on U+2028/U+0085/\\x0b INSIDE a
+    line, silently breaking round-trips); trailing \\r stripped for
+    CRLF content."""
+    if binary:
+        return pd.DataFrame(
+            {"archive": [archive], "member": [member], "content": [data]}
+        )
+    lines = data.decode(encoding).split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    lines = [l[:-1] if l.endswith("\r") else l for l in lines]
+    return pd.DataFrame(
+        {
+            "archive": [archive] * len(lines),
+            "member": [member] * len(lines),
+            "value": lines,
+        }
+    )
+
+
 def read_zip(
     spark: SparkSession,
     path: str,
@@ -82,42 +119,14 @@ def read_zip(
                             info.filename, member_glob
                         ):
                             continue
-                        if info.file_size > member_limit:
-                            raise ValueError(
-                                f"zip member {info.filename!r} in {archive_path} "
-                                f"decompresses to {info.file_size} bytes, over the "
-                                f"member_limit of {member_limit} (raise it "
-                                "explicitly for trusted fat members)"
-                            )
-                        data = zf.read(info)
-                        if binary:
-                            yield pd.DataFrame(
-                                {
-                                    "archive": [archive_path],
-                                    "member": [info.filename],
-                                    "content": [data],
-                                }
-                            )
-                        else:
-                            # \n-exact splitting to match Spark's text
-                            # reader: str.splitlines would also split
-                            # on U+2028/U+0085/\x0b etc., silently
-                            # breaking round-trips of content that
-                            # carries those inside a line
-                            text = data.decode(encoding)
-                            lines = text.split("\n")
-                            if lines and lines[-1] == "":
-                                lines.pop()
-                            lines = [
-                                l[:-1] if l.endswith("\r") else l for l in lines
-                            ]
-                            yield pd.DataFrame(
-                                {
-                                    "archive": [archive_path] * len(lines),
-                                    "member": [info.filename] * len(lines),
-                                    "value": lines,
-                                }
-                            )
+                        _check_member_limit(
+                            "zip", info.filename, archive_path,
+                            info.file_size, member_limit,
+                        )
+                        yield _member_frame(
+                            archive_path, info.filename, zf.read(info),
+                            binary, encoding,
+                        )
 
     blobs = spark.read.format("binaryFile").load(path).select("path", "content")
     return blobs.mapInPandas(_explode, _READ_SCHEMA_BIN if binary else _READ_SCHEMA)
@@ -140,7 +149,10 @@ def read_tar(
     gzip/bz2/xz-compressed tarballs from the byte stream, so .tar,
     .tar.gz and .tgz all route through this one reader. Non-tar files
     under a directory/glob scan are skipped by a tarfile probe inside
-    the task (same rationale as read_zip's magic skip)."""
+    the task (same rationale as read_zip's magic skip). Hardlink and
+    symlink members resolve to their target's content (tar extraction
+    semantics — dedup'd archives store identical files as links);
+    links whose target is outside the archive are skipped."""
     import tarfile
 
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,45 +164,24 @@ def read_tar(
                     continue  # not a tar: marker/readme in a dir scan
                 with tf:
                     for info in tf:
-                        if not info.isfile():
+                        if not (info.isfile() or info.islnk() or info.issym()):
                             continue
                         if member_glob and not fnmatch.fnmatch(
                             info.name, member_glob
                         ):
                             continue
-                        if info.size > member_limit:
-                            raise ValueError(
-                                f"tar member {info.name!r} in {archive_path} is "
-                                f"{info.size} bytes, over the member_limit of "
-                                f"{member_limit} (raise it explicitly for "
-                                "trusted fat members)"
-                            )
-                        fh = tf.extractfile(info)
+                        _check_member_limit(
+                            "tar", info.name, archive_path, info.size, member_limit
+                        )
+                        try:
+                            fh = tf.extractfile(info)
+                        except KeyError:
+                            continue  # link target outside the archive
                         if fh is None:
                             continue
-                        data = fh.read()
-                        if binary:
-                            yield pd.DataFrame(
-                                {
-                                    "archive": [archive_path],
-                                    "member": [info.name],
-                                    "content": [data],
-                                }
-                            )
-                        else:
-                            lines = data.decode(encoding).split("\n")
-                            if lines and lines[-1] == "":
-                                lines.pop()
-                            lines = [
-                                l[:-1] if l.endswith("\r") else l for l in lines
-                            ]
-                            yield pd.DataFrame(
-                                {
-                                    "archive": [archive_path] * len(lines),
-                                    "member": [info.name] * len(lines),
-                                    "value": lines,
-                                }
-                            )
+                        yield _member_frame(
+                            archive_path, info.name, fh.read(), binary, encoding
+                        )
 
     blobs = spark.read.format("binaryFile").load(path).select("path", "content")
     return blobs.mapInPandas(_explode, _READ_SCHEMA_BIN if binary else _READ_SCHEMA)

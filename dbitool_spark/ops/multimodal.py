@@ -419,14 +419,16 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
         size = struct.unpack_from(">I", buf, pos)[0]
         btype = buf[pos + 4 : pos + 8]
         body = pos + 8
+        min_size = 8
         if size == 1:  # 64-bit largesize
             if pos + 16 > end:
                 return
             size = struct.unpack_from(">Q", buf, pos + 8)[0]
             body = pos + 16
+            min_size = 16  # a largesize < 16 would invert the body range
         elif size == 0:  # box extends to end of enclosing scope
             size = end - pos
-        if size < 8 or pos + size > end:
+        if size < min_size or pos + size > end:
             return
         yield btype, body, pos + size
         pos += size

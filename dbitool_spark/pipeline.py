@@ -70,8 +70,17 @@ def _flag(args: dict, key: str, default: bool = True) -> bool:
 def _with_file(df: DataFrame, a: dict) -> DataFrame:
     """withfile=1 provenance on the file-scan sources (TODO:53-56's
     stream-per-file, as a column): prepend input_file_name() so
-    downstream grouping recovers per-file streams."""
+    downstream grouping recovers per-file streams.
+
+    Must run directly over the SCAN (before any checkpoint boundary —
+    input_file_name() is empty once the file-scan task context is
+    gone, which is why the quarantine split happens after this)."""
     if _flag(a, "withfile", False):
+        if "file" in df.columns:
+            raise ValueError(
+                "withfile=1 would shadow an existing 'file' column; "
+                "rename it upstream or drop the flag"
+            )
         return df.select(F.input_file_name().alias("file"), "*")
     return df
 
@@ -114,6 +123,12 @@ def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
                 "capture (split the stream with obs.split_quarantine "
                 "after an explicit from_csv instead)"
             )
+        if _flag(a, "withfile", False):
+            raise ValueError(
+                "withfile=1 is only supported on the file-read path; "
+                "a raw upstream stream has no file-scan provenance "
+                "(put withfile on the upstream fileread instead)"
+            )
         # raw->row boundary: parse an upstream raw line stream
         # (reference `stdin csvread`, scripts/dbitool.pl:3273-3276)
         return csv_io.parse_csv_lines(
@@ -135,7 +150,7 @@ def _csvread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         infer=_flag(a, "infer", False),
         permissive_corrupt_col="_corrupt_record" if _flag(a, "quarantine", False) else None,
     )
-    return _with_file(p._apply_quarantine(df, a, "csvread"), a)
+    return p._apply_quarantine(_with_file(df, a), a, "csvread")
 
 
 @register_module("ndjsonread")
@@ -148,6 +163,12 @@ def _ndjsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
                 "capture (split the stream with obs.split_quarantine "
                 "after an explicit from_json instead)"
             )
+        if _flag(a, "withfile", False):
+            raise ValueError(
+                "withfile=1 is only supported on the file-read path; "
+                "a raw upstream stream has no file-scan provenance "
+                "(put withfile on the upstream fileread instead)"
+            )
         return json_io.parse_ndjson_lines(ins[0], schema=a.get("schema"))
     df = json_io.read_ndjson(
         p.spark,
@@ -155,7 +176,7 @@ def _ndjsonread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         schema=p._quarantine_schema(a),
         permissive_corrupt_col="_corrupt_record" if _flag(a, "quarantine", False) else None,
     )
-    return _with_file(p._apply_quarantine(df, a, "ndjsonread"), a)
+    return p._apply_quarantine(_with_file(df, a), a, "ndjsonread")
 
 
 @register_module("jsonread")
@@ -448,6 +469,7 @@ def _zipread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         member_glob=a.get("member"),
         binary=_flag(a, "binary", False),
         member_limit=int(a.get("member_limit", 256 * 1024 * 1024)),
+        encoding=a.get("encoding", "utf-8"),
     )
     if _flag(a, "drop_provenance", False):
         df = df.drop("archive", "member")
@@ -464,6 +486,7 @@ def _tarread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         member_glob=a.get("member"),
         binary=_flag(a, "binary", False),
         member_limit=int(a.get("member_limit", 256 * 1024 * 1024)),
+        encoding=a.get("encoding", "utf-8"),
     )
     if _flag(a, "drop_provenance", False):
         df = df.drop("archive", "member")

@@ -1028,3 +1028,23 @@ def test_mp4_v1_and_largesize_boxes():
     # garbage after ftyp: no crash, zero metadata
     bad = box(b"ftyp", b"isom" + b"\x00" * 8) + b"\x00\x00\x00\x05zzz"
     assert m._decode_mp4(bad)[2] == 0
+
+
+def test_mp4_largesize_under_16_rejected():
+    """A largesize box whose 64-bit size is 8..15 would invert the
+    body range; the walker must stop instead of reading the next
+    box's bytes as mvhd fields."""
+    import struct
+
+    from dbitool_spark.ops import multimodal as m
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    evil = (
+        box(b"ftyp", b"isom" + b"\x00" * 8)
+        + struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 12)
+        + box(b"mvhd", b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 1000, 77000) + b"\x00" * 80)
+    )
+    w, h, dur, feat = m._decode_mp4(evil)
+    assert (w, h, dur) == (0, 0, 0)

@@ -588,3 +588,70 @@ def test_withfile_provenance_on_row_sources(spark, tmp_path):
     spark.range(3).write.parquet(pq)
     out = MODULES["parquetread"](p, [], {"in": pq, "withfile": 1})
     assert out.columns[0] == "file" and out.count() == 3
+
+
+def test_withfile_with_quarantine_keeps_real_paths(spark, tmp_path):
+    """withfile + quarantine=1: provenance must be captured at the
+    SCAN (before the quarantine checkpoint boundary), so file values
+    are real paths, not empty strings."""
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    f = tmp_path / "q.csv"
+    f.write_text("1,a\nBADROW\n2,b\n")
+    p = Pipeline(spark)
+    got = MODULES["csvread"](
+        p, [],
+        {"in": str(f), "schema": "k int, v string", "header": 0,
+         "quarantine": 1, "withfile": 1},
+    )
+    rows = got.collect()
+    assert len(rows) == 2
+    assert all(r.file and "q.csv" in r.file for r in rows)
+
+
+def test_withfile_shadow_and_raw_branch_raise(spark):
+    from dbitool_spark.pipeline import MODULES, Pipeline, _with_file
+
+    p = Pipeline(spark)
+    df = spark.createDataFrame([("x", 1)], "file string, v int")
+    with pytest.raises(ValueError, match="shadow"):
+        _with_file(df, {"withfile": 1})
+    raw = spark.createDataFrame([("1,a",)], "value string")
+    with pytest.raises(ValueError, match="file-read path"):
+        MODULES["csvread"](p, [raw], {"withfile": 1})
+    with pytest.raises(ValueError, match="file-read path"):
+        MODULES["ndjsonread"](p, [raw], {"withfile": 1})
+
+
+def test_tar_hardlink_and_symlink_members(spark, tmp_path):
+    """Dedup'd tars store identical files as links; read_tar must
+    materialize their content like tar extraction would."""
+    import io as _io
+    import tarfile
+
+    tp = str(tmp_path / "links.tar")
+    body = b"shared\n"
+    with tarfile.open(tp, "w") as tf:
+        info = tarfile.TarInfo("orig.txt")
+        info.size = len(body)
+        tf.addfile(info, _io.BytesIO(body))
+        ln = tarfile.TarInfo("hard.txt")
+        ln.type = tarfile.LNKTYPE
+        ln.linkname = "orig.txt"
+        tf.addfile(ln)
+        sym = tarfile.TarInfo("sym.txt")
+        sym.type = tarfile.SYMTYPE
+        sym.linkname = "orig.txt"
+        tf.addfile(sym)
+        broken = tarfile.TarInfo("broken.txt")
+        broken.type = tarfile.SYMTYPE
+        broken.linkname = "no/such/target"
+        tf.addfile(broken)
+    rows = archive_io.read_tar(spark, tp).collect()
+    by_member = {}
+    for r in rows:
+        by_member.setdefault(r.member, []).append(r.value)
+    assert by_member.get("orig.txt") == ["shared"]
+    assert by_member.get("hard.txt") == ["shared"]
+    assert by_member.get("sym.txt") == ["shared"]
+    assert "broken.txt" not in by_member  # outside-target link skipped
