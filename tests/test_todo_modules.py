@@ -655,3 +655,74 @@ def test_tar_hardlink_and_symlink_members(spark, tmp_path):
     assert by_member.get("hard.txt") == ["shared"]
     assert by_member.get("sym.txt") == ["shared"]
     assert "broken.txt" not in by_member  # outside-target link skipped
+
+
+# --- archive codec properties -----------------------------------------
+
+import string as _string
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_zip_lines = _st.lists(
+    _st.text(
+        alphabet=_string.ascii_letters + _string.digits + " ,;|\t{}[]()\u00e9\u2028",
+        max_size=40,
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@_given(lines=_zip_lines)
+@_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+def test_zip_roundtrip_property(spark, tmp_path_factory, lines):
+    """write_zip -> read_zip is lossless for arbitrary text rows
+    (unicode incl. U+2028, tabs, quotes) modulo row order."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="zip_prop_")
+    zp = os.path.join(d, "p.zip")
+    archive_io.write_zip(_lines_df(spark, list(lines)), zp)
+    got = sorted(r.value for r in archive_io.read_zip(spark, zp).collect())
+    assert got == sorted(lines)
+
+
+@_given(
+    members=_st.dictionaries(
+        _st.text(alphabet=_string.ascii_lowercase, min_size=1, max_size=8).map(
+            lambda s: s + ".txt"
+        ),
+        _st.binary(max_size=200),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+def test_tar_binary_roundtrip_property(spark, members):
+    """Arbitrary binary members survive a tar write -> read_tar
+    round-trip byte-exactly (binary mode has no line semantics)."""
+    import io as _io
+    import tarfile
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="tar_prop_")
+    tp = os.path.join(d, "p.tar")
+    with tarfile.open(tp, "w") as tf:
+        for name, body in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, _io.BytesIO(body))
+    rows = archive_io.read_tar(spark, tp, binary=True).collect()
+    got = {r.member: bytes(r.content) for r in rows}
+    assert got == members
