@@ -16,14 +16,17 @@ Codec status (honest tiers):
   PNG pixel decode for 8-bit non-interlaced images (chunk CRC walk,
   zlib inflate, all five scanline filters, per-channel means —
   _decode_png), FULL GIF pixel decode (own LZW decompressor + palette
-  mapping — _decode_gif), JPEG dimension parsing (SOF marker scan),
-  and MP4/ISO-BMFF container metadata (box walk: mvhd duration, tkhd
-  track dims — _decode_mp4) — the published formats, no external
-  library needed. `_try_real_decode` routes these by magic bytes.
-- STUBBED: entropy-coded formats (JPEG pixels, video FRAME codecs) require
-  libraries this container does not ship; those fall through to the
-  deterministic fake keyed on the content digest. Palette/interlaced/
-  16-bit PNGs degrade to header-only decode (dims still real).
+  mapping — _decode_gif), FULL baseline-JPEG pixel decode (own T.81
+  Huffman-sequential codec, ops/jpeg_codec.py — any 1x1..2x2
+  sampling, restart markers; _decode_jpeg_full), and MP4/ISO-BMFF
+  container metadata (box walk: mvhd duration, tkhd track dims —
+  _decode_mp4) — the published formats, no external library needed.
+  `_try_real_decode` routes these by magic bytes.
+- STUBBED: video FRAME codecs require libraries this container does
+  not ship; those fall through to the deterministic fake keyed on
+  the content digest. Progressive/arithmetic JPEG degrades to the
+  dims-only SOF scan; palette/interlaced/16-bit PNGs and interlaced
+  GIFs degrade to header-only decode (dims still real).
   Everything Spark-side — schema, batch iteration, UDF signature,
   partition behavior — is identical in both tiers; swapping the fake
   for PIL/ffmpeg is a one-function change.
@@ -388,6 +391,29 @@ def _decode_gif(content: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, 0, feature
 
 
+def _decode_jpeg_full(content: bytes) -> tuple[int, int, int, list[float]] | None:
+    """FULL baseline-JPEG pixel decode via the engine's own codec
+    (ops/jpeg_codec.py: T.81 Huffman sequential — entropy decode,
+    dequantize, vectorized IDCT, chroma upsample, YCbCr->RGB),
+    feature [n_components, mean_r, mean_g, mean_b] in the BMP/PNG/GIF
+    channel-mean convention. Progressive/arithmetic/12-bit streams
+    and frames over the area cap fall back to the dimension-only SOF
+    scan (the honest-split contract)."""
+    try:
+        from dbitool_spark.ops import jpeg_codec
+
+        w, h, planes = jpeg_codec.decode_jpeg(content)
+        if len(planes) == 3:
+            rgb = jpeg_codec.ycbcr_to_rgb(planes)
+            means = [round(float(rgb[..., c].mean()), 6) for c in range(3)]
+        else:
+            m = round(float(planes[0].mean()), 6)
+            means = [m, m, m]
+        return w, h, 0, [float(len(planes))] + means
+    except ValueError:
+        return _decode_jpeg_dims(content)
+
+
 def _decode_jpeg_dims(content: bytes) -> tuple[int, int, int, list[float]] | None:
     """JPEG dimension scan: walk the marker stream to the first SOFn
     frame header (public JFIF layout); no entropy decode."""
@@ -486,7 +512,7 @@ def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None
         if content[:6] in (b"GIF87a", b"GIF89a"):
             return _decode_gif(content)
         if content[:2] == b"\xff\xd8":
-            return _decode_jpeg_dims(content)
+            return _decode_jpeg_full(content)
         if len(content) >= 12 and content[4:8] == b"ftyp":
             return _decode_mp4(content)
     except (wave.Error, struct.error, EOFError, IndexError, ValueError):
