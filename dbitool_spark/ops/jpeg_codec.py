@@ -155,18 +155,32 @@ def _canonical_codes(bits: list[int], vals: list[int]):
 
 
 class _HuffDecoder:
+    """T.81 F.2.2.3 mincode/maxcode tables: two int compares per code
+    length in the hot loop instead of a tuple-keyed dict lookup (the
+    entropy decode is the decoder's dominant cost)."""
+
     def __init__(self, bits: list[int], vals: list[int]):
-        self.lut = {}
-        for length, code, val in _canonical_codes(bits, vals):
-            self.lut[(length, code)] = val
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
 
     def read(self, br: "_BitReader") -> int:
         code = 0
         for length in range(1, 17):
             code = (code << 1) | br.bit()
-            v = self.lut.get((length, code))
-            if v is not None:
-                return v
+            if code <= self.maxcode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
         raise ValueError("invalid Huffman code in entropy stream")
 
 
@@ -231,9 +245,10 @@ def decode_jpeg(content: bytes, *, max_pixels: int = 1 << 22) -> tuple:
         raise ValueError("not a JPEG")
     try:
         return _decode_jpeg_inner(content, max_pixels)
-    except (IndexError, struct.error) as exc:
+    except (IndexError, struct.error, KeyError, ZeroDivisionError) as exc:
         # truncated/corrupt streams surface as the one exception type
-        # the caller's fallback contract handles
+        # the caller's fallback contract handles (KeyError: SOS with no
+        # DHT / unknown table ids; ZeroDivisionError: degenerate fields)
         raise ValueError(f"corrupt JPEG stream: {type(exc).__name__}") from exc
 
 
@@ -246,9 +261,15 @@ def _decode_jpeg_inner(content: bytes, max_pixels: int) -> tuple:
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # 0xFF fill bytes may pad between segments (T.81 B.1.1.2)
+        while pos + 4 <= len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no length
+            pos += 2
+            continue
         seg_len = struct.unpack_from(">H", content, pos + 2)[0]
         body = content[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -277,11 +298,22 @@ def _decode_jpeg_inner(content: bytes, max_pixels: int) -> tuple:
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
             h, w = struct.unpack_from(">HH", body, 1)
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension frame")
             ncomp = body[5]
+            if not 1 <= ncomp <= 4:  # Y / YCbCr / YCCK are the real layouts
+                raise ValueError(f"implausible component count {ncomp}")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise ValueError("non-integral sampling ratio")
             frame = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -292,9 +324,19 @@ def _decode_jpeg_inner(content: bytes, max_pixels: int) -> tuple:
             if frame is None:
                 raise ValueError("SOS before SOF")
             w, h, comps = frame
-            if w * h > max_pixels:
-                raise ValueError(f"frame {w}x{h} over max_pixels={max_pixels}")
+            # the cap bounds the per-task working set: coefficient
+            # grids are ~8 bytes per pixel PER COMPONENT, so the
+            # component count multiplies into the bound
+            if w * h * len(comps) > 3 * max_pixels:
+                raise ValueError(
+                    f"frame {w}x{h}x{len(comps)} over max_pixels={max_pixels}"
+                )
             ns = body[0]
+            if ns < len(comps):
+                # spec-legal non-interleaved layout (one scan per
+                # component); this decoder handles the single
+                # interleaved scan that every camera/JFIF file uses
+                raise ValueError("non-interleaved multi-scan JPEG")
             tables = {}
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
@@ -415,9 +457,12 @@ class _BitWriter:
             self.n = 0
 
 
-def _encode_block(bw, blk, qtbl, dc_enc, ac_enc, pred):
+def _encode_block(bw, blk, qtbl_zz, dc_enc, ac_enc, pred):
+    """qtbl_zz is the quantization table in ZIGZAG order (the same
+    order the DQT segment carries and the zigzag-ordered coefficient
+    vector is divided in — T.81 B.2.4.1)."""
     coef = _A @ blk @ _A.T  # forward DCT of the level-shifted block
-    q = np.round(coef.reshape(64)[_INV_ZIGZAG_ORDER] / qtbl).astype(np.int64)
+    q = np.round(coef.reshape(64)[_INV_ZIGZAG_ORDER] / qtbl_zz).astype(np.int64)
     diff = int(q[0]) - pred
     t = int(diff).bit_length() if diff else 0
     length, code = dc_enc.lut[t]
@@ -491,11 +536,17 @@ def encode_jpeg(
     else:
         comps = [(1, ysamp, 0, 0), (2, (1, 1), 1, 1), (3, (1, 1), 1, 1)]
 
+    # DQT carries the table in zigzag order (T.81 B.2.4.1); quantize
+    # with the same zigzag-ordered view so index k always means the
+    # k-th zigzag coefficient on both sides
+    qlum_zz = qlum[ZIGZAG]
+    qchrom_zz = qchrom[ZIGZAG]
+
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, bytes([0]) + bytes(qlum.astype(np.uint8)))
+    out += _seg(0xDB, bytes([0]) + bytes(qlum_zz.astype(np.uint8)))
     if not grayscale:
-        out += _seg(0xDB, bytes([1]) + bytes(qchrom.astype(np.uint8)))
+        out += _seg(0xDB, bytes([1]) + bytes(qchrom_zz.astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, (hs, vs), tq, _th in comps:
         sof += bytes([cid, (hs << 4) | vs, tq])
@@ -539,7 +590,7 @@ def encode_jpeg(
         ) - 128.0
 
     srcs = {1: y, 2: cb, 3: cr}
-    qts = {0: qlum, 1: qchrom}
+    qts = {0: qlum_zz, 1: qchrom_zz}
     padded = [
         (_prep(srcs[cid], hs, vs), qts[tq], th, hs, vs)
         for cid, (hs, vs), tq, th in comps

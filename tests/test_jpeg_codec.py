@@ -97,3 +97,104 @@ def test_jpeg_noise_bounded():
     w, h, planes = J.decode_jpeg(J.encode_jpeg(noise))
     assert (w, h) == (24, 16)
     assert float(np.abs(J.ycbcr_to_rgb(planes) - noise).max()) < 128
+
+
+def _patch_seg(enc: bytes, marker: bytes) -> int:
+    i = enc.find(marker)
+    assert i > 0
+    return i
+
+
+def test_jpeg_corrupt_streams_raise_valueerror_only():
+    """Every corrupt-stream failure mode must surface as ValueError
+    (the one type the router's dims fallback catches) — not KeyError/
+    ZeroDivisionError crashing the mapInPandas batch."""
+    base = bytearray(J.encode_jpeg(_gradient(16, 16)))
+
+    # strip all DHT segments -> entropy decode finds no tables
+    no_dht = bytearray()
+    i = 0
+    enc = bytes(base)
+    no_dht += enc[:2]
+    i = 2
+    import struct as _s
+
+    while i + 4 <= len(enc):
+        marker = enc[i + 1]
+        if marker == 0xDA:
+            no_dht += enc[i:]
+            break
+        seg_len = _s.unpack_from(">H", enc, i + 2)[0]
+        if marker != 0xC4:
+            no_dht += enc[i : i + 2 + seg_len]
+        i += 2 + seg_len
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(no_dht))
+
+    # zero sampling factors -> previously ZeroDivisionError
+    sof = _patch_seg(bytes(base), b"\xff\xc0")
+    zero_samp = bytearray(base)
+    zero_samp[sof + 11] = 0x00  # first component h/v byte
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(zero_samp))
+
+    # zero-dimension frame -> ValueError, and the router must NOT
+    # emit NaN means
+    zdim = bytearray(base)
+    zdim[sof + 5 : sof + 9] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(zdim))
+    feat = _decode_one("image", bytes(zdim))[3]
+    assert all(f == f for f in feat)  # no NaN
+
+
+def test_jpeg_non_interleaved_falls_back():
+    """A first SOS covering fewer components than the frame (legal
+    non-interleaved baseline) raises explicitly and the router
+    degrades to dims."""
+    enc = bytearray(J.encode_jpeg(_gradient(16, 16)))
+    sos = _patch_seg(bytes(enc), b"\xff\xda")
+    enc[sos + 4] = 1  # ns: 3 -> 1 (length field left as-is: parse only)
+    with pytest.raises(ValueError, match="non-interleaved"):
+        J.decode_jpeg(bytes(enc))
+    w, h, _, feat = _decode_one("image", bytes(enc))
+    assert (w, h) == (16, 16) and len(feat) == 1
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """0xFF fill bytes before a marker (T.81 B.1.1.2) must not break
+    the full pixel decode (the dims scan already tolerated them)."""
+    enc = J.encode_jpeg(_gradient(16, 16))
+    sof = enc.find(b"\xff\xc0")
+    padded = enc[:sof] + b"\xff\xff\xff" + enc[sof:]
+    w, h, planes = J.decode_jpeg(padded)
+    assert (w, h) == (16, 16) and len(planes) == 3
+
+
+def test_jpeg_component_bomb_header_rejected():
+    """A crafted header with a huge component count must be rejected
+    before grid allocation (the area cap covers w*h*ncomp)."""
+    import struct as _s
+
+    def seg(marker, body):
+        return _s.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # SOF claiming 255 components on a 2048x2048 frame
+    sof = _s.pack(">BHHB", 8, 2048, 2048, 255)
+    for c in range(255):
+        sof += bytes([c + 1, 0x11, 0])
+    bomb = b"\xff\xd8" + seg(0xC0, sof) + seg(0xDA, bytes([1, 1, 0, 0, 63, 0]))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bomb)
+
+
+def test_jpeg_dqt_is_zigzag_ordered():
+    """The DQT segment must carry the table in zigzag order (T.81
+    B.2.4.1): a third-party decoder reading it positionally must see
+    QUANT_LUM's DC value first and its zigzag neighbours in zigzag
+    sequence."""
+    enc = J.encode_jpeg(_gradient(16, 16), quality_scale=1.0)
+    i = enc.find(b"\xff\xdb")
+    body = enc[i + 5 : i + 5 + 64]  # skip marker, length, pq/tq byte
+    expect = J.QUANT_LUM[J.ZIGZAG].astype(int)
+    assert list(body) == list(expect)
