@@ -20,13 +20,16 @@ Codec status (honest tiers):
   Huffman-sequential codec, ops/jpeg_codec.py — any 1x1..2x2
   sampling, restart markers; _decode_jpeg_full), and MP4/ISO-BMFF
   container metadata (box walk: mvhd duration, tkhd track dims —
-  _decode_mp4) — the published formats, no external library needed.
-  `_try_real_decode` routes these by magic bytes.
-- STUBBED: video FRAME codecs require libraries this container does
-  not ship; those fall through to the deterministic fake keyed on
-  the content digest. Progressive/arithmetic JPEG degrades to the
-  dims-only SOF scan; palette/interlaced/16-bit PNGs and interlaced
-  GIFs degrade to header-only decode (dims still real).
+  _decode_mp4), AVI container metadata + FULL MJPEG-AVI frame decode
+  (RIFF walk + per-frame JPEG decode — _avi_mjpeg_frames,
+  extract_video_frames) — the published formats, no external library
+  needed. `_try_real_decode` routes these by magic bytes.
+- STUBBED: inter-frame-predicted video codecs (H.26x, VP9, AV1...)
+  require libraries this container does not ship; those fall through
+  to the deterministic fake keyed on the content digest.
+  Progressive/arithmetic JPEG degrades to the dims-only SOF scan;
+  palette/interlaced/16-bit PNGs and interlaced GIFs degrade to
+  header-only decode (dims still real).
   Everything Spark-side — schema, batch iteration, UDF signature,
   partition behavior — is identical in both tiers; swapping the fake
   for PIL/ffmpeg is a one-function change.
@@ -498,6 +501,105 @@ def _decode_mp4(content: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, duration_ms, [float(n_tracks)]
 
 
+def _avi_mjpeg_frames(content: bytes) -> tuple[int, list[bytes]]:
+    """Walk a RIFF AVI container (public MS AVI/RIFF layout): read
+    dwMicroSecPerFrame from the avih header and collect the '00dc'/
+    '00db' video chunks of the movi LIST — for MJPEG streams each
+    chunk IS a JPEG image. Returns (frame_interval_ms, [jpeg_bytes]).
+    Raises ValueError on a malformed container."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    interval_ms = 0
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal interval_ms
+        pos = start
+        while pos + 8 <= end:
+            cid = content[pos : pos + 4]
+            size = struct.unpack_from("<I", content, pos + 4)[0]
+            body, bend = pos + 8, pos + 8 + size
+            if bend > end:
+                raise ValueError("AVI chunk overruns container")
+            if cid == b"LIST":
+                walk(body + 4, bend)  # skip the list-type fourcc
+            elif cid == b"avih" and size >= 4:
+                us = struct.unpack_from("<I", content, body)[0]
+                interval_ms = us // 1000
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(content[body:bend])
+            pos = bend + (size & 1)  # RIFF chunks are word-aligned
+
+    walk(12, len(content))
+    return interval_ms, frames
+
+
+def extract_video_frames(df: DataFrame, *, max_frames: int = 64) -> DataFrame:
+    """REAL video frame extraction for MJPEG-in-AVI — the one video
+    layout that is fully decodable with the engine's own codecs (RIFF
+    walk + per-frame baseline-JPEG decode via ops/jpeg_codec.py; no
+    external library). Each MEDIA_SCHEMA row fans out to one row per
+    decoded frame with dimensions and channel means — the same 1->N
+    mapInPandas shape as sample_frames, but with actual pixels.
+
+    Inter-frame-predicted codecs (H.26x, VP9, AV1...) remain
+    env-gated: rows whose container or frames do not decode are
+    SKIPPED (a curation pipeline drops undecodable media; the
+    sample_frames fake-codec path remains the oracle-mirrorable
+    fan-out for those). max_frames bounds the per-row fan-out."""
+    from dbitool_spark.ops import jpeg_codec
+
+    schema = (
+        "media_id bigint, frame_idx int, frame_ts_ms int, "
+        "width int, height int, mean_r double, mean_g double, mean_b double"
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_idx", "frame_ts_ms", "width", "height",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    interval_ms, frames = _avi_mjpeg_frames(bytes(content))
+                except ValueError:
+                    continue
+                for i, frame in enumerate(frames[:max_frames]):
+                    try:
+                        w, h, planes = jpeg_codec.decode_jpeg(frame)
+                    except ValueError:
+                        continue
+                    if len(planes) == 3:
+                        rgb = jpeg_codec.ycbcr_to_rgb(planes)
+                        means = [float(rgb[..., c].mean()) for c in range(3)]
+                    else:
+                        m = float(planes[0].mean())
+                        means = [m, m, m]
+                    rows["media_id"].append(media_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(i * interval_ms)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(round(means[0], 6))
+                    rows["mean_g"].append(round(means[1], 6))
+                    rows["mean_b"].append(round(means[2], 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "frame_ts_ms": pd.Series(rows["frame_ts_ms"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "mean_r": pd.Series(rows["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(rows["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(rows["mean_b"], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(process, schema=schema)
+
+
 def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None:
     """Route by magic bytes to the stdlib container decoders; None
     falls through to the deterministic fake (unknown/compressed
@@ -515,6 +617,19 @@ def _try_real_decode(content: bytes) -> tuple[int, int, int, list[float]] | None
             return _decode_jpeg_full(content)
         if len(content) >= 12 and content[4:8] == b"ftyp":
             return _decode_mp4(content)
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            interval_ms, frames = _avi_mjpeg_frames(content)
+            w = h = 0
+            if frames:  # dims from the first decodable MJPEG frame
+                try:
+                    from dbitool_spark.ops import jpeg_codec
+
+                    w, h, _planes = jpeg_codec.decode_jpeg(frames[0])
+                except ValueError:
+                    dims = _decode_jpeg_dims(frames[0])
+                    if dims:
+                        w, h = dims[0], dims[1]
+            return w, h, interval_ms * len(frames), [float(len(frames))]
     except (wave.Error, struct.error, EOFError, IndexError, ValueError):
         return None
     return None
@@ -750,6 +865,42 @@ def _synth_mp4(media_id: int) -> bytes:
     )
     moov = box(b"moov", mvhd + box(b"trak", tkhd))
     return ftyp + moov
+
+
+def _synth_avi(media_id: int) -> bytes:
+    """Minimal valid MJPEG AVI with closed-form metadata: n_frames =
+    2 + id % 4 at 40 ms/frame (25 fps); frame i is the engine's own
+    baseline JPEG of a deterministic (id, i)-keyed gradient, 16x8 —
+    so REAL container walk + REAL per-frame JPEG decode recover
+    frame count, timestamps and dimensions exactly."""
+    import numpy as np
+
+    from dbitool_spark.ops import jpeg_codec
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n_frames = 2 + media_id % 4
+    avih = struct.pack("<IIIIIIIIII", 40_000, 0, 0, 0, n_frames, 0, 1, 0, 16, 8)
+    avih += b"\x00" * 16  # reserved
+    frames = b""
+    for i in range(n_frames):
+        xx, yy = np.meshgrid(np.arange(16), np.arange(8))
+        rgb = np.stack(
+            [
+                (xx * 7 + media_id + i * 11) % 200,
+                (yy * 9 + 2 * media_id) % 200,
+                ((xx + yy) * 3 + i) % 200,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        frames += chunk(b"00dc", jpeg_codec.encode_jpeg(rgb))
+    body = b"AVI " + lst(b"hdrl", chunk(b"avih", avih)) + lst(b"movi", frames)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def synthesize_media(df: DataFrame, id_col: str, *, families: int = 3) -> DataFrame:

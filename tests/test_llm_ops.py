@@ -1048,3 +1048,62 @@ def test_mp4_largesize_under_16_rejected():
     )
     w, h, dur, feat = m._decode_mp4(evil)
     assert (w, h, dur) == (0, 0, 0)
+
+
+def test_avi_mjpeg_real_frame_extraction(spark):
+    """extract_video_frames: REAL MJPEG-AVI frame decode end to end —
+    RIFF walk + per-frame baseline-JPEG decode recover closed-form
+    frame counts, 40 ms timestamps, dims, and channel means within
+    the quantization bound; non-AVI rows are skipped."""
+    import numpy as np
+
+    from dbitool_spark.ops import multimodal as m
+
+    ids = list(range(6))
+    rows = [(i, "video", m._synth_avi(i), {"source": "synth"}) for i in ids]
+    rows.append((99, "image", b"not media at all", {"source": "junk"}))
+    df = spark.createDataFrame(rows, m.MEDIA_SCHEMA)
+    out = m.extract_video_frames(df).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert 99 not in by_id  # undecodable rows dropped
+    for mid in ids:
+        frames = sorted(by_id[mid], key=lambda r: r.frame_idx)
+        assert len(frames) == 2 + mid % 4
+        for i, r in enumerate(frames):
+            assert (r.width, r.height) == (16, 8)
+            assert r.frame_ts_ms == i * 40
+            # closed-form channel means from the synth gradient
+            xx, yy = np.meshgrid(np.arange(16), np.arange(8))
+            rgb = np.stack([
+                (xx * 7 + mid + i * 11) % 200,
+                (yy * 9 + 2 * mid) % 200,
+                ((xx + yy) * 3 + i) % 200,
+            ], axis=-1)
+            for ch, got in ((0, r.mean_r), (1, r.mean_g), (2, r.mean_b)):
+                assert abs(got - float(rgb[..., ch].mean())) < 3.0
+
+
+def test_avi_router_metadata():
+    """_decode_one on an AVI returns first-frame dims, total duration
+    (frames x interval), and [n_frames] as the feature."""
+    from dbitool_spark.ops import multimodal as m
+
+    avi = m._synth_avi(3)
+    w, h, dur, feat = m._decode_one("video", avi)
+    assert (w, h) == (16, 8) and dur == 40 * 5 and feat == [5.0]
+    # malformed container degrades to the deterministic fake, not a crash
+    broken = avi[:20]
+    w2, h2, d2, f2 = m._decode_one("video", broken)
+    assert len(f2) == 8  # fake-decode feature shape
+
+
+def test_avi_max_frames_cap(spark):
+    from dbitool_spark.ops import multimodal as m
+
+    df = spark.createDataFrame(
+        [(7, "video", m._synth_avi(7), {})], m.MEDIA_SCHEMA
+    )
+    out = m.extract_video_frames(df, max_frames=2).collect()
+    assert len(out) == 2 and {r.frame_idx for r in out} == {0, 1}
