@@ -752,6 +752,93 @@ def _stderr(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     )
 
 
+@register_module("emailwrite")
+def _emailwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    """Email sink (reference TODO:28-29). Composes the process-summary
+    message — EngineLog lines plus an optional exact row count — with
+    a memorylimit-bounded CSV sample of the input stream attached,
+    then writes it as .eml (out=) and/or delivers it over SMTP
+    (server=/port=). count=1 opts into the exact-count action (one
+    extra pass; the default summary costs zero passes — see
+    io/email_io.py scale note)."""
+    from dbitool_spark.io import email_io
+
+    attachments = []
+    if ins:
+        attachments.append((
+            a.get("attach", "result.csv"),
+            email_io.df_to_csv_text(
+                ins[0], max_rows=int(a.get("max_rows", p.memorylimit))
+            ),
+        ))
+    stats: dict[str, int] = {}
+    if ins and _flag(a, "count", False):
+        stats["rows"] = ins[0].count()
+    log_lines = (
+        [f"{ts} [{mod}] {msg}" for ts, mod, msg, _lvl in p.log.rows]
+        if p.log is not None
+        else []
+    )
+    body = a.get("body") or email_io.summary_body(
+        stats=stats or None, log_lines=log_lines or None
+    )
+    msg = email_io.compose_email(
+        sender=a.get("sender", "dbitool@localhost"),
+        to=a.get("to", "user@localhost"),
+        subject=a.get("subject", "dbitool_spark process summary"),
+        body=body,
+        attachments=attachments,
+    )
+    if "out" in a:
+        email_io.write_eml(msg, a["out"])
+    if "server" in a:
+        email_io.send_smtp(
+            msg, host=a["server"], port=int(a.get("port", 25))
+        )
+    if "out" not in a and "server" not in a:
+        raise ValueError("emailwrite needs out= (.eml path) and/or server=")
+
+
+@register_module("chartwrite")
+def _chartwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    """Chart sink (reference TODO:77-78): x=/y= name the label and
+    value columns; format= picks the backend (svg with type=bar|line,
+    gnuplot script, graphviz dot). For format=dot the x=/y= columns
+    are the edge endpoints and weight= names the edge-weight column
+    (defaults to y=). Bounded driver edge, memorylimit-guarded."""
+    from dbitool_spark.io import chart_io
+
+    fmt = a.get("format", "svg")
+    kind = a.get("type", "bar")
+    max_rows = int(a.get("max_rows", p.memorylimit))
+    title = a.get("title", "dbitool chart")
+    if fmt == "dot":
+        rows = (
+            ins[0]
+            .select(a["x"], a["y"], a.get("weight", a["y"]))
+            .limit(max_rows + 1)
+            .collect()
+        )
+        if len(rows) > max_rows:
+            raise MemoryError(
+                f"chart is a bounded edge: >{max_rows} edges; aggregate first"
+            )
+        text = chart_io.dot_graph(
+            [(str(r[0]), str(r[1]), float(r[2])) for r in rows], name=title
+        )
+    else:
+        rows = chart_io.chart_rows(ins[0], a["x"], a["y"], max_rows=max_rows)
+        if fmt == "gnuplot":
+            text = chart_io.gnuplot_script(rows, title=title)
+        elif kind == "line":
+            text = chart_io.line_chart_svg(
+                [(float(x), v) for x, v in rows], title=title
+            )
+        else:
+            text = chart_io.bar_chart_svg(rows, title=title)
+    chart_io.write_chart(text, a["out"])
+
+
 _SOURCES = {
     "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
     "parquetread", "xmlread", "bsonread", "sqliteselect", "stdin",
@@ -770,7 +857,7 @@ _SINKS = {
     "filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite",
     "parquetwrite", "xmlwrite", "bsonwrite", "sqliteinsert", "stdout", "stderr",
     "spreadsheetwrite", "jdbcinsert", "zipwrite", "tcpwrite", "mysqlinsert",
-    "mssqlinsert", "cassandrainsert",
+    "mssqlinsert", "cassandrainsert", "emailwrite", "chartwrite",
 }
 # modules that are source OR sink OR passthrough depending on wiring
 # (the reference's ndb: in+out = passthrough upsert, in only = sink,
@@ -835,9 +922,20 @@ class Pipeline:
         self.streamsize = streamsize
         self._specs: list[_ModuleSpec] = []
         self._streams: dict[str, DataFrame] = {}
+        self._injected: dict[str, DataFrame] = {}
         self._counter = 0
         self._observations: dict[str, object] = {}
         self._with_sinks = False
+
+    def add_source_df(self, name: str, df: DataFrame) -> "Pipeline":
+        """Register an in-memory DataFrame as a named source stream —
+        the embedding half of reference TODO:36-38 ("a DBItool class
+        where other programs could … instantiate modules and control
+        the whole process"): host programs hand Spark frames straight
+        into the pipeline language instead of round-tripping through a
+        file."""
+        self._injected[name] = df
+        return self
 
     @staticmethod
     def _quarantine_schema(a: dict) -> str | None:
@@ -1007,7 +1105,7 @@ class Pipeline:
         for m in self._specs:
             for s in m.in_streams:
                 reads[s] = reads.get(s, 0) + 1
-        self._streams = {}
+        self._streams = dict(self._injected)
         self._observations = {}
         self._with_sinks = with_sinks
         codecs: dict[str, str] = {}  # stream name -> pending sink compression

@@ -601,3 +601,129 @@ SELECT 'csv' AS fmt, COUNT(*) AS n_good, CAST(2 AS BIGINT) AS n_bad FROM custome
 UNION ALL
 SELECT 'ndjson' AS fmt, COUNT(*) AS n_good, CAST(2 AS BIGINT) AS n_bad FROM documents
 """
+
+
+def email_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents per-language summary -> RFC-5322 email with the rows
+    as a CSV attachment (io/email_io.py, reference TODO:28-29) ->
+    .eml on disk -> MIME parse -> attachment rows back. A green row
+    proves the compose/encode/decode path preserves values exactly
+    (base64 transfer encoding, quoting, header folding included),
+    i.e. the "create a email text with the summary of the process"
+    half of the TODO end-to-end; the SMTP "send" half is proven
+    against a loopback server in tests/test_todo_modules.py."""
+    from dbitool_spark.io import email_io
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    agg = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+    path = os.path.join(_scratch("email"), "summary.eml")
+    msg = email_io.compose_email(
+        sender="dbitool@localhost",
+        to="user@localhost",
+        subject="dbitool_spark process summary",
+        body=email_io.summary_body(
+            stats={"documents": agg.count()},
+            log_lines=["per-language document summary attached"],
+        ),
+        attachments=[("langs.csv", email_io.df_to_csv_text(agg))],
+    )
+    email_io.write_eml(msg, path)
+    rows = email_io.attachment_rows(email_io.parse_eml(path), "langs.csv")
+    return spark.createDataFrame(
+        [(r["lang"], int(r["n_docs"]), int(r["total_chars"])) for r in rows],
+        "lang string, n_docs bigint, total_chars bigint",
+    )
+
+
+EMAIL_ROUNDTRIP_DOCUMENTS_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def chart_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events per-type counts -> SVG bar chart AND gnuplot script
+    (io/chart_io.py, reference TODO:77-78) -> parse both documents
+    back, audit every rendered bar height against the layout contract
+    (value/max * plot_h, 2dp), require the two emitters agree, return
+    the recovered rows. A green row therefore proves BOTH chart
+    backends round-trip values exactly and the internal chart class's
+    geometry is correct — not merely that a file got written."""
+    from dbitool_spark.io import chart_io
+
+    ev = catalog.load(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+    rows = chart_io.chart_rows(agg, "event_type", "n_events")
+    scratch = _scratch("chart")
+    svg_path = os.path.join(scratch, "events.svg")
+    gp_path = os.path.join(scratch, "events.gp")
+    chart_io.write_chart(chart_io.bar_chart_svg(rows, title="events by type"), svg_path)
+    chart_io.write_chart(chart_io.gnuplot_script(rows, title="events by type"), gp_path)
+    with open(svg_path, encoding="utf-8") as fh:
+        bars = chart_io.parse_svg_bars(fh.read())
+    with open(gp_path, encoding="utf-8") as fh:
+        gp_rows = dict(chart_io.parse_gnuplot_datablock(fh.read()))
+    max_v = max(v for _, v in rows)
+    plot_h = 400 - 2 * 40  # default height/margin layout contract
+    for key, val, height_px in bars:
+        want = round(val / max_v * plot_h, 2)
+        if abs(height_px - want) > 0.011:
+            raise AssertionError(
+                f"bar geometry violated for {key!r}: {height_px} != {want}"
+            )
+        if gp_rows.get(key) != val:
+            raise AssertionError(f"gnuplot/svg emitters disagree for {key!r}")
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v, _ in bars],
+        "event_type string, n_events bigint",
+    )
+
+
+CHART_ROUNDTRIP_EVENTS_SQL = """
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
+def email_chart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite driver entry for the two TODO-closing document sinks
+    (email TODO:28-29, charts TODO:77-78) — merged per the registry
+    capacity policy (both constituent functions keep their own pytest
+    coverage; one row drives both codepaths). Normalized kind-tagged
+    rows: email rows carry the per-language summary recovered from
+    the MIME attachment; chart rows carry the per-type counts
+    recovered from the SVG/gnuplot documents (geometry-audited)."""
+    em = email_roundtrip_documents(spark, sf_dir).select(
+        F.lit("email").alias("kind"),
+        F.col("lang").alias("key"),
+        F.col("n_docs").alias("n"),
+        F.col("total_chars").alias("total"),
+    )
+    ch = chart_roundtrip_events(spark, sf_dir).select(
+        F.lit("chart").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("bigint").alias("total"),
+    )
+    return em.unionByName(ch)
+
+
+EMAIL_CHART_ROUNDTRIP_SQL = """
+SELECT 'email' AS kind, lang AS key, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'chart' AS kind, event_type AS key, COUNT(*) AS n,
+       CAST(NULL AS BIGINT) AS total
+FROM events GROUP BY event_type
+"""

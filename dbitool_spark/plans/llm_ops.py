@@ -727,6 +727,32 @@ ORDER BY id_a, id_b
 """
 
 
+def ngram_jaccard_variants_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 fifth-wave merge of ngram_jaccard_documents +
+    ngram_jaccard_skewguard_documents (registry capacity policy,
+    plans/registry.py ledger — both constituent functions and their
+    pytest coverage remain; only the registry rows merged). Variant-
+    tagged union: the unguarded inverted-index exact path and the
+    max_doc_freq skew-guarded path run in one entry, so a single green
+    row proves both the complete-recall arithmetic and the guard's
+    exact drop/keep behavior."""
+    base = ngram_jaccard_documents(spark, sf_dir).select(
+        F.lit("exact").alias("variant"), "id_a", "id_b", "jaccard"
+    )
+    guarded = ngram_jaccard_skewguard_documents(spark, sf_dir).select(
+        F.lit("skewguard").alias("variant"), "id_a", "id_b", "jaccard"
+    )
+    return base.unionByName(guarded)
+
+
+NGRAM_JACCARD_VARIANTS_SQL = f"""
+SELECT 'exact' AS variant, id_a, id_b, jaccard FROM ({NGRAM_JACCARD_SQL}) x
+UNION ALL
+SELECT 'skewguard' AS variant, id_a, id_b, jaccard
+FROM ({NGRAM_JACCARD_SKEWGUARD_SQL}) y
+"""
+
+
 def frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing end to end: documents wrapped as media
     rows fan out 1->N through the Arrow-batched sampler

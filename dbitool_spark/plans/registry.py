@@ -75,12 +75,23 @@ the ops/scale.py family — needed a slot):
   gate, crossJoined into one two-column row; also removes the two
   noisiest sub-half-second bench entries flagged in the r7 verdict).
 
+r8 fifth wave (the email/chart TODO-closing entry needed a slot and
+the window held zero slack — every prior slot was due its r8 row):
+- email_roundtrip_documents + chart_roundtrip_events -> registered
+  from birth as the kind-tagged composite email_chart_roundtrip
+  (both are driver-side document-sink round-trips, the same family
+  the format_chain merges established);
+- ngram_jaccard_documents + ngram_jaccard_skewguard_documents ->
+  merged into ngram_jaccard_variants_documents (variant-tagged union;
+  one row proves both the complete-recall arithmetic and the skew
+  guard's exact drop/keep behavior).
+
 Current capacity: 96 registered / 50-slot window -> 46 tail rows, all
 driver-green in r7; every entry is covered by CORRECTNESS_r07 ∪ r08.
-r9 headroom: 4 net-new slots; next merge candidates if more are
-needed: the three scalar-function families (string/date/array share
-the one-table projection shape), the two quarantine/roundtrip
-composites (format_chain_nation + xmlbson_roundtrip_supplier chain).
+r9 headroom: 0 net-new slots without a merge; next merge candidates:
+the three scalar-function families (string/date/array share the
+one-table projection shape), the format_chain_nation +
+xmlbson_roundtrip_supplier chain pair.
 """
 
 from __future__ import annotations
@@ -120,6 +131,22 @@ def oracle_sql() -> dict[str, str]:
 
 
 # --- NEW in round 8: never driver-checked ----------------------------
+# the final two reference-TODO modules (email TODO:28-29, charts
+# TODO:77-78) — with these the reference surface is fully covered.
+# One kind-tagged composite row drives both: MIME compose->parse
+# value round-trip AND SVG+gnuplot round-trip with bar-geometry audit
+register(
+    "email_chart_roundtrip",
+    format_io.email_chart_roundtrip,
+    format_io.EMAIL_CHART_ROUNDTRIP_SQL,
+)
+# fifth-wave merge (funds the slot above): the two inverted-index
+# Jaccard rows collapse into one variant-tagged entry
+register(
+    "ngram_jaccard_variants_documents",
+    llm_ops.ngram_jaccard_variants_documents,
+    llm_ops.NGRAM_JACCARD_VARIANTS_SQL,
+)
 # watermarked stream-stream interval join — the last canonical
 # Structured Streaming stateful shape the registry had not proven
 register(
@@ -285,12 +312,8 @@ register(
 )
 register("simhash_near_dup_documents", llm_ops.simhash_near_dup_documents)  # rows-only
 register("simhash_recall_planted", llm_ops.simhash_recall_planted, llm_ops.CONST_RECALL_SQL)
-register("ngram_jaccard_documents", llm_ops.ngram_jaccard_documents, llm_ops.NGRAM_JACCARD_SQL)
-register(
-    "ngram_jaccard_skewguard_documents",
-    llm_ops.ngram_jaccard_skewguard_documents,
-    llm_ops.NGRAM_JACCARD_SKEWGUARD_SQL,
-)
+# (r8 fifth wave: the two ngram_jaccard rows now ride the variant-
+# tagged composite registered in the new-entry section above)
 register(
     "minhash_near_dup_documents",
     llm_ops.minhash_near_dup_documents,

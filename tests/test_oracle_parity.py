@@ -83,6 +83,19 @@ _RETIRED_CASES += [
     ("retired_quantile_sketch_lineitem", _scalar.quantile_sketch_lineitem,
      _scalar.QUANTILE_SKETCH_SQL),
 ]
+
+# r8 fifth wave
+_RETIRED_CASES += [
+    ("retired_ngram_jaccard_documents", _llm.ngram_jaccard_documents,
+     _llm.NGRAM_JACCARD_SQL),
+    ("retired_ngram_jaccard_skewguard_documents",
+     _llm.ngram_jaccard_skewguard_documents,
+     _llm.NGRAM_JACCARD_SKEWGUARD_SQL),
+    ("retired_email_roundtrip_documents", _fmt.email_roundtrip_documents,
+     _fmt.EMAIL_ROUNDTRIP_DOCUMENTS_SQL),
+    ("retired_chart_roundtrip_events", _fmt.chart_roundtrip_events,
+     _fmt.CHART_ROUNDTRIP_EVENTS_SQL),
+]
 _CASES = _CASES + _RETIRED_CASES
 
 

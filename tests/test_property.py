@@ -301,3 +301,85 @@ def test_interval_join_matches_bruteforce(spark, left, right):
         if lk == rk and 10 <= rt - lt <= 30
     }
     assert got == want
+
+
+# --- chart + email document codecs (pure Python, per-example) ----------
+
+_label = st.text(min_size=1, max_size=20).filter(
+    lambda s: s.strip() == s and s  # chart labels are trimmed keys
+    and "\n" not in s and "\r" not in s
+)
+_value = st.one_of(
+    st.integers(min_value=0, max_value=10**12),
+    st.floats(min_value=0.0, max_value=1e12, allow_nan=False,
+              allow_infinity=False),
+)
+_chart_rows = st.lists(
+    st.tuples(_label, _value), min_size=1, max_size=12,
+    unique_by=lambda kv: kv[0],
+)
+
+
+@given(rows=_chart_rows)
+@settings(max_examples=80, deadline=None)
+def test_chart_svg_and_gnuplot_roundtrip_property(rows):
+    """Arbitrary labels (unicode, XML/quote metacharacters) and
+    magnitudes must round-trip through BOTH chart emitters with exact
+    values, and every rendered bar must satisfy the layout contract."""
+    from dbitool_spark.io import chart_io
+
+    rows = [(k, float(v)) for k, v in rows]
+    svg = chart_io.bar_chart_svg(rows, title="prop")
+    bars = chart_io.parse_svg_bars(svg)
+    # labels recover modulo the documented sanitation (XML-invalid and
+    # line-break chars -> U+FFFD); values recover exactly
+    want = [(chart_io._label_safe(k), v) for k, v in rows]
+    assert [(k, v) for k, v, _ in bars] == want
+    max_v = max(v for _, v in rows)
+    plot_h = 400 - 80
+    for _, v, h in bars:
+        want_h = 0.0 if max_v <= 0 else round(v / max_v * plot_h, 2)
+        assert abs(h - want_h) <= 0.011
+    gp = chart_io.gnuplot_script(rows, title="prop")
+    assert chart_io.parse_gnuplot_datablock(gp) == want
+
+
+_int_cell = st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1))
+_txt_cell = st.one_of(
+    st.none(),
+    st.text(max_size=40).filter(lambda s: "\r" not in s),
+)
+_email_table = st.lists(
+    st.tuples(_int_cell, _txt_cell, _txt_cell), min_size=1, max_size=15
+)
+
+
+@given(table=_email_table)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_email_attachment_roundtrip_property(spark, table):
+    """Arbitrary cell content (None, negative ints, unicode text with
+    embedded quotes/commas/newlines) survives DataFrame -> CSV
+    attachment -> MIME encode -> parse."""
+    from dbitool_spark.io import email_io
+
+    df = spark.createDataFrame(table, "a int, b string, c string")
+    msg = email_io.compose_email(
+        sender="p@localhost", to="q@localhost", subject="prop",
+        body="b", attachments=[("t.csv", email_io.df_to_csv_text(df))],
+    )
+    raw = msg.as_bytes()
+    import email as _email
+    from email import policy as _policy
+
+    back = _email.message_from_bytes(raw, policy=_policy.default)
+    got = email_io.attachment_rows(back, "t.csv")
+    want = [
+        {
+            "a": "" if a is None else str(a),
+            "b": "" if b is None else b,
+            "c": "" if c is None else c,
+        }
+        for a, b, c in table
+    ]
+    assert got == want

@@ -726,3 +726,196 @@ def test_tar_binary_roundtrip_property(spark, members):
     rows = archive_io.read_tar(spark, tp, binary=True).collect()
     got = {r.member: bytes(r.content) for r in rows}
     assert got == members
+
+
+# --- email sink (TODO:28-29) ------------------------------------------
+
+from dbitool_spark.io import chart_io, email_io
+
+
+def test_email_compose_write_parse_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a,b", 'quo"te', 3), ("line\nbreak", "naïve", -1)],
+        "x string, y string, n int",
+    )
+    msg = email_io.compose_email(
+        sender="eng@localhost",
+        to=["a@localhost", "b@localhost"],
+        subject="summary: naïve ✓",
+        body=email_io.summary_body(
+            stats={"rows": 2, "longer_module_name": 7},
+            log_lines=["[csvread] 2 rows"],
+        ),
+        attachments=[("result.csv", email_io.df_to_csv_text(df))],
+    )
+    path = str(tmp_path / "out.eml")
+    email_io.write_eml(msg, path)
+    back = email_io.parse_eml(path)
+    assert back["Subject"] == "summary: naïve ✓"
+    assert back["To"] == "a@localhost, b@localhost"
+    body = back.get_body(("plain",)).get_content()
+    assert "longer_module_name  7" in body and "[csvread] 2 rows" in body
+    rows = email_io.attachment_rows(back, "result.csv")
+    # hostile values (commas, quotes, newlines, unicode) survive MIME
+    assert rows == [
+        {"x": "a,b", "y": 'quo"te', "n": "3"},
+        {"x": "line\nbreak", "y": "naïve", "n": "-1"},
+    ]
+
+
+def test_email_attachment_is_bounded_edge(spark):
+    df = spark.range(50).selectExpr("CAST(id AS STRING) AS v")
+    with pytest.raises(MemoryError, match="bounded edge"):
+        email_io.df_to_csv_text(df, max_rows=10)
+
+
+class _FakeSmtpServer(threading.Thread):
+    """Minimal RFC-5321 responder: accepts one message, records the
+    DATA payload, so smtplib delivery is proven without any external
+    service."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.payload = b""
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        f = conn.makefile("rb")
+        conn.sendall(b"220 fake ESMTP\r\n")
+        in_data = False
+        data = []
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if in_data:
+                if line.rstrip(b"\r\n") == b".":
+                    in_data = False
+                    self.payload = b"".join(data)
+                    conn.sendall(b"250 OK queued\r\n")
+                else:
+                    data.append(line)
+                continue
+            verb = line.split(b" ")[0].split(b":")[0].strip().upper()
+            if verb in (b"EHLO", b"HELO"):
+                conn.sendall(b"250 fake\r\n")
+            elif verb == b"DATA":
+                in_data = True
+                conn.sendall(b"354 go\r\n")
+            elif verb == b"QUIT":
+                conn.sendall(b"221 bye\r\n")
+                break
+            else:
+                conn.sendall(b"250 OK\r\n")
+        conn.close()
+        self.sock.close()
+
+
+def test_email_smtp_send_loopback():
+    srv = _FakeSmtpServer()
+    srv.start()
+    msg = email_io.compose_email(
+        sender="eng@localhost",
+        to="ops@localhost",
+        subject="delivered",
+        body="hello over the wire",
+    )
+    email_io.send_smtp(msg, host="127.0.0.1", port=srv.port, timeout=5)
+    srv.join(timeout=5)
+    assert b"hello over the wire" in srv.payload
+    assert b"Subject: delivered" in srv.payload
+
+
+def test_emailwrite_pipeline_module(spark, tmp_path):
+    from dbitool_spark.obs import EngineLog
+    from dbitool_spark.pipeline import Pipeline
+
+    path = str(tmp_path / "p.eml")
+    p = Pipeline(spark, log=EngineLog(level=2))
+    p.add_source_df("s", spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    p.add("emailwrite", **{"in": "s", "out": path, "count": 1, "subject": "run done"})
+    p.run()
+    back = email_io.parse_eml(path)
+    assert back["Subject"] == "run done"
+    rows = email_io.attachment_rows(back, "result.csv")
+    assert [r["v"] for r in rows] == ["a", "b"]
+    assert "rows  2" in back.get_body(("plain",)).get_content()
+
+
+# --- chart sink (TODO:77-78) ------------------------------------------
+
+
+def test_bar_chart_geometry_and_roundtrip():
+    rows = [("alpha", 10), ("be<ta>&", 40.0), ('ga"mma', 25.5)]
+    svg = chart_io.bar_chart_svg(rows, title="t&t")
+    bars = chart_io.parse_svg_bars(svg)
+    assert [(k, v) for k, v, _ in bars] == [(k, float(v)) for k, v in rows]
+    # geometry contract: height = value/max * plot_h, 2dp
+    plot_h = 400 - 80
+    for (_, v, h) in bars:
+        assert abs(h - round(v / 40.0 * plot_h, 2)) < 0.011
+    # hostile labels are escaped, document stays well-formed XML
+    import xml.etree.ElementTree as ET
+
+    ET.fromstring(svg)
+
+
+def test_bar_chart_zero_and_empty():
+    svg = chart_io.bar_chart_svg([("a", 0), ("b", 0)])
+    assert all(h == 0.0 for _, _, h in chart_io.parse_svg_bars(svg))
+    with pytest.raises(ValueError):
+        chart_io.bar_chart_svg([])
+
+
+def test_line_chart_svg_scaling():
+    svg = chart_io.line_chart_svg([(0, 0), (10, 5), (5, 10)])
+    assert "polyline" in svg
+    # degenerate single point pins to plot center
+    svg1 = chart_io.line_chart_svg([(3, 7)])
+    assert "320.00,200.00" in svg1
+
+
+def test_gnuplot_script_roundtrip():
+    rows = [('quo"ted', 3.25), ("plain", 7)]
+    gp = chart_io.gnuplot_script(rows, title="T")
+    got = chart_io.parse_gnuplot_datablock(gp)
+    assert got == [('quo"ted', 3.25), ("plain", 7.0)]
+    assert "plot $data using 2:xticlabels(1) with boxes" in gp
+
+
+def test_dot_graph_escaping():
+    dot = chart_io.dot_graph([('a"x', "b\\y", 2)], name="g")
+    assert '"a\\"x" -> "b\\\\y" [label="2"];' in dot
+
+
+def test_chartwrite_pipeline_module(spark, tmp_path):
+    from dbitool_spark.pipeline import Pipeline
+
+    out = str(tmp_path / "c.svg")
+    p = Pipeline(spark)
+    p.add_source_df(
+        "agg", spark.createDataFrame([("x", 4), ("y", 9)], "label string, n int")
+    )
+    p.add("chartwrite", **{"in": "agg", "x": "label", "y": "n", "out": out})
+    p.run()
+    with open(out, encoding="utf-8") as fh:
+        bars = chart_io.parse_svg_bars(fh.read())
+    assert [(k, v) for k, v, _ in bars] == [("x", 4.0), ("y", 9.0)]
+
+    dout = str(tmp_path / "g.dot")
+    p2 = Pipeline(spark)
+    p2.add_source_df(
+        "e", spark.createDataFrame([("u", "v", 1.5)], "src string, dst string, w double")
+    )
+    p2.add(
+        "chartwrite",
+        **{"in": "e", "x": "src", "y": "dst", "weight": "w",
+           "format": "dot", "out": dout},
+    )
+    p2.run()
+    with open(dout, encoding="utf-8") as fh:
+        assert '"u" -> "v" [label="1.5"];' in fh.read()
