@@ -29,14 +29,35 @@ chart with >memorylimit marks is a modeling error, not a scale case.
 
 from __future__ import annotations
 
-import os
+import math
 import re as _re
 import xml.etree.ElementTree as ET
 from xml.sax.saxutils import escape, quoteattr
 
 from pyspark.sql import DataFrame
 
+from dbitool_spark.io import _atomic
+
 DEFAULT_MEMORY_LIMIT = 100_000
+
+
+def bounded_rows(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    max_rows: int = DEFAULT_MEMORY_LIMIT,
+    what: str = "chart",
+) -> list:
+    """Bounded column fetch — ONE limit(n+1) job; the single
+    memorylimit-guarded driver edge every chart backend goes
+    through."""
+    rows = df.select(*cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise MemoryError(
+            f"{what} is a bounded edge: >{max_rows} rows "
+            "(reference memorylimit semantics); aggregate first"
+        )
+    return rows
 
 
 def chart_rows(
@@ -46,14 +67,20 @@ def chart_rows(
     *,
     max_rows: int = DEFAULT_MEMORY_LIMIT,
 ) -> list[tuple[str, float]]:
-    """Bounded (label, value) fetch — ONE limit(n+1) job."""
-    rows = df.select(label_col, value_col).limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
-        raise MemoryError(
-            f"chart is a bounded edge: >{max_rows} points "
-            "(reference memorylimit semantics); aggregate first"
+    """Bounded (label, value) fetch. Non-finite values are rejected
+    here, at the driver edge, so no backend ever has to emit "nan"
+    into a document that claims to be parseable by construction."""
+    out = [
+        (str(r[0]), float(r[1]))
+        for r in bounded_rows(df, [label_col, value_col], max_rows=max_rows)
+    ]
+    bad = next((lbl for lbl, v in out if not math.isfinite(v)), None)
+    if bad is not None:
+        raise ValueError(
+            f"chart value for {bad!r} is not finite; filter NaN/inf "
+            "upstream (a non-finite mark has no geometry)"
         )
-    return [(str(r[0]), float(r[1])) for r in rows]
+    return out
 
 
 def _xml_safe(s: str) -> str:
@@ -112,6 +139,10 @@ def bar_chart_svg(
     for magnitudes; use line_chart_svg for signed series)."""
     if not rows:
         raise ValueError("bar_chart_svg needs at least one (label, value) row")
+    if not all(math.isfinite(v) for _, v in rows):
+        raise ValueError(
+            "bar_chart_svg values must be finite; filter NaN/inf upstream"
+        )
     plot_w = width - 2 * margin
     plot_h = height - 2 * margin
     max_v = max(max(v for _, v in rows), 0.0)
@@ -162,6 +193,11 @@ def line_chart_svg(
     if not points:
         raise ValueError("line_chart_svg needs at least one (x, y) point")
     pts = sorted((float(x), float(y)) for x, y in points)
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
+        raise ValueError(
+            "line_chart_svg points must be finite; 'nan' is not in the "
+            "SVG number grammar — filter NaN/inf upstream"
+        )
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     x0, x1 = min(xs), max(xs)
@@ -216,15 +252,20 @@ def gnuplot_script(
     """Runnable gnuplot script with an inline $data heredoc block.
     Labels are quoted (they plot via xticlabels), values use the
     stable numeric repr shared with the SVG emitter."""
+    def gq(s: str) -> str:
+        # one quoting rule for every double-quoted gnuplot string
+        # (labels, title, output path) — backslashes and quotes would
+        # otherwise break the script's syntax
+        return _label_safe(s).replace("\\", "\\\\").replace('"', '\\"')
+
     lines = ["$data << EOD"]
     for label, value in rows:
-        q = _label_safe(label).replace("\\", "\\\\").replace('"', '\\"')
-        lines.append(f'"{q}" {_fmt_num(value)}')
+        lines.append(f'"{gq(label)}" {_fmt_num(value)}')
     lines.append("EOD")
     if output:
         lines.append("set terminal svg")
-        lines.append(f'set output "{output}"')
-    lines.append(f'set title "{_label_safe(title)}"')
+        lines.append(f'set output "{gq(output)}"')
+    lines.append(f'set title "{gq(title)}"')
     lines.append("set style fill solid")
     lines.append(f"plot $data using 2:xticlabels(1) with {style} notitle")
     return "\n".join(lines) + "\n"
@@ -270,13 +311,5 @@ def dot_graph(
 
 
 def write_chart(text: str, path: str) -> None:
-    """Atomic single-file write (tmp+rename, no partial document)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    try:
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(text)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
+    """Atomic single-file write (shared tmp+rename helper)."""
+    _atomic.write_text(path, text)

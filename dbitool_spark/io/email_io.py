@@ -29,13 +29,14 @@ from __future__ import annotations
 
 import csv
 import io as _io
-import os
 import smtplib
 from email import policy
 from email.message import EmailMessage
 from email.parser import BytesParser
 
 from pyspark.sql import DataFrame
+
+from dbitool_spark.io import _atomic
 
 DEFAULT_MEMORY_LIMIT = 100_000
 
@@ -106,17 +107,9 @@ def compose_email(
 
 
 def write_eml(msg: EmailMessage, path: str) -> None:
-    """Atomic single-file .eml write (the write_json tmp+rename
-    pattern: no partial message on failure)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    try:
-        with open(tmp, "wb") as fh:
-            fh.write(msg.as_bytes())
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
+    """Atomic single-file .eml write (shared tmp+rename helper: no
+    partial message on failure)."""
+    _atomic.write_bytes(path, msg.as_bytes())
 
 
 def parse_eml(path: str) -> EmailMessage:

@@ -16,9 +16,9 @@ divergence.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+
+from dbitool_spark.io import _atomic
 
 DEFAULT_MEMORY_LIMIT = 100_000  # rows; reference --memorylimit default
 
@@ -116,21 +116,13 @@ def write_json(
     partition waves, which cost seconds of pure scheduling on many-
     partition inputs. JSON encoding stays JVM-side via toJSON(). For
     unbounded data use write_ndjson. Writes one file at `path`."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     sep = ",\n  " if pretty else ","
-    tmp = path + ".tmp"
     rows = df.limit(memory_limit + 1).toJSON().collect()
     if len(rows) > memory_limit:
         raise MemoryError(
             f"write_json is a bounded edge: >{memory_limit} rows "
             "(reference memorylimit semantics); use write_ndjson"
         )
-    try:
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write("[\n  " if pretty else "[")
-            fh.write(sep.join(rows))
-            fh.write("\n]" if pretty else "]")
-        os.replace(tmp, path)  # no partial document on failure
-    finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
+    head, tail = ("[\n  ", "\n]") if pretty else ("[", "]")
+    # shared tmp+rename helper: no partial document on failure
+    _atomic.write_text(path, head + sep.join(rows) + tail)

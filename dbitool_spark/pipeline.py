@@ -763,6 +763,10 @@ def _emailwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     io/email_io.py scale note)."""
     from dbitool_spark.io import email_io
 
+    # pure dict inspection — fail a misconfigured sink BEFORE the
+    # bounded attachment fetch / count() actions run cluster work
+    if "out" not in a and "server" not in a:
+        raise ValueError("emailwrite needs out= (.eml path) and/or server=")
     attachments = []
     if ins:
         attachments.append((
@@ -795,8 +799,6 @@ def _emailwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
         email_io.send_smtp(
             msg, host=a["server"], port=int(a.get("port", 25))
         )
-    if "out" not in a and "server" not in a:
-        raise ValueError("emailwrite needs out= (.eml path) and/or server=")
 
 
 @register_module("chartwrite")
@@ -810,19 +812,19 @@ def _chartwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
 
     fmt = a.get("format", "svg")
     kind = a.get("type", "bar")
+    if fmt not in ("svg", "gnuplot", "dot"):
+        raise ValueError(
+            f"chartwrite: unknown format {fmt!r} (svg|gnuplot|dot)"
+        )
+    if fmt == "svg" and kind not in ("bar", "line"):
+        raise ValueError(f"chartwrite: unknown type {kind!r} (bar|line)")
     max_rows = int(a.get("max_rows", p.memorylimit))
     title = a.get("title", "dbitool chart")
     if fmt == "dot":
-        rows = (
-            ins[0]
-            .select(a["x"], a["y"], a.get("weight", a["y"]))
-            .limit(max_rows + 1)
-            .collect()
+        rows = chart_io.bounded_rows(
+            ins[0], [a["x"], a["y"], a.get("weight", a["y"])],
+            max_rows=max_rows,
         )
-        if len(rows) > max_rows:
-            raise MemoryError(
-                f"chart is a bounded edge: >{max_rows} edges; aggregate first"
-            )
         text = chart_io.dot_graph(
             [(str(r[0]), str(r[1]), float(r[2])) for r in rows], name=title
         )
@@ -926,6 +928,7 @@ class Pipeline:
         self._counter = 0
         self._observations: dict[str, object] = {}
         self._with_sinks = False
+        self._persisted: list[tuple[str, DataFrame]] = []
 
     def add_source_df(self, name: str, df: DataFrame) -> "Pipeline":
         """Register an in-memory DataFrame as a named source stream —
@@ -933,7 +936,9 @@ class Pipeline:
         where other programs could … instantiate modules and control
         the whole process"): host programs hand Spark frames straight
         into the pipeline language instead of round-tripping through a
-        file."""
+        file. The frame stays host-owned: the pipeline neither
+        persists it (cache it before injecting if several modules
+        read it) nor unpersists it at end-of-run."""
         self._injected[name] = df
         return self
 
@@ -1108,6 +1113,7 @@ class Pipeline:
         self._streams = dict(self._injected)
         self._observations = {}
         self._with_sinks = with_sinks
+        self._persisted = []
         codecs: dict[str, str] = {}  # stream name -> pending sink compression
         for m in self._specs:
             sink_like = m.name in _SINKS or (
@@ -1162,6 +1168,7 @@ class Pipeline:
                     raise ValueError(f"module {m.name} produced no output for stream {m.out_stream}")
                 if reads.get(m.out_stream, 0) > 1:
                     out = out.persist()
+                    self._persisted.append((m.out_stream, out))
                 self._streams[m.out_stream] = out
 
     def stream(self, name: str) -> DataFrame:
@@ -1181,9 +1188,11 @@ class Pipeline:
                     self.log.log("pipeline", f"{name} rows={obs.get['rows']}", 2)
                 except Exception as e:  # sink ran no action over this input
                     self.log.log("pipeline", f"{name} rows=unavailable ({e})", 2)
-        # unpersist fan-out streams so repeated run() calls don't
-        # accumulate storage
-        for name, df in self._streams.items():
+        # unpersist exactly the frames THIS build persisted for
+        # fan-out, so repeated run() calls don't accumulate storage.
+        # Injected frames are host-owned (add_source_df) and any cache
+        # the host put on them is never touched here.
+        for name, df in self._persisted:
             try:
                 df.unpersist()
             except Exception as e:

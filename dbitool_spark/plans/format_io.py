@@ -624,15 +624,23 @@ def email_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     path = os.path.join(_scratch("email"), "summary.eml")
+    csv_text = email_io.df_to_csv_text(agg)
+    # language count comes from the rows already fetched for the
+    # attachment (csv module handles any quoted newlines) — no second
+    # aggregation job, and the label matches what the number counts
+    import csv as _csv
+    import io as _io
+
+    n_langs = sum(1 for _ in _csv.reader(_io.StringIO(csv_text))) - 1
     msg = email_io.compose_email(
         sender="dbitool@localhost",
         to="user@localhost",
         subject="dbitool_spark process summary",
         body=email_io.summary_body(
-            stats={"documents": agg.count()},
+            stats={"languages": n_langs},
             log_lines=["per-language document summary attached"],
         ),
-        attachments=[("langs.csv", email_io.df_to_csv_text(agg))],
+        attachments=[("langs.csv", csv_text)],
     )
     email_io.write_eml(msg, path)
     rows = email_io.attachment_rows(email_io.parse_eml(path), "langs.csv")
