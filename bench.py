@@ -217,6 +217,13 @@ def _plan_sha(df) -> str:
     text = re.sub(r"plan_id=\d+", "plan_id=", text)
     text = re.sub(r"@[0-9a-f]{6,}", "@", text)
     text = re.sub(r"Statistics\([^)]*\)", "Statistics()", text)
+    # streaming/ndb entries republish inputs under per-process scratch
+    # dirs (/tmp/dbitool_scratch_<q>_<sf>/pid<PID>/tid<TID>/...); the
+    # path lands in the scan node, so without this the fingerprint
+    # changes every process and vs_prev flags a phantom plan change
+    # (observed r8: ndb_upsert_replay)
+    text = re.sub(r"pid\d+", "pid", text)
+    text = re.sub(r"tid\d+", "tid", text)
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 
@@ -279,17 +286,25 @@ def main() -> int:
     lazy_variants = _lazy_plan_variants()
     timings: dict[str, float] = {}
     plan_shas: dict[str, str] = {}
+    # Fingerprint pass FIRST, from a clean cache, separate from the
+    # timing loop: mid-run the optimized plan can pick up cache state
+    # left by whichever queries happened to run earlier (InMemoryRelation
+    # vs parquet scan), so a fingerprint taken there is a function of
+    # REGISTRY ORDER, not of the query — adding one entry re-shuffles
+    # the order and vs_prev flags phantom plan changes (observed r8:
+    # ann_recall_planted, sha stable across fresh processes but
+    # different mid-bench). Execution count is unchanged: this pass is
+    # the same one plan_fn call per query the old inline code made.
+    for name, fn in registry.queries().items():
+        try:
+            spark.catalog.clearCache()
+            plan_shas[name] = _plan_sha(lazy_variants.get(name, fn)(spark, sf_dir))
+        except Exception:
+            pass  # fingerprint is advisory; never fail the bench on it
+    spark.catalog.clearCache()
     for name, fn in registry.queries().items():
         # warm-up run: JIT, parquet footer cache, AQE stats
         fn(spark, sf_dir).count()
-        try:
-            plan_fn = lazy_variants.get(name, fn)
-            plan_shas[name] = _plan_sha(plan_fn(spark, sf_dir))
-            if name in lazy_variants:
-                # lazy twins leave their internal persists caller-owned
-                spark.catalog.clearCache()
-        except Exception:
-            pass  # fingerprint is advisory; never fail the bench on it
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()

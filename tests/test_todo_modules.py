@@ -919,3 +919,46 @@ def test_chartwrite_pipeline_module(spark, tmp_path):
     p2.run()
     with open(dout, encoding="utf-8") as fh:
         assert '"u" -> "v" [label="1.5"];' in fh.read()
+
+
+def test_atomic_write_never_exposes_partial(tmp_path):
+    """_atomic.write_text/bytes: readers see the old document or the
+    complete new one, never a partial; failed writes leave the target
+    untouched and no tmp litter."""
+    import threading
+
+    from dbitool_spark.io import _atomic
+
+    target = str(tmp_path / "doc.json")
+    _atomic.write_text(target, "old")
+
+    # concurrent writers to the same path: pid-tagged tmp names mean
+    # they cannot clobber each other's in-flight file; final content
+    # is one writer's COMPLETE document
+    docs = [f"writer-{i}" * 100 for i in range(8)]
+    threads = [
+        threading.Thread(target=_atomic.write_text, args=(target, d))
+        for d in docs
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with open(target, encoding="utf-8") as fh:
+        assert fh.read() in docs
+
+    # a writer that raises mid-write leaves the target intact
+    _atomic.write_text(target, "stable")
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        _atomic.write_text(target, object())  # not str: write() raises
+    with open(target, encoding="utf-8") as fh:
+        assert fh.read() == "stable"
+    assert not [p for p in tmp_path.iterdir() if p.name.endswith(".tmp")]
+
+    # bytes variant round-trips binary exactly
+    blob = bytes(range(256))
+    bt = str(tmp_path / "blob.bin")
+    _atomic.write_bytes(bt, blob)
+    with open(bt, "rb") as fh:
+        assert fh.read() == blob
