@@ -250,9 +250,26 @@ def _lazy_plan_variants():
             spark, sf_dir, materialize=False
         )
 
+    def _entry_lazy(fn):
+        return lambda spark, sf_dir: fn(spark, sf_dir, materialize=False)
+
     return {
         "kmeans_embeddings": kmeans_lazy,
         "curation_pipeline_documents": curation_lazy,
+        # the dedup/similarity family — the entries whose plan shape IS
+        # the 100 TB story, so a real regression-detectable fingerprint
+        # matters most exactly here
+        "minhash_near_dup_documents": _entry_lazy(llm_ops.minhash_near_dup_documents),
+        "simhash_near_dup_documents": _entry_lazy(llm_ops.simhash_near_dup_documents),
+        "simhash_recall_planted": _entry_lazy(llm_ops.simhash_recall_planted),
+        "ngram_jaccard_variants_documents": _entry_lazy(
+            llm_ops.ngram_jaccard_variants_documents
+        ),
+        "ngram_containment_documents": _entry_lazy(
+            llm_ops.ngram_containment_documents
+        ),
+        "embedding_near_dup": _entry_lazy(llm_ops.embedding_near_dup),
+        "top_terms_per_source": _entry_lazy(llm_ops.top_terms_per_source),
     }
 
 

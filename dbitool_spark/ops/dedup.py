@@ -117,6 +117,7 @@ def minhash_near_dup_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH with exact-Jaccard
     verification. Returns (id_a, id_b) with id_a < id_b and
@@ -183,6 +184,10 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     result = verified.select("id_a", "id_b", "jaccard")
+    if not materialize:
+        # lazy mode (plan audits/fingerprints): internal persists stay
+        # caller-owned — clear the cache after inspecting the plan
+        return result
     # eagerly materialize the (small) pair set and release the two
     # persisted intermediates so repeated calls in a long session do
     # not accumulate executor storage
@@ -198,6 +203,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     hash_shingles: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
     index. Unlike MinHash-LSH there is no probabilistic recall: any
@@ -327,6 +333,8 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+        if not materialize:
+            return result  # lazy: persists caller-owned (plan audits)
         return materialize_release(result, sh, pref)
     # --- skew-guard path (df-capped inverted index, r4 plan) ---
     # persisted for the same two-aliases reason as `pref` above: the
@@ -355,6 +363,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not materialize:
+        return result  # lazy: persists caller-owned (plan audits)
     return materialize_release(result, sh, ix)
 
 
@@ -367,6 +377,7 @@ def ngram_containment_pairs(
     threshold: float = 0.9,
     hash_shingles: bool = True,
     max_doc_freq: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT asymmetric n-gram containment pairs: C(A->B) =
     |shingles(A) ∩ shingles(B)| / |shingles(A)| — the Broder
@@ -450,6 +461,8 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+    if not materialize:
+        return result  # lazy: persists caller-owned (plan audits)
     return materialize_release(result, sh)
 
 
@@ -770,6 +783,7 @@ def simhash_candidates(
     n_blocks: int = 4,
     bits_per_block: int = 16,
     max_hamming: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash block banding (the Manku
     block-permutation construction, Manku/Jain/Sarma WWW'07): the
@@ -817,6 +831,8 @@ def simhash_candidates(
     result = simhash_band_candidates(
         sig, n_blocks=n_blocks, bits_per_block=bits_per_block, max_hamming=max_hamming
     )
+    if not materialize:
+        return result  # lazy: persists caller-owned (plan audits)
     return materialize_release(result, sig)
 
 

@@ -518,6 +518,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_tables: int = 8,
     bits: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b,
     cos >= threshold), LSH-bucketed: high-cosine pairs collide in at
@@ -566,4 +567,6 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    if not materialize:
+        return result  # lazy: persists caller-owned (plan audits)
     return materialize_release(result, sig, normed)

@@ -86,7 +86,9 @@ def _perturbed_corpus(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionAll(perturbed)
 
 
-def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_near_dup_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """MinHash-LSH near-dup pairs over the perturbed corpus, exact-
     Jaccard verified at threshold 0.7. The corpus contains BOTH the
     constructed (i, i+offset) pairs and the generator's planted
@@ -95,7 +97,8 @@ def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves banding recall AND verification values end to end."""
     docs = catalog.load(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dup_pairs(
-        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.7
+        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.7,
+        materialize=materialize,
     )
     return pairs.orderBy("id_a", "id_b")
 
@@ -187,7 +190,9 @@ ORDER BY doc_id
 """
 
 
-def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup over the perturbed corpus at a
     lower threshold (0.5) than the LSH entry — the inverted-index
     exact path next to MinHash's approximate one. Oracle is honest
@@ -195,7 +200,8 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     index finds EVERY qualifying pair with exact values."""
     docs = catalog.load(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
-        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.5
+        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.5,
+        materialize=materialize,
     )
     return pairs.orderBy("id_a", "id_b")
 
@@ -214,7 +220,9 @@ ORDER BY id_a, id_b
 """
 
 
-def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_near_dup_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """SimHash chunk-banded candidates over the perturbed corpus,
     kept at hamming distance <= 3. Rows-only (the 64-bit signature is
     not practically SQL-expressible); exactness is covered by the
@@ -227,7 +235,8 @@ def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee covers hamming <= n_blocks-1 = 3, all of which survive."""
     docs = catalog.load(spark, sf_dir, "documents")
     cands = dedup.simhash_candidates(
-        _perturbed_corpus(docs), "doc_id", "text", max_hamming=3
+        _perturbed_corpus(docs), "doc_id", "text", max_hamming=3,
+        materialize=materialize,
     )
     return cands.orderBy("id_a", "id_b")
 
@@ -297,7 +306,9 @@ corpus AS (
 )"""
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """Embedding-cosine near-dup over a perturbed corpus: each vector
     plus a copy with element 0 scaled 1.5x. Construction gives every
     (i, i+offset) pair cos = (1+0.5r)/sqrt(1+1.25r) >= 0.9798 for any
@@ -314,7 +325,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than 8 bits would (the cosine verify is the dominant cost).
     pairs = similarity.embedding_near_dup_pairs(
         corpus, id_col="vec_id", vec_col="v", dim=64,
-        threshold=0.95, n_tables=16, bits=10,
+        threshold=0.95, n_tables=16, bits=10, materialize=materialize,
     )
     return pairs.select(
         "id_a", "id_b", F.round("cos", 6).alias("cos_r")
@@ -376,7 +387,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONST_RECALL_SQL = "SELECT CAST(1.0 AS DOUBLE) AS recall"
 
 
-def simhash_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_recall_planted(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """Recall of SimHash block banding on its own guarantee set: every
     pair at hamming distance <= n_blocks-1 = 3 shares an untouched
     16-bit block (pigeonhole) and MUST surface as a candidate. Ground
@@ -430,6 +443,8 @@ def simhash_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("recall")
     )
+    if not materialize:
+        return result  # lazy: persists caller-owned (plan audits)
     return materialize_release(result, sig)
 
 
@@ -685,7 +700,9 @@ ORDER BY media_id
 _SKEWGUARD_MAX_DF = 6
 
 
-def ngram_jaccard_skewguard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_skewguard_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """The inverted-index Jaccard WITH the max_doc_freq skew guard
     engaged: shingles appearing in more than _SKEWGUARD_MAX_DF docs
     are dropped from the index before the self-join (the bounded-
@@ -704,6 +721,7 @@ def ngram_jaccard_skewguard_documents(spark: SparkSession, sf_dir: str) -> DataF
         shingle_k=3,
         threshold=0.5,
         max_doc_freq=_SKEWGUARD_MAX_DF,
+        materialize=materialize,
     )
     return pairs.orderBy("id_a", "id_b")
 
@@ -727,7 +745,9 @@ ORDER BY id_a, id_b
 """
 
 
-def ngram_jaccard_variants_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_variants_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """r8 fifth-wave merge of ngram_jaccard_documents +
     ngram_jaccard_skewguard_documents (registry capacity policy,
     plans/registry.py ledger — both constituent functions and their
@@ -736,12 +756,12 @@ def ngram_jaccard_variants_documents(spark: SparkSession, sf_dir: str) -> DataFr
     max_doc_freq skew-guarded path run in one entry, so a single green
     row proves both the complete-recall arithmetic and the guard's
     exact drop/keep behavior."""
-    base = ngram_jaccard_documents(spark, sf_dir).select(
+    base = ngram_jaccard_documents(spark, sf_dir, materialize=materialize).select(
         F.lit("exact").alias("variant"), "id_a", "id_b", "jaccard"
     )
-    guarded = ngram_jaccard_skewguard_documents(spark, sf_dir).select(
-        F.lit("skewguard").alias("variant"), "id_a", "id_b", "jaccard"
-    )
+    guarded = ngram_jaccard_skewguard_documents(
+        spark, sf_dir, materialize=materialize
+    ).select(F.lit("skewguard").alias("variant"), "id_a", "id_b", "jaccard")
     return base.unionByName(guarded)
 
 
@@ -1098,7 +1118,9 @@ ORDER BY domain
 # --- distinctive terms per source ------------------------------------
 
 
-def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def top_terms_per_source(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """Top-3 terms per source by in-source frequency, excluding terms
     that appear in more than half the sources (a log-free tf-idf
     analogue: rank by tf with a df cut, all exact integer arithmetic
@@ -1150,6 +1172,8 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("w").alias("term"), "tf", "df", "rank")
         .orderBy("source", "rank")
     )
+    if not materialize:
+        return result  # lazy: persists caller-owned (plan audits)
     return materialize_release(result, tf)
 
 
@@ -1382,7 +1406,9 @@ ORDER BY c.vec_id
 """
 
 
-def ngram_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_containment_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """Asymmetric containment pairs (dedup.ngram_containment_pairs)
     over the perturbed corpus at threshold 0.9. The construction makes
     this provably non-vacuous in ONE direction only: the truncated
@@ -1395,7 +1421,8 @@ def ngram_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; rounding only normalizes double formatting)."""
     docs = catalog.load(spark, sf_dir, "documents")
     pairs = dedup.ngram_containment_pairs(
-        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.9
+        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.9,
+        materialize=materialize,
     )
     return pairs.select(
         "id_a", "id_b", F.round("containment", 6).alias("containment_r")

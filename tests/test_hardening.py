@@ -196,6 +196,7 @@ def test_pipeline_unpersist_failure_is_logged(spark, monkeypatch, tmp_path):
     src = os.path.join(str(tmp_path), "in.csv")
     write_csv(testrow.dataframe(spark, 5), src, single_file=True)
     out = os.path.join(str(tmp_path), "out.csv")
+    out2 = os.path.join(str(tmp_path), "out2.csv")
 
     def boom(self, blocking=False):
         raise RuntimeError("synthetic unpersist failure")
@@ -207,8 +208,11 @@ def test_pipeline_unpersist_failure_is_logged(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(concrete, "unpersist", boom)
     log = EngineLog(level=2)
     p = Pipeline(spark, log=log)
-    p.add(f"csvread:in={src}")
-    p.add(f"csvwrite:out={out}")
+    # run() only releases frames IT persisted (fan-out streams) —
+    # two sinks reading one stream is what makes an unpersist happen
+    p.add(f"csvread:in={src}", out="s")
+    p.add("csvwrite", **{"in": "s", "out": out})
+    p.add("csvwrite", **{"in": "s", "out": out2})
     p.run()
     msgs = [m for (_, mod, m, lvl) in log.rows if "unpersist" in m and "failed" in m]
     assert msgs, f"expected an unpersist-failure log line, got {log.rows}"

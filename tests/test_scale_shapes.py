@@ -284,9 +284,9 @@ def test_ngram_containment_asymmetry(spark):
     """The semantic claim behind the operator: a short doc fully
     quoted inside a long one scores containment 1.0 in the contained
     direction while the reverse stays below threshold — and Jaccard
-    at the same threshold would catch NEITHER direction. (The op's
-    result is checkpointed, so the plan shape is pinned by its cost
-    profile in BENCH_scaling-adjacent timings, not by explain().)"""
+    at the same threshold would catch NEITHER direction. (Plan shape
+    is pinned separately via the materialize=False twin in
+    test_near_dup_lazy_plans_are_bucket_local.)"""
     from dbitool_spark.ops.dedup import ngram_containment_pairs, ngram_jaccard_pairs
 
     short = "alpha beta gamma delta epsilon zeta"
@@ -353,3 +353,46 @@ def test_partsupp_fixture_shapes(spark):
     assert any(
         "PushedFilters" in l and "r_name" in l for l in plan.splitlines()
     ), plan
+
+
+def test_near_dup_lazy_plans_are_bucket_local(spark):
+    """materialize=False exposes the REAL optimized plans of the
+    near-dup family (the materialized results explain() as checkpoint
+    scans — bench fingerprints these same lazy twins). The scale
+    contracts asserted: parquet-rooted (not ExistingRDD), and never
+    an all-pairs CartesianProduct — every candidate generator joins
+    on bucket/shingle/band keys."""
+    from dbitool_spark.plans import llm_ops
+
+    lazy_entries = [
+        llm_ops.minhash_near_dup_documents,
+        llm_ops.simhash_near_dup_documents,
+        llm_ops.ngram_jaccard_variants_documents,
+        llm_ops.ngram_containment_documents,
+        llm_ops.embedding_near_dup,
+        llm_ops.top_terms_per_source,
+    ]
+    try:
+        for fn in lazy_entries:
+            plan = _plan(fn(spark, SF_SMOKE, materialize=False))
+            assert "Scan parquet" in plan, f"{fn.__name__} not parquet-rooted"
+            assert "CartesianProduct" not in plan, f"{fn.__name__} all-pairs!"
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{fn.__name__} has an unkeyed join"
+            )
+    finally:
+        # lazy mode leaves operator-internal persists caller-owned
+        spark.catalog.clearCache()
+
+
+def test_lazy_and_materialized_results_agree(spark):
+    """The lazy twin is the SAME computation — only the eager
+    checkpoint+release differs. Pin value parity on one shingle op and
+    one embedding op so the twins can't drift from what bench times."""
+    from dbitool_spark.plans import llm_ops
+
+    for fn in (llm_ops.ngram_containment_documents, llm_ops.embedding_near_dup):
+        eager = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+        lazy = sorted(map(tuple, fn(spark, SF_SMOKE, materialize=False).collect()))
+        spark.catalog.clearCache()
+        assert eager == lazy, fn.__name__
