@@ -221,9 +221,10 @@ def _plan_sha(df) -> str:
     # dirs (/tmp/dbitool_scratch_<q>_<sf>/pid<PID>/tid<TID>/...); the
     # path lands in the scan node, so without this the fingerprint
     # changes every process and vs_prev flags a phantom plan change
-    # (observed r8: ndb_upsert_replay)
-    text = re.sub(r"pid\d+", "pid", text)
-    text = re.sub(r"tid\d+", "tid", text)
+    # (observed r8: ndb_upsert_replay). Anchored to the full scratch
+    # layout so an unrelated 'pid<N>' substring in a predicate literal
+    # or path can never be collapsed.
+    text = re.sub(r"(dbitool_scratch_[\w.]+/)pid\d+/tid\d+", r"\1pid/tid", text)
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 
@@ -245,17 +246,14 @@ def _lazy_plan_variants():
             materialize=False,
         )
 
-    def curation_lazy(spark, sf_dir):
-        return pipeline_ops.curation_pipeline_documents(
-            spark, sf_dir, materialize=False
-        )
-
     def _entry_lazy(fn):
         return lambda spark, sf_dir: fn(spark, sf_dir, materialize=False)
 
     return {
         "kmeans_embeddings": kmeans_lazy,
-        "curation_pipeline_documents": curation_lazy,
+        "curation_pipeline_documents": _entry_lazy(
+            pipeline_ops.curation_pipeline_documents
+        ),
         # the dedup/similarity family — the entries whose plan shape IS
         # the 100 TB story, so a real regression-detectable fingerprint
         # matters most exactly here
@@ -318,6 +316,12 @@ def main() -> int:
             plan_shas[name] = _plan_sha(lazy_variants.get(name, fn)(spark, sf_dir))
         except Exception:
             pass  # fingerprint is advisory; never fail the bench on it
+        # ~13 non-lazy entries execute eagerly here (materialize_release
+        # localCheckpoints); their executor blocks free via
+        # ContextCleaner only after the Python DataFrame is collected —
+        # without this the timing loop's first queries run under the
+        # accumulated storage of every checkpointed fingerprint result
+        gc.collect()
     spark.catalog.clearCache()
     for name, fn in registry.queries().items():
         # warm-up run: JIT, parquet footer cache, AQE stats

@@ -1,24 +1,35 @@
 """Atomic single-file writes shared by the driver-side document sinks
 (json / eml / chart). Writing to a tmp file in the same directory and
 os.replace()-ing it over the target gives readers either the old
-document or the complete new one, never a partial write. The tmp name
-embeds the pid so two concurrent writers to the same path cannot
-clobber each other's in-flight tmp file (last replace still wins on
-the final path, which is the usual atomic-write contract)."""
+document or the complete new one, never a partial write. The tmp file
+is created with O_EXCL under a name unique per (pid, thread, call), so
+concurrent writers — including two threads of one process — can never
+open, truncate, or delete each other's in-flight tmp file; the last
+replace still wins on the final path, which is the usual atomic-write
+contract."""
 
 from __future__ import annotations
 
+import itertools
 import os
+import threading
+
+_seq = itertools.count()
 
 
 def _write(path: str, data, mode: str, encoding: str | None = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = f"{path}.{os.getpid()}.tmp"
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.{next(_seq)}.tmp"
+    # O_EXCL: if the unique name somehow exists, fail loudly rather
+    # than truncate someone else's in-flight file
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
     try:
-        with open(tmp, mode, encoding=encoding) as fh:
+        with os.fdopen(fd, mode, encoding=encoding) as fh:
             fh.write(data)
         os.replace(tmp, path)
     finally:
+        # only ever removes OUR tmp (the name is unique to this call);
+        # after a successful replace it no longer exists
         if os.path.exists(tmp):
             os.remove(tmp)
 

@@ -367,6 +367,7 @@ def test_near_dup_lazy_plans_are_bucket_local(spark):
     lazy_entries = [
         llm_ops.minhash_near_dup_documents,
         llm_ops.simhash_near_dup_documents,
+        llm_ops.simhash_recall_planted,
         llm_ops.ngram_jaccard_variants_documents,
         llm_ops.ngram_containment_documents,
         llm_ops.embedding_near_dup,

@@ -932,18 +932,26 @@ def test_atomic_write_never_exposes_partial(tmp_path):
     target = str(tmp_path / "doc.json")
     _atomic.write_text(target, "old")
 
-    # concurrent writers to the same path: pid-tagged tmp names mean
-    # they cannot clobber each other's in-flight file; final content
-    # is one writer's COMPLETE document
-    docs = [f"writer-{i}" * 100 for i in range(8)]
-    threads = [
-        threading.Thread(target=_atomic.write_text, args=(target, d))
-        for d in docs
-    ]
+    # concurrent same-process writers to the same path: per-call-unique
+    # O_EXCL tmp names mean no thread can open, truncate, or delete
+    # another's in-flight file. Docs have DIFFERENT lengths (a partial
+    # overwrite cannot masquerade as a complete one) and writer
+    # exceptions are collected, not swallowed by threading's excepthook.
+    docs = [f"writer-{i}," * (50 + 7 * i) for i in range(8)]
+    errors: list[BaseException] = []
+
+    def w(d):
+        try:
+            _atomic.write_text(target, d)
+        except BaseException as e:  # noqa: BLE001 — test must see it
+            errors.append(e)
+
+    threads = [threading.Thread(target=w, args=(d,)) for d in docs]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
+    assert not errors, errors
     with open(target, encoding="utf-8") as fh:
         assert fh.read() in docs
 
