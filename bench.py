@@ -258,7 +258,6 @@ def _lazy_plan_variants():
         # the 100 TB story, so a real regression-detectable fingerprint
         # matters most exactly here
         "minhash_near_dup_documents": _entry_lazy(llm_ops.minhash_near_dup_documents),
-        "simhash_near_dup_documents": _entry_lazy(llm_ops.simhash_near_dup_documents),
         "simhash_recall_planted": _entry_lazy(llm_ops.simhash_recall_planted),
         "ngram_jaccard_variants_documents": _entry_lazy(
             llm_ops.ngram_jaccard_variants_documents

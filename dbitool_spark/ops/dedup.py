@@ -890,3 +890,106 @@ def simhash_band_candidates(
     # (id_a, id_b) determines hamming, so distinct over the 3 columns
     # dedupes multi-block collisions exactly as the pair-distinct did
     return result.distinct()
+
+
+# --- streaming-shaped LSH: per-row band hashes ------------------------
+
+
+def _hash_with_seed(seed: int):
+    # closure factory, NOT `lambda s, i=seed: ...` — pyspark counts a
+    # lambda's parameters to decide between (element) and
+    # (element, index) higher-order signatures, and a defaulted second
+    # parameter would silently flip the meaning
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_band_structs(
+    shingle_col: Column, *, n_hashes: int = 16, bands: int = 8
+) -> Column:
+    """MinHash band hashes as a PURE per-row expression:
+    array<struct<band:int, bh:long>> with one struct per band, where
+    bh = xxhash64 over that band's minhash signature slice.
+
+    No aggregation, no UDF — sig_i = array_min(transform(shingles,
+    xxhash64(., seed_i))) runs element-wise inside codegen. That
+    per-row shape is what makes the construction legal mid-stream: a
+    streaming plan admits no groupBy between the source and a stateful
+    sink, so the batch ops' explode->groupBy(min) signature build
+    cannot be reused there. Two docs are LSH candidates iff they share
+    any (band, bh) — identical banding math to the batch operator
+    (Broder resemblance / banding, as in minhash_near_dup_pairs)."""
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    r = n_hashes // bands
+    sigs = [
+        F.array_min(F.transform(shingle_col, _hash_with_seed(i)))
+        for i in range(n_hashes)
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.xxhash64(F.lit(b), *sigs[b * r : (b + 1) * r]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, bucket) rows — one per (doc, band) — where bucket is the
+    string key 'band:bandhash'. The shared projection both the
+    streaming index (streaming.stream_near_dup_lsh) and the batch
+    reference rule (lsh_near_dup_flags) are built from, so the two
+    paths can never use different hashes. Shingles are projected once
+    (a named column, not a repeated subtree) before the n_hashes
+    transforms."""
+    sh = shingles(F.col(text_col), k=shingle_k)
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("__sh"))
+        .select(
+            "id",
+            F.explode(
+                minhash_band_structs(F.col("__sh"), n_hashes=n_hashes, bands=bands)
+            ).alias("b"),
+        )
+        .select(
+            "id", F.concat_ws(":", F.col("b.band"), F.col("b.bh")).alias("bucket")
+        )
+    )
+
+
+def lsh_near_dup_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Batch reference rule for streaming LSH dedup: a doc is flagged
+    iff it shares any band bucket with a SMALLER id (bucket owner =
+    min id — the order-insensitive formulation the streamed index
+    converges to). Returns (id_col, is_dup).
+
+    Scale shape: one explode to |docs|*bands rows, one bucket-keyed
+    window min, one per-doc partial-agg max — never all-pairs."""
+    b = lsh_bucket_rows(
+        df, id_col, text_col, shingle_k=shingle_k, n_hashes=n_hashes, bands=bands
+    )
+    w = Window.partitionBy("bucket")
+    return (
+        b.withColumn("own", F.min("id").over(w))
+        .groupBy("id")
+        .agg(F.max((F.col("id") > F.col("own")).cast("int")).cast("boolean").alias("is_dup"))
+        .select(F.col("id").alias(id_col), "is_dup")
+    )

@@ -86,6 +86,17 @@ the window held zero slack — every prior slot was due its r8 row):
   one row proves both the complete-recall arithmetic and the skew
   guard's exact drop/keep behavior).
 
+r8 sixth wave (streaming_lsh_near_dup_documents — incremental LSH
+dedup-on-ingest, the stateful streaming operator the LLM family was
+missing — needed a slot, window still zero-slack):
+- simhash_near_dup_documents RETIRED, superseded by its oracle-backed
+  companion simhash_recall_planted, which drives the same
+  simhash_signatures + simhash_band_candidates codepaths with a
+  STRONGER check (constant-1.0 recall hash vs rows-only); the
+  radius-filter wrapper (dedup.simhash_candidates) keeps pytest +
+  lazy-plan-shape coverage. Net effect: the rows-only set shrinks
+  from 3 entries to 2 — aligned with "keep that set minimal" above.
+
 Current capacity: 96 registered / 50-slot window -> 46 tail rows, all
 driver-green in r7; every entry is covered by CORRECTNESS_r07 ∪ r08.
 r9 headroom: 0 net-new slots without a merge; next merge candidates:
@@ -131,6 +142,16 @@ def oracle_sql() -> dict[str, str]:
 
 
 # --- NEW in round 8: never driver-checked ----------------------------
+# streaming near-dup dedup-on-ingest: LSH bucket-owner index
+# incrementally maintained in an ndb table via foreachBatch; the row
+# is a three-way parity summary vs the pure-batch rule built from the
+# SAME hash expressions (bucket hashes are not DuckDB-expressible —
+# the recall-companion pattern)
+register(
+    "streaming_lsh_near_dup_documents",
+    state_ops.streaming_lsh_near_dup_documents,
+    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
+)
 # the final two reference-TODO modules (email TODO:28-29, charts
 # TODO:77-78) — with these the reference surface is fully covered.
 # One kind-tagged composite row drives both: MIME compose->parse
@@ -310,7 +331,7 @@ register(
     relational.small_quantity_revenue,
     relational.SMALL_QUANTITY_REVENUE_SQL,
 )
-register("simhash_near_dup_documents", llm_ops.simhash_near_dup_documents)  # rows-only
+# (r8 sixth wave: simhash_near_dup_documents retired — see ledger)
 register("simhash_recall_planted", llm_ops.simhash_recall_planted, llm_ops.CONST_RECALL_SQL)
 # (r8 fifth wave: the two ngram_jaccard rows now ride the variant-
 # tagged composite registered in the new-entry section above)

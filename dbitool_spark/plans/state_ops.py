@@ -523,3 +523,113 @@ FROM events c JOIN events p
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 120 MINUTE
 ORDER BY 1, 2, 3
 """
+
+
+def streaming_lsh_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup made driver-visible: the perturbed
+    documents corpus (every doc plus a near-identical copy) is
+    re-published as NDJSON and replayed as a file-watch stream through
+    streaming.stream_near_dup_lsh — an LSH bucket-owner index
+    incrementally maintained in an ndb table via foreachBatch, the
+    dedup-on-ingest a training pipeline runs continuously.
+
+    The returned single row proves three things at once against the
+    pure-batch rule (ops.dedup.lsh_near_dup_flags, same hash
+    expressions by construction):
+    - index_mismatches = 0: the streamed index's bucket owners equal
+      the batch bucket minima (the merge is order-insensitive);
+    - flag_mismatches = 0: per-doc flags derived from the final index
+      equal the batch rule's flags for every document;
+    - n_docs = 2 * |documents|: every corpus row was flagged exactly
+      once (nothing dropped or duplicated on the way through the
+      stream).
+    The xxhash64-based bucket values themselves are not
+    SQL-expressible in DuckDB, so the oracle pins this
+    parity-summary row — the recall-companion pattern
+    (simhash_recall_planted)."""
+    from dbitool_spark import streaming
+    from dbitool_spark.io import json_io
+    from dbitool_spark.ops import dedup
+    from dbitool_spark.plans.llm_ops import _perturbed_corpus
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    corpus = _perturbed_corpus(docs)
+    scratch = _scratch_dir("streaming_lsh_near_dup", sf_dir)
+    src = os.path.join(scratch, "ndjson")
+    # arrival flags are first-arrival-wins; publishing range-sorted by
+    # doc_id makes arrival order deterministic for the pytest that
+    # checks them. The PARITY below does not depend on it: the index
+    # merge is order-insensitive by construction.
+    json_io.write_ndjson(
+        corpus.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"), src
+    )
+    stream = streaming.stream_ndjson(
+        spark, src, "doc_id long, text string", max_files_per_trigger=2
+    )
+    index = NdbTable(spark, os.path.join(scratch, "lsh_index"), key="bucket", n_buckets=8)
+    flags_dir = os.path.join(scratch, "flags")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        streaming.stream_near_dup_lsh(
+            stream, "doc_id", "text",
+            index=index, flags_dir=flags_dir,
+            checkpoint=os.path.join(scratch, "ckpt"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    final = index.replay()  # (bucket, owner)
+    buckets = dedup.lsh_bucket_rows(corpus, "doc_id", "text")
+    # (a) streamed owners vs batch bucket minima, full outer so a
+    # missing/extra bucket counts as a mismatch too
+    minima = buckets.groupBy("bucket").agg(F.min("id").alias("bmin"))
+    index_check = (
+        minima.join(final, "bucket", "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("owner").isNull()
+                    | F.col("bmin").isNull()
+                    | (F.col("owner") != F.col("bmin")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("index_mismatches")
+        )
+    )
+    # (b) per-doc flags from the final index vs the batch rule; the
+    # streamed parquet flags prove row coverage (n_docs)
+    post = (
+        buckets.join(final, "bucket", "left")
+        .groupBy("id")
+        .agg(F.max((F.col("id") > F.col("owner")).cast("int")).cast("boolean").alias("dup_s"))
+    )
+    batch_flags = dedup.lsh_near_dup_flags(corpus, "doc_id", "text")
+    flag_check = (
+        post.join(batch_flags.withColumnRenamed("doc_id", "id"), "id", "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dup_s").isNull()
+                    | F.col("is_dup").isNull()
+                    | (F.col("dup_s") != F.col("is_dup")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("flag_mismatches")
+        )
+    )
+    streamed_rows = (
+        spark.read.parquet(flags_dir)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    # three 1-row aggregates -> one row (the scalar-combine pattern,
+    # plans/relational.py scalar avg)
+    return streamed_rows.crossJoin(index_check).crossJoin(flag_check)
+
+
+STREAMING_LSH_NEAR_DUP_SQL = """
+SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS index_mismatches,
+       CAST(0 AS BIGINT) AS flag_mismatches
+FROM documents
+"""

@@ -410,3 +410,112 @@ def stream_upsert_ndb(
             "input batches; the checkpoint allows a clean resume"
         )
     return q
+
+
+def stream_near_dup_lsh(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    index,
+    flags_dir: str,
+    checkpoint: str,
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Incremental near-duplicate detection over a document stream —
+    the dedup-on-ingest a training-data pipeline runs continuously:
+    each micro-batch is checked against every PREVIOUSLY seen document
+    via an LSH bucket-owner index (MinHash band hash -> smallest doc
+    id seen) persisted in the engine's own keyed ndb table, then the
+    batch's own buckets merge in. Per-doc arrival flags (is_dup: did
+    any band bucket already have an owner, or a smaller in-batch id)
+    append to `flags_dir` as parquet, tagged with the batch id.
+
+    Design notes (the 100 TB shape):
+    - foreachBatch + a persistent keyed table, NOT per-bucket
+      applyInPandasWithState: bucket keys are nearly unique per
+      (doc, band), so group-state would pay one interpreted-Python
+      call per ~singleton group; here the check is ONE batch-sized
+      hash join against the index and the merge is one ndb upsert —
+      all JVM-side, state scales as a parquet table, not executor
+      memory.
+    - band hashing is the per-row expression form
+      (ops.dedup.minhash_band_structs): a streaming plan admits no
+      groupBy between source and sink, and per-row exprs keep the
+      whole prefix in codegen.
+    - owner = min(existing, batch-min) per bucket, so the final index
+      converges to the global bucket minimum regardless of arrival
+      order — order-insensitive and exactly the batch rule
+      (ops.dedup.lsh_near_dup_flags); arrival flags are the
+      first-arrival-wins view of the same index.
+    - availableNow + checkpoint give exactly-once per input file; an
+      expired drain stops the query rather than leaking it.
+    - honest cost note: NdbTable.upsert is a last-write-wins REWRITE,
+      so each batch pays O(|index| + |batch|) — fine while the index
+      fits a compaction budget (it is bands * |corpus| longs, tiny
+      next to the corpus), and the n_buckets hash layout is the
+      evolution path when it no longer does: rewrite only the buckets
+      a batch touches, leaving the merge join shape unchanged."""
+    from pyspark.sql.window import Window
+
+    from dbitool_spark.ops import dedup as _dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = _dedup.lsh_bucket_rows(
+            batch_df, id_col, text_col,
+            shingle_k=shingle_k, n_hashes=n_hashes, bands=bands,
+        ).withColumn("bmin", F.min("id").over(Window.partitionBy("bucket")))
+        try:
+            owners = index.replay()  # (bucket, owner)
+        except ValueError:  # first batch: table not created yet
+            owners = None
+        if owners is None:
+            joined = b.withColumn("owner", F.lit(None).cast("long"))
+        else:
+            joined = b.join(owners, "bucket", "left")
+        # joined feeds BOTH the flag aggregate and the owner merge;
+        # persist so the band hashing and index join run once
+        joined = joined.persist()
+        try:
+            dup_band = F.when(
+                F.col("owner").isNotNull(), F.col("id") != F.col("owner")
+            ).otherwise(F.col("id") > F.col("bmin"))
+            (
+                joined.groupBy("id")
+                .agg(F.max(dup_band.cast("int")).cast("boolean").alias("is_dup"))
+                .select(
+                    F.col("id").alias(id_col),
+                    "is_dup",
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                )
+                .write.mode("append")
+                .parquet(flags_dir)
+            )
+            # least() skips nulls: fresh buckets take the batch min,
+            # known buckets keep (or shrink to) the smaller id
+            new_owners = joined.groupBy("bucket").agg(
+                F.least(F.min("owner"), F.min("bmin")).alias("owner")
+            )
+            index.upsert(new_owners)
+        finally:
+            joined.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow LSH near-dup stream did not finish within "
+            f"{timeout_sec}s — the index holds only a prefix of the input; "
+            "the checkpoint allows a clean resume"
+        )
+    return q

@@ -366,3 +366,101 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
     assert set(spark.table(name).columns) == {
         "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts"
     }
+
+
+def _publish_ordered_files(spark, rows, tmpdir, sub):
+    """One NDJSON file per row-group, zero-padded names so the file
+    source's path ordering == the intended arrival order."""
+    src = os.path.join(tmpdir, sub)
+    os.makedirs(src)
+    import json as _json
+
+    for i, group in enumerate(rows):
+        with open(os.path.join(src, f"part-{i:05d}.json"), "w") as fh:
+            for doc_id, text in group:
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    return src
+
+
+_NEAR_A = "the quick brown fox jumps over the lazy dog again and again today"
+_NEAR_B = "the quick brown fox jumps over the lazy dog again and again"  # near-dup of A
+_FAR = "completely unrelated text about distributed query engines and shuffles"
+_THIRD = "yet another corpus sample covering parquet footers statistics and pruning"
+
+
+def test_stream_near_dup_lsh_arrival_flags(spark, tmpdir):
+    """First arrival wins: the first doc of a near-dup pair is clean,
+    the later one is flagged — across batches AND within a batch
+    (smaller id wins in-batch)."""
+    from dbitool_spark.ndb import NdbTable
+
+    src = _publish_ordered_files(
+        spark,
+        [
+            [(1, _NEAR_A), (2, _FAR)],           # batch 1
+            [(3, _NEAR_B)],                       # batch 2: dup of 1
+            # batch 3: identical in-batch pair on a THIRD, fresh text
+            # (anything shingle-close to docs 1/2 would cross-batch dup)
+            [(4, _THIRD), (5, _THIRD)],
+        ],
+        tmpdir,
+        "src",
+    )
+    stream = streaming.stream_ndjson(
+        spark, src, "doc_id long, text string", max_files_per_trigger=1
+    )
+    index = NdbTable(spark, os.path.join(tmpdir, "idx"), key="bucket", n_buckets=4)
+    flags_dir = os.path.join(tmpdir, "flags")
+    streaming.stream_near_dup_lsh(
+        stream, "doc_id", "text",
+        index=index, flags_dir=flags_dir,
+        checkpoint=os.path.join(tmpdir, "ckpt"),
+    )
+    flags = {r.doc_id: r.is_dup for r in spark.read.parquet(flags_dir).collect()}
+    assert flags == {1: False, 2: False, 3: True, 4: False, 5: True}
+
+
+def test_stream_near_dup_lsh_index_is_order_insensitive(spark, tmpdir):
+    """Arrival flags are first-arrival-wins, but the INDEX converges to
+    the batch bucket minima regardless of arrival order: feed the
+    near-dup pair larger-id first and check (a) the arrival flag goes
+    to the later-but-smaller id, (b) the final index still matches the
+    batch rule exactly."""
+    from dbitool_spark.ndb import NdbTable
+    from dbitool_spark.ops import dedup
+
+    src = _publish_ordered_files(
+        spark,
+        [[(9, _NEAR_A)], [(1, _NEAR_B)], [(5, _FAR)]],  # reverse id order
+        tmpdir,
+        "src",
+    )
+    stream = streaming.stream_ndjson(
+        spark, src, "doc_id long, text string", max_files_per_trigger=1
+    )
+    index = NdbTable(spark, os.path.join(tmpdir, "idx"), key="bucket", n_buckets=4)
+    flags_dir = os.path.join(tmpdir, "flags")
+    streaming.stream_near_dup_lsh(
+        stream, "doc_id", "text",
+        index=index, flags_dir=flags_dir,
+        checkpoint=os.path.join(tmpdir, "ckpt"),
+    )
+    flags = {r.doc_id: r.is_dup for r in spark.read.parquet(flags_dir).collect()}
+    assert flags == {9: False, 1: True, 5: False}  # arrival semantics
+
+    corpus = spark.createDataFrame(
+        [(9, _NEAR_A), (1, _NEAR_B), (5, _FAR)], "doc_id long, text string"
+    )
+    minima = {
+        r.bucket: r.bmin
+        for r in dedup.lsh_bucket_rows(corpus, "doc_id", "text")
+        .groupBy("bucket").agg(F.min("id").alias("bmin")).collect()
+    }
+    owners = {r.bucket: r.owner for r in index.replay().collect()}
+    assert owners == minima  # order-insensitive convergence
+    # and the batch rule flags the LARGER id of the pair
+    batch = {
+        r.doc_id: r.is_dup
+        for r in dedup.lsh_near_dup_flags(corpus, "doc_id", "text").collect()
+    }
+    assert batch == {9: True, 1: False, 5: False}
