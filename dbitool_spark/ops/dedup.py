@@ -967,6 +967,25 @@ def lsh_bucket_rows(
     )
 
 
+def lsh_flags_from_buckets(buckets: DataFrame, owners: DataFrame) -> DataFrame:
+    """(id, is_dup) from precomputed (id, bucket) rows and a
+    (bucket, owner) table: dup iff ANY of the doc's buckets has an
+    owner smaller than the doc's id. The ONE flag rule — the batch
+    reference (owners = bucket minima) and the streamed-index check
+    (owners = the ndb table) both call this, so they cannot drift.
+    A doc whose every bucket is missing from `owners` flags NULL
+    (caught as a mismatch by the parity entry, never silently False)."""
+    return (
+        buckets.join(owners, "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.max((F.col("id") > F.col("owner")).cast("int"))
+            .cast("boolean")
+            .alias("is_dup")
+        )
+    )
+
+
 def lsh_near_dup_flags(
     df: DataFrame,
     id_col: str,
@@ -981,15 +1000,14 @@ def lsh_near_dup_flags(
     min id — the order-insensitive formulation the streamed index
     converges to). Returns (id_col, is_dup).
 
-    Scale shape: one explode to |docs|*bands rows, one bucket-keyed
-    window min, one per-doc partial-agg max — never all-pairs."""
+    Scale shape: one explode to |docs|*bands rows, a bucket-keyed
+    partial-agg min joined back on the same key (co-partitioned — the
+    exchange is reused), one per-doc partial-agg max — never
+    all-pairs."""
     b = lsh_bucket_rows(
         df, id_col, text_col, shingle_k=shingle_k, n_hashes=n_hashes, bands=bands
     )
-    w = Window.partitionBy("bucket")
-    return (
-        b.withColumn("own", F.min("id").over(w))
-        .groupBy("id")
-        .agg(F.max((F.col("id") > F.col("own")).cast("int")).cast("boolean").alias("is_dup"))
-        .select(F.col("id").alias(id_col), "is_dup")
+    owners = b.groupBy("bucket").agg(F.min("id").alias("owner"))
+    return lsh_flags_from_buckets(b, owners).select(
+        F.col("id").alias(id_col), "is_dup"
     )

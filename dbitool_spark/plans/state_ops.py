@@ -556,10 +556,12 @@ def streaming_lsh_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFr
     corpus = _perturbed_corpus(docs)
     scratch = _scratch_dir("streaming_lsh_near_dup", sf_dir)
     src = os.path.join(scratch, "ndjson")
-    # arrival flags are first-arrival-wins; publishing range-sorted by
-    # doc_id makes arrival order deterministic for the pytest that
-    # checks them. The PARITY below does not depend on it: the index
-    # merge is order-insensitive by construction.
+    # NOTE: FileStreamSource orders files by modification time with an
+    # unspecified tie-break, so range-sorted publishing does NOT pin
+    # arrival order. Nothing below needs it: the index merge is
+    # order-insensitive by construction and all three checks compare
+    # order-insensitive artifacts (arrival-order semantics are pinned
+    # separately in pytest with per-file mtimes).
     json_io.write_ndjson(
         corpus.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"), src
     )
@@ -579,52 +581,47 @@ def streaming_lsh_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
+    from dbitool_spark.ops.cache import materialize_release
+
+    def _mismatches(a: str, b: str, alias: str):
+        return F.sum(
+            F.when(
+                F.col(a).isNull() | F.col(b).isNull() | (F.col(a) != F.col(b)), 1
+            ).otherwise(0)
+        ).cast("long").alias(alias)
+
     final = index.replay()  # (bucket, owner)
-    buckets = dedup.lsh_bucket_rows(corpus, "doc_id", "text")
+    # the bucket projection (shingles + 16x xxhash64 + explode) feeds
+    # all three checks — persist so it runs once, not three times
+    buckets = dedup.lsh_bucket_rows(corpus, "doc_id", "text").persist()
+    minima = buckets.groupBy("bucket").agg(F.min("id").alias("bmin"))
     # (a) streamed owners vs batch bucket minima, full outer so a
     # missing/extra bucket counts as a mismatch too
-    minima = buckets.groupBy("bucket").agg(F.min("id").alias("bmin"))
-    index_check = (
-        minima.join(final, "bucket", "full_outer")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("owner").isNull()
-                    | F.col("bmin").isNull()
-                    | (F.col("owner") != F.col("bmin")),
-                    1,
-                ).otherwise(0)
-            ).cast("long").alias("index_mismatches")
-        )
+    index_check = minima.join(final, "bucket", "full_outer").agg(
+        _mismatches("owner", "bmin", "index_mismatches")
     )
-    # (b) per-doc flags from the final index vs the batch rule; the
-    # streamed parquet flags prove row coverage (n_docs)
-    post = (
-        buckets.join(final, "bucket", "left")
-        .groupBy("id")
-        .agg(F.max((F.col("id") > F.col("owner")).cast("int")).cast("boolean").alias("dup_s"))
+    # (b) per-doc flags: the SAME rule (dedup.lsh_flags_from_buckets)
+    # applied to the streamed index vs the batch minima — also catches
+    # docs whose buckets are missing from the index (NULL flag)
+    post = dedup.lsh_flags_from_buckets(buckets, final).withColumnRenamed(
+        "is_dup", "dup_s"
     )
-    batch_flags = dedup.lsh_near_dup_flags(corpus, "doc_id", "text")
-    flag_check = (
-        post.join(batch_flags.withColumnRenamed("doc_id", "id"), "id", "full_outer")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dup_s").isNull()
-                    | F.col("is_dup").isNull()
-                    | (F.col("dup_s") != F.col("is_dup")),
-                    1,
-                ).otherwise(0)
-            ).cast("long").alias("flag_mismatches")
-        )
+    batch_flags = dedup.lsh_flags_from_buckets(
+        buckets, minima.withColumnRenamed("bmin", "owner")
+    )
+    flag_check = post.join(batch_flags, "id", "full_outer").agg(
+        _mismatches("dup_s", "is_dup", "flag_mismatches")
     )
     streamed_rows = (
         spark.read.parquet(flags_dir)
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     # three 1-row aggregates -> one row (the scalar-combine pattern,
-    # plans/relational.py scalar avg)
-    return streamed_rows.crossJoin(index_check).crossJoin(flag_check)
+    # plans/relational.py scalar avg); eager checkpoint releases the
+    # bucket persist before returning
+    return materialize_release(
+        streamed_rows.crossJoin(index_check).crossJoin(flag_check), buckets
+    )
 
 
 STREAMING_LSH_NEAR_DUP_SQL = """

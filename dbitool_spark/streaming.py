@@ -14,6 +14,8 @@ watermarking, and availableNow draining for batch-equivalent tests.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -485,16 +487,17 @@ def stream_near_dup_lsh(
             dup_band = F.when(
                 F.col("owner").isNotNull(), F.col("id") != F.col("owner")
             ).otherwise(F.col("id") > F.col("bmin"))
+            # one hive-style subdir per batch, OVERWRITTEN — a
+            # checkpoint replay of the batch rewrites the same dir
+            # instead of appending duplicate flag rows, so the sink is
+            # idempotent like the index's min-merge (batch_id surfaces
+            # to readers as the partition column)
             (
                 joined.groupBy("id")
                 .agg(F.max(dup_band.cast("int")).cast("boolean").alias("is_dup"))
-                .select(
-                    F.col("id").alias(id_col),
-                    "is_dup",
-                    F.lit(batch_id).cast("long").alias("batch_id"),
-                )
-                .write.mode("append")
-                .parquet(flags_dir)
+                .select(F.col("id").alias(id_col), "is_dup")
+                .write.mode("overwrite")
+                .parquet(os.path.join(flags_dir, f"batch_id={batch_id}"))
             )
             # least() skips nulls: fresh buckets take the batch min,
             # known buckets keep (or shrink to) the smaller id

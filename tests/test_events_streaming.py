@@ -369,16 +369,22 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
 
 
 def _publish_ordered_files(spark, rows, tmpdir, sub):
-    """One NDJSON file per row-group, zero-padded names so the file
-    source's path ordering == the intended arrival order."""
+    """One NDJSON file per row-group with STRICTLY INCREASING mtimes —
+    FileStreamSource orders by modification time with an unspecified
+    tie-break, so same-second writes from a tight loop would make
+    batch order (and any arrival-order assertion) flaky; explicit
+    utime stamps pin it."""
     src = os.path.join(tmpdir, sub)
     os.makedirs(src)
     import json as _json
 
+    base = 1_700_000_000
     for i, group in enumerate(rows):
-        with open(os.path.join(src, f"part-{i:05d}.json"), "w") as fh:
+        p = os.path.join(src, f"part-{i:05d}.json")
+        with open(p, "w") as fh:
             for doc_id, text in group:
                 fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
     return src
 
 
