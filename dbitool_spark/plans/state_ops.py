@@ -540,31 +540,45 @@ def streaming_lsh_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFr
       the batch bucket minima (the merge is order-insensitive);
     - flag_mismatches = 0: per-doc flags derived from the final index
       equal the batch rule's flags for every document;
-    - n_docs = 2 * |documents|: every corpus row was flagged exactly
-      once (nothing dropped or duplicated on the way through the
-      stream).
+    - n_docs = 2 * |documents with even doc_id|: every corpus row was
+      flagged exactly once (nothing dropped or duplicated on the way
+      through the stream).
     The xxhash64-based bucket values themselves are not
     SQL-expressible in DuckDB, so the oracle pins this
     parity-summary row — the recall-companion pattern
-    (simhash_recall_planted)."""
+    (simhash_recall_planted).
+
+    A 1-in-2 deterministic subset keeps the entry's bench cost
+    proportionate (the drain pays per-batch ndb rewrites and the
+    parity re-hashes the corpus; the guarantees are per-doc, so a
+    subset checks the same theorem — the simhash_recall_planted
+    precedent). Both halves of each planted pair survive: the subset
+    is taken BEFORE perturbation."""
     from dbitool_spark import streaming
     from dbitool_spark.io import json_io
     from dbitool_spark.ops import dedup
     from dbitool_spark.plans.llm_ops import _perturbed_corpus
 
-    docs = catalog.load(spark, sf_dir, "documents")
+    docs = catalog.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
     corpus = _perturbed_corpus(docs)
     scratch = _scratch_dir("streaming_lsh_near_dup", sf_dir)
     src = os.path.join(scratch, "ndjson")
-    # NOTE: FileStreamSource orders files by modification time with an
-    # unspecified tie-break, so range-sorted publishing does NOT pin
-    # arrival order. Nothing below needs it: the index merge is
-    # order-insensitive by construction and all three checks compare
-    # order-insensitive artifacts (arrival-order semantics are pinned
-    # separately in pytest with per-file mtimes).
-    json_io.write_ndjson(
-        corpus.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"), src
-    )
+    # Arrival order is deliberately unpinned: FileStreamSource orders
+    # by modification time with an unspecified tie-break anyway, and
+    # nothing below needs it — the index merge is order-insensitive by
+    # construction and all three checks compare order-insensitive
+    # artifacts (arrival-order semantics are pinned separately in
+    # pytest with per-file mtimes). coalesce, not repartitionByRange:
+    # range partitioning would add a sampling pass over the corpus
+    # for an ordering guarantee this entry does not use.
+    json_io.write_ndjson(corpus.coalesce(4), src)
+    # 4 files / 2 per trigger = 2 micro-batches: the minimum that
+    # proves cross-batch index increments; extra batches pay a fixed
+    # ndb-rewrite + job-scheduling cost for no extra evidence —
+    # pytest covers multi-batch arrival semantics at 3 batches with
+    # controlled ordering
     stream = streaming.stream_ndjson(
         spark, src, "doc_id long, text string", max_files_per_trigger=2
     )
@@ -629,4 +643,5 @@ SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
        CAST(0 AS BIGINT) AS index_mismatches,
        CAST(0 AS BIGINT) AS flag_mismatches
 FROM documents
+WHERE doc_id % 2 = 0
 """
