@@ -383,3 +383,46 @@ def test_email_attachment_roundtrip_property(spark, table):
         for a, b, c in table
     ]
     assert got == want
+
+
+_lsh_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=1, max_size=30
+)
+
+
+@given(docs=st.lists(_lsh_words, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lsh_flags_property(spark, docs):
+    """Random corpora through the streaming-shaped LSH rule: (a) the
+    band projection is deterministic and emits exactly `bands` structs
+    per doc; (b) an identical-text pair collides in EVERY band, so the
+    larger id is always flagged; (c) flags agree with the quadratic
+    reference 'shares any bucket with a smaller id'."""
+    from dbitool_spark.ops import dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    # plant an exact duplicate of doc 0 with the highest id
+    dup_id = len(rows)
+    rows.append((dup_id, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    b1 = dedup.lsh_bucket_rows(df, "doc_id", "text").collect()
+    b2 = dedup.lsh_bucket_rows(df, "doc_id", "text").collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))  # deterministic
+    per_doc: dict[int, set] = {}
+    for r in b1:
+        per_doc.setdefault(r.id, set()).add(r.bucket)
+    assert all(len(v) == 8 for v in per_doc.values())  # bands structs
+    assert per_doc[0] == per_doc[dup_id]  # identical text: ALL bands
+
+    flags = {
+        r.doc_id: r.is_dup
+        for r in dedup.lsh_near_dup_flags(df, "doc_id", "text").collect()
+    }
+    assert flags[dup_id] is True
+    # quadratic reference over the bucket rows themselves
+    for i, buckets in per_doc.items():
+        expect = any(
+            buckets & per_doc[j] for j in per_doc if j < i
+        )
+        assert flags[i] == expect, (i, flags[i], expect)
