@@ -377,3 +377,49 @@ def test_quarantine_rejected_on_raw_stream_branch(spark, tmp_path):
     p.add("csvread:quarantine=1", **{"in": "lines", "out": "rows"})
     with _pytest.raises(ValueError, match="raw-stream parse"):
         p.stream("rows")
+
+
+def test_cli_composition_across_r8_modules(spark, tmp_path):
+    """One CLI invocation chains the round-8 module surface the way
+    the reference's own chained-conversion example does
+    (scripts/dbitool.pl:3273-3276): tar container -> csvread (raw
+    upstream) -> eval projection -> fan-out into a gzip'd ndjson sink
+    AND a chartwrite svg — container source, raw-stream parsing,
+    expression transform, fan-out persist, codec tagging, and a
+    driver-side document sink all wired by the spec grammar alone."""
+    import glob as _glob
+    import gzip as _gzip
+    import io as _io
+    import json as _json
+    import tarfile
+
+    from dbitool_spark.__main__ import main
+    from dbitool_spark.io import chart_io
+
+    tp = str(tmp_path / "data.tar")
+    with tarfile.open(tp, "w") as tf:
+        info = tarfile.TarInfo("rows.csv")
+        body = b"k,n\na,1\nb,2\na,3\n"
+        info.size = len(body)
+        tf.addfile(info, _io.BytesIO(body))
+    out = str(tmp_path / "out.ndjson")
+    svg = str(tmp_path / "chart.svg")
+    rc = main([
+        f"tarread:in={tp}:drop_provenance=1",
+        "csvread:header=1:schema=k string, n int",
+        "eval:expr=n * 10 as n10:out=rows",
+        # two consumers of `rows` — fan-out persist through the CLI
+        f"ndjsonwrite:in=rows:out={out}:single_file=1",
+        f"chartwrite:in=rows:x=k:y=n10:out={svg}",
+    ])
+    assert rc == 0
+    lines = []
+    for f in _glob.glob(out + "/*.json*") + ([out] if os.path.isfile(out) else []):
+        op = _gzip.open if f.endswith(".gz") else open
+        with op(f, "rt") as fh:
+            lines += [l for l in fh.read().splitlines() if l.strip()]
+    got = sorted((_json.loads(l)["k"], _json.loads(l)["n10"]) for l in lines)
+    assert got == [("a", 10), ("a", 30), ("b", 20)]
+    with open(svg, encoding="utf-8") as fh:
+        bars = chart_io.parse_svg_bars(fh.read())
+    assert [(k, v) for k, v, _ in bars] == [("a", 10.0), ("b", 20.0), ("a", 30.0)]
