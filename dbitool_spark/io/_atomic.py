@@ -10,11 +10,30 @@ contract."""
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
 import threading
+from collections.abc import Iterator
 
 _seq = itertools.count()
+
+
+@contextlib.contextmanager
+def atomic_path(path: str) -> Iterator[str]:
+    """Yield a unique same-directory tmp name for sinks that stream
+    through a library writer (zipfile et al.) instead of handing over
+    one buffer; os.replace on clean exit, unlink on failure — the same
+    old-or-complete contract as _write, so a mid-write guard failure
+    never leaves a truncated archive at the final path."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.{next(_seq)}.tmp"
+    try:
+        yield tmp
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _write(path: str, data, mode: str, encoding: str | None = None) -> None:

@@ -35,6 +35,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from dbitool_spark.io import _atomic
+
 _READ_SCHEMA = "archive string, member string, value string"
 _READ_SCHEMA_BIN = "archive string, member string, content binary"
 
@@ -199,22 +201,25 @@ def write_zip(
     column streams through toLocalIterator (constant driver memory)
     into one deflated member. max_rows is the bounded-edge guard —
     exceeding it raises, same contract as jsonwrite/write_stdout.
-    Returns rows written."""
+    The archive builds at a tmp name and os.replace()s into `path` on
+    success (io._atomic discipline), so a guard failure mid-write
+    never leaves a truncated zip at the final path. Returns rows
+    written."""
     if len(df.columns) != 1:
         raise ValueError(f"write_zip expects a single string column, got {df.columns}")
     col = df.columns[0]
     n = 0
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
-        with zf.open(member, "w") as fh:
-            for row in df.toLocalIterator():
-                if n >= max_rows:
-                    raise MemoryError(
-                        f"write_zip exceeded max_rows={max_rows}; zip output is a "
-                        "bounded single-file edge — write parquet/csv parts for "
-                        "unbounded results"
-                    )
-                v = row[col]
-                fh.write((("" if v is None else str(v)) + "\n").encode(encoding))
-                n += 1
+    with _atomic.atomic_path(path) as tmp:
+        with zipfile.ZipFile(tmp, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+            with zf.open(member, "w") as fh:
+                for row in df.toLocalIterator():
+                    if n >= max_rows:
+                        raise MemoryError(
+                            f"write_zip exceeded max_rows={max_rows}; zip output is a "
+                            "bounded single-file edge — write parquet/csv parts for "
+                            "unbounded results"
+                        )
+                    v = row[col]
+                    fh.write((("" if v is None else str(v)) + "\n").encode(encoding))
+                    n += 1
     return n

@@ -106,6 +106,7 @@ def write_json(
     *,
     pretty: bool = False,
     memory_limit: int = DEFAULT_MEMORY_LIMIT,
+    memory_limit_bytes: int = 256 * 1024 * 1024,
 ) -> None:
     """Single-document JSON array sink -- inherently driver-side
     (one document has one writer). memory_limit guards the output
@@ -115,13 +116,25 @@ def write_json(
     pattern) rather than toLocalIterator's one-sequential-job-per-
     partition waves, which cost seconds of pure scheduling on many-
     partition inputs. JSON encoding stays JVM-side via toJSON(). For
-    unbounded data use write_ndjson. Writes one file at `path`."""
+    unbounded data use write_ndjson. Writes one file at `path`.
+
+    CAVEAT: the guard is ROW-count-based, so memory_limit rows of
+    very wide documents can still hold gigabytes driver-side at once
+    (the old toLocalIterator path streamed with constant memory but
+    paid a job per partition). memory_limit_bytes bounds the total
+    encoded size as a backstop — both limits raise MemoryError."""
     sep = ",\n  " if pretty else ","
     rows = df.limit(memory_limit + 1).toJSON().collect()
     if len(rows) > memory_limit:
         raise MemoryError(
             f"write_json is a bounded edge: >{memory_limit} rows "
             "(reference memorylimit semantics); use write_ndjson"
+        )
+    if sum(len(r) for r in rows) > memory_limit_bytes:
+        raise MemoryError(
+            f"write_json is a bounded edge: encoded document exceeds "
+            f"{memory_limit_bytes} bytes (wide rows — lower memory_limit "
+            "or use write_ndjson)"
         )
     head, tail = ("[\n  ", "\n]") if pretty else ("[", "]")
     # shared tmp+rename helper: no partial document on failure

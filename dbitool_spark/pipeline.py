@@ -62,6 +62,14 @@ def register_module(name: str) -> Callable[[ModuleFn], ModuleFn]:
     return deco
 
 
+def _is_floatable(v: object) -> bool:
+    try:
+        float(v)  # type: ignore[arg-type]
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
 def _flag(args: dict, key: str, default: bool = True) -> bool:
     v = args.get(key, default)
     return v in (True, 1, "1", "true")
@@ -833,9 +841,23 @@ def _chartwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
         if fmt == "gnuplot":
             text = chart_io.gnuplot_script(rows, title=title)
         elif kind == "line":
-            text = chart_io.line_chart_svg(
-                [(float(x), v) for x, v in rows], title=title
-            )
+            # a line chart's x axis is a numeric scale, not categories;
+            # validate up front so a string label fails with the
+            # module's descriptive error, not a bare float() ValueError
+            try:
+                pts = [(float(x), v) for x, v in rows]
+            except (TypeError, ValueError):
+                bad = next(
+                    x for x, _ in rows
+                    if not isinstance(x, (int, float))
+                    and not _is_floatable(x)
+                )
+                raise ValueError(
+                    f"chartwrite: type=line needs a numeric x column, but "
+                    f"x={a['x']!r} has non-numeric value {bad!r} — use "
+                    "type=bar for categorical labels"
+                ) from None
+            text = chart_io.line_chart_svg(pts, title=title)
         else:
             text = chart_io.bar_chart_svg(rows, title=title)
     chart_io.write_chart(text, a["out"])

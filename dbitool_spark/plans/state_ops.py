@@ -21,16 +21,28 @@ from dbitool_spark import catalog
 from dbitool_spark.ndb import NdbTable
 
 
+# sentinel: the pid's /proc entry EXISTS but is unreadable (hidepid
+# mounts hide other users' stat files) — the process is alive, its
+# identity just can't be checked. Distinct from None ("gone"): real
+# starttimes are non-negative, so -1 can never collide with a stamp.
+_ALIVE_UNREADABLE = -1
+
+
 def _proc_start_ticks(pid: int) -> int | None:
     """Kernel start time (clock ticks since boot) of `pid` from
     /proc/<pid>/stat field 22 — the stable identity that survives PID
-    reuse. None if the process is gone or /proc is unavailable."""
+    reuse. None if the process is gone or /proc is unavailable;
+    _ALIVE_UNREADABLE if the stat file exists but can't be read
+    (another uid's live process under hidepid — must NOT read as
+    'owner gone')."""
     try:
         with open(f"/proc/{pid}/stat", "rb") as fh:
             stat = fh.read()
         # comm (field 2) may contain spaces/parens; fields after the
         # closing paren are space-split, starttime is the 20th of those
         return int(stat.rsplit(b")", 1)[1].split()[19])
+    except PermissionError:
+        return _ALIVE_UNREADABLE
     except (OSError, IndexError, ValueError):
         return None
 
@@ -78,6 +90,8 @@ def _scratch_dir(query: str, sf_dir: str) -> str:
                     continue  # exists under another uid — leave it
             shutil.rmtree(sub_path, ignore_errors=True)  # owner gone
             continue
+        if ticks == _ALIVE_UNREADABLE:
+            continue  # live sibling under another uid (hidepid) — leave it
         try:
             with open(os.path.join(sub_path, "owner")) as fh:
                 stamped = int(fh.read().strip())
@@ -89,7 +103,11 @@ def _scratch_dir(query: str, sf_dir: str) -> str:
     pid_path = os.path.join(base, f"pid{os.getpid()}")
     os.makedirs(pid_path, exist_ok=True)
     own = _proc_start_ticks(os.getpid())
-    if own is not None and not os.path.exists(os.path.join(pid_path, "owner")):
+    if (
+        own is not None
+        and own != _ALIVE_UNREADABLE
+        and not os.path.exists(os.path.join(pid_path, "owner"))
+    ):
         with open(os.path.join(pid_path, "owner"), "w") as fh:
             fh.write(str(own))
     # per-THREAD leaf: two threads of one process running the same

@@ -84,6 +84,14 @@ def test_json_write_respects_memory_limit(spark, tmpdir):
         write_json(df, os.path.join(tmpdir, "t.json"), memory_limit=10)
 
 
+def test_json_write_respects_byte_limit(spark, tmpdir):
+    """The row-count guard alone lets few-but-wide rows hold gigabytes
+    driver-side; the byte backstop catches that shape."""
+    df = testrow.dataframe(spark, 10)
+    with pytest.raises(MemoryError, match="bytes"):
+        write_json(df, os.path.join(tmpdir, "t.json"), memory_limit_bytes=64)
+
+
 def test_fixedwidth_roundtrip(spark, tmpdir):
     df = testrow.dataframe(spark, N)
     # widths wide enough that no value truncates

@@ -91,6 +91,28 @@ def test_write_zip_max_rows_guard(spark, tmp_path):
         )
 
 
+def test_write_zip_guard_failure_is_atomic(spark, tmp_path):
+    """A mid-write guard failure must not leave a truncated archive at
+    the final path (io._atomic tmp+replace discipline), and a prior
+    good archive must survive a failed overwrite untouched."""
+    zp = str(tmp_path / "out.zip")
+    archive_io.write_zip(_lines_df(spark, ["a", "b"]), zp)
+    before = open(zp, "rb").read()
+    with pytest.raises(MemoryError, match="max_rows"):
+        archive_io.write_zip(
+            _lines_df(spark, [str(i) for i in range(50)]), zp, max_rows=10
+        )
+    assert open(zp, "rb").read() == before  # old archive intact
+    assert [f for f in os.listdir(tmp_path) if f.endswith(".tmp")] == []
+
+    fresh = str(tmp_path / "never.zip")
+    with pytest.raises(MemoryError, match="max_rows"):
+        archive_io.write_zip(
+            _lines_df(spark, [str(i) for i in range(50)]), fresh, max_rows=10
+        )
+    assert not os.path.exists(fresh)  # nothing truncated left behind
+
+
 def test_zipread_pipeline_csv_chain(spark, tmp_path):
     """zipread -> raw->row CSV parse, the zipped-CSV chain the TODO
     sketches, through the pipeline module surface."""
@@ -919,6 +941,25 @@ def test_chartwrite_pipeline_module(spark, tmp_path):
     p2.run()
     with open(dout, encoding="utf-8") as fh:
         assert '"u" -> "v" [label="1.5"];' in fh.read()
+
+
+def test_chartwrite_line_rejects_non_numeric_x(spark, tmp_path):
+    """type=line needs a numeric x scale; a string label must fail
+    with the module's descriptive error naming the column and value,
+    not a bare float() ValueError."""
+    from dbitool_spark.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    p.add_source_df(
+        "agg", spark.createDataFrame([("east", 4), ("west", 9)], "label string, n int")
+    )
+    p.add(
+        "chartwrite",
+        **{"in": "agg", "x": "label", "y": "n", "type": "line",
+           "out": str(tmp_path / "l.svg")},
+    )
+    with pytest.raises(ValueError, match="chartwrite.*numeric x.*'label'"):
+        p.run()
 
 
 def test_atomic_write_never_exposes_partial(tmp_path):
