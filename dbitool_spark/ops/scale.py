@@ -25,13 +25,32 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
-    """Add a deterministic-per-row salt column __salt in [0, n_salts).
-    Derived from a hash of the whole row rather than rand() so retries
-    and resumed stages stay deterministic."""
-    return df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
-    )
+def salted(df: DataFrame, n_salts: int = 16, *, mode: str = "row_hash") -> DataFrame:
+    """Add a per-row salt column __salt in [0, n_salts).
+
+    mode="row_hash" (default): salt = pmod(xxhash64(whole row), n) —
+    no rand(), so retries and resumed stages recompute identical
+    salts. LIMITATION: exact-duplicate rows all hash to ONE salt
+    bucket, and hot keys in real logs are often exact duplicates — a
+    million identical rows still land in a single task.
+
+    mode="spread": mixes spark_partition_id() into the hash, so exact
+    duplicates spread across buckets (duplicates of one key rarely sit
+    all in one input partition, and even then per-partition re-splits
+    under AQE). The salt is then only deterministic per (row,
+    partition) — a recomputed partition reproduces its salts, but a
+    re-PARTITIONED input may not. That is safe precisely for this
+    module's consumers, whose OUTPUT is salt-invariant: salted_agg's
+    final re-aggregate collapses the salt (decomposable aggregates),
+    and salted_join's result does not depend on which salt a row drew.
+    Do not use "spread" where the salt value itself leaks into the
+    result."""
+    cols = [F.col(c) for c in df.columns]
+    if mode == "spread":
+        cols.append(F.spark_partition_id())
+    elif mode != "row_hash":
+        raise ValueError(f"salted mode must be row_hash|spread, got {mode!r}")
+    return df.withColumn("__salt", F.pmod(F.xxhash64(*cols), F.lit(n_salts)))
 
 
 def salted_agg(
@@ -40,14 +59,18 @@ def salted_agg(
     aggs: Callable[[], list[Column]],
     *,
     n_salts: int = 16,
+    salt_mode: str = "row_hash",
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: stage 1 groups on
     (keys + salt) — a hot key fans out over n_salts tasks — stage 2
     re-aggregates the partials on the true keys (tiny shuffle:
     n_salts rows per key). `aggs` is called twice and must return
     DECOMPOSABLE aggregate columns aliased consistently (sum/count/
-    min/max — avg must be expressed as sum+count by the caller)."""
-    stage1 = salted(df, n_salts).groupBy(*keys, "__salt").agg(*aggs())
+    min/max — avg must be expressed as sum+count by the caller).
+    salt_mode="spread" for duplicate-heavy hot keys (see salted):
+    the final re-aggregate makes the result salt-invariant either
+    way."""
+    stage1 = salted(df, n_salts, mode=salt_mode).groupBy(*keys, "__salt").agg(*aggs())
     # re-aggregate each partial column by its decomposition rule
     finals = []
     for field in stage1.schema.fields:
@@ -75,16 +98,34 @@ def salted_join(
     *,
     n_salts: int = 16,
     how: str = "inner",
+    salt_mode: str = "row_hash",
 ) -> DataFrame:
     """Skew-safe equi-join: the skewed side gets a per-row salt, the
     small side is replicated n_salts times (explode), and the join key
     becomes (on, salt) — a hot key spreads over n_salts tasks instead
     of stalling one. Only sensible when `small` is too big to
     broadcast yet small enough to replicate; otherwise rely on AQE
-    skew-join."""
-    left = skewed.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
-    )
+    skew-join.
+
+    how is restricted to the left-preserving family: the replicated
+    right side means an UNMATCHED right row would surface once per
+    salt under right/full outer — a silently n_salts-times-duplicated
+    answer — so those raise. (Matched right rows are fine under every
+    allowed type: each left row carries exactly one salt.)"""
+    allowed = {
+        "inner",
+        "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side is "
+            f"replicated {n_salts}x, so right/full outer joins would emit "
+            "each unmatched right row once per salt. Use inner/left/"
+            "semi/anti, or swap the sides / use an unsalted join."
+        )
+    left = salted(skewed, n_salts, mode=salt_mode)
     right = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )

@@ -221,6 +221,21 @@ def lsh_topk(
     )
 
 
+def _euclidean_sq(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Pairwise squared L2 distances via the matmul identity
+    ||a-c||^2 = ||a||^2 + ||c||^2 - 2*a.c — peak memory O(N*C + N*dim)
+    and one BLAS gemm, instead of the naive (mat[:,None]-cent[None])**2
+    broadcast that materializes an N*C*dim cube (tens of GB per Arrow
+    batch at 4096 centroids x 512 dims). Cancellation can produce tiny
+    negative values; clamp to 0 so downstream sqrt/argsort are safe."""
+    d2 = (
+        (mat * mat).sum(axis=1)[:, None]
+        + (centroids * centroids).sum(axis=1)[None, :]
+        - 2.0 * (mat @ centroids.T)
+    )
+    return np.maximum(d2, 0.0, out=d2)
+
+
 def _lloyd_kmeans(
     train: np.ndarray, k: int, *, max_iter: int, seed: int
 ) -> np.ndarray:
@@ -240,6 +255,11 @@ def _lloyd_kmeans(
     c = np.vstack(centers)
     assign = None
     for _ in range(max_iter):
+        # deliberately NOT _euclidean_sq: the training trajectory is
+        # part of the deterministic seed contract (k-means++ draws and
+        # per-iteration argmins feed forward), and the gemm identity's
+        # different fp rounding could shift it. Bounded by max_train;
+        # cap max_train rather than changing the kernel if memory bites
         dist = ((train[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         new_assign = dist.argmin(axis=1)
         if assign is not None and (new_assign == assign).all():
@@ -304,8 +324,9 @@ def ivf_topk(
                 if not len(pdf):
                     continue
                 mat = np.vstack(pdf["v"].map(np.asarray)).astype(np.float64)
-                # nearest centroids by euclidean distance
-                d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+                # nearest centroids by euclidean distance (gemm
+                # identity — never the N x C x dim broadcast cube)
+                d2 = _euclidean_sq(mat, centroids)
                 nearest = np.argsort(d2, axis=1)[:, :n_cells]
                 yield pd.DataFrame(
                     {

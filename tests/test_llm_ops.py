@@ -370,6 +370,25 @@ def test_ivf_ann_recall(spark, emb):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_ivf_gemm_kernel_matches_naive_assignments(spark, emb):
+    """The matmul-identity distance kernel (similarity._euclidean_sq)
+    must produce the SAME cell assignments as the naive broadcast-cube
+    kernel it replaced, on the real bench corpus — the identity only
+    changes peak memory (O(N*C + N*dim) vs N*C*dim), never the
+    ordering."""
+    import numpy as np
+
+    mat = np.vstack(
+        [np.asarray(r.embedding) for r in emb.orderBy("vec_id").collect()]
+    ).astype(np.float64)
+    centroids = similarity._lloyd_kmeans(mat[:256], 16, max_iter=10, seed=42)
+    naive = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    gemm = similarity._euclidean_sq(mat, centroids)
+    assert np.allclose(naive, gemm, atol=1e-8)
+    assert (gemm >= 0).all()  # cancellation clamped
+    assert (naive.argsort(axis=1)[:, :4] == gemm.argsort(axis=1)[:, :4]).all()
+
+
 def test_ngram_jaccard_exact_vs_bruteforce(spark, docs):
     """The inverted-index path must find EVERY pair brute force finds
     at the threshold, with identical jaccard values."""

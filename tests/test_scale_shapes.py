@@ -76,6 +76,48 @@ def test_salted_agg_rejects_non_decomposable(spark):
         ).collect()
 
 
+def test_salted_join_rejects_right_preserving_how(spark):
+    """right/full outer would emit each unmatched right row once per
+    salt (the small side is replicated n_salts times) — a silent wrong
+    answer, so the guard raises up front."""
+    li = catalog.load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = catalog.load(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            scale.salted_join(li, orders, "l_orderkey", how=how)
+    # the left-preserving family still passes through
+    n_semi = scale.salted_join(
+        li, orders.limit(10), "l_orderkey", n_salts=4, how="left_semi"
+    ).count()
+    assert n_semi == li.join(orders.limit(10), "l_orderkey", "left_semi").count()
+
+
+def test_salted_spread_mode_splits_duplicate_hot_key(spark):
+    """row_hash salting sends EXACT-duplicate rows to one salt bucket
+    (whole-row hash); mode='spread' mixes spark_partition_id so a
+    duplicate-heavy hot key fans out — and salted_agg's result is
+    salt-invariant either way."""
+    dup = (
+        spark.range(2000, numPartitions=8)
+        .select(F.lit("hot").alias("k"), F.lit(1).alias("x"))
+    )
+    one_bucket = scale.salted(dup, 16).select("__salt").distinct().count()
+    spread = scale.salted(dup, 16, mode="spread").select("__salt").distinct().count()
+    assert one_bucket == 1  # the documented row_hash limitation
+    assert spread > 1  # duplicates actually fan out
+
+    got = scale.salted_agg(
+        dup, ["k"], lambda: [F.sum("x").alias("sum_x")], n_salts=16,
+        salt_mode="spread",
+    ).collect()
+    assert [(r.k, r.sum_x) for r in got] == [("hot", 2000)]
+
+    with pytest.raises(ValueError, match="row_hash|spread"):
+        scale.salted(dup, 16, mode="rand")
+
+
 def test_salted_join_matches_plain_join(spark):
     li = catalog.load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
     orders = catalog.load(spark, SF_SMOKE, "orders").select(
