@@ -16,26 +16,56 @@ realization is a parquet-backed keyed table:
 - `lookup(other, ...)` joins the table into a stream; small tables
   broadcast, large ones shuffle on the key.
 
-Scale: state is hash-partitioned into `n_buckets` parquet files by
-key so the upsert shuffle and the replay scan parallelize. The upsert
-rewrites state (read+union+window+write); that is the honest cost of
-merge-on-parquet — a production deployment at 100 TB swaps the store
-for Delta/Iceberg MERGE, which this API fronts without change. The
-write lands in a versioned subdirectory and a `current` pointer file
-flips atomically afterward, so a crashed upsert never corrupts the
-previous state.
+Scale: state is hive-partitioned into `n_buckets` key-hash bucket
+directories (`__ndb_bucket=<i>/`), and upsert is a BUCKET-PRUNED
+partial rewrite: only the buckets whose keys appear in the batch are
+read (partition pruning), merged, and rewritten; every untouched
+bucket's parquet files are HARDLINKED from the previous version —
+byte-identical, zero data movement (pytest pins this). A batch that
+touches b of n buckets therefore pays O(state*b/n + batch), which is
+the merge-on-parquet analogue of Delta/Iceberg MERGE's file pruning —
+that remains the production swap behind this same API, adding
+row-group-level skipping and a transaction log. Honest caveat: a
+batch whose keys spread uniformly (e.g. LSH bucket ids) touches all n
+buckets and degrades to the full rewrite; pruning pays off exactly
+when key locality exists (per-user/per-entity streams). The write
+lands in a versioned subdirectory and a `current` pointer file flips
+atomically afterward, so a crashed upsert never corrupts the previous
+state — hardlinks keep shared files alive across version GC.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _GEN = "__ndb_gen"
+_BUCKET = "__ndb_bucket"
 _POINTER = "current"
+_META = "meta.json"
+
+
+def _link_tree(src_dir: str, dst_dir: str) -> None:
+    """Hardlink every file under src_dir into the same relative spot
+    under dst_dir — byte-identical sharing with the previous version
+    at zero copy cost (falls back to copy2 if the filesystem refuses
+    links). Inodes survive GC of the old version dir."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        s = os.path.join(src_dir, name)
+        d = os.path.join(dst_dir, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 
 class NdbTable:
@@ -52,6 +82,19 @@ class NdbTable:
         self.key = key
         self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
+        # the stored layout is authoritative: a reopened table keeps
+        # the bucket count it was written with (the constructor arg is
+        # a default for NEW tables), and a key mismatch is a hard error
+        meta_path = os.path.join(path, _META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if meta.get("key") != key:
+                raise ValueError(
+                    f"ndb table at {path} is keyed by {meta.get('key')!r}, "
+                    f"not {key!r}"
+                )
+            self.n_buckets = int(meta.get("n_buckets", n_buckets))
 
     # -- state pointer ---------------------------------------------------
 
@@ -86,11 +129,35 @@ class NdbTable:
             fh.write(version)
         os.replace(tmp, ptr)  # atomic on POSIX
 
+    def _write_meta(self) -> None:
+        meta_path = os.path.join(self.path, _META)
+        if not os.path.exists(meta_path):
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"key": self.key, "n_buckets": self.n_buckets}, fh)
+            os.replace(tmp, meta_path)
+
     def _state(self) -> DataFrame | None:
         current = self._current_dir()
         if current is None:
             return None
         return self.spark.read.parquet(current)
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
+
+    @staticmethod
+    def _bucket_dirs(version_dir: str) -> dict[int, str]:
+        """bucket value -> subdir name for a bucket-layout version dir
+        (empty for the legacy flat layout)."""
+        out: dict[int, str] = {}
+        for name in os.listdir(version_dir):
+            if name.startswith(f"{_BUCKET}="):
+                try:
+                    out[int(name.split("=", 1)[1])] = name
+                except ValueError:
+                    continue
+        return out
 
     # -- operations ------------------------------------------------------
 
@@ -98,36 +165,103 @@ class NdbTable:
         """Merge a batch: per key, the newest generation wins; within
         this batch, `order_by` desc wins (defaults to a deterministic
         struct-max over all non-key columns — DataFrames carry no
-        stream order, so unordered batches need an explicit rule)."""
+        stream order, so unordered batches need an explicit rule).
+
+        Bucket-pruned: only the hash buckets whose keys occur in the
+        batch are read/merged/rewritten; untouched buckets hardlink
+        from the previous version (module docstring). The touched-
+        bucket set is one distinct-collect, bounded by n_buckets."""
         if self.key not in df.columns:
             raise ValueError(f"key {self.key!r} not in columns {df.columns}")
-        state = self._state()
+        if _GEN in df.columns or _BUCKET in df.columns:
+            raise ValueError(
+                f"columns {_GEN}/{_BUCKET} are reserved by ndb, got {df.columns}"
+            )
+        current = self._current_dir()
         prev_gen = self._current_gen()
         gen = 0 if prev_gen is None else prev_gen + 1
-        batch = df.withColumn(_GEN, F.lit(gen).cast("long"))
-        merged = batch if state is None else state.unionByName(batch)
+        batch = df.withColumn(_GEN, F.lit(gen).cast("long")).withColumn(
+            _BUCKET, self._bucket_expr()
+        )
+        # bounded by n_buckets values — the prune driver edge
+        touched = sorted(
+            r[0] for r in batch.select(_BUCKET).distinct().collect()
+        )
 
-        if order_by is None:
-            others = [c for c in df.columns if c != self.key]
-            tie = [F.struct(*[F.col(c) for c in others]).alias("__tie")] if others else []
+        bucket_dirs = self._bucket_dirs(current) if current is not None else {}
+        legacy = current is not None and not bucket_dirs
+        merged: DataFrame | None
+        if current is None:
+            merged = batch
+        elif legacy and touched:
+            # flat pre-bucket layout (an empty first write, or a table
+            # from before bucketing): full rewrite migrates it into
+            # the bucket layout — nothing can link
+            state = self.spark.read.parquet(current)
+            if _BUCKET not in state.columns:
+                state = state.withColumn(_BUCKET, self._bucket_expr())
+            merged = state.unionByName(batch)
+            touched = None
+        elif touched:
+            # partition-pruned read: only the touched buckets' files
+            state = self.spark.read.parquet(current).filter(
+                F.col(_BUCKET).isin([int(t) for t in touched])
+            )
+            merged = state.unionByName(batch)
         else:
-            cols = [order_by] if isinstance(order_by, str) else list(order_by)
-            tie = [F.col(c) for c in cols]
-        w = Window.partitionBy(self.key).orderBy(
-            F.desc(_GEN), *[F.desc(t) for t in tie]
-        )
-        resolved = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+            merged = None  # empty batch: pure link-forward version
+
         version = f"v{gen}"
         out_dir = os.path.join(self.path, version)
-        (
-            resolved.repartition(self.n_buckets, self.key)
-            .write.mode("overwrite")
-            .parquet(out_dir)
-        )
+        if merged is None:
+            os.makedirs(out_dir, exist_ok=True)
+        else:
+            if order_by is None:
+                others = [c for c in df.columns if c != self.key]
+                tie = (
+                    [F.struct(*[F.col(c) for c in others]).alias("__tie")]
+                    if others
+                    else []
+                )
+            else:
+                cols = [order_by] if isinstance(order_by, str) else list(order_by)
+                tie = [F.col(c) for c in cols]
+            w = Window.partitionBy(self.key).orderBy(
+                F.desc(_GEN), *[F.desc(t) for t in tie]
+            )
+            resolved = (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            if touched == []:
+                # first write with an empty batch: a partitioned write
+                # of zero rows leaves no readable footer, so write one
+                # flat schema-carrying file; the first real upsert
+                # migrates it to the bucket layout (legacy branch)
+                resolved.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            else:
+                n_parts = len(touched) if touched else self.n_buckets
+                (
+                    resolved.repartition(max(n_parts, 1), F.col(_BUCKET))
+                    .write.partitionBy(_BUCKET)
+                    .mode("overwrite")
+                    .parquet(out_dir)
+                )
+        # hardlink everything the batch did not touch from the
+        # previous version into the new one — byte-identical carryover
+        if current is not None:
+            if legacy:
+                if merged is None:  # empty batch on a flat state
+                    _link_tree(current, out_dir)
+            else:
+                keep = set(touched or [])
+                for bval, name in bucket_dirs.items():
+                    if bval not in keep:
+                        _link_tree(
+                            os.path.join(current, name), os.path.join(out_dir, name)
+                        )
+        self._write_meta()
         self._flip_pointer(version)
         self._gc_versions(keep={version, f"v{prev_gen}"})
 
@@ -136,9 +270,9 @@ class NdbTable:
         without this, every micro-batch of a long-running
         stream_upsert_ndb leaves a full state copy behind (unbounded
         disk growth). The immediately-previous version is kept as the
-        crash-recovery fallback; anything older is garbage."""
-        import shutil
-
+        crash-recovery fallback; anything older is garbage. Hardlinked
+        bucket files shared with live versions survive the rmtree (the
+        inode outlives this name)."""
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
             if (
@@ -155,7 +289,7 @@ class NdbTable:
         state = self._state()
         if state is None:
             raise ValueError(f"ndb table at {self.path} is empty")
-        return state.drop(_GEN)
+        return state.drop(_GEN, _BUCKET)
 
     def lookup(
         self, other: DataFrame, *, how: str = "left", broadcast: bool = False

@@ -455,12 +455,17 @@ def stream_near_dup_lsh(
       first-arrival-wins view of the same index.
     - availableNow + checkpoint give exactly-once per input file; an
       expired drain stops the query rather than leaking it.
-    - honest cost note: NdbTable.upsert is a last-write-wins REWRITE,
-      so each batch pays O(|index| + |batch|) — fine while the index
-      fits a compaction budget (it is bands * |corpus| longs, tiny
-      next to the corpus), and the n_buckets hash layout is the
-      evolution path when it no longer does: rewrite only the buckets
-      a batch touches, leaving the merge join shape unchanged."""
+    - honest cost note: NdbTable.upsert is a BUCKET-PRUNED partial
+      rewrite (only the hash buckets a batch's keys touch are merged
+      and rewritten; the rest hardlink forward — ndb.py). For THIS
+      workload the keys are LSH bucket hashes, which spread uniformly,
+      so a non-trivial batch touches all n_buckets and the upsert
+      degrades to the full O(|index| + |batch|) rewrite — fine while
+      the index fits a compaction budget (it is bands * |corpus|
+      longs, tiny next to the corpus). Raising index n_buckets only
+      helps once batches are small relative to it; the production
+      answer past that point is Delta/Iceberg MERGE behind the same
+      NdbTable API."""
     from pyspark.sql.window import Window
 
     from dbitool_spark.ops import dedup as _dedup

@@ -96,6 +96,78 @@ def test_ndb_version_gc(spark, tmpdir):
     assert [r.v for r in t.replay().collect()] == ["v4"]
 
 
+def _bucket_files(vdir):
+    """{bucket subdir -> {filename: (inode, size)}} for a version dir."""
+    out = {}
+    for name in sorted(os.listdir(vdir)):
+        sub = os.path.join(vdir, name)
+        if name.startswith("__ndb_bucket=") and os.path.isdir(sub):
+            out[name] = {
+                f: (os.stat(os.path.join(sub, f)).st_ino,
+                    os.stat(os.path.join(sub, f)).st_size)
+                for f in sorted(os.listdir(sub))
+            }
+    return out
+
+
+def test_ndb_partial_rewrite_leaves_untouched_buckets_byte_identical(spark, tmpdir):
+    """The bucket-pruned upsert must rewrite ONLY the hash buckets
+    whose keys appear in the batch; every other bucket's parquet files
+    carry over as hardlinks — same inode, therefore byte-identical —
+    and the merged semantics stay exactly last-write-wins."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=8)
+    t.upsert(spark.createDataFrame([(i, f"a{i}") for i in range(64)], "k int, v string"))
+    v0 = os.path.join(path, "v0")
+    before = _bucket_files(v0)
+    assert len(before) > 1  # keys actually spread over buckets
+
+    # second batch touches exactly one key -> exactly one bucket
+    t.upsert(spark.createDataFrame([(7, "NEW")], "k int, v string"))
+    v1 = os.path.join(path, "v1")
+    after = _bucket_files(v1)
+    assert set(after) == set(before)  # same bucket set survives
+
+    from pyspark.sql import functions as F
+
+    touched = f"__ndb_bucket={spark.range(1).select(F.pmod(F.xxhash64(F.lit(7).cast('int')), F.lit(8)).cast('int')).first()[0]}"
+    assert touched in before
+    n_linked = 0
+    for bname, files in after.items():
+        if bname == touched:
+            assert files != before[bname]  # the touched bucket rewrote
+        else:
+            assert files == before[bname], f"{bname} should be hardlinked"
+            n_linked += len(files)
+    assert n_linked > 0
+
+    got = {r.k: r.v for r in t.replay().collect()}
+    assert got[7] == "NEW" and got[0] == "a0" and len(got) == 64
+
+
+def test_ndb_reopened_table_keeps_layout_and_rejects_wrong_key(spark, tmpdir):
+    """meta.json makes the stored bucket count authoritative across
+    re-opens (a different constructor n_buckets must not scramble the
+    prune), and a wrong key is a hard error."""
+    path = os.path.join(tmpdir, "kv")
+    NdbTable(spark, path, key="k", n_buckets=4).upsert(
+        spark.createDataFrame([(i, i) for i in range(32)], "k int, v int")
+    )
+    t2 = NdbTable(spark, path, key="k", n_buckets=16)  # wrong default
+    assert t2.n_buckets == 4  # stored layout wins
+    t2.upsert(spark.createDataFrame([(1, 99)], "k int, v int"))
+    got = {r.k: r.v for r in t2.replay().collect()}
+    assert got[1] == 99 and len(got) == 32
+    with pytest.raises(ValueError, match="keyed by"):
+        NdbTable(spark, path, key="other")
+
+
+def test_ndb_reserved_columns_rejected(spark, tmpdir):
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k")
+    with pytest.raises(ValueError, match="reserved"):
+        t.upsert(spark.createDataFrame([(1, 0)], "k int, __ndb_bucket int"))
+
+
 def test_observed_counts(spark):
     df = spark.range(100)
     df2, obs = observed(df.filter(F.col("id") < 40), "filtered")
