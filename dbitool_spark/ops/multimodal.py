@@ -912,8 +912,8 @@ def synthesize_media(df: DataFrame, id_col: str, *, families: int = 3) -> DataFr
     duration purely arithmetically, so a driver hash match proves the
     wave/struct/IHDR parsing end to end (same pattern as testrow's
     exact-value fixture). families=4 adds GIF at id % 4 == 3 (full
-    LZW decode); the driver entry stays at 3 until it re-enters the
-    rotation window so its recorded row always matches the code."""
+    LZW decode) — the registered media_decode_roundtrip entry runs at
+    4 since r9; families=3 remains for the pre-GIF arithmetic."""
     ids_df = df.select(F.col(id_col).cast("bigint").alias("media_id"))
     synths = {
         0: ("audio", "audio/wav", _synth_wav),

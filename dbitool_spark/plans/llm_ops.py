@@ -1594,17 +1594,20 @@ FROM scored GROUP BY source ORDER BY source
 
 def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end to end: each doc_id synthesizes genuine
-    container bytes distributed-side (mono 16-bit WAV for id % 3 == 0,
-    24-bit BMP for == 1, RGB8 PNG for == 2 —
-    ops.multimodal.synthesize_media), then the stdlib decoders recover
-    duration / dimensions from the containers. Every decoded field is
-    a closed-form function of the id, so the oracle states the
-    expectation purely arithmetically — a hash match proves the
-    wave-module, BITMAPINFOHEADER, and PNG-IHDR parsing exactly, not a
-    digest-keyed fake. Both steps are Arrow-batched mapInPandas; media
-    bytes never leave the executors."""
+    container bytes distributed-side (mono 16-bit WAV for id % 4 == 0,
+    24-bit BMP for == 1, RGB8 PNG for == 2, 4-color LZW GIF for == 3 —
+    ops.multimodal.synthesize_media, families=4), then the stdlib
+    decoders recover duration / dimensions from the containers. Every
+    decoded field is a closed-form function of the id, so the oracle
+    states the expectation purely arithmetically — a hash match proves
+    the wave-module, BITMAPINFOHEADER, PNG-IHDR, and GIF-LSD+LZW
+    parsing exactly, not a digest-keyed fake. Both steps are
+    Arrow-batched mapInPandas; media bytes never leave the executors.
+    (families pinned at 3 through r8 so the recorded driver row always
+    matched the code; flipped to 4 in r9 when the entry re-entered the
+    rotation window, per the SURVEY appendix plan.)"""
     docs = catalog.load(spark, sf_dir, "documents")
-    media = multimodal.synthesize_media(docs, "doc_id")
+    media = multimodal.synthesize_media(docs, "doc_id", families=4)
     feats = multimodal.extract_media_features(media)
     return feats.select(
         "media_id", "kind", "width", "height", "duration_ms"
@@ -1613,14 +1616,16 @@ def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_DECODE_ROUNDTRIP_SQL = """
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
-                 WHEN doc_id % 3 = 1 THEN 8 + doc_id % 16
-                 ELSE 4 + doc_id % 13 END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
-                 WHEN doc_id % 3 = 1 THEN 8 + doc_id % 9
-                 ELSE 4 + doc_id % 11 END AS INT) AS height,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 500 + (doc_id % 5) * 100 ELSE 0 END AS INT) AS duration_ms
+       CASE WHEN doc_id % 4 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+                 WHEN doc_id % 4 = 1 THEN 8 + doc_id % 16
+                 WHEN doc_id % 4 = 2 THEN 4 + doc_id % 13
+                 ELSE 6 + doc_id % 10 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+                 WHEN doc_id % 4 = 1 THEN 8 + doc_id % 9
+                 WHEN doc_id % 4 = 2 THEN 4 + doc_id % 11
+                 ELSE 6 + doc_id % 7 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 500 + (doc_id % 5) * 100 ELSE 0 END AS INT) AS duration_ms
 FROM documents
 ORDER BY media_id
 """
