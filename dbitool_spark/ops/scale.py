@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def salted(df: DataFrame, n_salts: int = 16, *, mode: str = "row_hash") -> DataFrame:
@@ -130,6 +131,37 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )
     return left.join(right, [on, "__salt"], how).drop("__salt")
+
+
+def with_position(
+    df: DataFrame, order_cols: list[str], *, pos_col: str = "pos"
+) -> DataFrame:
+    """Global 1-based row position under a total order, WITHOUT the
+    single-partition sort a bare `row_number().over(Window.orderBy())`
+    costs: range-partition on the order columns, row_number within
+    each partition, then add cumulative partition-size offsets. The
+    only global step is the offset table — one row PER PARTITION, so
+    its window is bounded by the cluster's partitioning, not the data
+    (the classic distributed zipWithIndex shape, kept declarative so
+    Catalyst reuses the range exchange between the count and join
+    subtrees). AQE broadcasts the offset table from its runtime size.
+
+    order_cols must be a UNIQUE total order — duplicate keys would
+    leave sibling rows' positions nondeterministic across runs."""
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(*cols).withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    local = part.withColumn("__ln", F.row_number().over(w_local))
+    counts = local.groupBy("__pid").agg(F.max("__ln").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(offsets, "__pid")
+        .withColumn(pos_col, (F.col("__ln") + F.col("__off")).cast("long"))
+        .drop("__pid", "__ln", "__off")
+    )
 
 
 def write_bucketed(

@@ -437,6 +437,54 @@ def _lookup(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     return ins[0].join(right, keys, "left")
 
 
+@register_module("concat")
+def _concat(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    """Positional column concat (reference TODO:74-76: "a concat
+    module to concatenate columns from different streams ... a join
+    without any expression") — the row-wise zip of two or more
+    streams, paste(1) for tables.
+
+    A distributed DataFrame has no stable row order, so the keyless
+    zip the TODO sketches is made deterministic by REQUIRING a total
+    order per input: `order=` (comma list of columns, applied to every
+    input) or `order1=`/`order2=`/... per input, unique-key contract
+    per ops.scale.with_position. Each side gets a scalable global
+    position (range partition + per-partition row_number + cumulative
+    offsets — no single-partition sort), and the sides equi-join on
+    it: shuffle on a dense synthetic key, skew-free by construction.
+    how=inner (default) truncates to the shortest stream; how=full
+    NULL-pads to the longest. Duplicate column names take an _<input
+    index> suffix; the output keeps `pos` so the zip is auditable."""
+    if len(ins) < 2:
+        raise ValueError("concat needs at least two input streams")
+    from dbitool_spark.ops import scale as _scale
+
+    how = a.get("how", "inner")
+    if how not in ("inner", "full"):
+        raise ValueError(f"concat how= must be inner|full, got {how!r}")
+    sides = []
+    seen: set[str] = set()
+    for i, df in enumerate(ins):
+        spec = a.get(f"order{i + 1}", a.get("order"))
+        if not spec:
+            raise ValueError(
+                f"concat: input {i + 1} needs order{i + 1}= (or a shared "
+                "order=) — a distributed stream has no row order to zip by"
+            )
+        cols = [c.strip() for c in spec.split(",")] if isinstance(spec, str) else list(spec)
+        side = _scale.with_position(df, cols)
+        for c in df.columns:
+            if c in seen:
+                side = side.withColumnRenamed(c, f"{c}_{i + 1}")
+            else:
+                seen.add(c)
+        sides.append(side)
+    out = sides[0]
+    for side in sides[1:]:
+        out = out.join(side, "pos", "full" if how == "full" else "inner")
+    return out.select("pos", *[c for c in out.columns if c != "pos"])
+
+
 @register_module("gzip")
 def _gzip(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     """Codec module (reference scripts/dbitool.pl:1176-1242). In Spark,

@@ -549,3 +549,47 @@ FROM w
 GROUP BY source, weight_pct
 ORDER BY source
 """
+
+
+def concat_positional_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `concat` pipeline module driver-visibly: zip supplier and
+    customer name columns positionally (each side ordered by its
+    unique key), truncating to the shorter stream — the reference
+    TODO:74-76 "join without any expression", closed in r9. Runs the
+    REAL module through a Pipeline (not the helper directly) so the
+    registered row proves the module wiring, the per-input orderN=
+    args, and ops.scale.with_position's distributed global-position
+    shape (range partition + local row_number + bounded offset table —
+    no single-partition sort; tests/test_scale_shapes pins the plan).
+    The oracle states the same zip as two ROW_NUMBER() subqueries
+    joined on position."""
+    from dbitool_spark.pipeline import Pipeline
+
+    sup = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cus = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    p = Pipeline(spark)
+    p.add_source_df("sup", sup)
+    p.add_source_df("cus", cus)
+    p.add(
+        "concat",
+        **{"in": "sup,cus", "order1": "s_suppkey", "order2": "c_custkey",
+           "out": "zipped"},
+    )
+    return (
+        p.stream("zipped")
+        .select("pos", "s_name", "c_name")
+        .orderBy("pos")
+    )
+
+
+CONCAT_POSITIONAL_SQL = """
+WITH s AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY s_suppkey) AS pos, s_name FROM supplier
+),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS pos, c_name FROM customer
+)
+SELECT s.pos AS pos, s_name, c_name
+FROM s JOIN c USING (pos)
+ORDER BY pos
+"""

@@ -89,6 +89,40 @@ def test_union_module(spark, tmpdir, csv_path):
     assert p.stream("both").count() == 100
 
 
+def test_concat_module_positional_zip(spark):
+    """reference TODO:74-76 'a join without any expression': the
+    positional column zip, deterministic only under per-input total
+    orders; inner truncates, full NULL-pads, missing order= refuses."""
+    a = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k int, name string")
+    b = spark.createDataFrame([(20, "y"), (10, "x")], "id int, name string")
+    p = Pipeline(spark)
+    p.add_source_df("a", a)
+    p.add_source_df("b", b)
+    p.add("concat", **{"in": "a,b", "order1": "k", "order2": "id", "out": "z"})
+    z = p.stream("z")
+    # duplicate 'name' from input 2 takes the _2 suffix
+    assert z.columns == ["pos", "k", "name", "id", "name_2"]
+    rows = [(r.pos, r.k, r.name, r.id, r.name_2) for r in z.orderBy("pos").collect()]
+    assert rows == [(1, 1, "a", 10, "x"), (2, 2, "b", 20, "y")]  # truncated
+
+    p2 = Pipeline(spark)
+    p2.add_source_df("a", a)
+    p2.add_source_df("b", b)
+    p2.add(
+        "concat",
+        **{"in": "a,b", "order1": "k", "order2": "id", "how": "full", "out": "z"},
+    )
+    full = p2.stream("z").orderBy("pos").collect()
+    assert len(full) == 3 and full[2].id is None  # NULL-padded tail
+
+    p3 = Pipeline(spark)
+    p3.add_source_df("a", a)
+    p3.add_source_df("b", b)
+    p3.add("concat", **{"in": "a,b", "order1": "k", "out": "z"})
+    with pytest.raises(ValueError, match="order2"):
+        p3.stream("z")
+
+
 def test_unknown_module_and_stream_errors(spark):
     p = Pipeline(spark)
     with pytest.raises(ValueError, match="unknown module"):

@@ -138,6 +138,31 @@ def test_salted_join_matches_plain_join(spark):
     }
 
 
+def test_with_position_avoids_single_partition_data_sort(spark):
+    """The global row position must come from range partitioning +
+    per-partition row_number + a bounded offset table — NEVER a bare
+    Window.orderBy() that drags the whole dataset through one
+    partition. Only the per-partition COUNT table (one row per
+    partition) may cross a single-partition exchange."""
+    li = catalog.load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    keyed = li.withColumn(
+        "uk", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    pos = scale.with_position(keyed, ["uk"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pos.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()  # the data-side shuffle
+    assert "__pid" in plan  # row_number window is partition-local
+    rows = pos.orderBy("pos").collect()
+    assert [r.pos for r in rows] == list(range(1, len(rows) + 1))  # dense 1..N
+    uks = [r.uk for r in rows]
+    assert uks == sorted(uks)  # position follows the total order
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """The amortized-shuffle claim, verified on the plan: two tables
     bucketed on the join key sort-merge-join with zero Exchange."""
