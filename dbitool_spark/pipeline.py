@@ -28,6 +28,7 @@ position, mirroring the reference.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
@@ -995,6 +996,7 @@ class Pipeline:
         self._specs: list[_ModuleSpec] = []
         self._streams: dict[str, DataFrame] = {}
         self._injected: dict[str, DataFrame] = {}
+        self._shortcuts: dict[str, str] = {}  # named @shortcut -> path
         self._counter = 0
         self._observations: dict[str, object] = {}
         self._with_sinks = False
@@ -1079,17 +1081,110 @@ class Pipeline:
         mod.args.update(kwargs)
         if mod.name not in MODULES:
             raise ValueError(f"unknown module {mod.name!r}; known: {sorted(MODULES)}")
+        pre, post = self._expand_arg_shortcuts(mod)
+        for extra in pre:
+            self._wire(extra)
+            self._specs.append(extra)
         self._wire(mod)
         self._specs.append(mod)
+        for extra in post:
+            self._wire(extra)
+            self._specs.append(extra)
         return self
 
+    def _expand_arg_shortcuts(
+        self, mod: _ModuleSpec
+    ) -> tuple[list[_ModuleSpec], list[_ModuleSpec]]:
+        """Inline filename shortcuts (reference FILENAME SHORTCUTS,
+        scripts/dbitool.pl:3207-3230 and :91-103): `in=@path` expands
+        to a fileread feeding this module, `out=@path` to a filewrite
+        consuming it. The NAMED form `in=name@path` — the reference's
+        own unimplemented TODO:15-22 ("it would be nice to implement a
+        named shortcut like name@file ... allow another module to read
+        from the same file using the stream name"; "I tried to
+        implement this but it's tricky") — additionally binds the
+        synthesized stream to `name`, so any later module says
+        `in=name` and the builder's reader-counted persist makes the
+        file scan run ONCE for all of them. Repeating `name@path` with
+        the SAME path is idempotent reuse; a different path is an
+        error. file* modules cannot take the shortcut (reference :94
+        dies identically).
+
+        Scope note vs the reference grammar: only the IN side expands
+        here. The reference's `out=@path` exists because its format
+        writers are transforms feeding a separate filewrite; this
+        engine's sinks write their out= path directly (fused,
+        Spark-side), so an out-shortcut has nothing to expand to — the
+        positional sink form `name@path` (see _parse_cli) covers the
+        named-sink case. Shortcuts apply to stream-consuming modules;
+        sources that read their in= path directly (jsonread, xmlread,
+        ...) reject it rather than mis-wire."""
+        pre: list[_ModuleSpec] = []
+        post: list[_ModuleSpec] = []
+        raw = mod.args.get("in")
+        if not isinstance(raw, str) or "@" not in raw:
+            return pre, post
+        new_parts = []
+        for part in (s.strip() for s in raw.split(",")):
+            if "@" not in part:
+                new_parts.append(part)
+                continue
+            if mod.name.startswith("file"):
+                raise ValueError(
+                    "cannot shortcut filename in fileread or filewrite "
+                    "modules (reference scripts/dbitool.pl:94)"
+                )
+            if (
+                mod.name in _SOURCES
+                and mod.name not in _RAW_CONSUMING_SOURCES
+                and mod.name not in _STREAMABLE_SOURCES
+            ):
+                raise ValueError(
+                    f"{mod.name} reads its in= path directly; the @shortcut "
+                    "only applies to stream-consuming modules"
+                )
+            name, _, path = part.partition("@")
+            if not path:
+                raise ValueError(f"malformed @shortcut {part!r}: empty path")
+            if name and name in self._shortcuts:
+                if self._shortcuts[name] != path:
+                    raise ValueError(
+                        f"named shortcut {name!r} already reads "
+                        f"{self._shortcuts[name]!r}, not {path!r}"
+                    )
+                new_parts.append(name)  # idempotent reuse
+                continue
+            if not name:
+                self._counter += 1
+                name = f"stream{self._counter}"
+            elif any(m.out_stream == name for m in self._specs):
+                raise ValueError(
+                    f"shortcut name {name!r} collides with an existing stream"
+                )
+            pre.append(_ModuleSpec("fileread", {"in": path, "out": name}))
+            self._shortcuts[name] = path
+            new_parts.append(name)
+        mod.args["in"] = ",".join(new_parts)
+        return pre, post
+
     def _parse_cli(self, text: str) -> _ModuleSpec:
-        """`name:arg=val:arg=val` or `@filename` (fileread/filewrite by
-        position, reference :93-103)."""
+        """`name:arg=val:arg=val`, `@filename` (fileread/filewrite by
+        position, reference :93-103), or the named positional form
+        `name@filename` (TODO:15-22): fileread:out=name in source
+        position, filewrite:in=name in sink position — the stream
+        `name` is then addressable by every later module."""
         if text.startswith("@"):
             name = "fileread" if not self._specs or self._specs[-1].name in _SINKS else "filewrite"
             key = "in" if name == "fileread" else "out"
             return _ModuleSpec(name, {key: text[1:]})
+        shortcut = re.match(r"^([A-Za-z_]\w*)@([^:=]+)$", text)
+        if shortcut:
+            sname, path = shortcut.group(1), shortcut.group(2)
+            source_pos = not self._specs or self._specs[-1].name in _SINKS
+            if source_pos:
+                self._shortcuts[sname] = path
+                return _ModuleSpec("fileread", {"in": path, "out": sname})
+            return _ModuleSpec("filewrite", {"in": sname, "out": path})
         parts = text.split(":")
         args: dict[str, Any] = {}
         for token in parts[1:]:

@@ -89,6 +89,59 @@ def test_union_module(spark, tmpdir, csv_path):
     assert p.stream("both").count() == 100
 
 
+def test_named_shortcut_reuse(spark, tmpdir, csv_path):
+    """reference TODO:15-22 (`name@file`, which the reference itself
+    never implemented): the shortcut binds the synthesized fileread to
+    a stream NAME, so later modules address the same file by name —
+    one scan, fan-out persist — instead of tripping the reference's
+    'file read by more than one module' restriction."""
+    out_rows = os.path.join(tmpdir, "rows.ndjson")
+    out_copy = os.path.join(tmpdir, "copy.txt")
+    p = Pipeline(spark)
+    p.add("csvread:in=raw@" + csv_path + ":out=rows")   # declares stream 'raw'
+    p.add(f"ndjsonwrite:in=rows:out={out_rows}")
+    p.add(f"filewrite:in=raw:out={out_copy}:single_file=1")  # reuse by NAME
+    p.run()
+    assert read_csv(spark, out_copy).count() == 50
+    from dbitool_spark.io import json_io
+
+    assert json_io.read_ndjson(spark, out_rows).count() == 50
+
+    # idempotent re-declaration with the SAME path is reuse...
+    p2 = Pipeline(spark)
+    p2.add("csvread:in=raw@" + csv_path + ":out=a")
+    p2.add("csvread:in=raw@" + csv_path + ":out=b")
+    assert p2.stream("b").count() == 50
+    # ...but a DIFFERENT path under the same name is an error
+    with pytest.raises(ValueError, match="already reads"):
+        p2.add("csvread:in=raw@/somewhere/else.csv:out=c")
+
+    # file* modules cannot take the shortcut (reference :94)
+    p3 = Pipeline(spark)
+    with pytest.raises(ValueError, match="cannot shortcut"):
+        p3.add(f"fileread:in=x@{csv_path}")
+
+
+def test_named_shortcut_positional(spark, tmpdir, csv_path):
+    """Positional `name@file`: fileread bound to the stream name in
+    source position, filewrite FROM the named stream in sink position
+    — so one read can feed both a parse chain and a raw copy."""
+    out = os.path.join(tmpdir, "copy2.txt")
+    p = Pipeline(spark)
+    p.add(f"lines@{csv_path}")  # fileread, stream 'lines'
+    p.add("csvread:in=lines:out=rows")
+    p.add(f"filewrite:in=lines:out={out}:single_file=1")
+    p.run()
+    assert p.stream("rows").count() == 50
+    assert read_csv(spark, out).count() == 50
+
+    # a source path that merely CONTAINS no @ stays a plain path; a
+    # direct-path source with an @shortcut refuses rather than mis-wires
+    p2 = Pipeline(spark)
+    with pytest.raises(ValueError, match="reads its in= path directly"):
+        p2.add(f"jsonread:in=x@{csv_path}")
+
+
 def test_concat_module_positional_zip(spark):
     """reference TODO:74-76 'a join without any expression': the
     positional column zip, deterministic only under per-input total
