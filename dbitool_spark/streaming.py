@@ -509,7 +509,11 @@ def stream_near_dup_lsh(
             new_owners = joined.groupBy("bucket").agg(
                 F.least(F.min("owner"), F.min("bmin")).alias("owner")
             )
-            index.upsert(new_owners)
+            # prune=False: LSH bucket keys are uniform hashes, so any
+            # non-trivial batch touches every ndb bucket — the prune
+            # job would cost one extra Spark job per micro-batch and
+            # never prune anything (honest-cost note above)
+            index.upsert(new_owners, prune=False)
         finally:
             joined.unpersist()
 

@@ -162,6 +162,24 @@ def test_ndb_reopened_table_keeps_layout_and_rejects_wrong_key(spark, tmpdir):
         NdbTable(spark, path, key="other")
 
 
+def test_ndb_prune_false_full_rewrite_matches(spark, tmpdir):
+    """prune=False (the uniform-key fast path, e.g. an LSH index) must
+    produce the same resolved state as the pruned path — full rewrite,
+    no stale links merged into rewritten buckets."""
+    pa, pb = os.path.join(tmpdir, "a"), os.path.join(tmpdir, "b")
+    ta = NdbTable(spark, pa, key="k", n_buckets=4)
+    tb = NdbTable(spark, pb, key="k", n_buckets=4)
+    b1 = spark.createDataFrame([(i, f"a{i}") for i in range(20)], "k int, v string")
+    b2 = spark.createDataFrame([(5, "NEW"), (99, "x")], "k int, v string")
+    ta.upsert(b1)
+    ta.upsert(b2)
+    tb.upsert(b1, prune=False)
+    tb.upsert(b2, prune=False)
+    ga = sorted((r.k, r.v) for r in ta.replay().collect())
+    gb = sorted((r.k, r.v) for r in tb.replay().collect())
+    assert ga == gb and len(ga) == 21 and dict(ga)[5] == "NEW"
+
+
 def test_ndb_reserved_columns_rejected(spark, tmpdir):
     t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k")
     with pytest.raises(ValueError, match="reserved"):
