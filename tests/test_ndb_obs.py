@@ -162,6 +162,22 @@ def test_ndb_reopened_table_keeps_layout_and_rejects_wrong_key(spark, tmpdir):
         NdbTable(spark, path, key="other")
 
 
+def test_ndb_gc_preserves_hardlinked_carryover(spark, tmpdir):
+    """Version GC deletes superseded dirs while untouched buckets in
+    LIVE versions merely hardlink into them — the inode must outlive
+    the rmtree, so state written generations ago and never touched
+    since stays readable after many GC cycles."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=8)
+    t.upsert(spark.createDataFrame([(i, f"a{i}") for i in range(64)], "k int, v string"))
+    for j in range(4):  # repeatedly touch ONE key; GC reclaims v0..v2
+        t.upsert(spark.createDataFrame([(7, f"n{j}")], "k int, v string"))
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit())
+    assert vdirs == ["v3", "v4"]  # older versions gone
+    got = {r.k: r.v for r in t.replay().collect()}
+    assert len(got) == 64 and got[7] == "n3" and got[0] == "a0"
+
+
 def test_ndb_prune_false_full_rewrite_matches(spark, tmpdir):
     """prune=False (the uniform-key fast path, e.g. an LSH index) must
     produce the same resolved state as the pruned path — full rewrite,
