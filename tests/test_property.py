@@ -426,3 +426,26 @@ def test_lsh_flags_property(spark, docs):
             buckets & per_doc[j] for j in per_doc if j < i
         )
         assert flags[i] == expect, (i, flags[i], expect)
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31), min_size=1, max_size=40,
+        unique=True,
+    ),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_with_position_dense_and_ordered_property(spark, keys, n_parts):
+    """ops/scale.with_position: for ANY unique key set and ANY input
+    partitioning, positions are exactly the dense range 1..N and
+    follow the key order — the distributed zipWithIndex contract the
+    concat module's zip correctness rests on."""
+    from dbitool_spark.ops import scale
+
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "k long"
+    ).repartition(n_parts)
+    got = scale.with_position(df, ["k"]).orderBy("pos").collect()
+    assert [r.pos for r in got] == list(range(1, len(keys) + 1))
+    assert [r.k for r in got] == sorted(keys)
