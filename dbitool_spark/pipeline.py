@@ -1157,7 +1157,9 @@ class Pipeline:
             if not name:
                 self._counter += 1
                 name = f"stream{self._counter}"
-            elif any(m.out_stream == name for m in self._specs):
+            elif name in self._injected or any(
+                m.out_stream == name for m in self._specs
+            ):
                 raise ValueError(
                     f"shortcut name {name!r} collides with an existing stream"
                 )

@@ -466,6 +466,50 @@ def test_quarantine_rejected_on_raw_stream_branch(spark, tmp_path):
         p.stream("rows")
 
 
+def test_cli_composition_across_r9_modules(spark, tmp_path):
+    """One CLI invocation chains the round-9 surface: a NAMED
+    positional shortcut (lines@file) read by TWO consumers (parse
+    chain + raw copy — the exact reuse the reference TODO:15-22
+    wanted), an inline named shortcut on a second source, and the
+    concat module zipping both streams positionally."""
+    import glob as _glob
+    import json as _json
+
+    from dbitool_spark.__main__ import main
+
+    fa = str(tmp_path / "a.csv")
+    with open(fa, "w") as fh:
+        fh.write("k,name\n2,b\n1,a\n3,c\n")
+    fb = str(tmp_path / "b.csv")
+    with open(fb, "w") as fh:
+        fh.write("id,w\n20,y\n10,x\n")
+    out = str(tmp_path / "zip.ndjson")
+    copy = str(tmp_path / "copy.txt")
+    rc = main([
+        f"lines@{fa}",
+        "csvread:in=lines:out=left:header=1:schema=k int, name string",
+        f"csvread:in=rawb@{fb}:out=right:header=1:schema=id int, w string",
+        "concat:in=left,right:order1=k:order2=id:out=z",
+        f"ndjsonwrite:in=z:out={out}:single_file=1",
+        f"filewrite:in=lines:out={copy}:single_file=1",
+    ])
+    assert rc == 0
+    lines = []
+    for f in _glob.glob(out + "/*.json*") + ([out] if os.path.isfile(out) else []):
+        with open(f) as fh:
+            lines += [l for l in fh.read().splitlines() if l.strip()]
+    rows = sorted(
+        (d["pos"], d["k"], d["name"], d["id"], d["w"])
+        for d in map(_json.loads, lines)
+    )
+    assert rows == [(1, 1, "a", 10, "x"), (2, 2, "b", 20, "y")]
+    copied = []
+    for f in _glob.glob(copy + "/part-*") + ([copy] if os.path.isfile(copy) else []):
+        with open(f) as fh:
+            copied += [l for l in fh.read().splitlines() if l.strip()]
+    assert len(copied) == 4  # header + 3 raw rows, reused by NAME
+
+
 def test_cli_composition_across_r8_modules(spark, tmp_path):
     """One CLI invocation chains the round-8 module surface the way
     the reference's own chained-conversion example does
