@@ -270,12 +270,37 @@ def _lazy_plan_variants():
     }
 
 
+def _ancestor_pids() -> set[int]:
+    """This process's ancestry chain from /proc ppid fields — a
+    java-based launcher wrapping bench.py must not count as a foreign
+    JVM (it lives for the whole run by definition)."""
+    out: set[int] = set()
+    pid = os.getpid()
+    for _ in range(64):  # chain is short; bound defensively
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                stat = fh.read()
+            ppid = int(stat.rsplit(b")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            break
+        if ppid <= 1 or ppid in out:
+            break
+        out.add(ppid)
+        pid = ppid
+    return out
+
+
 def _foreign_java_pids() -> list[int]:
-    """PIDs of java processes that are NOT children of this process —
-    a concurrent Spark JVM (another bench, a pytest run) inflates
-    medians 15-30% and creates phantom regression flags (three r8
-    re-runs: 75s idle vs 87-100s loaded, plans unchanged). Checked
-    BEFORE this run starts its own JVM, so any hit is foreign."""
+    """PIDs of java processes visible at bench start, excluding this
+    process's own ancestors (a java-based CI wrapper is not a
+    competitor). A concurrent Spark JVM (another bench, a pytest run)
+    inflates medians 15-30% and creates phantom regression flags
+    (three r8 re-runs: 75s idle vs 87-100s loaded, plans unchanged).
+    Checked BEFORE this run starts its own JVM, so any non-ancestor
+    hit is genuinely foreign — including a leaked JVM from a crashed
+    prior run, which SHOULD block recording until it is killed (it
+    competes for CPU exactly like live foreign work)."""
+    ancestors = _ancestor_pids()
     pids = []
     try:
         for name in os.listdir("/proc"):
@@ -283,7 +308,7 @@ def _foreign_java_pids() -> list[int]:
                 continue
             try:
                 with open(f"/proc/{name}/comm") as fh:
-                    if fh.read().strip() == "java":
+                    if fh.read().strip() == "java" and int(name) not in ancestors:
                         pids.append(int(name))
             except OSError:
                 continue
@@ -395,9 +420,11 @@ def main() -> int:
         "sf": sf,
         # the judge reads this against the sidecar record: a False here
         # means the number above was taken on a loaded box and the
-        # committed sidecars deliberately kept the last exclusive run
+        # committed sidecars deliberately kept the last exclusive run.
+        # Key matches the sidecar's pre-JVM sample (loadavg_pre_session)
+        # — the sidecar's loadavg_start is a DIFFERENT, post-JVM sample.
         "exclusive": exclusive,
-        "loadavg_start": pre_load,
+        "loadavg_pre_session": pre_load,
     }
 
     queries_sidecar = {

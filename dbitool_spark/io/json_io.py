@@ -121,8 +121,12 @@ def write_json(
     CAVEAT: the guard is ROW-count-based, so memory_limit rows of
     very wide documents can still hold gigabytes driver-side at once
     (the old toLocalIterator path streamed with constant memory but
-    paid a job per partition). memory_limit_bytes bounds the total
-    encoded size as a backstop — both limits raise MemoryError."""
+    paid a job per partition). memory_limit_bytes rejects an encoded
+    document larger than the cap — an OUTPUT-size contract, checked
+    after the one-job fetch, NOT a driver-memory bound (the rows are
+    already on the driver when it runs; only the row cap limits peak
+    memory). Size memory_limit for your row width, or use
+    write_ndjson. Both limits raise MemoryError."""
     sep = ",\n  " if pretty else ","
     rows = df.limit(memory_limit + 1).toJSON().collect()
     if len(rows) > memory_limit:

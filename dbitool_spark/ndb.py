@@ -86,6 +86,7 @@ class NdbTable:
         # the bucket count it was written with (the constructor arg is
         # a default for NEW tables), and a key mismatch is a hard error
         meta_path = os.path.join(path, _META)
+        self._key_type: str | None = None
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 meta = json.load(fh)
@@ -95,6 +96,7 @@ class NdbTable:
                     f"not {key!r}"
                 )
             self.n_buckets = int(meta.get("n_buckets", n_buckets))
+            self._key_type = meta.get("key_type")
 
     # -- state pointer ---------------------------------------------------
 
@@ -131,10 +133,21 @@ class NdbTable:
 
     def _write_meta(self) -> None:
         meta_path = os.path.join(self.path, _META)
-        if not os.path.exists(meta_path):
+        stale = True
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stale = json.load(fh).get("key_type") != self._key_type
+        if stale:
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump({"key": self.key, "n_buckets": self.n_buckets}, fh)
+                json.dump(
+                    {
+                        "key": self.key,
+                        "n_buckets": self.n_buckets,
+                        "key_type": self._key_type,
+                    },
+                    fh,
+                )
             os.replace(tmp, meta_path)
 
     def _state(self) -> DataFrame | None:
@@ -187,6 +200,22 @@ class NdbTable:
             raise ValueError(
                 f"columns {_GEN}/{_BUCKET} are reserved by ndb, got {df.columns}"
             )
+        # the bucket hash (xxhash64) is TYPE-sensitive: the same key
+        # value under a drifted dtype (int vs bigint, int vs string)
+        # hashes to a different bucket, the pruned read would miss the
+        # stored row's bucket, and replay would silently return TWO
+        # rows for one key. Pin the key dtype in meta at first write
+        # and refuse drifted batches loudly — casting silently could
+        # corrupt keys (e.g. string->int nulls).
+        batch_key_type = df.schema[self.key].dataType.simpleString()
+        if self._key_type is None:
+            self._key_type = batch_key_type
+        elif batch_key_type != self._key_type:
+            raise ValueError(
+                f"ndb key dtype drift: table stores {self.key!r} as "
+                f"{self._key_type}, batch has {batch_key_type} — cast the "
+                "batch key to the stored type before upserting"
+            )
         current = self._current_dir()
         prev_gen = self._current_gen()
         gen = 0 if prev_gen is None else prev_gen + 1
@@ -194,104 +223,114 @@ class NdbTable:
             _BUCKET, self._bucket_expr()
         )
         if prune:
-            # bounded by n_buckets values — the prune driver edge
-            touched: list[int] | None = sorted(
-                r[0] for r in batch.select(_BUCKET).distinct().collect()
-            )
-        else:
-            touched = None  # full merge-rewrite; nothing links
-
-        bucket_dirs = self._bucket_dirs(current) if current is not None else {}
-        legacy = current is not None and not bucket_dirs
-        merged: DataFrame | None
-        if current is None:
-            merged = batch
-        elif touched is None:
-            # prune=False: read the whole state, rewrite every bucket
-            state = self.spark.read.parquet(current)
-            if _BUCKET not in state.columns:
-                state = state.withColumn(_BUCKET, self._bucket_expr())
-            merged = state.unionByName(batch)
-        elif legacy and touched:
-            # flat pre-bucket layout (an empty first write, or a table
-            # from before bucketing): full rewrite migrates it into
-            # the bucket layout — nothing can link
-            state = self.spark.read.parquet(current)
-            if _BUCKET not in state.columns:
-                state = state.withColumn(_BUCKET, self._bucket_expr())
-            merged = state.unionByName(batch)
-            touched = None
-        elif touched:
-            # partition-pruned read: only the touched buckets' files
-            state = self.spark.read.parquet(current).filter(
-                F.col(_BUCKET).isin([int(t) for t in touched])
-            )
-            merged = state.unionByName(batch)
-        else:
-            merged = None  # empty batch: pure link-forward version
-
-        version = f"v{gen}"
-        out_dir = os.path.join(self.path, version)
-        if merged is None:
-            os.makedirs(out_dir, exist_ok=True)
-        else:
-            if order_by is None:
-                others = [c for c in df.columns if c != self.key]
-                tie = (
-                    [F.struct(*[F.col(c) for c in others]).alias("__tie")]
-                    if others
-                    else []
+            # persisted: the batch lineage feeds BOTH the touched-set
+            # distinct-collect and the merged write below — without
+            # this an expensive upstream transform would evaluate
+            # twice per upsert (review finding r9)
+            batch = batch.persist()
+        try:
+            if prune:
+                # bounded by n_buckets values — the prune driver edge
+                touched: list[int] | None = sorted(
+                    r[0] for r in batch.select(_BUCKET).distinct().collect()
                 )
             else:
-                cols = [order_by] if isinstance(order_by, str) else list(order_by)
-                tie = [F.col(c) for c in cols]
-            w = Window.partitionBy(self.key).orderBy(
-                F.desc(_GEN), *[F.desc(t) for t in tie]
-            )
-            resolved = (
-                merged.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-            if touched == []:
-                # first write with an empty batch: a partitioned write
-                # of zero rows leaves no readable footer, so write one
-                # flat schema-carrying file; the first real upsert
-                # migrates it to the bucket layout (legacy branch)
-                resolved.coalesce(1).write.mode("overwrite").parquet(out_dir)
-            else:
-                n_parts = len(touched) if touched else self.n_buckets
-                (
-                    resolved.repartition(max(n_parts, 1), F.col(_BUCKET))
-                    .write.partitionBy(_BUCKET)
-                    .mode("overwrite")
-                    .parquet(out_dir)
+                touched = None  # full merge-rewrite; nothing links
+
+            bucket_dirs = self._bucket_dirs(current) if current is not None else {}
+            legacy = current is not None and not bucket_dirs
+            merged: DataFrame | None
+            if current is None:
+                merged = batch
+            elif touched is None:
+                # prune=False: read the whole state, rewrite every bucket
+                state = self.spark.read.parquet(current)
+                if _BUCKET not in state.columns:
+                    state = state.withColumn(_BUCKET, self._bucket_expr())
+                merged = state.unionByName(batch)
+            elif legacy and touched:
+                # flat pre-bucket layout (an empty first write, or a table
+                # from before bucketing): full rewrite migrates it into
+                # the bucket layout — nothing can link
+                state = self.spark.read.parquet(current)
+                if _BUCKET not in state.columns:
+                    state = state.withColumn(_BUCKET, self._bucket_expr())
+                merged = state.unionByName(batch)
+                touched = None
+            elif touched:
+                # partition-pruned read: only the touched buckets' files
+                state = self.spark.read.parquet(current).filter(
+                    F.col(_BUCKET).isin([int(t) for t in touched])
                 )
-                if not self._bucket_dirs(out_dir):
-                    # zero rows materialized (prune=False on an empty
-                    # batch creating a table): a partitioned write of
-                    # nothing leaves no readable footer — write the
-                    # flat schema-carrying file instead
+                merged = state.unionByName(batch)
+            else:
+                merged = None  # empty batch: pure link-forward version
+
+            version = f"v{gen}"
+            out_dir = os.path.join(self.path, version)
+            if merged is None:
+                os.makedirs(out_dir, exist_ok=True)
+            else:
+                if order_by is None:
+                    others = [c for c in df.columns if c != self.key]
+                    tie = (
+                        [F.struct(*[F.col(c) for c in others]).alias("__tie")]
+                        if others
+                        else []
+                    )
+                else:
+                    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+                    tie = [F.col(c) for c in cols]
+                w = Window.partitionBy(self.key).orderBy(
+                    F.desc(_GEN), *[F.desc(t) for t in tie]
+                )
+                resolved = (
+                    merged.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                if touched == []:
+                    # first write with an empty batch: a partitioned write
+                    # of zero rows leaves no readable footer, so write one
+                    # flat schema-carrying file; the first real upsert
+                    # migrates it to the bucket layout (legacy branch)
                     resolved.coalesce(1).write.mode("overwrite").parquet(out_dir)
-        # hardlink everything the batch did not touch from the
-        # previous version into the new one — byte-identical carryover.
-        # touched=None means EVERYTHING was rewritten (prune=False or
-        # legacy migration): linking then would merge stale files into
-        # freshly-written bucket dirs, so nothing may link.
-        if current is not None and touched is not None:
-            if legacy:
-                if merged is None:  # empty batch on a flat state
-                    _link_tree(current, out_dir)
-            else:
-                keep = set(touched)
-                for bval, name in bucket_dirs.items():
-                    if bval not in keep:
-                        _link_tree(
-                            os.path.join(current, name), os.path.join(out_dir, name)
-                        )
-        self._write_meta()
-        self._flip_pointer(version)
-        self._gc_versions(keep={version, f"v{prev_gen}"})
+                else:
+                    n_parts = len(touched) if touched else self.n_buckets
+                    (
+                        resolved.repartition(max(n_parts, 1), F.col(_BUCKET))
+                        .write.partitionBy(_BUCKET)
+                        .mode("overwrite")
+                        .parquet(out_dir)
+                    )
+                    if not self._bucket_dirs(out_dir):
+                        # zero rows materialized (prune=False on an empty
+                        # batch creating a table): a partitioned write of
+                        # nothing leaves no readable footer — write the
+                        # flat schema-carrying file instead
+                        resolved.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            # hardlink everything the batch did not touch from the
+            # previous version into the new one — byte-identical carryover.
+            # touched=None means EVERYTHING was rewritten (prune=False or
+            # legacy migration): linking then would merge stale files into
+            # freshly-written bucket dirs, so nothing may link.
+            if current is not None and touched is not None:
+                if legacy:
+                    if merged is None:  # empty batch on a flat state
+                        _link_tree(current, out_dir)
+                else:
+                    keep = set(touched)
+                    for bval, name in bucket_dirs.items():
+                        if bval not in keep:
+                            _link_tree(
+                                os.path.join(current, name), os.path.join(out_dir, name)
+                            )
+            self._write_meta()
+            self._flip_pointer(version)
+            self._gc_versions(keep={version, f"v{prev_gen}"})
+        finally:
+            if prune:
+                batch.unpersist()
 
     def _gc_versions(self, keep: set[str]) -> None:
         """Delete superseded version dirs after the pointer flip —

@@ -148,6 +148,14 @@ def with_position(
 
     order_cols must be a UNIQUE total order — duplicate keys would
     leave sibling rows' positions nondeterministic across runs."""
+    reserved = {pos_col, "__pid", "__ln", "__off"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"with_position: input columns {sorted(reserved)} collide with "
+            f"the position machinery (pos_col={pos_col!r} plus internal "
+            "__pid/__ln/__off) — rename or project them away first, or pass "
+            "a different pos_col"
+        )
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn("__pid", F.spark_partition_id())
     w_local = Window.partitionBy("__pid").orderBy(*cols)

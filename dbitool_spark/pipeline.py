@@ -1081,20 +1081,14 @@ class Pipeline:
         mod.args.update(kwargs)
         if mod.name not in MODULES:
             raise ValueError(f"unknown module {mod.name!r}; known: {sorted(MODULES)}")
-        pre, post = self._expand_arg_shortcuts(mod)
-        for extra in pre:
+        for extra in self._expand_arg_shortcuts(mod):
             self._wire(extra)
             self._specs.append(extra)
         self._wire(mod)
         self._specs.append(mod)
-        for extra in post:
-            self._wire(extra)
-            self._specs.append(extra)
         return self
 
-    def _expand_arg_shortcuts(
-        self, mod: _ModuleSpec
-    ) -> tuple[list[_ModuleSpec], list[_ModuleSpec]]:
+    def _expand_arg_shortcuts(self, mod: _ModuleSpec) -> list[_ModuleSpec]:
         """Inline filename shortcuts (reference FILENAME SHORTCUTS,
         scripts/dbitool.pl:3207-3230 and :91-103): `in=@path` expands
         to a fileread feeding this module, `out=@path` to a filewrite
@@ -1120,10 +1114,9 @@ class Pipeline:
         sources that read their in= path directly (jsonread, xmlread,
         ...) reject it rather than mis-wire."""
         pre: list[_ModuleSpec] = []
-        post: list[_ModuleSpec] = []
         raw = mod.args.get("in")
         if not isinstance(raw, str) or "@" not in raw:
-            return pre, post
+            return pre
         new_parts = []
         for part in (s.strip() for s in raw.split(",")):
             if "@" not in part:
@@ -1167,7 +1160,7 @@ class Pipeline:
             self._shortcuts[name] = path
             new_parts.append(name)
         mod.args["in"] = ",".join(new_parts)
-        return pre, post
+        return pre
 
     def _parse_cli(self, text: str) -> _ModuleSpec:
         """`name:arg=val:arg=val`, `@filename` (fileread/filewrite by
@@ -1184,6 +1177,22 @@ class Pipeline:
             sname, path = shortcut.group(1), shortcut.group(2)
             source_pos = not self._specs or self._specs[-1].name in _SINKS
             if source_pos:
+                # same guards as the inline form: a positional
+                # declaration must not rebind an existing shortcut nor
+                # shadow an existing/injected stream (re-declaring is
+                # an error here — positionally there is nothing to
+                # idempotently reuse; read the stream by name instead)
+                if sname in self._shortcuts:
+                    raise ValueError(
+                        f"named shortcut {sname!r} already reads "
+                        f"{self._shortcuts[sname]!r}; use in={sname} to reuse it"
+                    )
+                if sname in self._injected or any(
+                    m.out_stream == sname for m in self._specs
+                ):
+                    raise ValueError(
+                        f"shortcut name {sname!r} collides with an existing stream"
+                    )
                 self._shortcuts[sname] = path
                 return _ModuleSpec("fileread", {"in": path, "out": sname})
             return _ModuleSpec("filewrite", {"in": sname, "out": path})

@@ -202,6 +202,23 @@ def test_ndb_reserved_columns_rejected(spark, tmpdir):
         t.upsert(spark.createDataFrame([(1, 0)], "k int, __ndb_bucket int"))
 
 
+def test_ndb_key_dtype_drift_rejected(spark, tmpdir):
+    """xxhash64 is type-sensitive: the same key value under a drifted
+    dtype hashes to a different bucket and the pruned read would
+    silently keep TWO rows for one key — drift must raise instead
+    (review finding r9)."""
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k")
+    t.upsert(spark.createDataFrame([(7, "a")], "k int, v string"))
+    with pytest.raises(ValueError, match="dtype drift"):
+        t.upsert(spark.createDataFrame([(7, "b")], "k bigint, v string"))
+    # the pinned dtype survives a re-open (meta.json)
+    t2 = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k")
+    with pytest.raises(ValueError, match="dtype drift"):
+        t2.upsert(spark.createDataFrame([(7, "c")], "k bigint, v string"))
+    t2.upsert(spark.createDataFrame([(7, "d")], "k int, v string"))  # same type ok
+    assert {r.v for r in t2.replay().collect()} == {"d"}
+
+
 def test_observed_counts(spark):
     df = spark.range(100)
     df2, obs = observed(df.filter(F.col("id") < 40), "filtered")

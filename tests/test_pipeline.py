@@ -122,6 +122,24 @@ def test_named_shortcut_reuse(spark, tmpdir, csv_path):
         p3.add(f"fileread:in=x@{csv_path}")
 
 
+def test_named_shortcut_positional_guards(spark, tmpdir, csv_path):
+    """Positional name@file enforces the same guards as the inline
+    form: no silent rebinding of a declared shortcut, no shadowing of
+    an injected or existing stream (review finding r9)."""
+    p = Pipeline(spark)
+    p.add(f"x@{csv_path}")
+    p.add(f"filewrite:in=x:out={os.path.join(tmpdir, 'c.txt')}")
+    # next positional @ is back in SOURCE position (after a sink):
+    # re-declaring the name with a different path must refuse
+    with pytest.raises(ValueError, match="already reads"):
+        p.add("x@/somewhere/else.csv")
+
+    p2 = Pipeline(spark)
+    p2.add_source_df("data", spark.createDataFrame([(1,)], "a int"))
+    with pytest.raises(ValueError, match="collides"):
+        p2.add(f"data@{csv_path}")
+
+
 def test_named_shortcut_positional(spark, tmpdir, csv_path):
     """Positional `name@file`: fileread bound to the stream name in
     source position, filewrite FROM the named stream in sink position

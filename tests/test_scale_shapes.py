@@ -138,6 +138,14 @@ def test_salted_join_matches_plain_join(spark):
     }
 
 
+def test_with_position_rejects_reserved_columns(spark):
+    df = spark.createDataFrame([(1, 2)], "k int, pos int")
+    with pytest.raises(ValueError, match="pos"):
+        scale.with_position(df, ["k"])
+    ok = scale.with_position(df, ["k"], pos_col="zip_pos")
+    assert ok.columns == ["k", "pos", "zip_pos"]
+
+
 def test_with_position_avoids_single_partition_data_sort(spark):
     """The global row position must come from range partitioning +
     per-partition row_number + a bounded offset table — NEVER a bare
