@@ -225,6 +225,16 @@ def _plan_sha(df) -> str:
     # layout so an unrelated 'pid<N>' substring in a predicate literal
     # or path can never be collapsed.
     text = re.sub(r"(dbitool_scratch_[\w.]+/)pid\d+/tid\d+", r"\1pid/tid", text)
+    # format-chain entries stage files under tempfile.mkdtemp dirs
+    # (/tmp/dbitool_fmt_chain_nation_<8 random chars>/...); the random
+    # suffix lands in the scan's Location and flapped the sha EVERY run
+    # (observed r9: format_chain_nation/orders differed across all four
+    # recorded runs while the plan itself was identical). Anchored to
+    # the /tmp/dbitool_ prefix + component boundary so nothing else
+    # can be collapsed.
+    text = re.sub(
+        r"(file:/tmp/dbitool_[\w.]*)_[0-9a-z_]{8}(?=[/\]])", r"\1_TMP", text
+    )
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 
