@@ -566,7 +566,7 @@ def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n")).orderBy("lang_pred")
 
 
-def _langid_sql() -> str:
+def _langid_sql(per_doc: bool = False) -> str:
     score_exprs = [
         r"len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> w IN ({}))) AS score_{}".format(
             ", ".join(f"'{m}'" for m in markers), lang
@@ -590,11 +590,29 @@ WITH scored AS (
 ), ranked AS (
   SELECT doc_id, {best} AS best, * FROM scored
 )
-SELECT {case}, COUNT(*) AS n FROM ranked GROUP BY 1 ORDER BY 1
+{"SELECT doc_id, " + case + " FROM ranked" if per_doc
+ else "SELECT " + case + ", COUNT(*) AS n FROM ranked GROUP BY 1 ORDER BY 1"}
 """
 
 
 LANGID_DOCUMENTS_SQL = _langid_sql()
+
+
+def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-composite of the three per-document text projections —
+    text_stats + quality_score + the per-doc langid label joined on
+    doc_id (the token_repetition_metrics precedent; registry merge
+    ledger's named next candidate). STAGED, not yet registered: the
+    r9 window held zero slack, so this lands in the registry in r10,
+    retiring the three constituent rows and freeing two slots. One
+    row per doc drives all three codepaths; oracle = the constituent
+    SQLs' per-doc forms joined on doc_id. Until registration it keeps
+    full oracle-parity coverage in tests/test_oracle_parity.py."""
+    stats = text_stats_documents(spark, sf_dir)
+    qual = quality_scores_documents(spark, sf_dir)
+    docs = catalog.load(spark, sf_dir, "documents")
+    lang = text.lang_id(docs).select("doc_id", "lang_pred")
+    return stats.join(qual, "doc_id").join(lang, "doc_id").orderBy("doc_id")
 
 
 def fingerprint_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1628,4 +1646,16 @@ SELECT doc_id AS media_id,
        CAST(CASE WHEN doc_id % 4 = 0 THEN 500 + (doc_id % 5) * 100 ELSE 0 END AS INT) AS duration_ms
 FROM documents
 ORDER BY media_id
+"""
+
+
+# staged composite oracle (text_profile_documents above): the three
+# constituent SQLs' per-doc forms joined on doc_id
+TEXT_PROFILE_DOCUMENTS_SQL = f"""
+SELECT s.doc_id AS doc_id, n_chars2, n_tokens, n_punct, n_digits,
+       n_short_tokens, quality_score, lang_pred
+FROM ({TEXT_STATS_DOCUMENTS_SQL}) s
+JOIN ({QUALITY_SCORES_DOCUMENTS_SQL}) q USING (doc_id)
+JOIN ({_langid_sql(per_doc=True)}) l USING (doc_id)
+ORDER BY doc_id
 """

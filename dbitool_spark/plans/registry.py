@@ -108,8 +108,10 @@ Current capacity: 97 registered / 50-slot window -> 47 tail rows, all
 driver-green in r8; every entry is covered by CORRECTNESS_r08 ∪ r09.
 r10 headroom: 3 slots (47 due + up to 3 new without a merge); next
 merge candidates: the three per-document text projections
-(text_stats/langid/quality, column-composite on doc_id like
-token_repetition_metrics), the format_chain_nation +
+(text_stats/langid/quality — their column-composite
+llm_ops.text_profile_documents is ALREADY STAGED with a green
+oracle-parity row in tests/test_oracle_parity.py, so the r10 swap is
+register-and-retire only), the format_chain_nation +
 xmlbson_roundtrip_supplier chain pair.
 """
 

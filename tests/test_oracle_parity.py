@@ -95,6 +95,11 @@ _RETIRED_CASES += [
      _fmt.EMAIL_ROUNDTRIP_DOCUMENTS_SQL),
     ("retired_chart_roundtrip_events", _fmt.chart_roundtrip_events,
      _fmt.CHART_ROUNDTRIP_EVENTS_SQL),
+    # STAGED (not retired): the r10 merge candidate for the three
+    # per-doc text projections — oracle-proven ahead of registration
+    # so the r10 rotation can swap it in with zero new risk
+    ("staged_text_profile_documents", _llm.text_profile_documents,
+     _llm.TEXT_PROFILE_DOCUMENTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
