@@ -194,6 +194,30 @@ def test_concat_module_positional_zip(spark):
         p3.stream("z")
 
 
+def test_concat_module_three_inputs(spark):
+    """N-ary zip: inner join folds across all inputs, truncating to
+    the shortest; second-input duplicate names suffix by input index."""
+    a = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    b = spark.createDataFrame([(10, "x"), (20, "y")], "id int, v string")
+    c = spark.createDataFrame([(9, 100), (8, 200), (7, 300)], "ck int, w int")
+    p = Pipeline(spark)
+    p.add_source_df("a", a)
+    p.add_source_df("b", b)
+    p.add_source_df("c", c)
+    p.add(
+        "concat",
+        **{"in": "a,b,c", "order1": "k", "order2": "id", "order3": "ck",
+           "out": "z"},
+    )
+    z = p.stream("z")
+    assert z.columns == ["pos", "k", "v", "id", "v_2", "ck", "w"]
+    rows = [tuple(r) for r in z.orderBy("pos").collect()]
+    assert rows == [
+        (1, 1, "a", 10, "x", 7, 300),
+        (2, 2, "b", 20, "y", 8, 200),
+    ]
+
+
 def test_unknown_module_and_stream_errors(spark):
     p = Pipeline(spark)
     with pytest.raises(ValueError, match="unknown module"):
