@@ -1114,6 +1114,23 @@ class Pipeline:
         sources that read their in= path directly (jsonread, xmlread,
         ...) reject it rather than mis-wire."""
         pre: list[_ModuleSpec] = []
+        # sink out=@path: the reference's POD equivalence example is
+        # literally `csvread:in=@a.csv ndjsonwrite:out=@b.ndjson`
+        # (scripts/dbitool.pl:3214-3217). There the @ expands to a
+        # separate filewrite; this engine's sinks write their out=
+        # path directly, so the @ simply strips — the command runs
+        # verbatim either way. The NAMED form has no meaning on a
+        # fused sink (there is no output stream to bind) and raises.
+        out = mod.args.get("out")
+        if mod.name in _SINKS and isinstance(out, str) and "@" in out:
+            name, _, path = out.partition("@")
+            if name:
+                raise ValueError(
+                    f"out={out!r}: a named shortcut cannot bind a sink's "
+                    "output (sinks write their path directly); name the "
+                    "TRANSFORM's out= stream instead"
+                )
+            mod.args["out"] = path
         raw = mod.args.get("in")
         if not isinstance(raw, str) or "@" not in raw:
             return pre

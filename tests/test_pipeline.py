@@ -194,6 +194,27 @@ def test_concat_module_positional_zip(spark):
         p3.stream("z")
 
 
+def test_reference_pod_shortcut_equivalence(spark, tmpdir, csv_path):
+    """The reference POD's own equivalence example runs verbatim:
+    `csvread:in=@a.csv ndjsonwrite:out=@b.ndjson`
+    (scripts/dbitool.pl:3214-3217) — in=@ expands to a fileread raw
+    stream, out=@ strips on the fused sink (same file, same bytes)."""
+    out = os.path.join(tmpdir, "b.ndjson")
+    p = Pipeline(spark)
+    p.add(f"csvread:in=@{csv_path}:header=1")
+    p.add(f"ndjsonwrite:out=@{out}:single_file=1")
+    p.run()
+    from dbitool_spark.io import json_io
+
+    assert json_io.read_ndjson(spark, out).count() == 50
+    assert not os.path.exists(f"@{out}")  # no literal-@ file
+
+    p2 = Pipeline(spark)
+    p2.add(f"csvread:in=@{csv_path}")
+    with pytest.raises(ValueError, match="cannot bind a sink"):
+        p2.add(f"ndjsonwrite:out=s@{out}")
+
+
 def test_concat_module_three_inputs(spark):
     """N-ary zip: inner join folds across all inputs, truncating to
     the shortest; second-input duplicate names suffix by input index."""
