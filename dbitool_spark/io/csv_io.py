@@ -63,11 +63,36 @@ def parse_csv_lines(
 ) -> DataFrame:
     """Parse a raw single-column line stream as CSV — the reference's
     raw->row boundary when csvread consumes an upstream raw stream
-    (e.g. `stdin csvread`, scripts/dbitool.pl:3273-3276). Distributed:
-    the line dataset feeds Spark's CSV parser directly."""
+    (e.g. `stdin csvread`, scripts/dbitool.pl:3273-3276).
+
+    Two plans, both distributed:
+    - schema GIVEN: fully JVM-side via F.from_csv on the value column
+      — stays inside whole-stage codegen, no Python worker, scales to
+      any raw stream. header=True drops lines byte-equal to the
+      header rendering (sep-joined field names — the distributed
+      generalization: a multi-part raw stream carries one header per
+      original file).
+    - schema ABSENT (header-name/type inference): the line dataset
+      feeds spark.read.csv via an RDD hop. Inference itself requires
+      a pass over the data, so this path is for BOUNDED raw streams
+      (stdin, streamed SQL text); point large corpora at the
+      schema'd path or read_csv on files."""
     if len(df.columns) != 1:
         raise ValueError(f"parse_csv_lines expects one raw column, got {df.columns}")
     spark = df.sparkSession
+    raw_col = df.columns[0]
+    if schema is not None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        fields = StructType.fromDDL(schema).fieldNames()
+        lines = df
+        if header:
+            lines = lines.filter(F.col(raw_col) != sep.join(fields))
+        opts = {"sep": sep, "quote": quote, "escape": escape}
+        return lines.select(
+            F.from_csv(F.col(raw_col), schema, opts).alias("_r")
+        ).select("_r.*")
     lines = df.rdd.map(lambda r: r[0])
     reader = (
         spark.read.option("sep", sep)
@@ -75,8 +100,6 @@ def parse_csv_lines(
         .option("escape", escape)
         .option("header", header)
     )
-    if schema is not None:
-        reader = reader.schema(schema)
     return reader.csv(lines)
 
 

@@ -59,15 +59,25 @@ def write_ndjson(
 
 def parse_ndjson_lines(df: DataFrame, *, schema: str | None = None) -> DataFrame:
     """Parse a raw single-column line stream as NDJSON (the raw->row
-    boundary when ndjsonread consumes an upstream raw stream)."""
+    boundary when ndjsonread consumes an upstream raw stream).
+
+    schema GIVEN: fully JVM-side via F.from_json on the value column —
+    no Python worker in the plan, scales to any raw stream. schema
+    ABSENT: spark.read.json over an RDD hop so Spark can infer the
+    schema (inference requires a data pass anyway); that path is for
+    BOUNDED raw streams (stdin) — schema large corpora explicitly."""
     if len(df.columns) != 1:
         raise ValueError(f"parse_ndjson_lines expects one raw column, got {df.columns}")
     spark = df.sparkSession
-    lines = df.rdd.map(lambda r: r[0])
-    reader = spark.read
     if schema is not None:
-        reader = reader.schema(schema)
-    return reader.json(lines)
+        from pyspark.sql import functions as F
+
+        raw_col = df.columns[0]
+        return df.select(
+            F.from_json(F.col(raw_col), schema).alias("_r")
+        ).select("_r.*")
+    lines = df.rdd.map(lambda r: r[0])
+    return spark.read.json(lines)
 
 
 def read_json(
@@ -134,7 +144,9 @@ def write_json(
             f"write_json is a bounded edge: >{memory_limit} rows "
             "(reference memorylimit semantics); use write_ndjson"
         )
-    if sum(len(r) for r in rows) > memory_limit_bytes:
+    # encoded-BYTE length, not unicode chars: a non-ASCII document is
+    # up to 4x its character count on disk and the limit says "bytes"
+    if sum(len(r.encode("utf-8")) for r in rows) > memory_limit_bytes:
         raise MemoryError(
             f"write_json is a bounded edge: encoded document exceeds "
             f"{memory_limit_bytes} bytes (wide rows — lower memory_limit "

@@ -76,6 +76,20 @@ def _flag(args: dict, key: str, default: bool = True) -> bool:
     return v in (True, 1, "1", "true")
 
 
+_SHORTCUT_RE = re.compile(r"^(?:[A-Za-z_]\w*)?@")
+
+
+def _is_shortcut(value: str) -> bool:
+    """True when an in=/out= value is an @shortcut: a leading '@'
+    (reference regex ^\\@, scripts/dbitool.pl:93) or the named form
+    `name@path` where name is an identifier (the same grammar
+    _parse_cli requires positionally). A path whose text before '@'
+    is NOT an identifier (/tmp/b@2x.ndjson, ./data@v2.csv) is a
+    literal path and must pass through verbatim; an empty path after
+    the '@' still reaches the malformed-shortcut error downstream."""
+    return bool(_SHORTCUT_RE.match(value))
+
+
 def _with_file(df: DataFrame, a: dict) -> DataFrame:
     """withfile=1 provenance on the file-scan sources (TODO:53-56's
     stream-per-file, as a column): prepend input_file_name() so
@@ -476,7 +490,18 @@ def _concat(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
         side = _scale.with_position(df, cols)
         for c in df.columns:
             if c in seen:
-                side = side.withColumnRenamed(c, f"{c}_{i + 1}")
+                # collision-checked suffix: start at the input index,
+                # keep incrementing past names an earlier input already
+                # carries literally (e.g. input 1 has both 'v' and
+                # 'v_2') — an unchecked f"{c}_{i+1}" would emit two
+                # identical columns and fail ambiguously downstream
+                k = i + 1
+                new = f"{c}_{k}"
+                while new in seen:
+                    k += 1
+                    new = f"{c}_{k}"
+                side = side.withColumnRenamed(c, new)
+                seen.add(new)
             else:
                 seen.add(c)
         sides.append(side)
@@ -895,12 +920,23 @@ def _chartwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
             # module's descriptive error, not a bare float() ValueError
             try:
                 pts = [(float(x), v) for x, v in rows]
-            except (TypeError, ValueError):
+            except (TypeError, ValueError) as exc:
+                # sentinel default: a stateful/exotic __float__ can fail
+                # float() yet pass _is_floatable, and a bare
+                # StopIteration must not escape the handler
                 bad = next(
-                    x for x, _ in rows
-                    if not isinstance(x, (int, float))
-                    and not _is_floatable(x)
+                    (
+                        x for x, _ in rows
+                        if not isinstance(x, (int, float))
+                        and not _is_floatable(x)
+                    ),
+                    None,
                 )
+                if bad is None:
+                    raise ValueError(
+                        f"chartwrite: type=line needs a numeric x column, "
+                        f"but x={a['x']!r} failed numeric conversion: {exc}"
+                    ) from exc
                 raise ValueError(
                     f"chartwrite: type=line needs a numeric x column, but "
                     f"x={a['x']!r} has non-numeric value {bad!r} — use "
@@ -1122,7 +1158,7 @@ class Pipeline:
         # verbatim either way. The NAMED form has no meaning on a
         # fused sink (there is no output stream to bind) and raises.
         out = mod.args.get("out")
-        if mod.name in _SINKS and isinstance(out, str) and "@" in out:
+        if mod.name in _SINKS and isinstance(out, str) and _is_shortcut(out):
             name, _, path = out.partition("@")
             if name:
                 raise ValueError(
@@ -1136,7 +1172,12 @@ class Pipeline:
             return pre
         new_parts = []
         for part in (s.strip() for s in raw.split(",")):
-            if "@" not in part:
+            if not _is_shortcut(part):
+                # a literal path that merely CONTAINS '@' (in=data@v2.csv,
+                # out=/tmp/b@2x.ndjson) is not a shortcut — the reference
+                # only expands a LEADING '@' (regex ^\@, dbitool.pl:93)
+                # and _parse_cli's named form requires an identifier
+                # prefix; anything else passes through verbatim
                 new_parts.append(part)
                 continue
             if mod.name.startswith("file"):

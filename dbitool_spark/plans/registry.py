@@ -104,15 +104,25 @@ round (streaming_lsh: ndb partial rewrite; ann_recall_planted: gemm
 IVF kernel; skewed_segment_join: salted_join guard) + ALL 46 entries
 whose last driver row was r7 — the 2-round clock satisfied exactly.
 
-Current capacity: 97 registered / 50-slot window -> 47 tail rows, all
-driver-green in r8; every entry is covered by CORRECTNESS_r08 ∪ r09.
-r10 headroom: 3 slots (47 due + up to 3 new without a merge); next
-merge candidates: the three per-document text projections
-(text_stats/langid/quality — their column-composite
-llm_ops.text_profile_documents is ALREADY STAGED with a green
-oracle-parity row in tests/test_oracle_parity.py, so the r10 swap is
-register-and-retire only), the format_chain_nation +
-xmlbson_roundtrip_supplier chain pair.
+r10 rotation (the staged merge executed): text_stats_documents +
+langid_documents + quality_scores_documents RETIRED into the
+column-composite text_profile_documents (llm_ops.py:601 — one row
+per doc drives all three codepaths; its oracle-parity row was green
+one full round BEFORE registration as staged_text_profile_documents).
+Head-50 = text_profile (new) + concat_positional (its concat
+duplicate-suffix code changed this round, ADVICE r9 fix) + ALL 47
+entries whose last driver row was r8 — the tripwire's printed list,
+satisfied exactly. The three retirees keep standalone oracle-parity
+rows in tests/test_oracle_parity.py per the retirement contract.
+
+Current capacity: 95 registered / 50-slot window. The rotation-due
+head is 49 entries, so the 50th window slot absorbs the first tail
+entry (streaming_lsh_near_dup_documents — a bonus r10 row); tail =
+45, all driver-green in r9; every entry is covered by
+CORRECTNESS_r09 ∪ r10. r11 headroom: 45 due-tail entries against 50
+slots -> 5 slots of slack; next merge candidate if slots run short:
+format_chain_nation + xmlbson_roundtrip_supplier into one
+five-format chain.
 """
 
 from __future__ import annotations
@@ -152,178 +162,33 @@ def oracle_sql() -> dict[str, str]:
 
 
 # =====================================================================
-# r9 WINDOW (head-50): 1 new entry + 3 r8 veterans whose executed
-# plans changed this round + ALL 46 entries whose last driver row was
-# r7 (the 2-round clock makes every one of them due). No merges were
-# needed this round: 97 entries leave r10 a 47-entry due-tail + 3
-# slots of slack; the next merge candidates remain the three
-# per-document text projections (text_stats/langid/quality share the
-# one-row-per-doc shape, column-composite like token_repetition) and
-# the format_chain_nation + xmlbson chain pair.
+# r10 WINDOW (head-50): 1 new entry (the staged text-projection
+# composite, register-and-retire), 1 r9 veteran whose executed code
+# changed this round (concat_positional: the concat duplicate-column
+# suffix gained collision detection, ADVICE r9), + ALL 47 entries
+# whose last driver row was r8 (the rotation tripwire's printed list)
+# = 49 head entries; the 50th slot absorbs the first tail entry.
+# Tail = the remaining 45 r9-green entries.
 # =====================================================================
 
-# NEW (r9): the reference TODO:74-76 concat module ("a join without
-# any expression") — positional column zip over per-input total
-# orders, driven through the real Pipeline module
+# NEW (r10): column-composite of the three per-document text
+# projections (text_stats + quality_score + per-doc langid, joined on
+# doc_id). Oracle-proven one full round before registration as
+# staged_text_profile_documents in tests/test_oracle_parity.py.
+register(
+    "text_profile_documents",
+    llm_ops.text_profile_documents,
+    llm_ops.TEXT_PROFILE_DOCUMENTS_SQL,
+)
+# code path changed r10: pipeline concat duplicate-column suffixing is
+# now collision-checked (keeps incrementing past taken names)
 register(
     "concat_positional_supplier_customer",
     pipeline_ops.concat_positional_supplier_customer,
     pipeline_ops.CONCAT_POSITIONAL_SQL,
 )
-# plan changed r9: ndb bucket-pruned partial rewrite under the
-# foreachBatch index (hardlinked carryover; ndb.py)
-register(
-    "streaming_lsh_near_dup_documents",
-    state_ops.streaming_lsh_near_dup_documents,
-    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
-)
-# plan changed r9: IVF cell assignment now uses the gemm-identity
-# distance kernel (ops/similarity._euclidean_sq)
-register(
-    "ann_recall_planted",
-    llm_ops.ann_recall_planted,
-    llm_ops.ANN_RECALL_PLANTED_SQL,
-)
-# code path changed r9: salted_join gained the join-type guard and the
-# salted() mode plumbing
-register(
-    "skewed_segment_join_events",
-    events_ops.skewed_segment_join_events,
-    events_ops.SKEWED_SEGMENT_JOIN_SQL,
-)
 
-# --- the 46 entries due their r9 row (last driver row: r7) -----------
-register(
-    "streaming_dedup_events",
-    state_ops.streaming_dedup_events,
-    state_ops.STREAMING_DEDUP_EVENTS_SQL,
-)
-register(
-    "curation_pipeline_documents",
-    pipeline_ops.curation_pipeline_documents,
-    pipeline_ops.CURATION_PIPELINE_SQL,
-)
-register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
-register(
-    "ngram_containment_documents",
-    llm_ops.ngram_containment_documents,
-    llm_ops.NGRAM_CONTAINMENT_SQL,
-)
-register(
-    "streaming_decontaminate_documents",
-    state_ops.streaming_decontaminate_documents,
-    state_ops.STREAMING_DECONTAMINATE_SQL,
-)
-register(
-    "semantic_outliers_documents",
-    llm_ops.semantic_outliers_documents,
-    llm_ops.SEMANTIC_OUTLIERS_SQL,
-)
-register(
-    "streaming_hourly_append_events",
-    state_ops.streaming_hourly_append_events,
-    state_ops.STREAMING_HOURLY_APPEND_SQL,
-)
-# families=4 as of r9: the GIF LZW decode joins the arithmetic oracle
-register(
-    "media_decode_roundtrip",
-    llm_ops.media_decode_roundtrip,
-    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
-)
-register(
-    "streaming_hourly_stats_events",
-    state_ops.streaming_hourly_stats_events,
-    state_ops.STREAMING_HOURLY_STATS_SQL,
-)
-register(
-    "streaming_user_sessions_events",
-    state_ops.streaming_user_sessions_events,
-    events_ops.USER_SESSIONS_SQL,
-)
-register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
-register(
-    "sample_stratified_documents",
-    pipeline_ops.sample_stratified_documents,
-    pipeline_ops.SAMPLE_STRATIFIED_SQL,
-)
-register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
-register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
-register(
-    "array_functions_embeddings",
-    scalar_ops.array_functions_embeddings,
-    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
-)
-register(
-    "stats_functions_lineitem",
-    scalar_ops.stats_functions_lineitem,
-    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
-)
-register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
-register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
-register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
-register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
-register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
-register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
-register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
-register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
-register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
-register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
-register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_recall_planted
-register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
-register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
-register("text_stats_documents", llm_ops.text_stats_documents, llm_ops.TEXT_STATS_DOCUMENTS_SQL)
-register("langid_documents", llm_ops.langid_documents, llm_ops.LANGID_DOCUMENTS_SQL)
-register(
-    "fingerprint_dedup_counts",
-    llm_ops.fingerprint_dedup_counts,
-    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
-)
-register(
-    "quality_scores_documents",
-    llm_ops.quality_scores_documents,
-    llm_ops.QUALITY_SCORES_DOCUMENTS_SQL,
-)
-register(
-    "media_features_documents",
-    llm_ops.media_features_documents,
-    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
-)
-register(
-    "frame_sample_documents",
-    llm_ops.frame_sample_documents,
-    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
-)
-register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
-register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
-register(
-    "decontaminate_documents",
-    pipeline_ops.decontaminate_documents,
-    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
-)
-register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
-register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
-# drives the r9 bucket-pruned ndb upsert path batch-side
-register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
-register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
-register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
-register(
-    "repetition_stats_documents",
-    llm_ops.repetition_stats_documents,
-    llm_ops.REPETITION_STATS_SQL,
-)
-register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
-register(
-    "customer_order_distribution",
-    relational.customer_order_distribution,
-    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
-)
-
-# ===================== driver-window boundary (50) ====================
-# Everything below was driver-green in r8 (CORRECTNESS_r08) and is
-# unchanged this round; full pytest oracle-parity coverage continues
-# every round regardless of position. Due their next driver row in
-# r10 (47 entries against 50 slots: 3 slots of slack).
-
+# --- the 47 entries due their r10 row (last driver row: r8) ----------
 register(
     "email_chart_roundtrip",
     format_io.email_chart_roundtrip,
@@ -504,4 +369,141 @@ register(
     "pack_sequences_documents",
     pipeline_ops.pack_sequences_documents,
     pipeline_ops.PACK_SEQUENCES_SQL,
+)
+
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r9 (CORRECTNESS_r09) and is
+# unchanged this round; full pytest oracle-parity coverage continues
+# every round regardless of position. Due their next driver row in
+# r11 (46 entries against 50 slots: 4 slots of slack).
+
+register(
+    "streaming_lsh_near_dup_documents",
+    state_ops.streaming_lsh_near_dup_documents,
+    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
+)
+register(
+    "ann_recall_planted",
+    llm_ops.ann_recall_planted,
+    llm_ops.ANN_RECALL_PLANTED_SQL,
+)
+register(
+    "skewed_segment_join_events",
+    events_ops.skewed_segment_join_events,
+    events_ops.SKEWED_SEGMENT_JOIN_SQL,
+)
+register(
+    "streaming_dedup_events",
+    state_ops.streaming_dedup_events,
+    state_ops.STREAMING_DEDUP_EVENTS_SQL,
+)
+register(
+    "curation_pipeline_documents",
+    pipeline_ops.curation_pipeline_documents,
+    pipeline_ops.CURATION_PIPELINE_SQL,
+)
+register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
+register(
+    "ngram_containment_documents",
+    llm_ops.ngram_containment_documents,
+    llm_ops.NGRAM_CONTAINMENT_SQL,
+)
+register(
+    "streaming_decontaminate_documents",
+    state_ops.streaming_decontaminate_documents,
+    state_ops.STREAMING_DECONTAMINATE_SQL,
+)
+register(
+    "semantic_outliers_documents",
+    llm_ops.semantic_outliers_documents,
+    llm_ops.SEMANTIC_OUTLIERS_SQL,
+)
+register(
+    "streaming_hourly_append_events",
+    state_ops.streaming_hourly_append_events,
+    state_ops.STREAMING_HOURLY_APPEND_SQL,
+)
+register(
+    "media_decode_roundtrip",
+    llm_ops.media_decode_roundtrip,
+    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
+)
+register(
+    "streaming_hourly_stats_events",
+    state_ops.streaming_hourly_stats_events,
+    state_ops.STREAMING_HOURLY_STATS_SQL,
+)
+register(
+    "streaming_user_sessions_events",
+    state_ops.streaming_user_sessions_events,
+    events_ops.USER_SESSIONS_SQL,
+)
+register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register(
+    "sample_stratified_documents",
+    pipeline_ops.sample_stratified_documents,
+    pipeline_ops.SAMPLE_STRATIFIED_SQL,
+)
+register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
+register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
+register(
+    "array_functions_embeddings",
+    scalar_ops.array_functions_embeddings,
+    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
+)
+register(
+    "stats_functions_lineitem",
+    scalar_ops.stats_functions_lineitem,
+    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
+)
+register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
+register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
+register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
+register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
+register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
+register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
+register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
+register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
+register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
+register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
+register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_recall_planted
+register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
+register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
+register(
+    "fingerprint_dedup_counts",
+    llm_ops.fingerprint_dedup_counts,
+    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
+)
+register(
+    "media_features_documents",
+    llm_ops.media_features_documents,
+    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
+)
+register(
+    "frame_sample_documents",
+    llm_ops.frame_sample_documents,
+    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
+)
+register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
+register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
+register(
+    "decontaminate_documents",
+    pipeline_ops.decontaminate_documents,
+    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
+)
+register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
+register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
+register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
+register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
+register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
+register(
+    "repetition_stats_documents",
+    llm_ops.repetition_stats_documents,
+    llm_ops.REPETITION_STATS_SQL,
+)
+register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
+register(
+    "customer_order_distribution",
+    relational.customer_order_distribution,
+    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
 )

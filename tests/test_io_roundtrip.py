@@ -92,6 +92,17 @@ def test_json_write_respects_byte_limit(spark, tmpdir):
         write_json(df, os.path.join(tmpdir, "t.json"), memory_limit_bytes=64)
 
 
+def test_json_byte_limit_counts_encoded_bytes_not_chars(spark, tmpdir):
+    """The cap says 'bytes', so it must count UTF-8 encoded length: a
+    non-ASCII document is up to 4x its unicode character count on
+    disk, and a char-count guard under-fires by exactly that factor
+    (advisory r9). 30 CJK chars ≈ 42-char JSON row but >90 encoded
+    bytes — a 64-byte cap must fire."""
+    df = spark.createDataFrame([("漢" * 30,)], "t string")
+    with pytest.raises(MemoryError, match="bytes"):
+        write_json(df, os.path.join(tmpdir, "t.json"), memory_limit_bytes=64)
+
+
 def test_fixedwidth_roundtrip(spark, tmpdir):
     df = testrow.dataframe(spark, N)
     # widths wide enough that no value truncates
@@ -175,3 +186,49 @@ def test_json_read_respects_memory_limit(spark, tmpdir):
     with _pytest.raises(MemoryError):
         json_io.read_json(spark, path, memory_limit=5)
     assert json_io.read_json(spark, path, memory_limit=9).count() == 9
+
+
+def test_schemad_raw_parse_is_jvm_side(spark):
+    """VERDICT r9: the raw->row boundary with a schema must stay
+    JVM-side (F.from_csv / F.from_json) — no per-row Python
+    serialization in the plan. A large raw stream through the schema'd
+    parse would otherwise pay a silent row-at-a-time Python tax. The
+    RDD hop is allowed ONLY on the inference path (bounded inputs)."""
+    import contextlib
+    import io as _io
+
+    from dbitool_spark.io import csv_io, json_io
+
+    d = tempfile.mkdtemp(prefix="dbitool_jvm_parse_")
+    csv_file = os.path.join(d, "lines.csv")
+    with open(csv_file, "w") as fh:
+        fh.write("k,name\n1,alpha\n2,beta\n")
+    raw_csv = read_text(spark, csv_file)
+    parsed = csv_io.parse_csv_lines(raw_csv, schema="k int, name string")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        parsed.explain("formatted")
+    plan = buf.getvalue()
+    for marker in ("SerializeFromObject", "ExistingRDD", "BatchEvalPython",
+                   "MapPartitions"):
+        assert marker not in plan, f"schema'd CSV parse has {marker}:\n{plan}"
+    # header line dropped, values parsed and typed
+    assert sorted((r.k, r.name) for r in parsed.collect()) == [
+        (1, "alpha"), (2, "beta"),
+    ]
+
+    nd_file = os.path.join(d, "lines.ndjson")
+    with open(nd_file, "w") as fh:
+        fh.write('{"k": 1, "name": "alpha"}\n{"k": 2, "name": "beta"}\n')
+    raw_nd = read_text(spark, nd_file)
+    parsed2 = json_io.parse_ndjson_lines(raw_nd, schema="k int, name string")
+    buf2 = _io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        parsed2.explain("formatted")
+    plan2 = buf2.getvalue()
+    for marker in ("SerializeFromObject", "ExistingRDD", "BatchEvalPython",
+                   "MapPartitions"):
+        assert marker not in plan2, f"schema'd NDJSON parse has {marker}:\n{plan2}"
+    assert sorted((r.k, r.name) for r in parsed2.collect()) == [
+        (1, "alpha"), (2, "beta"),
+    ]

@@ -95,11 +95,19 @@ _RETIRED_CASES += [
      _fmt.EMAIL_ROUNDTRIP_DOCUMENTS_SQL),
     ("retired_chart_roundtrip_events", _fmt.chart_roundtrip_events,
      _fmt.CHART_ROUNDTRIP_EVENTS_SQL),
-    # STAGED (not retired): the r10 merge candidate for the three
-    # per-doc text projections — oracle-proven ahead of registration
-    # so the r10 rotation can swap it in with zero new risk
-    ("staged_text_profile_documents", _llm.text_profile_documents,
-     _llm.TEXT_PROFILE_DOCUMENTS_SQL),
+]
+
+# r10 rotation: the staged composite text_profile_documents is now
+# REGISTERED (it runs above via registry.queries()); its three
+# constituents retired from the registry but keep their standalone
+# oracle-parity rows here per the retirement contract.
+_RETIRED_CASES += [
+    ("retired_text_stats_documents", _llm.text_stats_documents,
+     _llm.TEXT_STATS_DOCUMENTS_SQL),
+    ("retired_langid_documents", _llm.langid_documents,
+     _llm.LANGID_DOCUMENTS_SQL),
+    ("retired_quality_scores_documents", _llm.quality_scores_documents,
+     _llm.QUALITY_SCORES_DOCUMENTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 

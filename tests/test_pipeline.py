@@ -215,6 +215,43 @@ def test_reference_pod_shortcut_equivalence(spark, tmpdir, csv_path):
         p2.add(f"ndjsonwrite:out=s@{out}")
 
 
+def test_literal_at_in_path_is_not_a_shortcut(spark, tmpdir, csv_path):
+    """A path that merely CONTAINS '@' with a non-identifier prefix
+    (in=/tmp/data@v2.csv, out=/tmp/b@2x.ndjson) is a literal path —
+    the reference only expands a LEADING '@' (regex ^\\@,
+    scripts/dbitool.pl:93) and the named form requires an identifier
+    prefix (advisory r9). Both sides must pass through verbatim."""
+    at_in = os.path.join(tmpdir, "data@v2.csv")
+    with open(at_in, "w") as fh:
+        fh.write("k,v\n" + "".join(f"{i},x{i}\n" for i in range(50)))
+    at_out = os.path.join(tmpdir, "b@2x.ndjson")
+    p = Pipeline(spark)
+    p.add(f"csvread:in={at_in}:header=1")
+    p.add(f"ndjsonwrite:out={at_out}:single_file=1")
+    p.run()
+    from dbitool_spark.io import json_io
+
+    assert json_io.read_ndjson(spark, at_out).count() == 50
+    assert os.path.exists(at_out)  # literally that filename, no strip
+
+
+def test_concat_suffix_collision_keeps_incrementing(spark):
+    """Duplicate-column suffixing is collision-checked: when input 1
+    already carries a literal 'v_2', input 2's duplicate 'v' must NOT
+    also become 'v_2' (two identical names, ambiguous downstream) —
+    it increments to the first free suffix (advisory r9)."""
+    a = spark.createDataFrame([(1, "a", "lit")], "k int, v string, v_2 string")
+    b = spark.createDataFrame([(10, "x")], "id int, v string")
+    p = Pipeline(spark)
+    p.add_source_df("a", a)
+    p.add_source_df("b", b)
+    p.add("concat", **{"in": "a,b", "order1": "k", "order2": "id", "out": "z"})
+    z = p.stream("z")
+    assert z.columns == ["pos", "k", "v", "v_2", "id", "v_3"]
+    row = z.collect()[0]
+    assert (row.v, row.v_2, row.v_3) == ("a", "lit", "x")
+
+
 def test_concat_module_three_inputs(spark):
     """N-ary zip: inner join folds across all inputs, truncating to
     the shortest; second-input duplicate names suffix by input index."""
