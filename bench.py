@@ -107,6 +107,21 @@ def _scaling_ops():
 
         return skewed_user_rollup_events(spark, d)
 
+    def lsh_topk(spark, d):
+        # ANN scale path #1 (r9 verdict task): bucketed candidate probe
+        # — growth must track corpus size (bucket equi-join), never
+        # queries*corpus all-pairs
+        from dbitool_spark.plans.llm_ops import ann_topk_lsh
+
+        return ann_topk_lsh(spark, d)
+
+    def ivf_topk(spark, d):
+        # ANN scale path #2: the gemm-identity assignment kernel is
+        # O(N*C + N*dim) per Arrow batch; cell-pruned probe after
+        from dbitool_spark.plans.llm_ops import ann_topk_ivf
+
+        return ann_topk_ivf(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -114,6 +129,8 @@ def _scaling_ops():
         "ngram_containment_pairs": containment,
         "kmeans_cluster_updates": kmeans_cluster_path,
         "salted_user_rollup": salted_rollup,
+        "lsh_topk": lsh_topk,
+        "ivf_topk": ivf_topk,
     }
 
 

@@ -18,3 +18,11 @@ def spark():
     s = get_session("dbitool_spark-tests", cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
     yield s
     s.stop()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: scale-shaped measurements (10^6-row state); run in CI but "
+        "deselectable with -m 'not slow' for quick iteration",
+    )

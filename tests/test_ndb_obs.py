@@ -296,3 +296,92 @@ def test_stream_progress_logger(spark, tmp_path):
     finally:
         prog.detach()
         spark.catalog.dropTempView("prog_sink_test")
+
+
+@pytest.mark.slow
+def test_ndb_bucket_prune_scales_with_touched_fraction(spark, tmpdir):
+    """VERDICT r9 task 4: the bucket-prune claim at REALISTIC state
+    size. State = 10^6 keys across 32 buckets (~tens of MB parquet);
+    batch touches exactly 2 buckets. The pruned upsert must
+    (a) rewrite bytes ~ state*b/n + batch, NOT ~ state: freshly
+        written (non-hardlinked) bytes stay under 3x the two touched
+        buckets' prior size, and >= 30/32 of the prior bytes carry
+        over as hardlinks (same inode);
+    (b) beat the full rewrite on wall-clock on the same state
+        (generous 0.9x bound — the full path rewrites 16x the bytes,
+        so even with fixed job overhead this must hold).
+    Numbers are printed for the SURVEY/bench record."""
+    import time
+
+    path = os.path.join(tmpdir, "big_kv")
+    n_state = 1_000_000
+    t = NdbTable(spark, path, key="k", n_buckets=32)
+    base = spark.range(n_state).select(
+        F.col("id").cast("long").alias("k"),
+        F.concat(F.lit("payload_"), F.col("id")).alias("v"),
+    )
+    t.upsert(base)
+    v0 = os.path.join(path, "v0")
+    before = _bucket_files(v0)
+    assert len(before) == 32
+    state_bytes = sum(sz for files in before.values() for (_ino, sz) in files.values())
+
+    # batch keys confined to exactly 2 hash buckets, sampled from the
+    # live key range so the merge truly rewrites those buckets
+    bucket = F.pmod(F.xxhash64(F.col("k")), F.lit(32)).cast("int")
+    batch = (
+        spark.range(0, n_state, 97)
+        .select(F.col("id").cast("long").alias("k"))
+        .filter(bucket.isin(0, 1))
+        .withColumn("v", F.lit("UPDATED"))
+    )
+    n_batch = batch.count()
+    assert n_batch > 100  # non-trivial batch
+
+    t0 = time.monotonic()
+    t.upsert(batch)
+    pruned_s = time.monotonic() - t0
+
+    v1 = os.path.join(path, "v1")
+    after = _bucket_files(v1)
+    assert set(after) == set(before)
+    prev_inodes = {ino for files in before.values() for (ino, _sz) in files.values()}
+    rewritten_bytes = 0
+    linked_bytes = 0
+    touched_dirs = {"__ndb_bucket=0", "__ndb_bucket=1"}
+    touched_prior = sum(
+        sz for d in touched_dirs for (_ino, sz) in before[d].values()
+    )
+    for bname, files in after.items():
+        for _f, (ino, sz) in files.items():
+            if ino in prev_inodes:
+                linked_bytes += sz
+            else:
+                rewritten_bytes += sz
+    for bname in after:
+        if bname not in touched_dirs:
+            assert after[bname] == before[bname], f"{bname} must hardlink"
+    # (a) bytes scale with b/n: 2 of 32 buckets rewrote, 30 linked
+    assert rewritten_bytes <= 3 * touched_prior, (
+        f"rewrote {rewritten_bytes}B vs touched-prior {touched_prior}B "
+        f"(state {state_bytes}B) — prune degraded toward full rewrite"
+    )
+    assert linked_bytes >= state_bytes * 30 / 32 * 0.95
+
+    # (b) wall-clock: same state, full rewrite for comparison
+    t0 = time.monotonic()
+    t.upsert(batch.withColumn("v", F.lit("UPDATED2")), prune=False)
+    full_s = time.monotonic() - t0
+    assert pruned_s < full_s * 0.9, (
+        f"pruned upsert {pruned_s:.2f}s not faster than full {full_s:.2f}s"
+    )
+    print(
+        f"\nNDB_PRUNE_SCALE state_rows={n_state} state_bytes={state_bytes} "
+        f"batch_rows={n_batch} rewritten_bytes={rewritten_bytes} "
+        f"linked_bytes={linked_bytes} pruned_s={pruned_s:.2f} full_s={full_s:.2f}"
+    )
+
+    # semantics spot-check after both merges
+    got = t.replay().filter(F.col("k").isin(0, 97 * 3, 5)).collect()
+    m = {r.k: r.v for r in got}
+    assert m[5] == "payload_5"
