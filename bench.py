@@ -294,6 +294,7 @@ def _lazy_plan_variants():
         ),
         "embedding_near_dup": _entry_lazy(llm_ops.embedding_near_dup),
         "top_terms_per_source": _entry_lazy(llm_ops.top_terms_per_source),
+        "bm25_topk_documents": _entry_lazy(llm_ops.bm25_topk_documents),
     }
 
 

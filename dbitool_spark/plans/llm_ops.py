@@ -1221,6 +1221,151 @@ ORDER BY source, rank
 """
 
 
+# --- BM25 retrieval over the corpus ----------------------------------
+
+# Fixed query (alphabetical — the pivot/sum order below depends on it)
+BM25_QUERY_TERMS = ("join", "merge", "spark", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+
+
+def bm25_topk_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones) top-k retrieval for a fixed query
+    over the documents corpus — the retrieval leg of a training-data
+    pipeline (quality-weighted corpus search, dedup-aware sampling,
+    eval-set mining). New operator; no reference counterpart (the
+    reference has no text-retrieval module) — it extends the text
+    analysis family (ops/text.py) the way top_terms does tf-idf.
+
+    Scale shape: the ONLY corpus-wide work is tokenize + per-doc
+    length (one explode + one map-side-combinable groupBy on doc_id).
+    tf/df aggregate AFTER filtering to the |q| query terms, so the
+    shuffled candidate set is bounded by docs-containing-q, not the
+    token stream; the df table is |q| rows (broadcast), corpus stats
+    are one crossJoined row, and the top-k is orderBy+limit =
+    per-partition TakeOrdered, never a global sort.
+
+    Cross-engine determinism: scores sum per-term contributions in a
+    FIXED alphabetical column order (pivot -> ordered '+' chain, no
+    data-order float accumulation); every constant is a double in
+    both engines; ln() may differ in the last ulp between libms, so
+    both sides round(score, 4) — same convention as quality_scores'
+    round-absorbs-ulp contract."""
+    from dbitool_spark.ops.cache import materialize_release
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    # dl feeds BOTH the corpus-stats agg and the contrib join; persist
+    # the compact (doc_id, dl) table so the corpus tokenizes twice
+    # total (tf + dl), not once per dl reference — the same
+    # no-repeated-corpus-scan rule top_terms applies to its tf table
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    # tf feeds BOTH the per-term df aggregate and the contrib join —
+    # persist it (|q| terms x matching docs, compact) or the corpus
+    # explode runs once per reference
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B)
+                    * F.col("dl").cast("double")
+                    / (F.col("sum_dl") / F.col("n_docs"))
+                )
+            ),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").pivot(
+        "term", list(BM25_QUERY_TERMS)
+    ).agg(F.max("c"))
+    score = None
+    for t in BM25_QUERY_TERMS:
+        col = F.coalesce(F.col(t), F.lit(0.0))
+        score = col if score is None else score + col
+    result = (
+        per_doc.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+    if not materialize:
+        return result  # lazy: persists caller-owned (plan audits)
+    return materialize_release(result, dl, tf)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    # fixed-order '+' chain mirroring the Spark pivot sum exactly
+    chain = "\n    + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN c END), CAST(0 AS DOUBLE))"
+        for t in BM25_QUERY_TERMS
+    )
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+            + CAST(1.0 AS DOUBLE))
+         * (tf * CAST({k1p1} AS DOUBLE))
+         / (tf + CAST({BM25_K1} AS DOUBLE)
+                 * (CAST({one_minus_b} AS DOUBLE)
+                    + CAST({BM25_B} AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+                      / (sum_dl / n_docs))) AS c
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, round({chain}, 4) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+BM25_TOPK_DOCUMENTS_SQL = _bm25_sql()
+
+
 # --- substring-level duplicate spans ---------------------------------
 
 

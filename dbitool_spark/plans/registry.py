@@ -104,25 +104,24 @@ round (streaming_lsh: ndb partial rewrite; ann_recall_planted: gemm
 IVF kernel; skewed_segment_join: salted_join guard) + ALL 46 entries
 whose last driver row was r7 — the 2-round clock satisfied exactly.
 
-r10 rotation (the staged merge executed): text_stats_documents +
-langid_documents + quality_scores_documents RETIRED into the
-column-composite text_profile_documents (llm_ops.py:601 — one row
-per doc drives all three codepaths; its oracle-parity row was green
-one full round BEFORE registration as staged_text_profile_documents).
-Head-50 = text_profile (new) + concat_positional (its concat
-duplicate-suffix code changed this round, ADVICE r9 fix) + ALL 47
-entries whose last driver row was r8 — the tripwire's printed list,
-satisfied exactly. The three retirees keep standalone oracle-parity
-rows in tests/test_oracle_parity.py per the retirement contract.
+r10 rotation (the staged merge executed + one net-new operator):
+text_stats_documents + langid_documents + quality_scores_documents
+RETIRED into the column-composite text_profile_documents
+(llm_ops.py:601 — one row per doc drives all three codepaths; its
+oracle-parity row was green one full round BEFORE registration as
+staged_text_profile_documents), and bm25_topk_documents joined as the
+net-new text-retrieval operator. Head-50 = text_profile + bm25 (new)
++ concat_positional (its concat duplicate-suffix code changed this
+round, ADVICE r9 fix) + ALL 47 entries whose last driver row was r8 —
+the tripwire's printed list, satisfied exactly at 50/50. The three
+retirees keep standalone oracle-parity rows in
+tests/test_oracle_parity.py per the retirement contract.
 
-Current capacity: 95 registered / 50-slot window. The rotation-due
-head is 49 entries, so the 50th window slot absorbs the first tail
-entry (streaming_lsh_near_dup_documents — a bonus r10 row); tail =
-45, all driver-green in r9; every entry is covered by
-CORRECTNESS_r09 ∪ r10. r11 headroom: 45 due-tail entries against 50
-slots -> 5 slots of slack; next merge candidate if slots run short:
-format_chain_nation + xmlbson_roundtrip_supplier into one
-five-format chain.
+Current capacity: 96 registered / 50-slot window -> 46 tail rows, all
+driver-green in r9; every entry is covered by CORRECTNESS_r09 ∪ r10.
+r11 headroom: 46 due-tail entries against 50 slots -> 4 slots of
+slack; next merge candidate if slots run short: format_chain_nation +
+xmlbson_roundtrip_supplier into one five-format chain.
 """
 
 from __future__ import annotations
@@ -162,13 +161,13 @@ def oracle_sql() -> dict[str, str]:
 
 
 # =====================================================================
-# r10 WINDOW (head-50): 1 new entry (the staged text-projection
-# composite, register-and-retire), 1 r9 veteran whose executed code
-# changed this round (concat_positional: the concat duplicate-column
-# suffix gained collision detection, ADVICE r9), + ALL 47 entries
-# whose last driver row was r8 (the rotation tripwire's printed list)
-# = 49 head entries; the 50th slot absorbs the first tail entry.
-# Tail = the remaining 45 r9-green entries.
+# r10 WINDOW (head-50): 2 new entries (the staged text-projection
+# composite register-and-retire + bm25_topk_documents), 1 r9 veteran
+# whose executed code changed this round (concat_positional: the
+# concat duplicate-column suffix gained collision detection, ADVICE
+# r9), + ALL 47 entries whose last driver row was r8 (the rotation
+# tripwire's printed list) = exactly 50. Tail = the 46 r9-green
+# entries.
 # =====================================================================
 
 # NEW (r10): column-composite of the three per-document text
@@ -179,6 +178,15 @@ register(
     "text_profile_documents",
     llm_ops.text_profile_documents,
     llm_ops.TEXT_PROFILE_DOCUMENTS_SQL,
+)
+# NEW (r10): BM25 top-k retrieval — the text-retrieval leg of the LLM
+# family (no reference counterpart; extends the text-analysis ops the
+# way top_terms does tf-idf). Corpus-wide work is one tokenize +
+# doc-length agg; tf/df aggregate after the query-term filter.
+register(
+    "bm25_topk_documents",
+    llm_ops.bm25_topk_documents,
+    llm_ops.BM25_TOPK_DOCUMENTS_SQL,
 )
 # code path changed r10: pipeline concat duplicate-column suffixing is
 # now collision-checked (keeps incrementing past taken names)

@@ -1126,3 +1126,57 @@ def test_avi_max_frames_cap(spark):
     )
     out = m.extract_video_frames(df, max_frames=2).collect()
     assert len(out) == 2 and {r.frame_idx for r in out} == {0, 1}
+
+
+def test_bm25_plan_shape_and_semantics(spark):
+    """BM25 retrieval (r10): the top-k must come from
+    TakeOrderedAndProject (per-partition top-k + driver merge, never a
+    global sort), the persisted doc-length table must cap corpus
+    tokenization at two scans, and scores must be finite, positive,
+    and monotone with query-term tf for same-length docs."""
+    import contextlib
+    import io as _io
+
+    from dbitool_spark.plans import llm_ops
+
+    lazy = llm_ops.bm25_topk_documents(spark, SF_ORACLE, materialize=False)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lazy.explain("formatted")
+    plan = buf.getvalue()
+    spark.catalog.clearCache()  # lazy mode: persists caller-owned
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    # the persisted dl/tf tables cap corpus tokenization at exactly
+    # their two cache-build scans: every other reference must hit the
+    # InMemoryRelation, so unique parquet-scan NODES stay <= 2
+    import re as _re
+
+    scan_ids = set(_re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) <= 2, plan
+    assert "InMemoryTableScan" in plan
+
+    got = llm_ops.bm25_topk_documents(spark, SF_ORACLE).collect()
+    assert len(got) == llm_ops.BM25_TOPK
+    scores = [r.bm25 for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+    # closed-form sanity on a tiny planted corpus: same doc length,
+    # more query-term occurrences -> strictly higher score
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join merge window"),       # all 4 terms
+            (2, "spark spark filler filler"),     # one term, tf=2
+            (3, "filler filler filler filler"),   # no terms
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="dbitool_bm25_")
+    for name in ("documents",):
+        docs.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    tiny = {r.doc_id: r.bm25 for r in llm_ops.bm25_topk_documents(spark, d).collect()}
+    assert 3 not in tiny  # zero-score docs never pivot in
+    assert tiny[1] > tiny[2] > 0
