@@ -230,6 +230,13 @@ def _plan_sha(df) -> str:
     text = buf.getvalue()
     if "Scan ExistingRDD" in text and "Scan parquet" not in text:
         return "checkpointed"
+    return hashlib.sha256(_normalize_plan_text(text).encode()).hexdigest()[:16]
+
+
+def _normalize_plan_text(text: str) -> str:
+    """The normalization behind _plan_sha, separated so the session-
+    and process-dependent components it must strip are unit-testable
+    without a SparkSession."""
     text = re.sub(r"#\d+", "#", text)
     text = re.sub(r"plan_id=\d+", "plan_id=", text)
     text = re.sub(r"@[0-9a-f]{6,}", "@", text)
@@ -252,7 +259,18 @@ def _plan_sha(df) -> str:
     text = re.sub(
         r"(file:/tmp/dbitool_[\w.]*)_[0-9a-z_]{8}(?=[/\]])", r"\1_TMP", text
     )
-    return hashlib.sha256(text.encode()).hexdigest()[:16]
+    # higher-order-function lambda variables carry a SESSION-GLOBAL
+    # counter in the NAME itself (lambda x_1# fresh vs lambda x_195#
+    # after other queries compiled lambdas) — the #id strip above
+    # misses it, so every array/lambda entry's sha was a function of
+    # how many lambda-bearing plans ran earlier in the process, i.e.
+    # of REGISTRY ORDER (observed r10: the rotation re-shuffled the
+    # fingerprint pass and 16 documents/embeddings entries flagged
+    # phantom plan changes; standalone text was byte-identical except
+    # these counters). Anchored to the 'lambda ' keyword so a real
+    # column named like x_12 can never be collapsed.
+    text = re.sub(r"\b(lambda [A-Za-z]\w*?)_\d+#", r"\1_#", text)
+    return text
 
 
 def _lazy_plan_variants():

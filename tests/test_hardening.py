@@ -243,3 +243,31 @@ def test_simhash_max_hamming_matches_post_filter(spark):
     # non-vacuity: the perturbed corpus must actually produce pairs
     # within the radius, or the equivalence proves nothing
     assert len(got) > 0
+
+
+def test_bench_plan_normalization_strips_session_counters():
+    """bench._normalize_plan_text must collapse every session- or
+    process-dependent token, or vs_prev flags phantom plan changes.
+    The r10 instance: higher-order-function lambda variables carry a
+    session-GLOBAL counter in the variable NAME (lambda x_1# fresh vs
+    lambda x_195# mid-bench), invisible to the #id strip — rotation
+    reordered the fingerprint pass and 16 entries flagged phantom
+    changes. A real column named like x_12 must NOT be collapsed."""
+    import bench
+
+    fresh = "filter(embedding#7, lambdafunction((lambda x_1#21 > 0.0), lambda x_1#21, false))"
+    later = "filter(embedding#913, lambdafunction((lambda x_195#4410 > 0.0), lambda x_195#4410, false))"
+    assert bench._normalize_plan_text(fresh) == bench._normalize_plan_text(later)
+
+    # multi-var lambdas (aggregate's accumulator + element) too
+    a = "aggregate(s#1, 0.0, lambdafunction((lambda x_2#5 + lambda y_3#6), lambda x_2#5, lambda y_3#6, false))"
+    b = "aggregate(s#9, 0.0, lambdafunction((lambda x_77#8 + lambda y_78#2), lambda x_77#8, lambda y_78#2, false))"
+    assert bench._normalize_plan_text(a) == bench._normalize_plan_text(b)
+
+    # a genuine column whose NAME looks counter-ish is preserved
+    col = "Project [x_12#4 AS x_12#5]"
+    assert "x_12#" in bench._normalize_plan_text(col)
+
+    # the established strips still hold
+    assert bench._normalize_plan_text("Exchange plan_id=44 @deadbeef #12") == \
+        bench._normalize_plan_text("Exchange plan_id=9 @c0ffee12 #99")
