@@ -68,10 +68,13 @@ def parse_csv_lines(
     Two plans, both distributed:
     - schema GIVEN: fully JVM-side via F.from_csv on the value column
       — stays inside whole-stage codegen, no Python worker, scales to
-      any raw stream. header=True drops lines byte-equal to the
-      header rendering (sep-joined field names — the distributed
-      generalization: a multi-part raw stream carries one header per
-      original file).
+      any raw stream. header=True drops lines whose PARSED string
+      values equal the schema's field names (so '"k","name"' and
+      'k,name' both drop — the distributed generalization: a
+      multi-part raw stream carries one header per original file;
+      a stream whose header text differs from the schema's field
+      names is the caller's mismatch to resolve). Empty lines are
+      skipped, matching spark.read.csv.
     - schema ABSENT (header-name/type inference): the line dataset
       feeds spark.read.csv via an RDD hop. Inference itself requires
       a pass over the data, so this path is for BOUNDED raw streams
@@ -86,10 +89,21 @@ def parse_csv_lines(
         from pyspark.sql.types import StructType
 
         fields = StructType.fromDDL(schema).fieldNames()
-        lines = df
-        if header:
-            lines = lines.filter(F.col(raw_col) != sep.join(fields))
         opts = {"sep": sep, "quote": quote, "escape": escape}
+        # spark.read.csv skips empty lines; from_csv would turn each
+        # into a phantom all-null row — mirror the reader
+        lines = df.filter(F.col(raw_col) != F.lit(""))
+        if header:
+            # compare PARSED string values, not raw bytes: a quoted
+            # header line ('"k","name"') must drop just like 'k,name'
+            all_str = ", ".join(f"`{f}` string" for f in fields)
+            hdr = F.from_csv(F.col(raw_col), all_str, opts)
+            want = F.struct(
+                *[F.lit(f).alias(f) for f in fields]
+            )
+            # eqNullSafe: a short line parses to null tail fields and
+            # plain != would return NULL there, silently dropping it
+            lines = lines.filter(~hdr.eqNullSafe(want))
         return lines.select(
             F.from_csv(F.col(raw_col), schema, opts).alias("_r")
         ).select("_r.*")

@@ -62,10 +62,12 @@ def parse_ndjson_lines(df: DataFrame, *, schema: str | None = None) -> DataFrame
     boundary when ndjsonread consumes an upstream raw stream).
 
     schema GIVEN: fully JVM-side via F.from_json on the value column —
-    no Python worker in the plan, scales to any raw stream. schema
-    ABSENT: spark.read.json over an RDD hop so Spark can infer the
-    schema (inference requires a data pass anyway); that path is for
-    BOUNDED raw streams (stdin) — schema large corpora explicitly."""
+    no Python worker in the plan, scales to any raw stream. Blank and
+    whitespace-only lines are skipped, matching spark.read.json (they
+    would otherwise become phantom all-null rows). schema ABSENT:
+    spark.read.json over an RDD hop so Spark can infer the schema
+    (inference requires a data pass anyway); that path is for BOUNDED
+    raw streams (stdin) — schema large corpora explicitly."""
     if len(df.columns) != 1:
         raise ValueError(f"parse_ndjson_lines expects one raw column, got {df.columns}")
     spark = df.sparkSession
@@ -73,9 +75,11 @@ def parse_ndjson_lines(df: DataFrame, *, schema: str | None = None) -> DataFrame
         from pyspark.sql import functions as F
 
         raw_col = df.columns[0]
-        return df.select(
-            F.from_json(F.col(raw_col), schema).alias("_r")
-        ).select("_r.*")
+        return (
+            df.filter(F.trim(F.col(raw_col)) != F.lit(""))
+            .select(F.from_json(F.col(raw_col), schema).alias("_r"))
+            .select("_r.*")
+        )
     lines = df.rdd.map(lambda r: r[0])
     return spark.read.json(lines)
 

@@ -488,16 +488,19 @@ def _concat(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
             )
         cols = [c.strip() for c in spec.split(",")] if isinstance(spec, str) else list(spec)
         side = _scale.with_position(df, cols)
+        own = set(df.columns)
         for c in df.columns:
             if c in seen:
                 # collision-checked suffix: start at the input index,
-                # keep incrementing past names an earlier input already
-                # carries literally (e.g. input 1 has both 'v' and
-                # 'v_2') — an unchecked f"{c}_{i+1}" would emit two
-                # identical columns and fail ambiguously downstream
+                # keep incrementing past names an earlier input OR
+                # THIS input already carries literally (input 1 with
+                # 'v_2', or input 2 itself = [id, v, v_2]) — an
+                # unchecked f"{c}_{i+1}" would emit two identical
+                # columns, and withColumnRenamed on the duplicate
+                # later renames BOTH, failing ambiguously downstream
                 k = i + 1
                 new = f"{c}_{k}"
-                while new in seen:
+                while new in seen or new in own:
                     k += 1
                     new = f"{c}_{k}"
                 side = side.withColumnRenamed(c, new)
@@ -1173,11 +1176,14 @@ class Pipeline:
         new_parts = []
         for part in (s.strip() for s in raw.split(",")):
             if not _is_shortcut(part):
-                # a literal path that merely CONTAINS '@' (in=data@v2.csv,
-                # out=/tmp/b@2x.ndjson) is not a shortcut — the reference
-                # only expands a LEADING '@' (regex ^\@, dbitool.pl:93)
-                # and _parse_cli's named form requires an identifier
-                # prefix; anything else passes through verbatim
+                # a path whose text before '@' is NOT an identifier
+                # (in=./data@v2.csv, out=/tmp/b@2x.ndjson) is a literal
+                # path — the reference only expands a LEADING '@'
+                # (regex ^\@, dbitool.pl:93) and _parse_cli's named
+                # form requires an identifier prefix. NOTE a bare
+                # relative name like data@v2.csv IS the named-shortcut
+                # grammar (stream 'data' reading 'v2.csv'); prefix it
+                # with ./ to force the literal-path reading.
                 new_parts.append(part)
                 continue
             if mod.name.startswith("file"):

@@ -232,3 +232,29 @@ def test_schemad_raw_parse_is_jvm_side(spark):
     assert sorted((r.k, r.name) for r in parsed2.collect()) == [
         (1, "alpha"), (2, "beta"),
     ]
+
+
+def test_schemad_raw_parse_edge_lines(spark):
+    """Review r10 findings: the schema'd raw->row parse must match the
+    reader semantics it replaced — a QUOTED header line drops just
+    like the plain one (values compared parsed, not byte-equal), a
+    data line that happens to share a header field survives (null-safe
+    struct compare), and blank/whitespace-only lines never become
+    phantom all-null rows (spark.read.csv/json skip them)."""
+    from dbitool_spark.io import csv_io, json_io
+
+    raw = spark.createDataFrame(
+        [('"k","name"',), ("1,alpha",), ("",), ("k",), ("2,beta",)],
+        "value string",
+    )
+    got = csv_io.parse_csv_lines(raw, schema="k string, name string")
+    rows = sorted((r.k, r.name) for r in got.collect())
+    # quoted header dropped; empty line dropped; short 'k' line kept
+    # (parses to ('k', null) — NOT the header)
+    assert rows == [("1", "alpha"), ("2", "beta"), ("k", None)]
+
+    nd = spark.createDataFrame(
+        [('{"k": 1}',), ("",), ("   ",), ('{"k": 2}',)], "value string"
+    )
+    got2 = json_io.parse_ndjson_lines(nd, schema="k int")
+    assert sorted(r.k for r in got2.collect()) == [1, 2]

@@ -654,3 +654,21 @@ def test_cli_composition_across_r8_modules(spark, tmp_path):
     with open(svg, encoding="utf-8") as fh:
         bars = chart_io.parse_svg_bars(fh.read())
     assert [(k, v) for k, v, _ in bars] == [("a", 10.0), ("b", 20.0), ("a", 30.0)]
+
+
+def test_concat_suffix_collision_within_same_input(spark):
+    """Review r10: the suffix collision check must also consult the
+    CURRENT input's own columns — input 2 = [id, v, v_2] would
+    otherwise rename its 'v' to 'v_2', creating two identical names
+    inside one frame, and the later rename of the original 'v_2'
+    renames BOTH (AMBIGUOUS_REFERENCE)."""
+    a = spark.createDataFrame([(1, "a")], "k int, v string")
+    b = spark.createDataFrame([(10, "x", "lit")], "id int, v string, v_2 string")
+    p = Pipeline(spark)
+    p.add_source_df("a", a)
+    p.add_source_df("b", b)
+    p.add("concat", **{"in": "a,b", "order1": "k", "order2": "id", "out": "z"})
+    z = p.stream("z")
+    assert z.columns == ["pos", "k", "v", "id", "v_3", "v_2"]
+    row = z.collect()[0]
+    assert (row.v, row.v_3, row.v_2) == ("a", "x", "lit")
