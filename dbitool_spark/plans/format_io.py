@@ -343,6 +343,56 @@ XMLBSON_ROUNDTRIP_SUPPLIER_SQL = (
 )
 
 
+def format_chain_nation_xmlbson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry ledger's named r11 merge candidate, STAGED ahead of
+    registration (the text_profile precedent): nation → fixed-width →
+    xlsx → bounded JSON → XML → BSON → back, one driver row covering
+    the fixedwidth, spreadsheet, json, xml, and bson write/read pairs
+    — the union of format_chain_nation and xmlbson_roundtrip_supplier's
+    codepaths (XML/BSON are table-agnostic; the supplier entry's
+    parity row stays in tests/test_oracle_parity.py on retirement).
+    Values re-type between hops exactly as the constituents did."""
+    from dbitool_spark.io import spreadsheet_io
+
+    nation = catalog.load(spark, sf_dir, "nation")
+    d = _scratch("chain_nation5")
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+
+    fw = os.path.join(d, "nation.fw")
+    fixedwidth.write_fixedwidth(nation, fw, [12, 20, 12])
+    hop1 = fixedwidth.read_fixedwidth(spark, fw, [12, 20, 12]).select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+    xlsx = os.path.join(d, "nation.xlsx")
+    spreadsheet_io.write_spreadsheet(hop1, xlsx, sheet="nation", x=1, y=2)
+    hop2 = spreadsheet_io.read_spreadsheet(spark, xlsx, sheet="nation", x=1, y=2).select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+    js = os.path.join(d, "nation.json")
+    json_io.write_json(hop2, js)
+    hop3 = json_io.read_json(spark, js, schema=schema)
+
+    xmlp = os.path.join(d, "nation.xml")
+    xml_io.write_xml(hop3, xmlp, root_tag="nations", row_tag="nation")
+    hop4 = xml_io.read_xml(spark, xmlp, row_tag="nation", schema=schema)
+
+    bsonp = os.path.join(d, "nation.bson")
+    bson_io.write_bson(hop4, bsonp)
+    back = bson_io.read_bson(spark, bsonp, schema=schema)
+    return project(back, ["n_nationkey", "n_name", "n_regionkey"])
+
+
+FORMAT_CHAIN_NATION_XMLBSON_SQL = (
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+)
+
+
 def sqlite_query_from_stream_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's streamed-SQL entry point, end to end
     (lifecycle §3.2, scripts/dbitool.pl:1442-1457): the SQL text

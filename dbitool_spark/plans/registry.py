@@ -121,7 +121,11 @@ Current capacity: 96 registered / 50-slot window -> 46 tail rows, all
 driver-green in r9; every entry is covered by CORRECTNESS_r09 ∪ r10.
 r11 headroom: 46 due-tail entries against 50 slots -> 4 slots of
 slack; next merge candidate if slots run short: format_chain_nation +
-xmlbson_roundtrip_supplier into one five-format chain.
+xmlbson_roundtrip_supplier into the five-format chain
+format_io.format_chain_nation_xmlbson — ALREADY STAGED with a green
+oracle-parity row (staged_format_chain_nation_xmlbson in
+tests/test_oracle_parity.py), so the r11 swap is register-and-retire
+only, freeing one net slot.
 """
 
 from __future__ import annotations

@@ -108,6 +108,14 @@ _RETIRED_CASES += [
      _llm.LANGID_DOCUMENTS_SQL),
     ("retired_quality_scores_documents", _llm.quality_scores_documents,
      _llm.QUALITY_SCORES_DOCUMENTS_SQL),
+    # STAGED (not retired): the r11 merge candidate for the two format
+    # chains — oracle-proven a round ahead of registration so the r11
+    # rotation can swap it in (retiring format_chain_nation +
+    # xmlbson_roundtrip_supplier) with zero new risk, exactly like the
+    # text_profile staging in r9
+    ("staged_format_chain_nation_xmlbson",
+     _fmt.format_chain_nation_xmlbson,
+     _fmt.FORMAT_CHAIN_NATION_XMLBSON_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
