@@ -1366,6 +1366,94 @@ LIMIT {BM25_TOPK}
 BM25_TOPK_DOCUMENTS_SQL = _bm25_sql()
 
 
+# --- cross-source overlap diagnostics --------------------------------
+
+_OVERLAP_GRAM = 3
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination/duplication matrix: for every source
+    pair, the number of distinct word 3-grams they share and the
+    Jaccard of their gram sets — the corpus-health diagnostic a
+    training-data pipeline runs before mixing sources (a high
+    off-diagonal means two 'independent' sources quote each other).
+    STAGED r10 for the r11 window (parity row
+    staged_source_overlap_matrix; registers when a slot frees).
+
+    Scale shape: one explode → distinct (source, gram) projection
+    (map-side combinable), per-source set sizes as a tiny agg, and a
+    self-join ON GRAM whose fan-out per gram is bounded by the number
+    of sources carrying it — candidate volume <= |grams| x n_sources²
+    with n_sources a small constant by construction, so the plan is
+    linear in corpus size, never all-pairs over documents. All-integer
+    arithmetic except the final Jaccard division (identical IEEE in
+    both engines; round(6) by convention)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "source",
+            F.explode(dedup.shingles(F.col("text"), _OVERLAP_GRAM)).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                   .withColumnRenamed("n", "n_a")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")
+              .withColumnRenamed("n", "n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_OVERLAP_MATRIX_SQL = rf"""
+WITH w AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS gram
+  FROM w
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM g a JOIN g b USING (gram)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_common,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.source = pairs.src_a
+JOIN sizes sb ON sb.source = pairs.src_b
+ORDER BY src_a, src_b
+"""
+
+
 # --- substring-level duplicate spans ---------------------------------
 
 

@@ -116,6 +116,10 @@ _RETIRED_CASES += [
     ("staged_format_chain_nation_xmlbson",
      _fmt.format_chain_nation_xmlbson,
      _fmt.FORMAT_CHAIN_NATION_XMLBSON_SQL),
+    # STAGED: cross-source 3-gram overlap/Jaccard matrix — the corpus
+    # diagnostic an r11 slot registers next (same staging contract)
+    ("staged_source_overlap_matrix", _llm.source_overlap_matrix,
+     _llm.SOURCE_OVERLAP_MATRIX_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
