@@ -1388,13 +1388,18 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus size, never all-pairs over documents. All-integer
     arithmetic except the final Jaccard division (identical IEEE in
     both engines; round(6) by convention)."""
+    from dbitool_spark.ops.cache import materialize_release
+
     docs = catalog.load(spark, sf_dir, "documents")
+    # (source, gram) distinct feeds THREE consumers (sizes + both join
+    # sides) — persist it or the corpus explodes once per reference
     grams = (
         docs.select(
             "source",
             F.explode(dedup.shingles(F.col("text"), _OVERLAP_GRAM)).alias("gram"),
         )
         .distinct()
+        .persist()
     )
     sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
@@ -1406,7 +1411,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    result = (
         pairs.join(F.broadcast(sizes.withColumnRenamed("source", "src_a")
                    .withColumnRenamed("n", "n_a")), "src_a")
         .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")
@@ -1423,6 +1428,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+    return materialize_release(result, grams)
 
 
 SOURCE_OVERLAP_MATRIX_SQL = rf"""

@@ -449,3 +449,67 @@ def test_with_position_dense_and_ordered_property(spark, keys, n_parts):
     got = scale.with_position(df, ["k"]).orderBy("pos").collect()
     assert [r.pos for r in got] == list(range(1, len(keys) + 1))
     assert [r.k for r in got] == sorted(keys)
+
+
+_BM25_VOCAB = ["join", "merge", "spark", "window", "filler", "data", "row"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_BM25_VOCAB), min_size=1, max_size=12),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bm25_matches_python_reference(spark, docs):
+    """BM25 (r10) against a from-scratch pure-Python reference on
+    arbitrary small-vocab corpora: per-doc scores agree to 1e-6, the
+    result is exactly the positive-score docs capped at k, and nothing
+    outside the returned set outscores the returned minimum. Pins the
+    tf/df/idf arithmetic, the pivot's zero-score drop, and the
+    TakeOrdered cutoff — not just the fixture corpus."""
+    import math
+
+    from dbitool_spark.plans import llm_ops
+
+    texts = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    d = tempfile.mkdtemp(prefix="dbitool_bm25_prop_")
+    try:
+        spark.createDataFrame(texts, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "documents.parquet"))
+
+        toks = {i: t.split() for i, t in texts}
+        n = float(len(toks))
+        avgdl = sum(len(w) for w in toks.values()) / n
+        q = llm_ops.BM25_QUERY_TERMS
+        dfreq = {t: float(sum(1 for ws in toks.values() if t in ws)) for t in q}
+        ref = {}
+        for i, ws in toks.items():
+            s = 0.0
+            for t in q:
+                tf = float(ws.count(t))
+                if not tf:
+                    continue
+                idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+                s += idf * (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl)
+                )
+            if s > 0:
+                ref[i] = s
+
+        got = llm_ops.bm25_topk_documents(spark, d).collect()
+        assert len(got) == min(llm_ops.BM25_TOPK, len(ref))
+        # the operator emits round(score, 4); allow half-step + ulp
+        for r in got:
+            assert r.doc_id in ref
+            assert abs(r.bm25 - ref[r.doc_id]) < 5.1e-5, (r, ref[r.doc_id])
+        returned = {r.doc_id for r in got}
+        if got:
+            floor = min(r.bm25 for r in got)
+            for i, s in ref.items():
+                if i not in returned:
+                    assert s <= floor + 1.1e-4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
