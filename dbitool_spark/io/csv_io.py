@@ -68,13 +68,17 @@ def parse_csv_lines(
     Two plans, both distributed:
     - schema GIVEN: fully JVM-side via F.from_csv on the value column
       — stays inside whole-stage codegen, no Python worker, scales to
-      any raw stream. header=True drops lines whose PARSED string
-      values equal the schema's field names (so '"k","name"' and
-      'k,name' both drop — the distributed generalization: a
-      multi-part raw stream carries one header per original file;
-      a stream whose header text differs from the schema's field
-      names is the caller's mismatch to resolve). Empty lines are
-      skipped, matching spark.read.csv.
+      any raw stream. ONE univocity parse per line (all-string probe
+      struct, then string->type casts — the module's stringly-typed
+      wire makes the casts equivalent to typed CSV conversion).
+      header=True drops lines whose PARSED values equal the schema's
+      field names with NO extra trailing fields (so '"k","name"' and
+      'k,name' both drop, while a data line 'k,name,more' survives —
+      the distributed generalization: a multi-part raw stream carries
+      one header per original file; a stream whose header text
+      differs from the schema's field names is the caller's mismatch
+      to resolve). Blank and whitespace-only lines are skipped,
+      matching spark.read.csv (univocity treats them as empty).
     - schema ABSENT (header-name/type inference): the line dataset
       feeds spark.read.csv via an RDD hop. Inference itself requires
       a pass over the data, so this path is for BOUNDED raw streams
@@ -85,28 +89,46 @@ def parse_csv_lines(
     spark = df.sparkSession
     raw_col = df.columns[0]
     if schema is not None:
+        from functools import reduce
+
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        fields = StructType.fromDDL(schema).fieldNames()
+        target = StructType.fromDDL(schema)
+        fields = target.fieldNames()
         opts = {"sep": sep, "quote": quote, "escape": escape}
-        # spark.read.csv skips empty lines; from_csv would turn each
-        # into a phantom all-null row — mirror the reader
-        lines = df.filter(F.col(raw_col) != F.lit(""))
+        # spark.read.csv skips blank AND whitespace-only lines (CRLF
+        # streams leave '\r'); from_csv would turn each into a
+        # phantom all-null row — mirror the reader
+        lines = df.filter(~F.col(raw_col).rlike(r"^\s*$"))
+        # one parse: all-string probe struct with a sentinel EXTRA
+        # column so a data line carrying fields beyond the schema is
+        # distinguishable from a true header line
+        extra = "_x"
+        while extra in fields:
+            extra += "_"
+        probe = ", ".join(
+            [f"`{f}` string" for f in fields] + [f"`{extra}` string"]
+        )
+        parsed = lines.select(
+            F.from_csv(F.col(raw_col), probe, opts).alias("_r")
+        ).select("_r.*")
         if header:
             # compare PARSED string values, not raw bytes: a quoted
-            # header line ('"k","name"') must drop just like 'k,name'
-            all_str = ", ".join(f"`{f}` string" for f in fields)
-            hdr = F.from_csv(F.col(raw_col), all_str, opts)
-            want = F.struct(
-                *[F.lit(f).alias(f) for f in fields]
-            )
-            # eqNullSafe: a short line parses to null tail fields and
-            # plain != would return NULL there, silently dropping it
-            lines = lines.filter(~hdr.eqNullSafe(want))
-        return lines.select(
-            F.from_csv(F.col(raw_col), schema, opts).alias("_r")
-        ).select("_r.*")
+            # header ('"k","name"') drops like 'k,name'; eqNullSafe
+            # keeps short lines (null tail) from silently dropping;
+            # the extra-column null test keeps 'k,name,REALDATA'
+            is_hdr = reduce(
+                lambda a, b: a & b,
+                [F.col(f).eqNullSafe(F.lit(f)) for f in fields],
+            ) & F.col(extra).isNull()
+            parsed = parsed.filter(~is_hdr)
+        return parsed.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
     lines = df.rdd.map(lambda r: r[0])
     reader = (
         spark.read.option("sep", sep)

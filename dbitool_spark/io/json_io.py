@@ -75,8 +75,11 @@ def parse_ndjson_lines(df: DataFrame, *, schema: str | None = None) -> DataFrame
         from pyspark.sql import functions as F
 
         raw_col = df.columns[0]
+        # rlike, not trim: F.trim strips only ASCII spaces, so a
+        # tab-only or CR-only line (every blank line of a CRLF
+        # stream) would still become a phantom all-null row
         return (
-            df.filter(F.trim(F.col(raw_col)) != F.lit(""))
+            df.filter(~F.col(raw_col).rlike(r"^\s*$"))
             .select(F.from_json(F.col(raw_col), schema).alias("_r"))
             .select("_r.*")
         )

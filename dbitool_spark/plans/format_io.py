@@ -196,38 +196,48 @@ BSON_ROUNDTRIP_REGION_SQL = "SELECT r_regionkey, r_name FROM region"
 # pytest round-trips (tests/test_io_roundtrip.py) remain unchanged.
 
 
-def format_chain_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nation → fixed-width → xlsx (own-spec OOXML codec, offset x=1,
-    y=2) → bounded JSON → back. Covers the fixedwidthwrite/read,
-    spreadsheetwrite/read and jsonwrite/read pairs in one entry;
-    values re-typed between hops exactly as the retired single-format
-    entries did (fixed-width and xlsx carry strings on the wire)."""
-    from dbitool_spark.io import spreadsheet_io
-
-    nation = catalog.load(spark, sf_dir, "nation")
-    d = _scratch("chain_nation")
-
-    fw = os.path.join(d, "nation.fw")
-    fixedwidth.write_fixedwidth(nation, fw, [12, 20, 12])
-    hop1 = fixedwidth.read_fixedwidth(spark, fw, [12, 20, 12]).select(
+def _nation_retyped(df: DataFrame) -> DataFrame:
+    """Re-type nation coming back from a stringly wire (fixed-width
+    and xlsx carry strings)."""
+    return df.select(
         F.col("n_nationkey").cast("int").alias("n_nationkey"),
         "n_name",
         F.col("n_regionkey").cast("int").alias("n_regionkey"),
     )
 
+
+def _nation_fw_xlsx_json(spark: SparkSession, sf_dir: str, d: str) -> DataFrame:
+    """The shared first three hops of the nation chains: nation →
+    fixed-width → xlsx (own-spec OOXML codec, offset x=1, y=2) →
+    bounded JSON → typed rows. One implementation so the registered
+    chain and its staged five-format successor cannot diverge."""
+    from dbitool_spark.io import spreadsheet_io
+
+    nation = catalog.load(spark, sf_dir, "nation")
+
+    fw = os.path.join(d, "nation.fw")
+    fixedwidth.write_fixedwidth(nation, fw, [12, 20, 12])
+    hop1 = _nation_retyped(fixedwidth.read_fixedwidth(spark, fw, [12, 20, 12]))
+
     xlsx = os.path.join(d, "nation.xlsx")
     spreadsheet_io.write_spreadsheet(hop1, xlsx, sheet="nation", x=1, y=2)
-    hop2 = spreadsheet_io.read_spreadsheet(spark, xlsx, sheet="nation", x=1, y=2).select(
-        F.col("n_nationkey").cast("int").alias("n_nationkey"),
-        "n_name",
-        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    hop2 = _nation_retyped(
+        spreadsheet_io.read_spreadsheet(spark, xlsx, sheet="nation", x=1, y=2)
     )
 
     js = os.path.join(d, "nation.json")
     json_io.write_json(hop2, js)
-    back = json_io.read_json(
+    return json_io.read_json(
         spark, js, schema="n_nationkey int, n_name string, n_regionkey int"
     )
+
+
+def format_chain_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → fixed-width → xlsx → bounded JSON → back. Covers the
+    fixedwidthwrite/read, spreadsheetwrite/read and jsonwrite/read
+    pairs in one entry (hops shared with the staged five-format
+    successor via _nation_fw_xlsx_json)."""
+    back = _nation_fw_xlsx_json(spark, sf_dir, _scratch("chain_nation"))
     return project(back, ["n_nationkey", "n_name", "n_regionkey"])
 
 
@@ -351,32 +361,13 @@ def format_chain_nation_xmlbson(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the union of format_chain_nation and xmlbson_roundtrip_supplier's
     codepaths (XML/BSON are table-agnostic; the supplier entry's
     parity row stays in tests/test_oracle_parity.py on retirement).
-    Values re-type between hops exactly as the constituents did."""
-    from dbitool_spark.io import spreadsheet_io
-
-    nation = catalog.load(spark, sf_dir, "nation")
+    Values re-type between hops exactly as the constituents did
+    (first three hops shared with format_chain_nation via
+    _nation_fw_xlsx_json, so the pair cannot diverge before the r11
+    swap retires the constituent)."""
     d = _scratch("chain_nation5")
     schema = "n_nationkey int, n_name string, n_regionkey int"
-
-    fw = os.path.join(d, "nation.fw")
-    fixedwidth.write_fixedwidth(nation, fw, [12, 20, 12])
-    hop1 = fixedwidth.read_fixedwidth(spark, fw, [12, 20, 12]).select(
-        F.col("n_nationkey").cast("int").alias("n_nationkey"),
-        "n_name",
-        F.col("n_regionkey").cast("int").alias("n_regionkey"),
-    )
-
-    xlsx = os.path.join(d, "nation.xlsx")
-    spreadsheet_io.write_spreadsheet(hop1, xlsx, sheet="nation", x=1, y=2)
-    hop2 = spreadsheet_io.read_spreadsheet(spark, xlsx, sheet="nation", x=1, y=2).select(
-        F.col("n_nationkey").cast("int").alias("n_nationkey"),
-        "n_name",
-        F.col("n_regionkey").cast("int").alias("n_regionkey"),
-    )
-
-    js = os.path.join(d, "nation.json")
-    json_io.write_json(hop2, js)
-    hop3 = json_io.read_json(spark, js, schema=schema)
+    hop3 = _nation_fw_xlsx_json(spark, sf_dir, d)
 
     xmlp = os.path.join(d, "nation.xml")
     xml_io.write_xml(hop3, xmlp, root_tag="nations", row_tag="nation")

@@ -244,17 +244,37 @@ def test_schemad_raw_parse_edge_lines(spark):
     from dbitool_spark.io import csv_io, json_io
 
     raw = spark.createDataFrame(
-        [('"k","name"',), ("1,alpha",), ("",), ("k",), ("2,beta",)],
+        [('"k","name"',), ("1,alpha",), ("",), ("   ",), ("\r",), ("k",),
+         ("k,name,REALDATA",), ("2,beta",)],
         "value string",
     )
     got = csv_io.parse_csv_lines(raw, schema="k string, name string")
-    rows = sorted((r.k, r.name) for r in got.collect())
-    # quoted header dropped; empty line dropped; short 'k' line kept
-    # (parses to ('k', null) — NOT the header)
-    assert rows == [("1", "alpha"), ("2", "beta"), ("k", None)]
+    rows = sorted(((r.k, r.name) for r in got.collect()),
+                  key=lambda t: (t[0], t[1] or ""))
+    # quoted header dropped; blank/whitespace/CR lines dropped (the
+    # CRLF-stream shape); short 'k' line kept (('k', null) is NOT the
+    # header); a data line whose first fields mimic the header but
+    # carries EXTRA fields kept (the sentinel extra-column test)
+    assert rows == [
+        ("1", "alpha"), ("2", "beta"), ("k", None), ("k", "name"),
+    ]
 
     nd = spark.createDataFrame(
-        [('{"k": 1}',), ("",), ("   ",), ('{"k": 2}',)], "value string"
+        [('{"k": 1}',), ("",), ("   ",), ("\t",), ("\r",), ('{"k": 2}',)],
+        "value string",
     )
     got2 = json_io.parse_ndjson_lines(nd, schema="k int")
     assert sorted(r.k for r in got2.collect()) == [1, 2]
+
+    # typed casts after the single all-string parse: int/double land
+    # typed exactly as the typed from_csv did
+    typed = csv_io.parse_csv_lines(
+        spark.createDataFrame([("k,v",), ("7,1.5",)], "value string"),
+        schema="k int, v double",
+    ).collect()
+    assert [(r.k, r.v) for r in typed] == [(7, 1.5)]
+    assert [f.dataType.simpleString() for f in
+            csv_io.parse_csv_lines(
+                spark.createDataFrame([("7,1.5",)], "value string"),
+                schema="k int, v double", header=False,
+            ).schema.fields] == ["int", "double"]
