@@ -1366,6 +1366,67 @@ LIMIT {BM25_TOPK}
 BM25_TOPK_DOCUMENTS_SQL = _bm25_sql()
 
 
+# --- per-source quality pruning ---------------------------------------
+
+_PRUNE_KEEP = 0.5  # keep the top half per source
+
+
+def quality_prune_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality prune: keep each source's top-PRUNE_KEEP
+    fraction of documents by quality score — the bottom-tail filter a
+    curation pipeline applies before mixing (quality floors differ per
+    source, so the cut is per-group, never global). STAGED r10 for the
+    r11 window (parity row staged_quality_prune_documents).
+
+    Scale shape: one projection + a window partitioned by source —
+    the sort is per-group, never global; output ordering is the
+    (source, doc_id) pair, not the score.
+
+    Cross-engine determinism: the window ORDERS BY THE ROUNDED score
+    (round 6 is the proven hash-exact form; the raw doubles may
+    differ in the last ulp between engines, which would reorder ties
+    and shift every percent_rank after them) with doc_id as the total
+    tiebreak; percent_rank is then (rank-1)/(n-1) — exact rational
+    arithmetic, identical IEEE in both engines — so the 0.5 cut is
+    exact, no rounding needed on the rank itself."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select(
+        "doc_id", "source", F.round("quality_score", 6).alias("q_r")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q_r"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= F.lit(_PRUNE_KEEP))
+        .select("doc_id", "source", "q_r", F.round("pr", 6).alias("pr_r"))
+        .orderBy("source", "doc_id")
+    )
+
+
+def _quality_prune_sql() -> str:
+    # the quality CTE is the proven per-doc mirror (same blend, same
+    # double casts); rank on its round(6) form exactly as Spark does
+    return f"""
+WITH q AS ({QUALITY_SCORES_DOCUMENTS_SQL}),
+d AS (
+  SELECT q.doc_id, s.source, round(q.quality_score, 6) AS q_r
+  FROM q JOIN documents s ON s.doc_id = q.doc_id
+),
+r AS (
+  SELECT doc_id, source, q_r,
+         PERCENT_RANK() OVER (
+           PARTITION BY source ORDER BY q_r DESC, doc_id ASC
+         ) AS pr
+  FROM d
+)
+SELECT doc_id, source, q_r, round(pr, 6) AS pr_r
+FROM r WHERE pr <= {_PRUNE_KEEP}
+ORDER BY source, doc_id
+"""
+
+
+QUALITY_PRUNE_DOCUMENTS_SQL = _quality_prune_sql()
+
+
 # --- cross-source overlap diagnostics --------------------------------
 
 _OVERLAP_GRAM = 3

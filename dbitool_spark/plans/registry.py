@@ -125,7 +125,10 @@ xmlbson_roundtrip_supplier into the five-format chain
 format_io.format_chain_nation_xmlbson — ALREADY STAGED with a green
 oracle-parity row (staged_format_chain_nation_xmlbson in
 tests/test_oracle_parity.py), so the r11 swap is register-and-retire
-only, freeing one net slot.
+only, freeing one net slot. Two net-new operators are staged the same
+way for r11 slots: llm_ops.source_overlap_matrix (cross-source 3-gram
+overlap/Jaccard matrix) and llm_ops.quality_prune_documents
+(per-source top-half quality cut on the rounded score).
 """
 
 from __future__ import annotations

@@ -120,6 +120,10 @@ _RETIRED_CASES += [
     # diagnostic an r11 slot registers next (same staging contract)
     ("staged_source_overlap_matrix", _llm.source_overlap_matrix,
      _llm.SOURCE_OVERLAP_MATRIX_SQL),
+    # STAGED: per-source quality prune (top-half cut on the rounded
+    # score; percent_rank window — per-group sort, exact rational)
+    ("staged_quality_prune_documents", _llm.quality_prune_documents,
+     _llm.QUALITY_PRUNE_DOCUMENTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
