@@ -10,6 +10,25 @@ an empty quote option; our default keeps proper quoting on so
 round-trips are lossless. Schema follows the reference's
 stringly-typed wire (SURVEY.md 1.3): all columns StringType unless
 the caller opts into inference or passes an explicit schema.
+
+Header semantics on the schema'd RAW-LINE path (parse_csv_lines with
+schema=): header=True drops every line whose parsed values equal the
+schema's field names (with no extra trailing fields). This differs
+from spark.read.csv's positional "skip the first line per file" in
+two documented ways, both consequences of parsing an UNORDERED
+distributed line stream where "first" is not a plan-expressible
+concept:
+- a header whose text does NOT match the schema's field names is not
+  recognized as a header (it would otherwise survive as a cast-to-
+  null phantom row) — parse_csv_lines probes the stream's first line
+  at plan-build time and raises on such a mismatch (bounded limit(1)
+  action; skipped for streaming inputs, where the caller owns header
+  hygiene);
+- a genuine DATA row whose values coincide with the field names drops
+  anywhere in the stream, not just at line 1 (an all-string schema
+  makes this reachable; typed schemas make such a row unparseable as
+  data anyway). Callers with such data should pass header=False and
+  strip the header upstream.
 """
 
 from __future__ import annotations
@@ -113,6 +132,30 @@ def parse_csv_lines(
         parsed = lines.select(
             F.from_csv(F.col(raw_col), probe, opts).alias("_r")
         ).select("_r.*")
+        if header and not df.isStreaming:
+            # ADVICE r10: a header whose text differs from the schema
+            # field names is NOT recognized by the value-equality drop
+            # rule and would silently survive as a cast-to-null
+            # phantom row. Probe the stream's first non-blank line
+            # (bounded: limit(1) short-circuits the scan; skipped for
+            # streaming inputs where no such action exists) and warn
+            # loudly on a mismatch. A warning, not an error: limit(1)
+            # on a multi-part stream is partition-order dependent, so
+            # a data line here can be legitimate.
+            first = parsed.limit(1).collect()
+            if first and list(first[0]) != list(fields) + [None]:
+                import warnings
+
+                warnings.warn(
+                    "parse_csv_lines(header=True, schema=...): the stream's "
+                    f"first line parsed to {list(first[0])[:-1]!r}, not the "
+                    f"schema field names {list(fields)!r}. A real header with "
+                    "different column names will NOT be dropped and survives "
+                    "as a cast-to-null row — rename the schema fields to "
+                    "match the file header, or pass header=False and strip "
+                    "the header upstream.",
+                    stacklevel=2,
+                )
         if header:
             # compare PARSED string values, not raw bytes: a quoted
             # header ('"k","name"') drops like 'k,name'; eqNullSafe

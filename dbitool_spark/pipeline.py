@@ -28,6 +28,7 @@ position, mirroring the reference.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -1203,6 +1204,22 @@ class Pipeline:
             name, _, path = part.partition("@")
             if not path:
                 raise ValueError(f"malformed @shortcut {part!r}: empty path")
+            if name and os.path.exists(part):
+                # ADVICE r10: a bare relative filename like
+                # data@v2.csv satisfies the named-shortcut grammar
+                # (stream 'data' reading 'v2.csv') AND may name a real
+                # file. The shortcut reading wins (documented above),
+                # but silently rebinding an existing file to a stream
+                # is the footgun — warn with the ./ escape hatch.
+                import warnings
+
+                warnings.warn(
+                    f"in={part!r} parses as named shortcut (stream "
+                    f"{name!r} reading {path!r}) but a file named "
+                    f"{part!r} also exists; prefix it with ./ to read "
+                    "that file literally",
+                    stacklevel=3,
+                )
             if name and name in self._shortcuts:
                 if self._shortcuts[name] != path:
                     raise ValueError(

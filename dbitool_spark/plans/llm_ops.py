@@ -408,8 +408,12 @@ def simhash_recall_planted(
     corpus = _perturbed_corpus(docs)
     # ONE signature pass, persisted: ground truth AND the band join
     # both read it (3 unshared plans would re-run the 64-SUM
-    # aggregation each — measured ~4-5x slower at sf0.1)
-    sig = dedup.simhash_signatures(corpus, "doc_id", "text").persist()
+    # aggregation each — measured ~4-5x slower at sf0.1). Lazy
+    # plan-audit path: no persist (nothing executes — same ADVICE r10
+    # rule as bm25/top_terms).
+    sig = dedup.simhash_signatures(corpus, "doc_id", "text")
+    if materialize:
+        sig = sig.persist()
     a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sig.select(
         (F.col("id") - _PERTURB_OFFSET).alias("id_a"), F.col("sig").alias("sig_b")
@@ -444,7 +448,7 @@ def simhash_recall_planted(
         .alias("recall")
     )
     if not materialize:
-        return result  # lazy: persists caller-owned (plan audits)
+        return result  # lazy: no persists registered (plan audits)
     return materialize_release(result, sig)
 
 
@@ -1174,8 +1178,13 @@ def top_terms_per_source(
     # persist Catalyst re-runs the corpus explode+agg once per
     # reference (no exchange reuse across subplan aliases — the same
     # reason the minhash band table persists). (source, word) rows are
-    # orders of magnitude below the corpus at any scale.
-    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # orders of magnitude below the corpus at any scale. The lazy
+    # plan-audit path skips the persist entirely (ADVICE r10: nothing
+    # executes, so a persist would just sit registered in the cache
+    # with no release point).
+    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize:
+        tf = tf.persist()
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     # bounded driver-side scalar: the source key space is tiny by
     # construction (a mix has tens of sources, not millions); one
@@ -1191,7 +1200,7 @@ def top_terms_per_source(
         .orderBy("source", "rank")
     )
     if not materialize:
-        return result  # lazy: persists caller-owned (plan audits)
+        return result  # lazy: no persists registered (plan audits)
     return materialize_release(result, tf)
 
 
@@ -1264,8 +1273,12 @@ def bm25_topk_documents(
     # dl feeds BOTH the corpus-stats agg and the contrib join; persist
     # the compact (doc_id, dl) table so the corpus tokenizes twice
     # total (tf + dl), not once per dl reference — the same
-    # no-repeated-corpus-scan rule top_terms applies to its tf table
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    # no-repeated-corpus-scan rule top_terms applies to its tf table.
+    # Lazy plan-audit path: no persist (ADVICE r10 — nothing executes,
+    # a persist would leak in the cache with no release point).
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    if materialize:
+        dl = dl.persist()
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
@@ -1277,8 +1290,9 @@ def bm25_topk_documents(
         toks.filter(F.col("term").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-        .persist()
     )
+    if materialize:
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
@@ -1317,7 +1331,7 @@ def bm25_topk_documents(
         .limit(BM25_TOPK)
     )
     if not materialize:
-        return result  # lazy: persists caller-owned (plan audits)
+        return result  # lazy: no persists registered (plan audits)
     return materialize_release(result, dl, tf)
 
 
@@ -1492,16 +1506,25 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(result, grams)
 
 
-SOURCE_OVERLAP_MATRIX_SQL = rf"""
+def _source_overlap_sql() -> str:
+    # derived from _OVERLAP_GRAM (ADVICE r10: one knob for both
+    # engines — the Spark side already reads the constant; a hardcoded
+    # 3-gram here would silently break parity on a constant change),
+    # the same f-string pattern _bm25_sql uses for its constants
+    n = _OVERLAP_GRAM
+    concat = " || ' ' || ".join(
+        f"w[i+{k}]" if k else "w[i]" for k in range(n)
+    )
+    return rf"""
 WITH w AS (
   SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
   FROM documents
 ),
 g AS (
   SELECT DISTINCT source,
-         unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-           ELSE list_transform(generate_series(1, len(w) - 2),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS gram
+         unnest(list_distinct(CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+           ELSE list_transform(generate_series(1, len(w) - {n - 1}),
+                i -> {concat}) END)) AS gram
   FROM w
 ),
 sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
@@ -1519,6 +1542,9 @@ JOIN sizes sa ON sa.source = pairs.src_a
 JOIN sizes sb ON sb.source = pairs.src_b
 ORDER BY src_a, src_b
 """
+
+
+SOURCE_OVERLAP_MATRIX_SQL = _source_overlap_sql()
 
 
 # --- substring-level duplicate spans ---------------------------------

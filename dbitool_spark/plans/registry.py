@@ -117,18 +117,34 @@ the tripwire's printed list, satisfied exactly at 50/50. The three
 retirees keep standalone oracle-parity rows in
 tests/test_oracle_parity.py per the retirement contract.
 
-Current capacity: 96 registered / 50-slot window -> 46 tail rows, all
-driver-green in r9; every entry is covered by CORRECTNESS_r09 ∪ r10.
-r11 headroom: 46 due-tail entries against 50 slots -> 4 slots of
-slack; next merge candidate if slots run short: format_chain_nation +
-xmlbson_roundtrip_supplier into the five-format chain
-format_io.format_chain_nation_xmlbson — ALREADY STAGED with a green
-oracle-parity row (staged_format_chain_nation_xmlbson in
-tests/test_oracle_parity.py), so the r11 swap is register-and-retire
-only, freeing one net slot. Two net-new operators are staged the same
-way for r11 slots: llm_ops.source_overlap_matrix (cross-source 3-gram
-overlap/Jaccard matrix) and llm_ops.quality_prune_documents
-(per-source top-half quality cut on the rounded score).
+r11 rotation (the staged swaps executed, exactly as planned in r10):
+format_chain_nation + xmlbson_roundtrip_supplier RETIRED into the
+five-format composite format_io.format_chain_nation_xmlbson
+(fixedwidth -> xlsx -> xml -> bson -> bounded json; oracle-proven one
+full round early as staged_format_chain_nation_xmlbson), freeing one
+net slot; the two staged net-new operators registered:
+llm_ops.source_overlap_matrix (cross-source 3-gram overlap/Jaccard
+matrix) and llm_ops.quality_prune_documents (per-source top-half
+quality cut on the rounded score). Head-50 = those 3 + ALL 46 entries
+whose last driver row was r9 (the tripwire's printed list) +
+bucketed_orders_customer_join (r10-green, pulled forward into the
+spare 50th slot: the r10 verdict flagged its 1.43× no-plan-change
+bench stamp as suspected noise, so it gets both a fresh driver row
+and a standalone re-measure this round). The two retirees keep
+standalone oracle-parity rows in tests/test_oracle_parity.py per the
+retirement contract.
+
+Current capacity: 97 registered / 50-slot window -> 47 tail rows, all
+driver-green in r10; every entry is covered by CORRECTNESS_r10 ∪ r11.
+r12 headroom: 47 due-tail entries against 50 slots -> 3 slots of
+slack. Staged for r12 (same contract — oracle-proven a round early in
+tests/test_oracle_parity.py): the three streaming_hourly_* /
+windowed-stats entries overlap (streaming_hourly_append_events,
+streaming_hourly_stats_events, events_hourly_stats share the hourly
+tumbling-window agg family) — merge candidate
+state_ops.streaming_hourly_composite if r12 slots run short, plus the
+net-new llm_ops.strip_markup_documents (HTML/boilerplate removal, the
+pre-tokenization text op the r10 verdict requested).
 """
 
 from __future__ import annotations
@@ -168,42 +184,202 @@ def oracle_sql() -> dict[str, str]:
 
 
 # =====================================================================
-# r10 WINDOW (head-50): 2 new entries (the staged text-projection
-# composite register-and-retire + bm25_topk_documents), 1 r9 veteran
-# whose executed code changed this round (concat_positional: the
-# concat duplicate-column suffix gained collision detection, ADVICE
-# r9), + ALL 47 entries whose last driver row was r8 (the rotation
-# tripwire's printed list) = exactly 50. Tail = the 46 r9-green
-# entries.
+# r11 WINDOW (head-50): the 3 staged entries (the format-chain merge
+# register-and-retire + the two net-new LLM ops), ALL 46 entries whose
+# last driver row was r9 (the rotation tripwire's printed list), and
+# bucketed_orders_customer_join pulled forward into the spare 50th
+# slot (r10-green; its 1.43x no-plan-change bench stamp was flagged as
+# suspected noise, so it gets a fresh driver row + standalone
+# re-measure). Tail = the 47 remaining r10-green entries.
 # =====================================================================
 
-# NEW (r10): column-composite of the three per-document text
-# projections (text_stats + quality_score + per-doc langid, joined on
-# doc_id). Oracle-proven one full round before registration as
-# staged_text_profile_documents in tests/test_oracle_parity.py.
+# NEW (r11): five-format chain composite — parquet -> fixedwidth ->
+# xlsx -> xml -> bson -> bounded json, merging the retired
+# format_chain_nation + xmlbson_roundtrip_supplier per the r10 staging
+# (oracle-proven a round early as staged_format_chain_nation_xmlbson).
+register(
+    "format_chain_nation_xmlbson",
+    format_io.format_chain_nation_xmlbson,
+    format_io.FORMAT_CHAIN_NATION_XMLBSON_SQL,
+)
+# NEW (r11): cross-source n-gram overlap/Jaccard matrix — the corpus
+# contamination diagnostic (bounded by n_sources^2 output rows; gram
+# self-join on the hashed gram key only).
+register(
+    "source_overlap_matrix",
+    llm_ops.source_overlap_matrix,
+    llm_ops.SOURCE_OVERLAP_MATRIX_SQL,
+)
+# NEW (r11): per-source quality prune — top-half cut on the rounded
+# quality score via percent_rank (per-group window sort, no global
+# sort; exact rational arithmetic so the oracle hashes bit-for-bit).
+register(
+    "quality_prune_documents",
+    llm_ops.quality_prune_documents,
+    llm_ops.QUALITY_PRUNE_DOCUMENTS_SQL,
+)
+
+# --- the 46 entries due their r11 row (last driver row: r9) ----------
+register(
+    "streaming_lsh_near_dup_documents",
+    state_ops.streaming_lsh_near_dup_documents,
+    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
+)
+register(
+    "ann_recall_planted",
+    llm_ops.ann_recall_planted,
+    llm_ops.ANN_RECALL_PLANTED_SQL,
+)
+register(
+    "skewed_segment_join_events",
+    events_ops.skewed_segment_join_events,
+    events_ops.SKEWED_SEGMENT_JOIN_SQL,
+)
+register(
+    "streaming_dedup_events",
+    state_ops.streaming_dedup_events,
+    state_ops.STREAMING_DEDUP_EVENTS_SQL,
+)
+register(
+    "curation_pipeline_documents",
+    pipeline_ops.curation_pipeline_documents,
+    pipeline_ops.CURATION_PIPELINE_SQL,
+)
+register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
+register(
+    "ngram_containment_documents",
+    llm_ops.ngram_containment_documents,
+    llm_ops.NGRAM_CONTAINMENT_SQL,
+)
+register(
+    "streaming_decontaminate_documents",
+    state_ops.streaming_decontaminate_documents,
+    state_ops.STREAMING_DECONTAMINATE_SQL,
+)
+register(
+    "semantic_outliers_documents",
+    llm_ops.semantic_outliers_documents,
+    llm_ops.SEMANTIC_OUTLIERS_SQL,
+)
+register(
+    "streaming_hourly_append_events",
+    state_ops.streaming_hourly_append_events,
+    state_ops.STREAMING_HOURLY_APPEND_SQL,
+)
+register(
+    "media_decode_roundtrip",
+    llm_ops.media_decode_roundtrip,
+    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
+)
+register(
+    "streaming_hourly_stats_events",
+    state_ops.streaming_hourly_stats_events,
+    state_ops.STREAMING_HOURLY_STATS_SQL,
+)
+register(
+    "streaming_user_sessions_events",
+    state_ops.streaming_user_sessions_events,
+    events_ops.USER_SESSIONS_SQL,
+)
+register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register(
+    "sample_stratified_documents",
+    pipeline_ops.sample_stratified_documents,
+    pipeline_ops.SAMPLE_STRATIFIED_SQL,
+)
+register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
+register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
+register(
+    "array_functions_embeddings",
+    scalar_ops.array_functions_embeddings,
+    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
+)
+register(
+    "stats_functions_lineitem",
+    scalar_ops.stats_functions_lineitem,
+    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
+)
+register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
+register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
+register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
+register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
+register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
+register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
+register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
+register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
+register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
+register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
+register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_recall_planted
+register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
+register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
+register(
+    "fingerprint_dedup_counts",
+    llm_ops.fingerprint_dedup_counts,
+    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
+)
+register(
+    "media_features_documents",
+    llm_ops.media_features_documents,
+    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
+)
+register(
+    "frame_sample_documents",
+    llm_ops.frame_sample_documents,
+    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
+)
+register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
+register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
+register(
+    "decontaminate_documents",
+    pipeline_ops.decontaminate_documents,
+    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
+)
+register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
+register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
+register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
+register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
+register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
+register(
+    "repetition_stats_documents",
+    llm_ops.repetition_stats_documents,
+    llm_ops.REPETITION_STATS_SQL,
+)
+register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
+register(
+    "customer_order_distribution",
+    relational.customer_order_distribution,
+    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+)
+# r10-green veteran pulled forward into the spare 50th slot — its r10
+# exclusive bench stamp (1.43x, NO plan change) was flagged as
+# suspected scheduler noise; fresh driver row + standalone re-measure.
+register(
+    "bucketed_orders_customer_join",
+    relational.bucketed_orders_customer_join,
+    relational.BUCKETED_ORDERS_CUSTOMER_SQL,
+)
+
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r10 (CORRECTNESS_r10) and is
+# unchanged this round; full pytest oracle-parity coverage continues
+# every round regardless of position. Due their next driver row in
+# r12 (47 entries against 50 slots: 3 slots of slack).
+
 register(
     "text_profile_documents",
     llm_ops.text_profile_documents,
     llm_ops.TEXT_PROFILE_DOCUMENTS_SQL,
 )
-# NEW (r10): BM25 top-k retrieval — the text-retrieval leg of the LLM
-# family (no reference counterpart; extends the text-analysis ops the
-# way top_terms does tf-idf). Corpus-wide work is one tokenize +
-# doc-length agg; tf/df aggregate after the query-term filter.
 register(
     "bm25_topk_documents",
     llm_ops.bm25_topk_documents,
     llm_ops.BM25_TOPK_DOCUMENTS_SQL,
 )
-# code path changed r10: pipeline concat duplicate-column suffixing is
-# now collision-checked (keeps incrementing past taken names)
 register(
     "concat_positional_supplier_customer",
     pipeline_ops.concat_positional_supplier_customer,
     pipeline_ops.CONCAT_POSITIONAL_SQL,
 )
-
-# --- the 47 entries due their r10 row (last driver row: r8) ----------
 register(
     "email_chart_roundtrip",
     format_io.email_chart_roundtrip,
@@ -230,16 +406,6 @@ register(
     scalar_ops.SKETCH_ACCURACY_GATES_SQL,
 )
 register(
-    "bucketed_orders_customer_join",
-    relational.bucketed_orders_customer_join,
-    relational.BUCKETED_ORDERS_CUSTOMER_SQL,
-)
-register(
-    "format_chain_nation",
-    format_io.format_chain_nation,
-    format_io.FORMAT_CHAIN_NATION_SQL,
-)
-register(
     "format_chain_documents",
     format_io.format_chain_documents,
     format_io.FORMAT_CHAIN_DOCUMENTS_SQL,
@@ -248,11 +414,6 @@ register(
     "format_chain_orders",
     format_io.format_chain_orders,
     format_io.FORMAT_CHAIN_ORDERS_SQL,
-)
-register(
-    "xmlbson_roundtrip_supplier",
-    format_io.xmlbson_roundtrip_supplier,
-    format_io.XMLBSON_ROUNDTRIP_SUPPLIER_SQL,
 )
 register(
     "xls_roundtrip_nation",
@@ -384,141 +545,4 @@ register(
     "pack_sequences_documents",
     pipeline_ops.pack_sequences_documents,
     pipeline_ops.PACK_SEQUENCES_SQL,
-)
-
-# ===================== driver-window boundary (50) ====================
-# Everything below was driver-green in r9 (CORRECTNESS_r09) and is
-# unchanged this round; full pytest oracle-parity coverage continues
-# every round regardless of position. Due their next driver row in
-# r11 (46 entries against 50 slots: 4 slots of slack).
-
-register(
-    "streaming_lsh_near_dup_documents",
-    state_ops.streaming_lsh_near_dup_documents,
-    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
-)
-register(
-    "ann_recall_planted",
-    llm_ops.ann_recall_planted,
-    llm_ops.ANN_RECALL_PLANTED_SQL,
-)
-register(
-    "skewed_segment_join_events",
-    events_ops.skewed_segment_join_events,
-    events_ops.SKEWED_SEGMENT_JOIN_SQL,
-)
-register(
-    "streaming_dedup_events",
-    state_ops.streaming_dedup_events,
-    state_ops.STREAMING_DEDUP_EVENTS_SQL,
-)
-register(
-    "curation_pipeline_documents",
-    pipeline_ops.curation_pipeline_documents,
-    pipeline_ops.CURATION_PIPELINE_SQL,
-)
-register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
-register(
-    "ngram_containment_documents",
-    llm_ops.ngram_containment_documents,
-    llm_ops.NGRAM_CONTAINMENT_SQL,
-)
-register(
-    "streaming_decontaminate_documents",
-    state_ops.streaming_decontaminate_documents,
-    state_ops.STREAMING_DECONTAMINATE_SQL,
-)
-register(
-    "semantic_outliers_documents",
-    llm_ops.semantic_outliers_documents,
-    llm_ops.SEMANTIC_OUTLIERS_SQL,
-)
-register(
-    "streaming_hourly_append_events",
-    state_ops.streaming_hourly_append_events,
-    state_ops.STREAMING_HOURLY_APPEND_SQL,
-)
-register(
-    "media_decode_roundtrip",
-    llm_ops.media_decode_roundtrip,
-    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
-)
-register(
-    "streaming_hourly_stats_events",
-    state_ops.streaming_hourly_stats_events,
-    state_ops.STREAMING_HOURLY_STATS_SQL,
-)
-register(
-    "streaming_user_sessions_events",
-    state_ops.streaming_user_sessions_events,
-    events_ops.USER_SESSIONS_SQL,
-)
-register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
-register(
-    "sample_stratified_documents",
-    pipeline_ops.sample_stratified_documents,
-    pipeline_ops.SAMPLE_STRATIFIED_SQL,
-)
-register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
-register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
-register(
-    "array_functions_embeddings",
-    scalar_ops.array_functions_embeddings,
-    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
-)
-register(
-    "stats_functions_lineitem",
-    scalar_ops.stats_functions_lineitem,
-    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
-)
-register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
-register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
-register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
-register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
-register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
-register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
-register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
-register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
-register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
-register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
-register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_recall_planted
-register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
-register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
-register(
-    "fingerprint_dedup_counts",
-    llm_ops.fingerprint_dedup_counts,
-    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
-)
-register(
-    "media_features_documents",
-    llm_ops.media_features_documents,
-    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
-)
-register(
-    "frame_sample_documents",
-    llm_ops.frame_sample_documents,
-    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
-)
-register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
-register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
-register(
-    "decontaminate_documents",
-    pipeline_ops.decontaminate_documents,
-    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
-)
-register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
-register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
-register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
-register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
-register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
-register(
-    "repetition_stats_documents",
-    llm_ops.repetition_stats_documents,
-    llm_ops.REPETITION_STATS_SQL,
-)
-register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
-register(
-    "customer_order_distribution",
-    relational.customer_order_distribution,
-    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
 )

@@ -278,3 +278,40 @@ def test_schemad_raw_parse_edge_lines(spark):
                 spark.createDataFrame([("7,1.5",)], "value string"),
                 schema="k int, v double", header=False,
             ).schema.fields] == ["int", "double"]
+
+
+def test_schemad_parse_warns_on_mismatched_header(spark, recwarn):
+    """ADVICE r10: header=True with a schema whose field names differ
+    from the file's actual header would silently ingest the header as
+    a cast-to-null phantom row. The plan-build probe (bounded
+    limit(1)) must warn on that mismatch — and stay silent when the
+    header matches or when header=False."""
+    import warnings
+
+    from dbitool_spark.io import csv_io
+
+    # mismatched header: file says id,label — schema says k,name
+    raw = spark.createDataFrame(
+        [("id,label",), ("1,alpha",), ("2,beta",)], "value string"
+    )
+    with pytest.warns(UserWarning, match="not the schema field names"):
+        got = csv_io.parse_csv_lines(raw, schema="k string, name string")
+    # the mismatched header is NOT dropped (documented): phantom row
+    assert got.count() == 3
+
+    # matching header: no warning
+    ok = spark.createDataFrame(
+        [("k,name",), ("1,alpha",)], "value string"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        parsed = csv_io.parse_csv_lines(ok, schema="k string, name string")
+    assert parsed.count() == 1
+
+    # header=False: no probe, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        nohdr = csv_io.parse_csv_lines(
+            raw, schema="a string, b string", header=False
+        )
+    assert nohdr.count() == 3

@@ -108,22 +108,19 @@ _RETIRED_CASES += [
      _llm.LANGID_DOCUMENTS_SQL),
     ("retired_quality_scores_documents", _llm.quality_scores_documents,
      _llm.QUALITY_SCORES_DOCUMENTS_SQL),
-    # STAGED (not retired): the r11 merge candidate for the two format
-    # chains — oracle-proven a round ahead of registration so the r11
-    # rotation can swap it in (retiring format_chain_nation +
-    # xmlbson_roundtrip_supplier) with zero new risk, exactly like the
-    # text_profile staging in r9
-    ("staged_format_chain_nation_xmlbson",
-     _fmt.format_chain_nation_xmlbson,
-     _fmt.FORMAT_CHAIN_NATION_XMLBSON_SQL),
-    # STAGED: cross-source 3-gram overlap/Jaccard matrix — the corpus
-    # diagnostic an r11 slot registers next (same staging contract)
-    ("staged_source_overlap_matrix", _llm.source_overlap_matrix,
-     _llm.SOURCE_OVERLAP_MATRIX_SQL),
-    # STAGED: per-source quality prune (top-half cut on the rounded
-    # score; percent_rank window — per-group sort, exact rational)
-    ("staged_quality_prune_documents", _llm.quality_prune_documents,
-     _llm.QUALITY_PRUNE_DOCUMENTS_SQL),
+]
+
+# r11 rotation: the staged composite format_chain_nation_xmlbson and
+# the two staged net-new ops (source_overlap_matrix,
+# quality_prune_documents) are now REGISTERED (they run above via
+# registry.queries()); the composite's two constituents retired from
+# the registry but keep their standalone oracle-parity rows here per
+# the retirement contract.
+_RETIRED_CASES += [
+    ("retired_format_chain_nation", _fmt.format_chain_nation,
+     _fmt.FORMAT_CHAIN_NATION_SQL),
+    ("retired_xmlbson_roundtrip_supplier", _fmt.xmlbson_roundtrip_supplier,
+     _fmt.XMLBSON_ROUNDTRIP_SUPPLIER_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 

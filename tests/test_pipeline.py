@@ -672,3 +672,48 @@ def test_concat_suffix_collision_within_same_input(spark):
     assert z.columns == ["pos", "k", "v", "id", "v_3", "v_2"]
     row = z.collect()[0]
     assert (row.v, row.v_3, row.v_2) == ("a", "x", "lit")
+
+
+def test_named_shortcut_warns_when_value_is_existing_file(spark, tmpdir):
+    """ADVICE r10: a bare relative name like data@v2.csv satisfies the
+    named-shortcut grammar but may also name a real file on disk — the
+    shortcut reading wins (documented), but it must WARN so the silent
+    rebind is visible; ./-prefixing forces the literal-path reading.
+    (Wiring-level assertions: the JVM's cwd does not follow os.chdir,
+    so relative paths are not executable here — the grammar decision,
+    not the scan, is under test.)"""
+    import warnings
+
+    def _write(name):
+        with open(name, "w") as fh:
+            fh.write("k,name\n1,a\n")
+
+    cwd = os.getcwd()
+    os.chdir(tmpdir)
+    try:
+        # the in= value ITSELF exists as a file -> ambiguous -> warn;
+        # the shortcut reading still wins (stream 'data' reads v2.csv)
+        _write("data@v2.csv")
+        _write("v2.csv")
+        p = Pipeline(spark)
+        with pytest.warns(UserWarning, match="also exists"):
+            p.add("csvread:in=data@v2.csv:out=rows")
+        assert p._shortcuts == {"data": "v2.csv"}
+
+        # ./-prefix forces the literal path: no warning, no shortcut
+        p2 = Pipeline(spark)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            p2.add("csvread:in=./data@v2.csv:out=rows")
+        assert p2._shortcuts == {}
+        assert p2._specs[-1].args["in"] == "./data@v2.csv"
+
+        # unambiguous named shortcut (no same-named file): silent
+        os.remove("data@v2.csv")
+        p3 = Pipeline(spark)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            p3.add("csvread:in=data@v2.csv:out=rows")
+        assert p3._shortcuts == {"data": "v2.csv"}
+    finally:
+        os.chdir(cwd)
