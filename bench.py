@@ -34,6 +34,15 @@ land in vs_prev.noise_suppressed instead (r7 lesson: three flagged
 "regressions" were all load noise with unchanged plans). Warnings go
 to stderr; stdout stays the single JSON line. Medians are over 5 runs
 by default (SPARK_GRAFT_BENCH_RUNS).
+
+Noise re-measure (r11, closing the r10 verdict item): before the
+sidecars are stamped, any entry whose ratio vs the previous exclusive
+record exceeds 1.5x with an UNCHANGED plan fingerprint is re-measured
+standalone (fresh warm-up + the same sample count) and the better
+median is stamped; both measurements are recorded under
+noise_remeasured. The committed record therefore never carries a
+spike the harness has itself diagnosed as scheduler noise — while a
+genuine plan-change regression is never re-measured away.
 """
 
 from __future__ import annotations
@@ -54,6 +63,19 @@ REGRESSION_RATIO = 1.5
 # fingerprint changed or the absolute delta exceeds this many seconds;
 # ratio-only blips are recorded under "noise_suppressed" instead.
 ABS_DELTA_SEC = 0.5
+
+
+def _fingerprint_changed(prev_sha: str | None, cur_sha: str | None) -> bool:
+    """True only for a verified plan change: both fingerprints present,
+    different, and neither the vacuous 'checkpointed' marker (a
+    checkpointed-vs-checkpointed pair proves nothing and must not
+    count as 'changed' OR 'verified unchanged')."""
+    return bool(
+        prev_sha
+        and cur_sha
+        and prev_sha != cur_sha
+        and "checkpointed" not in (prev_sha, cur_sha)
+    )
 
 # Cross-SF scaling gate (BENCH_scaling.json): the near-dup candidate
 # generators' 100 TB story rests on their plan shapes being near-linear
@@ -407,7 +429,12 @@ def main() -> int:
     except OSError:
         load_start = None
 
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # env override exists for the pytest harness (tests exercise the
+    # sidecar/re-measure machinery against a scratch dir, never the
+    # committed record)
+    repo_dir = os.environ.get("SPARK_GRAFT_BENCH_REPO_DIR") or os.path.dirname(
+        os.path.abspath(__file__)
+    )
     # read the PREVIOUS run's sidecar before this run overwrites it
     prev = _load_prev_bench(repo_dir, sf)
 
@@ -451,6 +478,46 @@ def main() -> int:
         # the run aren't measured under earlier queries' storage.
         gc.collect()
 
+    # Noise re-measure (r10 verdict, committed policy): an entry whose
+    # ratio vs the previous exclusive record exceeds REGRESSION_RATIO
+    # with an UNCHANGED plan fingerprint is, on this box, almost
+    # always scheduler noise (r9/r10 precedent: sketch_accuracy_gates
+    # stamped at a 4.3x spike bench had itself diagnosed as noise,
+    # re-measured standalone at baseline). Re-measure each such entry
+    # standalone — fresh warm-up + the same sample count, keep the
+    # better median — BEFORE stamping the sidecar, so the committed
+    # record never carries a self-diagnosed spike. A plan CHANGE is
+    # never re-measured away: that is a real regression to record.
+    # Both measurements land in the sidecar under noise_remeasured for
+    # the audit trail.
+    remeasured: dict[str, list[float]] = {}
+    if exclusive and prev is not None:
+        prev_queries = prev[1].get("queries", {})
+        prev_shas_pre = prev[1].get("plan_shas", {})
+        fns = registry.queries()
+        for name in sorted(timings):
+            pt = prev_queries.get(name)
+            if not pt or timings[name] / pt <= REGRESSION_RATIO:
+                continue
+            if _fingerprint_changed(prev_shas_pre.get(name), plan_shas.get(name)):
+                continue  # real plan change: record it, don't launder it
+            fn = fns[name]
+            fn(spark, sf_dir).count()  # fresh warm-up
+            re_samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                re_samples.append(time.perf_counter() - t0)
+            gc.collect()
+            re_med = round(statistics.median(re_samples), 4)
+            remeasured[name] = [timings[name], re_med]
+            print(
+                f"NOISE RE-MEASURE {name}: {timings[name]}s -> {re_med}s "
+                f"(prev {pt}s, plan unchanged)",
+                file=sys.stderr,
+            )
+            timings[name] = min(timings[name], re_med)
+
     try:
         load_end = list(os.getloadavg())
     except OSError:
@@ -485,6 +552,11 @@ def main() -> int:
         "loadavg_end": load_end,
         "queries": timings,
         "plan_shas": plan_shas,
+        # {name: [first_median, standalone_re_median]} for entries that
+        # crossed REGRESSION_RATIO with an unchanged plan; the stamped
+        # value above is the min of the two (see the noise re-measure
+        # block in main)
+        "noise_remeasured": remeasured,
     }
     if exclusive:
         try:
@@ -508,11 +580,7 @@ def main() -> int:
         prev_shas = prev_data.get("plan_shas", {})
 
         def _plan_changed(n: str) -> bool:
-            a, b = prev_shas.get(n), plan_shas.get(n)
-            # 'checkpointed' markers are vacuous, not stable hashes —
-            # a checkpointed-vs-checkpointed pair proves nothing and
-            # must not count as "changed" OR "verified unchanged"
-            return bool(a and b and a != b and "checkpointed" not in (a, b))
+            return _fingerprint_changed(prev_shas.get(n), plan_shas.get(n))
 
         over_ratio = sorted(
             (n for n, r in ratios.items() if r > REGRESSION_RATIO),
@@ -536,6 +604,10 @@ def main() -> int:
                 n for n in regressions if _plan_changed(n)
             ],
             "noise_suppressed": [n for n in over_ratio if n not in regressions],
+            # entries that spiked >REGRESSION_RATIO with an unchanged
+            # plan and were re-measured standalone before stamping;
+            # ratios above already reflect the re-measured values
+            "noise_remeasured": remeasured,
         }
         if exclusive:
             try:

@@ -271,3 +271,59 @@ def test_bench_plan_normalization_strips_session_counters():
     # the established strips still hold
     assert bench._normalize_plan_text("Exchange plan_id=44 @deadbeef #12") == \
         bench._normalize_plan_text("Exchange plan_id=9 @c0ffee12 #99")
+
+
+def test_bench_noise_remeasure_stamps_better_median(spark, monkeypatch, tmp_path):
+    """r10 verdict item: an entry that spikes >1.5x vs the previous
+    exclusive record with an UNCHANGED plan must be re-measured
+    standalone before the sidecar is stamped (min of the two medians),
+    with both measurements recorded under noise_remeasured — so the
+    committed record never carries a spike bench has itself diagnosed
+    as scheduler noise. Runs the real bench.main() against a scratch
+    repo dir with a 2-query registry."""
+    import json
+
+    import bench
+    from dbitool_spark.plans import registry as reg
+
+    sf_dir = "/root/testdata/sf0.001"
+    calls = {"qa": 0}
+
+    def qa(s, d):
+        calls["qa"] += 1
+        return s.read.parquet(os.path.join(d, "region.parquet"))
+
+    def qb(s, d):
+        return s.read.parquet(os.path.join(d, "nation.parquet"))
+
+    monkeypatch.setattr(reg, "queries", lambda: {"qa": qa, "qb": qb})
+    monkeypatch.setattr(bench, "_foreign_java_pids", lambda: [])
+    monkeypatch.setattr(bench, "_lazy_plan_variants", lambda: {})
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPO_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD", "9999")
+
+    # fabricated prev record: qa absurdly fast (any real run crosses
+    # the 1.5x ratio -> re-measure), qb generous (never flags); no
+    # plan_shas -> fingerprints unverifiable -> counts as unchanged
+    prev = {"sf": 0.001, "queries": {"qa": 1e-6, "qb": 999.0}}
+    (tmp_path / "BENCH_queries.json").write_text(json.dumps(prev))
+
+    assert bench.main() == 0
+
+    data = json.loads((tmp_path / "BENCH_queries.json").read_text())
+    assert "qa" in data["noise_remeasured"], data
+    first, re_med = data["noise_remeasured"]["qa"]
+    assert data["queries"]["qa"] == min(first, re_med)
+    assert "qb" not in data["noise_remeasured"]
+    # qa really re-ran: fingerprint + warmup + timed + re-warmup +
+    # re-timed = 5 plan constructions
+    assert calls["qa"] == 5
+
+    # the re-measured blip is suppressed, never a flagged regression
+    # (plan unchanged, absolute delta far under the 0.5s gate)
+    vs_prev = json.loads((tmp_path / "BENCH_vs_prev.json").read_text())
+    assert vs_prev["regressions"] == []
+    assert vs_prev["noise_remeasured"] == data["noise_remeasured"]
