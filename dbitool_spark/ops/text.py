@@ -136,3 +136,59 @@ def fingerprint(text: Column) -> Column:
         F.regexp_replace(F.lower(F.trim(text)), _PUNCT_RE, ""), r"\s+", " "
     )
     return F.xxhash64(normalized)
+
+
+# --- HTML / boilerplate removal ---------------------------------------
+
+# Entity decode table, applied AFTER tag removal, in this order —
+# '&amp;' strictly LAST so a literal '&amp;lt;' in the source decodes
+# exactly once (to '&lt;' as text), never twice (to '<').
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+# block elements whose CONTENT is boilerplate, not text
+_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+_COMMENT_RE = r"(?is)<!--.*?-->"
+_TAG_RE = r"<[^>]+>"
+
+
+def strip_markup(text: Column) -> Column:
+    """HTML/boilerplate removal — the pre-tokenization step every
+    web-corpus pipeline runs before the quality/langid/dedup analysis
+    in this module (which all assume clean text). Order matters and is
+    the contract:
+
+    1. script/style blocks and comments removed WITH their content
+       (code and CSS are boilerplate, not text);
+    2. remaining tags removed, replaced by a space (so 'a</p><p>b'
+       keeps a word boundary);
+    3. entities decoded ('&amp;' last — see HTML_ENTITIES);
+    4. whitespace collapsed to single spaces, trimmed.
+
+    Scale shape: one pure-JVM regexp/replace projection inside
+    whole-stage codegen — no shuffle, no Python, runs at parquet scan
+    speed at any SF. Regex subset chosen to behave identically under
+    Java regex (Spark) and RE2 (DuckDB oracle): (?is) flags,
+    non-greedy '.*?', '\\b', character classes only — no backrefs, no
+    lookaround.
+
+    Honesty note: this is the regexp-cascade stripper (the standard
+    cheap first pass, same family as the quality heuristics here), not
+    an HTML5 parser — malformed nesting ('<di v>', unclosed <script>)
+    degrades exactly as the regexes read. A DOM-accurate extraction
+    (trafilatura/jusText class) is a model-free but parser-dependent
+    swap behind the same column signature."""
+    c = F.regexp_replace(text, _SCRIPT_RE, " ")
+    c = F.regexp_replace(c, _STYLE_RE, " ")
+    c = F.regexp_replace(c, _COMMENT_RE, " ")
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

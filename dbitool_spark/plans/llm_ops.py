@@ -1547,6 +1547,111 @@ ORDER BY src_a, src_b
 SOURCE_OVERLAP_MATRIX_SQL = _source_overlap_sql()
 
 
+# --- HTML/boilerplate strip (pre-tokenization) ------------------------
+
+# Deterministic plant: the synthetic corpus is clean text, so 1-in-3
+# docs are wrapped in a fixed HTML shell carrying every stripper
+# concern — style/script blocks WITH content, a comment, nav/footer
+# boilerplate tags, entities (incl. the '&amp;lt;' single-decode
+# trap), and tag-boundary whitespace. Shared constants: the oracle SQL
+# is derived from these same strings (the _bm25_sql pattern).
+_MARKUP_PREFIX = (
+    '<html><head><title>T</title>'
+    '<style type="text/css">p { color: #333; }</style>'
+    "<!-- generated page --></head><body>"
+    '<nav>Home | <a href="/about">About</a></nav>'
+    "<h1>Heading &amp; more</h1><p>"
+)
+_MARKUP_SUFFIX = (
+    '</p><script type="text/javascript">var a = 1 && 2;</script>'
+    "<footer>Example &lt;Corp&gt;&nbsp;&amp;lt;io&gt;</footer></body></html>"
+)
+_MARKUP_MOD = 3
+
+
+def strip_markup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate removal over the documents table — the
+    pre-tokenization step a 100 TB web-corpus pipeline runs before the
+    quality/langid/dedup family (all of which assume clean text).
+    STAGED r11 for the r12 window (parity row
+    staged_strip_markup_documents).
+
+    Emits per doc: markup presence, tag count, and the cleaned text
+    with its length — the projection downstream curation consumes.
+
+    Scale shape: ONE pure-JVM regexp/replace projection
+    (ops/text.py:strip_markup), no shuffle, no Python — runs at
+    parquet scan speed; the only post-projection cost is the driver
+    compare's ORDER BY. Cross-engine determinism: literal replaces +
+    a Java/RE2-common regex subset; all-integer outputs beside the
+    cleaned string itself."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % _MARKUP_MOD == 0,
+        F.concat(F.lit(_MARKUP_PREFIX), F.col("text"), F.lit(_MARKUP_SUFFIX)),
+    ).otherwise(F.col("text"))
+    clean = text.strip_markup(raw)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("text").alias("_orig"),
+            raw.alias("_raw"),
+            clean.alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("_raw").rlike("<[a-zA-Z!/]").cast("int").alias("had_markup"),
+            F.regexp_count(F.col("_raw"), F.lit(text._TAG_RE)).alias("n_tags"),
+            F.length("clean_text").alias("clean_len"),
+            "clean_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _strip_markup_sql() -> str:
+    # same constants, same operation order as ops/text.strip_markup;
+    # DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
+    # global by default)
+    pre = _MARKUP_PREFIX.replace("'", "''")
+    suf = _MARKUP_SUFFIX.replace("'", "''")
+    stripped = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"raw, '{text._SCRIPT_RE}', ' ', 'g'), "
+        f"'{text._STYLE_RE}', ' ', 'g'), "
+        f"'{text._COMMENT_RE}', ' ', 'g'), "
+        f"'{text._TAG_RE}', ' ', 'g')"
+    )
+    for ent, rep in text.HTML_ENTITIES:
+        stripped = f"replace({stripped}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    return rf"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {_MARKUP_MOD} = 0
+              THEN '{pre}' || text || '{suf}'
+              ELSE text END AS raw
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, source, raw,
+         trim(regexp_replace({stripped}, '\s+', ' ', 'g')) AS clean_text
+  FROM planted
+)
+SELECT doc_id, source,
+       CAST(regexp_matches(raw, '<[a-zA-Z!/]') AS INT) AS had_markup,
+       CAST(len(regexp_extract_all(raw, '{text._TAG_RE}')) AS INT) AS n_tags,
+       CAST(length(clean_text) AS INT) AS clean_len,
+       clean_text
+FROM stripped
+ORDER BY doc_id
+"""
+
+
+STRIP_MARKUP_DOCUMENTS_SQL = _strip_markup_sql()
+
+
 # --- substring-level duplicate spans ---------------------------------
 
 

@@ -1180,3 +1180,55 @@ def test_bm25_plan_shape_and_semantics(spark):
     tiny = {r.doc_id: r.bm25 for r in llm_ops.bm25_topk_documents(spark, d).collect()}
     assert 3 not in tiny  # zero-score docs never pivot in
     assert tiny[1] > tiny[2] > 0
+
+
+def test_strip_markup_semantics_and_plan(spark):
+    """The HTML stripper's contract (ops/text.strip_markup): script/
+    style/comment content removed entirely, tags become word
+    boundaries, entities decode ONCE ('&amp;' last), whitespace
+    collapses — and the registered entry is one JVM projection: no
+    shuffle, no Python stage."""
+    import contextlib
+    import io as _io
+
+    from dbitool_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [
+            # script/style content is boilerplate, removed WITH content
+            ("<style>p{x:1}</style>a<script>var q=2;</script>b", "a b"),
+            # tags become spaces so words don't fuse across them
+            ("one</p><p>two", "one two"),
+            # comments drop with content
+            ("x<!-- hidden -->y", "x y"),
+            # entity decode: once, '&amp;' last — '&amp;lt;' must NOT
+            # double-decode to '<'
+            ("a &amp; b &amp;lt; c &lt;d&gt;", 'a & b &lt; c <d>'),
+            # nbsp + collapse + trim
+            ("  a&nbsp;&nbsp;b\t c  ", "a b c"),
+            # no markup: byte-identical modulo whitespace collapse
+            ("plain text", "plain text"),
+        ],
+        "raw string, want string",
+    )
+    got = df.select("want", t.strip_markup(F.col("raw")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, (r.got, r.want)
+
+    # plan shape: the registered entry is scan -> project (-> sort for
+    # the driver compare); no Exchange from computation, no Python
+    from dbitool_spark.plans import llm_ops
+
+    plan_df = llm_ops.strip_markup_documents(spark, SF_SMOKE)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "SerializeFromObject"):
+        assert marker not in plan, f"strip_markup plan has {marker}:\n{plan}"
+    # the only exchange allowed is the final ORDER BY's range partition
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), plan

@@ -121,6 +121,12 @@ _RETIRED_CASES += [
      _fmt.FORMAT_CHAIN_NATION_SQL),
     ("retired_xmlbson_roundtrip_supplier", _fmt.xmlbson_roundtrip_supplier,
      _fmt.XMLBSON_ROUNDTRIP_SUPPLIER_SQL),
+    # STAGED for r12 (standing contract — oracle-proven a round ahead
+    # of registration): HTML/boilerplate strip, the pre-tokenization
+    # text operator the r10 verdict requested (one JVM projection, no
+    # shuffle; planted-markup corpus)
+    ("staged_strip_markup_documents", _llm.strip_markup_documents,
+     _llm.STRIP_MARKUP_DOCUMENTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
