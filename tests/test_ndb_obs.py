@@ -314,7 +314,15 @@ def test_ndb_bucket_prune_scales_with_touched_fraction(spark, tmpdir):
         timing leg is a regression tripwire, not the b/n proof — a
         warm mid-suite JVM once compressed the gap to 1.31s vs 1.19s
         while the bytes held exactly (the exclusive-box measurement,
-        recorded in SURVEY r10: 1.66s pruned vs 2.99s full at 1M).
+        recorded in SURVEY r10: 1.66s pruned vs 2.99s full at the
+        1M-key state this test used before r10 grew it to 2M);
+    (c) VERDICT r10 task 4 — the CURVE, not one point: pruned upserts
+        touching b in {1, 4, 8} of 32 buckets must put rewritten
+        bytes on a through-origin linear fit in the touched buckets'
+        prior size (each point within 45% of the fit, slope in
+        [0.4, 2.5], monotone in b) — the O(state*b/n + batch) cost
+        shape asserted as a measured slope (r11 measurement: slope
+        0.95, residuals <= 7%).
     Numbers are printed for the SURVEY/bench record."""
     import time
 
@@ -394,7 +402,72 @@ def test_ndb_bucket_prune_scales_with_touched_fraction(spark, tmpdir):
         f"linked_bytes={linked_bytes} pruned_s={pruned_s:.2f} full_s={full_s:.2f}"
     )
 
-    # semantics spot-check after both merges
+    # (c) VERDICT r10 task 4: the b/n SLOPE, not one point. Sweep
+    # b in {1, 4, 8} touched buckets on successive pruned upserts over
+    # the same 2M-key state and assert rewritten (non-hardlinked)
+    # bytes track a THROUGH-ORIGIN linear fit in the touched buckets'
+    # prior size — the O(state*b/n + batch) cost shape as a measured
+    # slope rather than a single ratio. Also: per-step hardlink
+    # carryover of the (32-b) untouched buckets, and monotone growth
+    # in b.
+    sweep = []  # (b, touched_prior_bytes, rewritten_bytes)
+    version = 4  # v0 base + 4 upserts above
+    bucket_sets = {1: (3,), 4: (4, 5, 6, 7), 8: tuple(range(8, 16))}
+    for b, bset in bucket_sets.items():
+        prior = _bucket_files(os.path.join(path, f"v{version}"))
+        prior_inodes = {
+            ino for files in prior.values() for (ino, _sz) in files.values()
+        }
+        state_now = sum(
+            sz for files in prior.values() for (_ino, sz) in files.values()
+        )
+        tp = sum(
+            sz
+            for i in bset
+            for (_ino, sz) in prior[f"__ndb_bucket={i}"].values()
+        )
+        t.upsert(
+            spark.range(0, n_state, 97)
+            .select(F.col("id").cast("long").alias("k"))
+            .filter(bucket.isin(*bset))
+            .withColumn("v", F.lit(f"SWEEP{b}"))
+        )
+        version += 1
+        cur = _bucket_files(os.path.join(path, f"v{version}"))
+        rw = sum(
+            sz
+            for files in cur.values()
+            for (ino, sz) in files.values()
+            if ino not in prior_inodes
+        )
+        lk = sum(
+            sz
+            for files in cur.values()
+            for (ino, sz) in files.values()
+            if ino in prior_inodes
+        )
+        assert lk >= state_now * (32 - b) / 32 * 0.95, (b, lk, state_now)
+        sweep.append((b, tp, rw))
+    slope = sum(tp * rw for _b, tp, rw in sweep) / sum(
+        tp * tp for _b, tp, _rw in sweep
+    )
+    # rewriting a touched bucket costs ~its own size (re-encode of the
+    # same rows +- compression drift); a slope drifting high means the
+    # prune is rewriting more than it touches
+    assert 0.4 <= slope <= 2.5, f"rewrite slope {slope:.2f} off the b/n line"
+    for b, tp, rw in sweep:
+        assert abs(rw - slope * tp) <= 0.45 * slope * tp, (
+            f"b={b}: rewritten {rw}B deviates from linear fit "
+            f"{slope:.2f}*{tp}B by >45% — not the b/n shape"
+        )
+    assert sweep[0][2] < sweep[1][2] < sweep[2][2], sweep
+    print(
+        "NDB_PRUNE_SLOPE "
+        + " ".join(f"b={b}:touched={tp}B:rewritten={rw}B" for b, tp, rw in sweep)
+        + f" slope={slope:.3f}"
+    )
+
+    # semantics spot-check after all merges
     got = t.replay().filter(F.col("k").isin(0, 97 * 3, 5)).collect()
     m = {r.k: r.v for r in got}
     assert m[5] == "payload_5"
