@@ -144,6 +144,22 @@ def _scaling_ops():
 
         return ann_topk_ivf(spark, d)
 
+    def bm25(spark, d):
+        # r11 (verdict task 5): corpus-wide work is one tokenize +
+        # dl/tf aggregates; growth must track the token stream, with
+        # the post-filter candidate set bounded by docs-containing-q
+        from dbitool_spark.plans.llm_ops import bm25_topk_documents
+
+        return bm25_topk_documents(spark, d)
+
+    def source_overlap(spark, d):
+        # r11 (verdict task 5): the gram self-join fans out per gram
+        # only to the sources carrying it (n_sources is a small
+        # constant), so growth must stay ~linear in corpus size
+        from dbitool_spark.plans.llm_ops import source_overlap_matrix
+
+        return source_overlap_matrix(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -153,6 +169,8 @@ def _scaling_ops():
         "salted_user_rollup": salted_rollup,
         "lsh_topk": lsh_topk,
         "ivf_topk": ivf_topk,
+        "bm25_topk": bm25,
+        "source_overlap_matrix": source_overlap,
     }
 
 

@@ -355,6 +355,61 @@ ORDER BY hour, event_type
 """
 
 
+def streaming_hourly_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-tagged composite of the three hourly tumbling-window
+    entries — the r12 merge candidate per the registry ledger's
+    retirement/merge policy (the events_asof_orders /
+    ngram_jaccard_variants pattern): one driver row drives the BATCH
+    hourly agg (count + exact-decimal sum), the COMPLETE-mode stream
+    drain (watermark 0, state flushed whole), and the APPEND-mode
+    production path (1-hour watermark, closed-window emission rule) —
+    each through its full original codepath, hash-checked against one
+    union oracle. sum_value is the batch variant's column; the
+    streaming variants carry NULL there (the counts are their
+    contract).
+
+    Scale notes are the constituents': one (hour, type) shuffle for
+    the batch agg; bounded (hour, type) state for complete mode;
+    watermark-evicted state for append. STAGED r11 for the r12 window
+    (parity row staged_streaming_hourly_composite)."""
+    from dbitool_spark.plans import events_ops
+
+    null_sum = F.lit(None).cast("double").alias("sum_value")
+    batch = events_ops.events_hourly_stats(spark, sf_dir).select(
+        F.lit("batch").alias("variant"), "hour", "event_type", "n", "sum_value"
+    )
+    complete = streaming_hourly_stats_events(spark, sf_dir).select(
+        F.lit("complete").alias("variant"), "hour", "event_type", "n", null_sum
+    )
+    append = streaming_hourly_append_events(spark, sf_dir).select(
+        F.lit("append").alias("variant"), "hour", "event_type", "n", null_sum
+    )
+    return batch.unionAll(complete).unionAll(append).orderBy(
+        "variant", "hour", "event_type"
+    )
+
+
+STREAMING_HOURLY_COMPOSITE_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+         CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT 'batch' AS variant, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, n, sum_value
+FROM agg
+UNION ALL
+SELECT 'complete', strftime(h, '%Y-%m-%d %H:%M:%S'), event_type, n, NULL
+FROM agg
+UNION ALL
+SELECT 'append', strftime(h, '%Y-%m-%d %H:%M:%S'), event_type, n, NULL
+FROM agg, mx
+WHERE agg.h + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+ORDER BY variant, hour, event_type
+"""
+
+
 def streaming_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join made driver-visible — the last pytest-only
     streaming operator: documents re-published as NDJSON and replayed

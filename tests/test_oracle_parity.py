@@ -128,6 +128,17 @@ _RETIRED_CASES += [
     ("staged_strip_markup_documents", _llm.strip_markup_documents,
      _llm.STRIP_MARKUP_DOCUMENTS_SQL),
 ]
+
+# STAGED for r12: the hourly tumbling-window merge candidate (batch +
+# complete-mode + append-mode variants in one tagged union), so the
+# r12 rotation can reclaim two slots with zero new risk
+from dbitool_spark.plans import state_ops as _state
+
+_RETIRED_CASES += [
+    ("staged_streaming_hourly_composite",
+     _state.streaming_hourly_composite,
+     _state.STREAMING_HOURLY_COMPOSITE_SQL),
+]
 _CASES = _CASES + _RETIRED_CASES
 
 
