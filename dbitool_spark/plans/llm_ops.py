@@ -190,6 +190,104 @@ ORDER BY doc_id
 """
 
 
+def dedup_representatives_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION, end to end: near-dup clusters (MinHash-LSH
+    pairs -> connected components, the near_dup_clusters construction)
+    extended to EVERY corpus doc (unpaired docs are their own
+    singleton cluster), then ONE representative kept per cluster — the
+    highest quality-score doc, doc_id as the total tiebreak. This is
+    the row a curation pipeline actually emits from dedup: cluster id,
+    surviving doc, member count, survivor's quality.
+
+    Scale shape: banded LSH candidates (bucket equi-join, never
+    all-pairs) + star CC / bounded union-find, a LEFT join of the
+    corpus against the (small) component table, the quality score as
+    one pure-JVM projection, and a per-cluster window (partitioned by
+    cluster_id, never a global sort). Cross-engine determinism:
+    quality is the proven round(…,6) blend; selection orders by the
+    ROUNDED score with doc_id tiebreak (the quality_prune contract).
+
+    Oracle: the recursive-CTE transitive closure (near_dup_clusters'
+    oracle) left-joined under the corpus with the quality CTE
+    parameterized over the same perturbed corpus — a hash match
+    proves cluster assignment, singleton handling, and argmax
+    selection all at once."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    corpus = _perturbed_corpus(docs)
+    pairs = dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text", shingle_k=3, threshold=0.7
+    )
+    comp = dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    clusters = corpus.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "text",
+    )
+    q = text.quality_score(clusters).select(
+        "doc_id", "cluster_id", F.col("quality_score").alias("q_r")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q_r"), F.asc("doc_id"))
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("q_r").alias("rep_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _dedup_representatives_sql() -> str:
+    # built AFTER _quality_scores_sql is defined (module bottom-up
+    # assignment at the QUALITY_SCORES constant site)
+    return f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE CAST(li AS DOUBLE) / (na + nb - li) >= 0.7
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT n.id AS doc_id, least(n.id, MIN(r.b)) AS cluster_id
+  FROM nodes n JOIN reach r ON r.a = n.id
+  GROUP BY n.id
+),
+clusters AS (
+  SELECT c.doc_id, COALESCE(comp.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
+),
+q AS ({_quality_scores_sql("corpus")}),
+ranked AS (
+  SELECT cl.cluster_id, cl.doc_id, q.quality_score AS q_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY cl.cluster_id
+           ORDER BY q.quality_score DESC, cl.doc_id ASC
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+  FROM clusters cl JOIN q ON q.doc_id = cl.doc_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_members, q_r AS rep_quality
+FROM ranked WHERE rk = 1
+ORDER BY cluster_id
+"""
+
+
 def ngram_jaccard_documents(
     spark: SparkSession, sf_dir: str, *, materialize: bool = True
 ) -> DataFrame:
@@ -649,7 +747,7 @@ def quality_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(docs).select("doc_id", "quality_score").orderBy("doc_id")
 
 
-def _quality_scores_sql() -> str:
+def _quality_scores_sql(relation: str = "documents") -> str:
     stopwords = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
     # Mirrors ops/text.py quality_features + quality_score term by term
     # in the same left-to-right order, with every blend constant cast
@@ -669,7 +767,7 @@ WITH feats AS (
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
          len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                          w -> lower(w) IN ({stopwords}))) AS n_stop
-  FROM documents
+  FROM {relation}
 ), ratios AS (
   SELECT doc_id, n_tokens,
          (n_chars - (n_tokens - 1)) / n_tokens AS mean_token_len,
@@ -693,6 +791,7 @@ ORDER BY doc_id
 
 
 QUALITY_SCORES_DOCUMENTS_SQL = _quality_scores_sql()
+DEDUP_REPRESENTATIVES_SQL = _dedup_representatives_sql()
 
 
 # --- multimodal -------------------------------------------------------

@@ -137,14 +137,21 @@ retirement contract.
 Current capacity: 97 registered / 50-slot window -> 47 tail rows, all
 driver-green in r10; every entry is covered by CORRECTNESS_r10 ∪ r11.
 r12 headroom: 47 due-tail entries against 50 slots -> 3 slots of
-slack. Staged for r12 (same contract — oracle-proven a round early in
-tests/test_oracle_parity.py): the three streaming_hourly_* /
-windowed-stats entries overlap (streaming_hourly_append_events,
-streaming_hourly_stats_events, events_hourly_stats share the hourly
-tumbling-window agg family) — merge candidate
-state_ops.streaming_hourly_composite if r12 slots run short, plus the
-net-new llm_ops.strip_markup_documents (HTML/boilerplate removal, the
-pre-tokenization text op the r10 verdict requested).
+slack. Staged for r12 (same contract — each oracle-proven a round
+early in tests/test_oracle_parity.py, all three rows green at r11
+HEAD):
+- state_ops.streaming_hourly_composite — variant-tagged union merging
+  streaming_hourly_append_events + streaming_hourly_stats_events +
+  events_hourly_stats (the hourly tumbling-window family; reclaims 2
+  net slots when registered);
+- llm_ops.strip_markup_documents — HTML/boilerplate removal, the
+  pre-tokenization text op the r10 verdict requested (one JVM
+  projection, no shuffle);
+- llm_ops.dedup_representatives_documents — the dedup ACTION: one
+  max-quality representative per near-dup cluster incl. singletons;
+  drives the near_dup_clusters pairs+CC codepaths PLUS selection, so
+  it can register as that entry's SUPERSEDER (retire
+  near_dup_clusters with a standalone parity row) for zero net slots.
 """
 
 from __future__ import annotations

@@ -138,6 +138,11 @@ _RETIRED_CASES += [
     ("staged_streaming_hourly_composite",
      _state.streaming_hourly_composite,
      _state.STREAMING_HOURLY_COMPOSITE_SQL),
+    # STAGED for r12: the dedup ACTION — one representative per
+    # near-dup cluster (incl. singletons) by quality argmax
+    ("staged_dedup_representatives_documents",
+     _llm.dedup_representatives_documents,
+     _llm.DEDUP_REPRESENTATIVES_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
