@@ -471,7 +471,14 @@ def main() -> int:
     for name, fn in registry.queries().items():
         try:
             spark.catalog.clearCache()
-            plan_shas[name] = _plan_sha(lazy_variants.get(name, fn)(spark, sf_dir))
+            lazy_df = lazy_variants.get(name, fn)(spark, sf_dir)
+            plan_shas[name] = _plan_sha(lazy_df)
+            # lazy variants carry their internal persists as a release
+            # handle (ops/cache.attach_persists) — release them here so
+            # even without the clearCache above nothing would leak
+            from dbitool_spark.ops.cache import release_persists
+
+            release_persists(lazy_df)
         except Exception:
             pass  # fingerprint is advisory; never fail the bench on it
         # ~13 non-lazy entries execute eagerly here (materialize_release

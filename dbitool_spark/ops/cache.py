@@ -46,3 +46,23 @@ def materialize_release(result: DataFrame, *intermediates: DataFrame) -> DataFra
         # the no-lingering-cache tests assert)
         df.unpersist(blocking=False)
     return out
+
+
+def attach_persists(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Lazy-path counterpart of materialize_release (ADVICE r10): the
+    materialize=False plan-audit variants keep their internal persists
+    IN the plan (so the audited fingerprint shows the same
+    InMemoryRelation boundaries the executed plan has) but hand the
+    caller a real release handle instead of leaking registrations into
+    the session cache. The handle rides on the returned DataFrame —
+    no signature change for audit callers that ignore it."""
+    result._dbitool_persists = list(intermediates)  # type: ignore[attr-defined]
+    return result
+
+
+def release_persists(result: DataFrame) -> None:
+    """Unpersist whatever attach_persists recorded on `result` (no-op
+    for frames without the handle). bench's lazy fingerprint pass and
+    the plan-shape tests call this after explain()."""
+    for df in getattr(result, "_dbitool_persists", ()):
+        df.unpersist(blocking=False)

@@ -506,12 +506,10 @@ def simhash_recall_planted(
     corpus = _perturbed_corpus(docs)
     # ONE signature pass, persisted: ground truth AND the band join
     # both read it (3 unshared plans would re-run the 64-SUM
-    # aggregation each — measured ~4-5x slower at sf0.1). Lazy
-    # plan-audit path: no persist (nothing executes — same ADVICE r10
-    # rule as bm25/top_terms).
-    sig = dedup.simhash_signatures(corpus, "doc_id", "text")
-    if materialize:
-        sig = sig.persist()
+    # aggregation each — measured ~4-5x slower at sf0.1). The persist
+    # stays on the lazy path (plan fidelity); the lazy return carries
+    # a release handle (ADVICE r10, attach_persists).
+    sig = dedup.simhash_signatures(corpus, "doc_id", "text").persist()
     a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sig.select(
         (F.col("id") - _PERTURB_OFFSET).alias("id_a"), F.col("sig").alias("sig_b")
@@ -546,7 +544,9 @@ def simhash_recall_planted(
         .alias("recall")
     )
     if not materialize:
-        return result  # lazy: no persists registered (plan audits)
+        from dbitool_spark.ops.cache import attach_persists
+
+        return attach_persists(result, sig)  # lazy: caller releases
     return materialize_release(result, sig)
 
 
@@ -1277,13 +1277,12 @@ def top_terms_per_source(
     # persist Catalyst re-runs the corpus explode+agg once per
     # reference (no exchange reuse across subplan aliases — the same
     # reason the minhash band table persists). (source, word) rows are
-    # orders of magnitude below the corpus at any scale. The lazy
-    # plan-audit path skips the persist entirely (ADVICE r10: nothing
-    # executes, so a persist would just sit registered in the cache
-    # with no release point).
-    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
-    if materialize:
-        tf = tf.persist()
+    # orders of magnitude below the corpus at any scale. The persist
+    # stays on the LAZY path too so the audited plan shows the same
+    # InMemoryRelation boundaries the executed plan has; the lazy
+    # return carries a release handle instead of leaking the
+    # registration (ADVICE r10, attach_persists).
+    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     # bounded driver-side scalar: the source key space is tiny by
     # construction (a mix has tens of sources, not millions); one
@@ -1299,7 +1298,9 @@ def top_terms_per_source(
         .orderBy("source", "rank")
     )
     if not materialize:
-        return result  # lazy: no persists registered (plan audits)
+        from dbitool_spark.ops.cache import attach_persists
+
+        return attach_persists(result, tf)  # lazy: caller releases
     return materialize_release(result, tf)
 
 
@@ -1373,11 +1374,9 @@ def bm25_topk_documents(
     # the compact (doc_id, dl) table so the corpus tokenizes twice
     # total (tf + dl), not once per dl reference — the same
     # no-repeated-corpus-scan rule top_terms applies to its tf table.
-    # Lazy plan-audit path: no persist (ADVICE r10 — nothing executes,
-    # a persist would leak in the cache with no release point).
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    if materialize:
-        dl = dl.persist()
+    # The persist stays on the lazy path (plan fidelity); the lazy
+    # return carries a release handle (ADVICE r10, attach_persists).
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
@@ -1389,9 +1388,8 @@ def bm25_topk_documents(
         toks.filter(F.col("term").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
     )
-    if materialize:
-        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
@@ -1430,7 +1428,9 @@ def bm25_topk_documents(
         .limit(BM25_TOPK)
     )
     if not materialize:
-        return result  # lazy: no persists registered (plan audits)
+        from dbitool_spark.ops.cache import attach_persists
+
+        return attach_persists(result, dl, tf)  # lazy: caller releases
     return materialize_release(result, dl, tf)
 
 

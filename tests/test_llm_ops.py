@@ -1144,7 +1144,15 @@ def test_bm25_plan_shape_and_semantics(spark):
     with contextlib.redirect_stdout(buf):
         lazy.explain("formatted")
     plan = buf.getvalue()
-    spark.catalog.clearCache()  # lazy mode: persists caller-owned
+    # ADVICE r10: the lazy variant hands back its internal persists as
+    # a release handle — releasing it must leave the session cache
+    # empty without a global clearCache
+    from dbitool_spark.ops.cache import release_persists
+
+    assert len(getattr(lazy, "_dbitool_persists", ())) == 2  # dl, tf
+    release_persists(lazy)
+    jcm = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert jcm.isEmpty(), "release_persists left cached RDDs registered"
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
     # the persisted dl/tf tables cap corpus tokenization at exactly
