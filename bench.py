@@ -310,6 +310,14 @@ def _normalize_plan_text(text: str) -> str:
     # these counters). Anchored to the 'lambda ' keyword so a real
     # column named like x_12 can never be collapsed.
     text = re.sub(r"\b(lambda [A-Za-z]\w*?)_\d+#", r"\1_#", text)
+    # driver-built local DataFrames (createDataFrame of bounded rows —
+    # kmeans' k·dim centroid table, semdedup's threshold row) scan as
+    # 'Scan ExistingRDD' whose argument embeds the SESSION-GLOBAL RDD
+    # id (MapPartitionsRDD[62] fresh vs [638] mid-bench) — another
+    # registry-order leak, observed r11 when the rotation moved
+    # kmeans/semdedup's fingerprint position and only their shas moved.
+    # Anchored to the RDD[...] form so data literals can't collapse.
+    text = re.sub(r"\b(\w*RDD)\[\d+\]", r"\1[#]", text)
     return text
 
 

@@ -327,3 +327,18 @@ def test_bench_noise_remeasure_stamps_better_median(spark, monkeypatch, tmp_path
     vs_prev = json.loads((tmp_path / "BENCH_vs_prev.json").read_text())
     assert vs_prev["regressions"] == []
     assert vs_prev["noise_remeasured"] == data["noise_remeasured"]
+
+
+def test_bench_plan_normalization_strips_rdd_ids():
+    """r11 instance of the session-counter family: driver-built local
+    DataFrames scan as ExistingRDD with the session-global RDD id in
+    the argument (MapPartitionsRDD[62] fresh vs [638] mid-bench) —
+    registry order must not move the sha."""
+    import bench
+
+    a = "Arguments: [cid#, c#], MapPartitionsRDD[62] at applySchemaToPythonRDD at NativeMethodAccessorImpl.java:0, ExistingRDD, UnknownPartitioning(0)"
+    b = "Arguments: [cid#, c#], MapPartitionsRDD[638] at applySchemaToPythonRDD at NativeMethodAccessorImpl.java:0, ExistingRDD, UnknownPartitioning(0)"
+    assert bench._normalize_plan_text(a) == bench._normalize_plan_text(b)
+    # a literal [N] NOT attached to an RDD token is preserved
+    keep = "Project [arr#[62] AS x#]"
+    assert "[62]" in bench._normalize_plan_text(keep)
