@@ -21,8 +21,10 @@ concept:
 - a header whose text does NOT match the schema's field names is not
   recognized as a header (it would otherwise survive as a cast-to-
   null phantom row) — parse_csv_lines probes the stream's first line
-  at plan-build time and raises on such a mismatch (bounded limit(1)
-  action; skipped for streaming inputs, where the caller owns header
+  at plan-build time and WARNS on such a mismatch (a warning, not an
+  error: limit(1) on a multi-part stream is partition-order
+  dependent, so a data line there can be legitimate; bounded action,
+  skipped for streaming inputs, where the caller owns header
   hygiene);
 - a genuine DATA row whose values coincide with the field names drops
   anywhere in the stream, not just at line 1 (an all-string schema

@@ -63,6 +63,11 @@ def attach_persists(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
 def release_persists(result: DataFrame) -> None:
     """Unpersist whatever attach_persists recorded on `result` (no-op
     for frames without the handle). bench's lazy fingerprint pass and
-    the plan-shape tests call this after explain()."""
-    for df in getattr(result, "_dbitool_persists", ()):
+    the plan-shape tests call this after explain().
+
+    __dict__ lookup, not getattr: DataFrame.__getattr__ resolves
+    COLUMN names, so on a frame that happened to carry a column named
+    like the handle, getattr would return a Column instead of the
+    attached list."""
+    for df in result.__dict__.get("_dbitool_persists", ()):
         df.unpersist(blocking=False)
