@@ -513,3 +513,40 @@ def test_bm25_matches_python_reference(spark, docs):
                     assert s <= floor + 1.1e-4
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_strip_markup_matches_python_mirror(spark):
+    """Cross-engine pin for the HTML stripper: Spark's Java-regex
+    cascade must agree string-for-string with a from-scratch Python-re
+    mirror over an adversarial fragment-product corpus — partial tags,
+    nested/unterminated script blocks, entity traps (incl. the
+    '&amp;lt;' single-decode), CRLF whitespace. ASCII-only corpus:
+    Java \\s is ASCII while Python's is unicode, a documented
+    non-goal. (The DuckDB parity row covers the RE2 side.)"""
+    import itertools
+    import re as _re
+
+    from dbitool_spark.ops import text as _t
+
+    def mirror(s: str) -> str:
+        s = _re.sub(_t._SCRIPT_RE, " ", s)
+        s = _re.sub(_t._STYLE_RE, " ", s)
+        s = _re.sub(_t._COMMENT_RE, " ", s)
+        s = _re.sub(_t._TAG_RE, " ", s)
+        for ent, rep in _t.HTML_ENTITIES:
+            s = s.replace(ent, rep)
+        return _re.sub(r"\s+", " ", s).strip()
+
+    frags = [
+        "plain words", "<p>", "</p>", "<P CLASS='x'>", "<",
+        "a<b", "<script>var x=1;</script>", "<script>unterminated",
+        "<style>p{}</style>", "<!-- note -->", "<!-- open",
+        "&amp;", "&amp;lt;", "&lt;tag&gt;", "&nbsp;", "&#39;", "&bogus;",
+        " \t ", "\r\n", "x>y", "<>",
+    ]
+    corpus = ["".join(c) for c in itertools.product(frags, repeat=2)]
+    corpus += ["".join(c) for c in zip(frags, frags[::-1], frags[1:] + frags[:1])]
+    df = spark.createDataFrame([(s,) for s in corpus], "raw string")
+    got = df.select("raw", _t.strip_markup(F.col("raw")).alias("c")).collect()
+    for r in got:
+        assert r.c == mirror(r.raw), (r.raw, r.c, mirror(r.raw))
