@@ -225,3 +225,70 @@ def bucketed_join(
     return spark.table(left_table).hint("merge").join(
         spark.table(right_table), on, how
     )
+
+
+# --- broadcast-bounded Bloom membership --------------------------------
+
+
+def bloom_build(df: DataFrame, col: str, *, m_bits: int, k: int) -> list[int]:
+    """Distributed Bloom-filter build over a column: each value sets k
+    bit positions (seeded xxhash64 mod m), OR-folded into m/64 packed
+    longs with ONE map-side-combinable aggregation. The driver edge is
+    bounded BY CONSTRUCTION at m_bits/64 longs — m is a design
+    constant chosen for the broadcast budget (m/8 bytes), never a
+    function of the data (the memorylimit convention's bounded edge).
+
+    The 100 TB story this enables: a benchmark gram set of 10^9 rows
+    is ~50 GB raw — far past broadcast range, so exact stream-static
+    decontamination must shuffle the corpus. At 10 bits/key the Bloom
+    packs the same membership set into ~1.2 GB, broadcastable, with
+    ZERO false negatives (every true contaminated row is still
+    caught) and a tunable false-positive rate ~(1-e^(-kn/m))^k that
+    only costs harmless extra flags. Seeding: xxhash64(value, i) —
+    the tuple-hash form, reproduced exactly by the SQL expression in
+    bloom_contains_expr (same arity, same literal type)."""
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    n_words = (m_bits + 63) // 64
+    rows = (
+        df.select(F.explode(pos).alias("p"))
+        # p < m_bits <= 2^40 << 2^53: the double division is exact.
+        # shiftleft via F.expr — the PySpark wrapper only shifts by a
+        # literal; SQL shiftleft shifts by a column (same as the check
+        # side in bloom_contains_expr)
+        .select(
+            (F.col("p") / F.lit(64)).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()  # bounded: <= m_bits/64 rows by construction
+    )
+    arr = [0] * n_words
+    for r in rows:
+        arr[int(r.w)] = r.bits
+    return arr
+
+
+def bloom_contains_expr(
+    value_col: str, bloom_col: str, m_bits: int, k: int
+) -> Column:
+    """JVM-side membership test against the packed Bloom array (a
+    1-row broadcast DataFrame column, NOT a 16k-element plan literal):
+    k seeded positions, each checked via element_at + shiftleft mask.
+    Built as a SQL expression because PySpark's shiftleft wrapper
+    only takes literal shift amounts; SQL shiftleft shifts by a
+    column. Stays inside whole-stage codegen — no UDF, no Python."""
+    checks = []
+    for i in range(k):
+        p = f"pmod(xxhash64({value_col}, {i}), {m_bits}L)"
+        word = f"element_at({bloom_col}, cast({p} div 64 as int) + 1)"
+        mask = f"shiftleft(cast(1 as bigint), cast(pmod({p}, 64) as int))"
+        checks.append(f"(({word} & {mask}) != 0)")
+    return F.expr(" AND ".join(checks))

@@ -184,6 +184,82 @@ ORDER BY doc_id
 """
 
 
+_BLOOM_M_BITS = 1 << 17  # 16 KB packed; design constant, see bloom_build
+_BLOOM_K = 5
+
+
+def bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a broadcast Bloom filter — the 100 TB path
+    for when the benchmark gram set is too big to broadcast raw (10^9
+    grams ~ 50 GB raw vs ~1.2 GB packed at 10 bits/key): the corpus
+    is NEVER shuffled, each gram checks k bit positions against the
+    16 KB packed array riding a 1-row broadcast. STAGED r11
+    (parity row staged_bloom_decontaminate_documents; registers when
+    a window slot frees — r12 is planned at 49/50).
+
+    The entry proves the filter's load-bearing theorem end to end: a
+    Bloom filter has ZERO false negatives, so the flagged set must
+    contain EVERY exactly-contaminated doc — recall is identically
+    1.0, and the oracle states it as a constant next to the exact
+    count (the simhash_recall_planted pattern; DuckDB cannot evaluate
+    Spark's xxhash64, so precision is pinned in pytest instead:
+    >= 0.9 at sf0.01, deterministic given the seeds).
+
+    Scale shape: ONE bounded driver edge (m/64 longs, a design
+    constant — bloom_build docstring), one broadcast NLJ against a
+    1-row frame, one distinct per side, one join for the recall
+    arithmetic. No Python, no corpus shuffle on the bloom side; the
+    exact side exists only to verify recall and is the thing this
+    operator REPLACES at scale."""
+    from dbitool_spark.ops import scale
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    bench = bench_gram_set(docs)
+    bloom = scale.bloom_build(bench, "gram", m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
+    bloom_df = spark.createDataFrame([(bloom,)], "bloom array<bigint>")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
+    )
+    flagged = (
+        grams.crossJoin(F.broadcast(bloom_df))
+        .filter(
+            scale.bloom_contains_expr("gram", "bloom", _BLOOM_M_BITS, _BLOOM_K)
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exact = grams.join(bench, "gram").select("doc_id").distinct()
+    return exact.join(flagged, "doc_id", "left").agg(
+        F.when(
+            F.count(F.lit(1)) == 0,
+            F.assert_true(
+                F.lit(False), F.lit("bloom_decontaminate: empty exact set")
+            ).cast("double"),
+        )
+        .otherwise(
+            (F.count("__hit") / F.count(F.lit(1))).cast("double")
+        )
+        .alias("recall"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+
+
+BLOOM_DECONTAMINATE_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+bw AS (
+  SELECT w[1:len(w) - 1] AS w FROM w WHERE doc_id % {BENCH_MOD} = 0
+),
+bench AS (SELECT DISTINCT unnest({_DUCK_GRAMS}) AS gram FROM bw),
+g AS (SELECT doc_id, unnest({_DUCK_GRAMS}) AS gram FROM w),
+exact AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram))
+SELECT CAST(1.0 AS DOUBLE) AS recall, COUNT(*) AS n_exact FROM exact
+"""
+
+
 def deterministic_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by hashed doc_id,
     reported as per-split stats. Membership is a pure function of the

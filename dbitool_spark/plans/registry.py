@@ -152,6 +152,12 @@ HEAD):
   drives the near_dup_clusters pairs+CC codepaths PLUS selection, so
   it can register as that entry's SUPERSEDER (retire
   near_dup_clusters with a standalone parity row) for zero net slots.
+A fourth candidate is staged WITHOUT an assigned r12 slot (r12 is
+planned at 49/50; register it r12 only if a merge frees room, else
+r13): pipeline_ops.bloom_decontaminate_documents — broadcast-Bloom
+decontamination (zero-false-negative recall pinned as the oracle
+constant; precision pinned in pytest since DuckDB cannot evaluate
+Spark's xxhash64).
 """
 
 from __future__ import annotations

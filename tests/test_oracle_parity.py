@@ -144,6 +144,17 @@ _RETIRED_CASES += [
      _llm.dedup_representatives_documents,
      _llm.DEDUP_REPRESENTATIVES_SQL),
 ]
+
+# STAGED (r12/r13 — registers when a slot frees): Bloom-broadcast
+# decontamination; oracle pins the zero-false-negative recall constant
+# next to the exact contaminated count
+from dbitool_spark.plans import pipeline_ops as _pipe
+
+_RETIRED_CASES += [
+    ("staged_bloom_decontaminate_documents",
+     _pipe.bloom_decontaminate_documents,
+     _pipe.BLOOM_DECONTAMINATE_SQL),
+]
 _CASES = _CASES + _RETIRED_CASES
 
 

@@ -472,3 +472,69 @@ def test_lazy_and_materialized_results_agree(spark):
         lazy = sorted(map(tuple, fn(spark, SF_SMOKE, materialize=False).collect()))
         spark.catalog.clearCache()
         assert eager == lazy, fn.__name__
+
+
+def test_bloom_membership_and_decontaminate_precision(spark):
+    """Bloom machinery (ops/scale): zero false negatives on planted
+    members (the load-bearing theorem), false-positive rate sane at
+    the design bits/key, and the staged decontaminate entry's flagged
+    set stays precise against the exact join at sf0.01 (DuckDB cannot
+    evaluate Spark's xxhash64, so precision pins HERE, not in the
+    oracle)."""
+    from dbitool_spark import catalog
+    from dbitool_spark.ops import scale
+    from dbitool_spark.ops.dedup import shingles
+    from dbitool_spark.plans import pipeline_ops as po
+    from tests.conftest import SF_ORACLE
+
+    # planted membership: 1000 members, 2000 non-members
+    members = spark.range(1000).select(
+        F.concat(F.lit("g"), F.col("id")).alias("v")
+    )
+    m, k = 1 << 14, 5
+    bloom = scale.bloom_build(members, "v", m_bits=m, k=k)
+    assert len(bloom) == m // 64
+    bdf = spark.createDataFrame([(bloom,)], "bloom array<bigint>")
+    probe = spark.range(3000).select(
+        F.concat(F.lit("g"), F.col("id")).alias("v")
+    )
+    flagged = {
+        r.v
+        for r in probe.crossJoin(F.broadcast(bdf))
+        .filter(scale.bloom_contains_expr("v", "bloom", m, k))
+        .collect()
+    }
+    assert {f"g{i}" for i in range(1000)} <= flagged  # NO false negatives
+    fp = sum(1 for v in flagged if int(v[1:]) >= 1000)
+    assert fp <= 40, f"{fp}/2000 false positives at 16 bits/key"
+
+    # precision of the staged entry's flagged set at sf0.01
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    bench = po.bench_gram_set(docs)
+    arr = scale.bloom_build(
+        bench, "gram", m_bits=po._BLOOM_M_BITS, k=po._BLOOM_K
+    )
+    adf = spark.createDataFrame([(arr,)], "bloom array<bigint>")
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), po.DECONTAM_NGRAM)).alias("gram"),
+    )
+    bloom_docs = {
+        r.doc_id
+        for r in grams.crossJoin(F.broadcast(adf))
+        .filter(
+            scale.bloom_contains_expr(
+                "gram", "bloom", po._BLOOM_M_BITS, po._BLOOM_K
+            )
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    exact_docs = {
+        r.doc_id
+        for r in grams.join(bench, "gram").select("doc_id").distinct().collect()
+    }
+    assert exact_docs <= bloom_docs  # recall 1.0, the oracle's claim
+    precision = len(exact_docs) / len(bloom_docs)
+    assert precision >= 0.9, f"bloom doc-level precision {precision:.3f}"
