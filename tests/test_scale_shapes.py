@@ -538,3 +538,22 @@ def test_bloom_membership_and_decontaminate_precision(spark):
     assert exact_docs <= bloom_docs  # recall 1.0, the oracle's claim
     precision = len(exact_docs) / len(bloom_docs)
     assert precision >= 0.9, f"bloom doc-level precision {precision:.3f}"
+
+
+def test_bloom_decontaminate_plan_shape(spark):
+    """The staged bloom entry's plan: membership must be
+    codegen-resident (no Python stage anywhere) and the bloom side a
+    1-row BroadcastNestedLoopJoin — the corpus is never shuffled to
+    meet the benchmark."""
+    from dbitool_spark.plans import pipeline_ops as po
+    from tests.conftest import SF_ORACLE
+
+    df = po.bloom_decontaminate_documents(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "SerializeFromObject"):
+        assert marker not in plan, f"bloom plan has {marker}"
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bloom ride
