@@ -160,6 +160,17 @@ def _scaling_ops():
 
         return source_overlap_matrix(spark, d)
 
+    def bloom_decontaminate(spark, d):
+        # r11 (staged entry, explicit scale claim): bloom build is one
+        # bit_or agg over the benchmark, membership rides a 1-row
+        # broadcast — growth must track the corpus scan, with the
+        # corpus never shuffled against the benchmark
+        from dbitool_spark.plans.pipeline_ops import (
+            bloom_decontaminate_documents,
+        )
+
+        return bloom_decontaminate_documents(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -171,6 +182,7 @@ def _scaling_ops():
         "ivf_topk": ivf_topk,
         "bm25_topk": bm25,
         "source_overlap_matrix": source_overlap,
+        "bloom_decontaminate": bloom_decontaminate,
     }
 
 
