@@ -134,30 +134,43 @@ and a standalone re-measure this round). The two retirees keep
 standalone oracle-parity rows in tests/test_oracle_parity.py per the
 retirement contract.
 
+r12 rotation (all four staged swaps executed, exactly as planned in
+r11): streaming_hourly_append_events + streaming_hourly_stats_events
++ events_hourly_stats RETIRED into the variant-tagged union
+state_ops.streaming_hourly_composite (batch + streaming-complete +
+streaming-append-with-watermark hourly aggregation in one driver row;
+oracle-proven a round early as staged_streaming_hourly_composite);
+near_dup_clusters_documents RETIRED, superseded by
+llm_ops.dedup_representatives_documents (the dedup ACTION — drives
+the same pairs+CC codepaths PLUS representative selection); the two
+staged net-new operators registered: llm_ops.strip_markup_documents
+(HTML/boilerplate strip, one JVM regexp projection) and
+pipeline_ops.bloom_decontaminate_documents (broadcast-Bloom
+decontamination) in the freed spare slot. Head-50 = those 4 + ALL 46
+entries whose last driver row was r10 (the tripwire's printed list
+minus the retired near_dup_clusters_documents). All four retirees
+keep standalone oracle-parity rows in tests/test_oracle_parity.py per
+the retirement contract.
+
 Current capacity: 97 registered / 50-slot window -> 47 tail rows, all
-driver-green in r10; every entry is covered by CORRECTNESS_r10 ∪ r11.
-r12 headroom: 47 due-tail entries against 50 slots -> 3 slots of
-slack. Staged for r12 (same contract — each oracle-proven a round
-early in tests/test_oracle_parity.py, all three rows green at r11
-HEAD):
-- state_ops.streaming_hourly_composite — variant-tagged union merging
-  streaming_hourly_append_events + streaming_hourly_stats_events +
-  events_hourly_stats (the hourly tumbling-window family; reclaims 2
-  net slots when registered);
-- llm_ops.strip_markup_documents — HTML/boilerplate removal, the
-  pre-tokenization text op the r10 verdict requested (one JVM
-  projection, no shuffle);
-- llm_ops.dedup_representatives_documents — the dedup ACTION: one
-  max-quality representative per near-dup cluster incl. singletons;
-  drives the near_dup_clusters pairs+CC codepaths PLUS selection, so
-  it can register as that entry's SUPERSEDER (retire
-  near_dup_clusters with a standalone parity row) for zero net slots.
-A fourth candidate is staged WITHOUT an assigned r12 slot (r12 is
-planned at 49/50; register it r12 only if a merge frees room, else
-r13): pipeline_ops.bloom_decontaminate_documents — broadcast-Bloom
-decontamination (zero-false-negative recall pinned as the oracle
-constant; precision pinned in pytest since DuckDB cannot evaluate
-Spark's xxhash64).
+driver-green in r11; every entry is covered by CORRECTNESS_r11 ∪ r12.
+r13 headroom: 47 due-tail entries against 50 slots -> 3 slots of
+slack. Staged for r13 (same contract — each oracle-proven a round
+early in tests/test_oracle_parity.py at r12 HEAD):
+- llm_ops.redact_pii_documents — the PII ACTION: mask the classes
+  pii_scan detects via a regexp_replace cascade over the SAME pattern
+  constants (one knob, both engines), emitting redacted text +
+  per-class counts;
+- llm_ops.strip_repetition_documents — within-document repeated-line
+  removal (first-occurrence-preserving, higher-order array functions,
+  one projection, no shuffle);
+- llm_ops.trim_duplicate_spans_documents — the cross-doc substring
+  dedup ACTION: cut the shared-span suffix from the lower-priority
+  doc of each duplicate_spans pair (Lee et al. 2022 shape), candidate
+  volume bounded by the existing hash-gram join;
+- llm_ops.ann_recall_composite — method-tagged merge candidate
+  folding ann_recall_planted + ann_topk_bruteforce into one driver
+  row (frees one net slot when registered).
 """
 
 from __future__ import annotations
@@ -197,186 +210,57 @@ def oracle_sql() -> dict[str, str]:
 
 
 # =====================================================================
-# r11 WINDOW (head-50): the 3 staged entries (the format-chain merge
-# register-and-retire + the two net-new LLM ops), ALL 46 entries whose
-# last driver row was r9 (the rotation tripwire's printed list), and
-# bucketed_orders_customer_join pulled forward into the spare 50th
-# slot (r10-green; its 1.43x no-plan-change bench stamp was flagged as
-# suspected noise, so it gets a fresh driver row + standalone
-# re-measure). Tail = the 47 remaining r10-green entries.
+# r12 WINDOW (head-50): the 4 staged entries (the hourly streaming
+# merge register-and-retire, the two net-new LLM ops, and the
+# broadcast-Bloom decontaminator in the freed spare slot) + ALL 46
+# entries whose last driver row was r10 (the rotation tripwire's
+# printed list minus near_dup_clusters_documents, retired as
+# superseded). Tail = the 47 remaining r11-green entries.
 # =====================================================================
 
-# NEW (r11): five-format chain composite — parquet -> fixedwidth ->
-# xlsx -> xml -> bson -> bounded json, merging the retired
-# format_chain_nation + xmlbson_roundtrip_supplier per the r10 staging
-# (oracle-proven a round early as staged_format_chain_nation_xmlbson).
+# NEW (r12): hourly tumbling-window composite — variant-tagged union
+# of the batch, streaming-complete and streaming-append+watermark
+# hourly aggregations; merges the retired streaming_hourly_append_events
+# + streaming_hourly_stats_events + events_hourly_stats per the r11
+# staging (oracle-proven a round early as
+# staged_streaming_hourly_composite).
 register(
-    "format_chain_nation_xmlbson",
-    format_io.format_chain_nation_xmlbson,
-    format_io.FORMAT_CHAIN_NATION_XMLBSON_SQL,
+    "streaming_hourly_composite",
+    state_ops.streaming_hourly_composite,
+    state_ops.STREAMING_HOURLY_COMPOSITE_SQL,
 )
-# NEW (r11): cross-source n-gram overlap/Jaccard matrix — the corpus
-# contamination diagnostic (bounded by n_sources^2 output rows; gram
-# self-join on the hashed gram key only).
+# NEW (r12): HTML/boilerplate strip — script/style/comment blocks
+# removed with content, tags to word boundaries, entities decoded,
+# whitespace collapsed; one pure-JVM regexp projection, no shuffle
+# (oracle-proven a round early as staged_strip_markup_documents).
 register(
-    "source_overlap_matrix",
-    llm_ops.source_overlap_matrix,
-    llm_ops.SOURCE_OVERLAP_MATRIX_SQL,
+    "strip_markup_documents",
+    llm_ops.strip_markup_documents,
+    llm_ops.STRIP_MARKUP_DOCUMENTS_SQL,
 )
-# NEW (r11): per-source quality prune — top-half cut on the rounded
-# quality score via percent_rank (per-group window sort, no global
-# sort; exact rational arithmetic so the oracle hashes bit-for-bit).
+# NEW (r12): the dedup ACTION — one max-quality representative per
+# near-dup cluster incl. singletons; drives the near_dup_clusters
+# pairs+CC codepaths PLUS selection, so it registers as that entry's
+# SUPERSEDER (near_dup_clusters_documents retired with a standalone
+# parity row; oracle-proven a round early as
+# staged_dedup_representatives_documents).
 register(
-    "quality_prune_documents",
-    llm_ops.quality_prune_documents,
-    llm_ops.QUALITY_PRUNE_DOCUMENTS_SQL,
+    "dedup_representatives_documents",
+    llm_ops.dedup_representatives_documents,
+    llm_ops.DEDUP_REPRESENTATIVES_SQL,
 )
-
-# --- the 46 entries due their r11 row (last driver row: r9) ----------
+# NEW (r12): broadcast-Bloom decontamination — the unbroadcastable-
+# benchmark-set path (m/64-long Bloom words built via one bit_or agg,
+# membership as a pure-SQL codegen expression; zero false negatives by
+# construction, precision pinned in pytest; oracle-proven a round early
+# as staged_bloom_decontaminate_documents).
 register(
-    "streaming_lsh_near_dup_documents",
-    state_ops.streaming_lsh_near_dup_documents,
-    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
-)
-register(
-    "ann_recall_planted",
-    llm_ops.ann_recall_planted,
-    llm_ops.ANN_RECALL_PLANTED_SQL,
-)
-register(
-    "skewed_segment_join_events",
-    events_ops.skewed_segment_join_events,
-    events_ops.SKEWED_SEGMENT_JOIN_SQL,
-)
-register(
-    "streaming_dedup_events",
-    state_ops.streaming_dedup_events,
-    state_ops.STREAMING_DEDUP_EVENTS_SQL,
-)
-register(
-    "curation_pipeline_documents",
-    pipeline_ops.curation_pipeline_documents,
-    pipeline_ops.CURATION_PIPELINE_SQL,
-)
-register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
-register(
-    "ngram_containment_documents",
-    llm_ops.ngram_containment_documents,
-    llm_ops.NGRAM_CONTAINMENT_SQL,
-)
-register(
-    "streaming_decontaminate_documents",
-    state_ops.streaming_decontaminate_documents,
-    state_ops.STREAMING_DECONTAMINATE_SQL,
-)
-register(
-    "semantic_outliers_documents",
-    llm_ops.semantic_outliers_documents,
-    llm_ops.SEMANTIC_OUTLIERS_SQL,
-)
-register(
-    "streaming_hourly_append_events",
-    state_ops.streaming_hourly_append_events,
-    state_ops.STREAMING_HOURLY_APPEND_SQL,
-)
-register(
-    "media_decode_roundtrip",
-    llm_ops.media_decode_roundtrip,
-    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
-)
-register(
-    "streaming_hourly_stats_events",
-    state_ops.streaming_hourly_stats_events,
-    state_ops.STREAMING_HOURLY_STATS_SQL,
-)
-register(
-    "streaming_user_sessions_events",
-    state_ops.streaming_user_sessions_events,
-    events_ops.USER_SESSIONS_SQL,
-)
-register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
-register(
-    "sample_stratified_documents",
-    pipeline_ops.sample_stratified_documents,
-    pipeline_ops.SAMPLE_STRATIFIED_SQL,
-)
-register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
-register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
-register(
-    "array_functions_embeddings",
-    scalar_ops.array_functions_embeddings,
-    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
-)
-register(
-    "stats_functions_lineitem",
-    scalar_ops.stats_functions_lineitem,
-    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
-)
-register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
-register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
-register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
-register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
-register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
-register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
-register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
-register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
-register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
-register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
-register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_recall_planted
-register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
-register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
-register(
-    "fingerprint_dedup_counts",
-    llm_ops.fingerprint_dedup_counts,
-    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
-)
-register(
-    "media_features_documents",
-    llm_ops.media_features_documents,
-    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
-)
-register(
-    "frame_sample_documents",
-    llm_ops.frame_sample_documents,
-    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
-)
-register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
-register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
-register(
-    "decontaminate_documents",
-    pipeline_ops.decontaminate_documents,
-    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
-)
-register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
-register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
-register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
-register("events_hourly_stats", events_ops.events_hourly_stats, events_ops.EVENTS_HOURLY_STATS_SQL)
-register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
-register(
-    "repetition_stats_documents",
-    llm_ops.repetition_stats_documents,
-    llm_ops.REPETITION_STATS_SQL,
-)
-register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
-register(
-    "customer_order_distribution",
-    relational.customer_order_distribution,
-    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
-)
-# r10-green veteran pulled forward into the spare 50th slot — its r10
-# exclusive bench stamp (1.43x, NO plan change) was flagged as
-# suspected scheduler noise; fresh driver row + standalone re-measure.
-register(
-    "bucketed_orders_customer_join",
-    relational.bucketed_orders_customer_join,
-    relational.BUCKETED_ORDERS_CUSTOMER_SQL,
+    "bloom_decontaminate_documents",
+    pipeline_ops.bloom_decontaminate_documents,
+    pipeline_ops.BLOOM_DECONTAMINATE_SQL,
 )
 
-# ===================== driver-window boundary (50) ====================
-# Everything below was driver-green in r10 (CORRECTNESS_r10) and is
-# unchanged this round; full pytest oracle-parity coverage continues
-# every round regardless of position. Due their next driver row in
-# r12 (47 entries against 50 slots: 3 slots of slack).
+# --- the 46 entries due their r12 row (last driver row: r10) ----------
 
 register(
     "text_profile_documents",
@@ -521,11 +405,6 @@ register(
     llm_ops.MINHASH_NEAR_DUP_SQL,
 )
 register(
-    "near_dup_clusters_documents",
-    llm_ops.near_dup_clusters_documents,
-    llm_ops.NEAR_DUP_CLUSTERS_SQL,
-)
-register(
     "events_after_busy_hours",
     events_ops.events_after_busy_hours,
     events_ops.EVENTS_AFTER_BUSY_SQL,
@@ -558,4 +437,150 @@ register(
     "pack_sequences_documents",
     pipeline_ops.pack_sequences_documents,
     pipeline_ops.PACK_SEQUENCES_SQL,
+)
+
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r11 (CORRECTNESS_r11) and is
+# unchanged this round; full pytest oracle-parity coverage continues
+# every round regardless of position. Due their next driver row in
+# r13 (47 entries against 50 slots: 3 slots of slack).
+
+register(
+    "format_chain_nation_xmlbson",
+    format_io.format_chain_nation_xmlbson,
+    format_io.FORMAT_CHAIN_NATION_XMLBSON_SQL,
+)
+register(
+    "source_overlap_matrix",
+    llm_ops.source_overlap_matrix,
+    llm_ops.SOURCE_OVERLAP_MATRIX_SQL,
+)
+register(
+    "quality_prune_documents",
+    llm_ops.quality_prune_documents,
+    llm_ops.QUALITY_PRUNE_DOCUMENTS_SQL,
+)
+register(
+    "streaming_lsh_near_dup_documents",
+    state_ops.streaming_lsh_near_dup_documents,
+    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
+)
+register(
+    "ann_recall_planted",
+    llm_ops.ann_recall_planted,
+    llm_ops.ANN_RECALL_PLANTED_SQL,
+)
+register(
+    "skewed_segment_join_events",
+    events_ops.skewed_segment_join_events,
+    events_ops.SKEWED_SEGMENT_JOIN_SQL,
+)
+register(
+    "streaming_dedup_events",
+    state_ops.streaming_dedup_events,
+    state_ops.STREAMING_DEDUP_EVENTS_SQL,
+)
+register(
+    "curation_pipeline_documents",
+    pipeline_ops.curation_pipeline_documents,
+    pipeline_ops.CURATION_PIPELINE_SQL,
+)
+register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
+register(
+    "ngram_containment_documents",
+    llm_ops.ngram_containment_documents,
+    llm_ops.NGRAM_CONTAINMENT_SQL,
+)
+register(
+    "streaming_decontaminate_documents",
+    state_ops.streaming_decontaminate_documents,
+    state_ops.STREAMING_DECONTAMINATE_SQL,
+)
+register(
+    "semantic_outliers_documents",
+    llm_ops.semantic_outliers_documents,
+    llm_ops.SEMANTIC_OUTLIERS_SQL,
+)
+register(
+    "media_decode_roundtrip",
+    llm_ops.media_decode_roundtrip,
+    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
+)
+register(
+    "streaming_user_sessions_events",
+    state_ops.streaming_user_sessions_events,
+    events_ops.USER_SESSIONS_SQL,
+)
+register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register(
+    "sample_stratified_documents",
+    pipeline_ops.sample_stratified_documents,
+    pipeline_ops.SAMPLE_STRATIFIED_SQL,
+)
+register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
+register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
+register(
+    "array_functions_embeddings",
+    scalar_ops.array_functions_embeddings,
+    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
+)
+register(
+    "stats_functions_lineitem",
+    scalar_ops.stats_functions_lineitem,
+    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
+)
+register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
+register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
+register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
+register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
+register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
+register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
+register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
+register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
+register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
+register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
+register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_recall_planted
+register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
+register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
+register(
+    "fingerprint_dedup_counts",
+    llm_ops.fingerprint_dedup_counts,
+    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
+)
+register(
+    "media_features_documents",
+    llm_ops.media_features_documents,
+    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
+)
+register(
+    "frame_sample_documents",
+    llm_ops.frame_sample_documents,
+    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
+)
+register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
+register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
+register(
+    "decontaminate_documents",
+    pipeline_ops.decontaminate_documents,
+    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
+)
+register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
+register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
+register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
+register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
+register(
+    "repetition_stats_documents",
+    llm_ops.repetition_stats_documents,
+    llm_ops.REPETITION_STATS_SQL,
+)
+register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
+register(
+    "customer_order_distribution",
+    relational.customer_order_distribution,
+    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+)
+register(
+    "bucketed_orders_customer_join",
+    relational.bucketed_orders_customer_join,
+    relational.BUCKETED_ORDERS_CUSTOMER_SQL,
 )

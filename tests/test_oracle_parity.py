@@ -121,40 +121,31 @@ _RETIRED_CASES += [
      _fmt.FORMAT_CHAIN_NATION_SQL),
     ("retired_xmlbson_roundtrip_supplier", _fmt.xmlbson_roundtrip_supplier,
      _fmt.XMLBSON_ROUNDTRIP_SUPPLIER_SQL),
-    # STAGED for r12 (standing contract — oracle-proven a round ahead
-    # of registration): HTML/boilerplate strip, the pre-tokenization
-    # text operator the r10 verdict requested (one JVM projection, no
-    # shuffle; planted-markup corpus)
-    ("staged_strip_markup_documents", _llm.strip_markup_documents,
-     _llm.STRIP_MARKUP_DOCUMENTS_SQL),
 ]
 
-# STAGED for r12: the hourly tumbling-window merge candidate (batch +
-# complete-mode + append-mode variants in one tagged union), so the
-# r12 rotation can reclaim two slots with zero new risk
+# r12 rotation: the four staged entries (streaming_hourly_composite,
+# strip_markup_documents, dedup_representatives_documents,
+# bloom_decontaminate_documents) are now REGISTERED (they run above
+# via registry.queries()); the composite's three hourly constituents
+# and the superseded near_dup_clusters_documents retired from the
+# registry but keep their standalone oracle-parity rows here per the
+# retirement contract.
 from dbitool_spark.plans import state_ops as _state
 
 _RETIRED_CASES += [
-    ("staged_streaming_hourly_composite",
-     _state.streaming_hourly_composite,
-     _state.STREAMING_HOURLY_COMPOSITE_SQL),
-    # STAGED for r12: the dedup ACTION — one representative per
-    # near-dup cluster (incl. singletons) by quality argmax
-    ("staged_dedup_representatives_documents",
-     _llm.dedup_representatives_documents,
-     _llm.DEDUP_REPRESENTATIVES_SQL),
+    ("retired_streaming_hourly_append_events",
+     _state.streaming_hourly_append_events,
+     _state.STREAMING_HOURLY_APPEND_SQL),
+    ("retired_streaming_hourly_stats_events",
+     _state.streaming_hourly_stats_events,
+     _state.STREAMING_HOURLY_STATS_SQL),
+    ("retired_events_hourly_stats", _ev.events_hourly_stats,
+     _ev.EVENTS_HOURLY_STATS_SQL),
+    ("retired_near_dup_clusters_documents",
+     _llm.near_dup_clusters_documents,
+     _llm.NEAR_DUP_CLUSTERS_SQL),
 ]
 
-# STAGED (r12/r13 — registers when a slot frees): Bloom-broadcast
-# decontamination; oracle pins the zero-false-negative recall constant
-# next to the exact contaminated count
-from dbitool_spark.plans import pipeline_ops as _pipe
-
-_RETIRED_CASES += [
-    ("staged_bloom_decontaminate_documents",
-     _pipe.bloom_decontaminate_documents,
-     _pipe.BLOOM_DECONTAMINATE_SQL),
-]
 _CASES = _CASES + _RETIRED_CASES
 
 
