@@ -77,6 +77,22 @@ def _fingerprint_changed(prev_sha: str | None, cur_sha: str | None) -> bool:
         and "checkpointed" not in (prev_sha, cur_sha)
     )
 
+
+def _fingerprint_verified_unchanged(
+    prev_sha: str | None, cur_sha: str | None
+) -> bool:
+    """True only when BOTH fingerprints are present and equal (and not
+    the vacuous 'checkpointed' marker). ADVICE r11: noise re-measure
+    must require this, not merely 'not changed' — an entry whose sha
+    failed to compute is UNVERIFIABLE and its spike may be a real
+    plan-change regression, so it must never be min()-ed away."""
+    return bool(
+        prev_sha
+        and cur_sha
+        and prev_sha == cur_sha
+        and "checkpointed" not in (prev_sha, cur_sha)
+    )
+
 # Cross-SF scaling gate (BENCH_scaling.json): the near-dup candidate
 # generators' 100 TB story rests on their plan shapes being near-linear
 # (bucket equi-joins, never all-pairs). This gate MEASURES that: each
@@ -536,6 +552,7 @@ def main() -> int:
     # Both measurements land in the sidecar under noise_remeasured for
     # the audit trail.
     remeasured: dict[str, list[float]] = {}
+    noise_unverified: dict[str, list[str | None]] = {}
     if exclusive and prev is not None:
         prev_queries = prev[1].get("queries", {})
         prev_shas_pre = prev[1].get("plan_shas", {})
@@ -544,8 +561,22 @@ def main() -> int:
             pt = prev_queries.get(name)
             if not pt or timings[name] / pt <= REGRESSION_RATIO:
                 continue
-            if _fingerprint_changed(prev_shas_pre.get(name), plan_shas.get(name)):
-                continue  # real plan change: record it, don't launder it
+            if not _fingerprint_verified_unchanged(
+                prev_shas_pre.get(name), plan_shas.get(name)
+            ):
+                # ADVICE r11: only a VERIFIED-unchanged plan (both shas
+                # present and equal) earns a standalone re-measure. A
+                # changed plan is a real regression to record; a
+                # missing/failed sha is unverifiable — record it
+                # separately so the audit trail shows the spike was
+                # neither confirmed nor laundered.
+                if not _fingerprint_changed(
+                    prev_shas_pre.get(name), plan_shas.get(name)
+                ):
+                    noise_unverified[name] = [
+                        prev_shas_pre.get(name), plan_shas.get(name)
+                    ]
+                continue
             fn = fns[name]
             fn(spark, sf_dir).count()  # fresh warm-up
             re_samples = []
@@ -602,6 +633,11 @@ def main() -> int:
         # value above is the min of the two (see the noise re-measure
         # block in main)
         "noise_remeasured": remeasured,
+        # {name: [prev_sha, cur_sha]} for spikes whose fingerprints
+        # could NOT be verified unchanged (a sha missing/failed): the
+        # first timing stands un-re-measured — neither confirmed as a
+        # regression nor laundered (ADVICE r11)
+        "noise_unverified": noise_unverified,
     }
     if exclusive:
         try:
@@ -653,6 +689,10 @@ def main() -> int:
             # plan and were re-measured standalone before stamping;
             # ratios above already reflect the re-measured values
             "noise_remeasured": remeasured,
+            # spikes whose fingerprints could not be verified unchanged
+            # (sha missing on either side) — first timing stands, no
+            # re-measure (ADVICE r11)
+            "noise_unverified": noise_unverified,
         }
         if exclusive:
             try:

@@ -35,7 +35,24 @@ concept:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Schemas (field-name tuples) whose header-mismatch warning already
+# fired this process — the probe warns once per schema, not per call
+# (ADVICE r11).
+_WARNED_HEADER_SCHEMAS: set[tuple[str, ...]] = set()
+
+
+def _probe_enabled(probe_header: bool | None) -> bool:
+    """Resolve the header-probe switch: an explicit kwarg wins; the
+    default follows SPARK_GRAFT_CSV_HEADER_PROBE (unset/1 = on,
+    0 = off for slow or remote sources where an eager plan-build
+    limit(1) job is unwelcome)."""
+    if probe_header is not None:
+        return probe_header
+    return os.environ.get("SPARK_GRAFT_CSV_HEADER_PROBE", "1") != "0"
 
 
 def read_csv(
@@ -81,6 +98,7 @@ def parse_csv_lines(
     escape: str = "\\",
     header: bool = True,
     schema: str | None = None,
+    probe_header: bool | None = None,
 ) -> DataFrame:
     """Parse a raw single-column line stream as CSV — the reference's
     raw->row boundary when csvread consumes an upstream raw stream
@@ -134,7 +152,7 @@ def parse_csv_lines(
         parsed = lines.select(
             F.from_csv(F.col(raw_col), probe, opts).alias("_r")
         ).select("_r.*")
-        if header and not df.isStreaming:
+        if header and not df.isStreaming and _probe_enabled(probe_header):
             # ADVICE r10: a header whose text differs from the schema
             # field names is NOT recognized by the value-equality drop
             # rule and would silently survive as a cast-to-null
@@ -143,11 +161,21 @@ def parse_csv_lines(
             # streaming inputs where no such action exists) and warn
             # loudly on a mismatch. A warning, not an error: limit(1)
             # on a multi-part stream is partition-order dependent, so
-            # a data line here can be legitimate.
+            # a data line here can be legitimate. ADVICE r11: the
+            # probe is an eager job at plan-build time, so it is
+            # opt-out-able per call (probe_header=False) or per
+            # process (SPARK_GRAFT_CSV_HEADER_PROBE=0) for slow or
+            # remote sources, and the warning fires once per schema
+            # per process, not once per call.
             first = parsed.limit(1).collect()
-            if first and list(first[0]) != list(fields) + [None]:
+            if (
+                first
+                and list(first[0]) != list(fields) + [None]
+                and tuple(fields) not in _WARNED_HEADER_SCHEMAS
+            ):
                 import warnings
 
+                _WARNED_HEADER_SCHEMAS.add(tuple(fields))
                 warnings.warn(
                     "parse_csv_lines(header=True, schema=...): the stream's "
                     f"first line parsed to {list(first[0])[:-1]!r}, not the "
@@ -155,7 +183,10 @@ def parse_csv_lines(
                     "different column names will NOT be dropped and survives "
                     "as a cast-to-null row — rename the schema fields to "
                     "match the file header, or pass header=False and strip "
-                    "the header upstream.",
+                    "the header upstream. (On a multi-partition stream the "
+                    "probed line is partition-order dependent, so this can "
+                    "be a false alarm; warned once per schema. Disable with "
+                    "probe_header=False or SPARK_GRAFT_CSV_HEADER_PROBE=0.)",
                     stacklevel=2,
                 )
         if header:

@@ -1204,20 +1204,32 @@ class Pipeline:
             name, _, path = part.partition("@")
             if not path:
                 raise ValueError(f"malformed @shortcut {part!r}: empty path")
-            if name and os.path.exists(part):
+            if (
+                name
+                and name not in self._shortcuts
+                and os.path.exists(part)
+            ):
                 # ADVICE r10: a bare relative filename like
                 # data@v2.csv satisfies the named-shortcut grammar
                 # (stream 'data' reading 'v2.csv') AND may name a real
                 # file. The shortcut reading wins (documented above),
                 # but silently rebinding an existing file to a stream
                 # is the footgun — warn with the ./ escape hatch.
+                # ADVICE r11: the existence check runs against the
+                # PYTHON process cwd, which can differ from the JVM
+                # cwd Spark resolves relative reads against, so this
+                # is best-effort (stated in the text); idempotent
+                # re-registration of an already-bound shortcut is
+                # excluded above so the warning fires once per name.
                 import warnings
 
                 warnings.warn(
                     f"in={part!r} parses as named shortcut (stream "
                     f"{name!r} reading {path!r}) but a file named "
-                    f"{part!r} also exists; prefix it with ./ to read "
-                    "that file literally",
+                    f"{part!r} also exists in the driver process cwd "
+                    "(best-effort check: Spark resolves relative reads "
+                    "against the JVM cwd, which may differ); prefix it "
+                    "with ./ to read that file literally",
                     stacklevel=3,
                 )
             if name and name in self._shortcuts:

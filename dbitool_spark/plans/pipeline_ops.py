@@ -230,13 +230,14 @@ def bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("__hit", F.lit(1))
     )
     exact = grams.join(bench, "gram").select("doc_id").distinct()
+    # Empty exact set => recall is vacuously 1.0 on BOTH engines (the
+    # oracle's constant-SELECT over an empty CTE yields the same row),
+    # so a corpus with no doc_id % BENCH_MOD == 0 rows mismatches
+    # nothing. Non-vacuity at the test SFs is asserted in pytest
+    # (tests/test_scale_shapes.py), not by failing the plan (ADVICE
+    # r11: an engine-side assert_true here diverged from the oracle).
     return exact.join(flagged, "doc_id", "left").agg(
-        F.when(
-            F.count(F.lit(1)) == 0,
-            F.assert_true(
-                F.lit(False), F.lit("bloom_decontaminate: empty exact set")
-            ).cast("double"),
-        )
+        F.when(F.count(F.lit(1)) == 0, F.lit(1.0))
         .otherwise(
             (F.count("__hit") / F.count(F.lit(1))).cast("double")
         )

@@ -287,7 +287,7 @@ def test_bench_noise_remeasure_stamps_better_median(spark, monkeypatch, tmp_path
     from dbitool_spark.plans import registry as reg
 
     sf_dir = "/root/testdata/sf0.001"
-    calls = {"qa": 0}
+    calls = {"qa": 0, "qc": 0}
 
     def qa(s, d):
         calls["qa"] += 1
@@ -296,7 +296,11 @@ def test_bench_noise_remeasure_stamps_better_median(spark, monkeypatch, tmp_path
     def qb(s, d):
         return s.read.parquet(os.path.join(d, "nation.parquet"))
 
-    monkeypatch.setattr(reg, "queries", lambda: {"qa": qa, "qb": qb})
+    def qc(s, d):
+        calls["qc"] += 1
+        return s.read.parquet(os.path.join(d, "supplier.parquet"))
+
+    monkeypatch.setattr(reg, "queries", lambda: {"qa": qa, "qb": qb, "qc": qc})
     monkeypatch.setattr(bench, "_foreign_java_pids", lambda: [])
     monkeypatch.setattr(bench, "_lazy_plan_variants", lambda: {})
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REPO_DIR", str(tmp_path))
@@ -305,10 +309,17 @@ def test_bench_noise_remeasure_stamps_better_median(spark, monkeypatch, tmp_path
     monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING", "0")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD", "9999")
 
-    # fabricated prev record: qa absurdly fast (any real run crosses
-    # the 1.5x ratio -> re-measure), qb generous (never flags); no
-    # plan_shas -> fingerprints unverifiable -> counts as unchanged
-    prev = {"sf": 0.001, "queries": {"qa": 1e-6, "qb": 999.0}}
+    # fabricated prev record: qa and qc absurdly fast (any real run
+    # crosses the 1.5x ratio), qb generous (never flags). qa's prev
+    # sha matches the live plan -> VERIFIED unchanged -> re-measure;
+    # qc has NO prev sha -> unverifiable -> recorded, NOT re-measured
+    # (ADVICE r11: a failed sha must never be laundered through min()).
+    prev = {
+        "sf": 0.001,
+        "queries": {"qa": 1e-6, "qb": 999.0, "qc": 1e-6},
+        "plan_shas": {"qa": bench._plan_sha(qa(spark, sf_dir))},
+    }
+    calls["qa"] = 0  # the sha probe above is not part of the budget
     (tmp_path / "BENCH_queries.json").write_text(json.dumps(prev))
 
     assert bench.main() == 0
@@ -322,11 +333,20 @@ def test_bench_noise_remeasure_stamps_better_median(spark, monkeypatch, tmp_path
     # re-timed = 5 plan constructions
     assert calls["qa"] == 5
 
+    # qc: spiked but unverifiable — recorded under noise_unverified
+    # with the sha pair, and NOT re-measured (3 constructions only:
+    # fingerprint + warmup + timed)
+    assert "qc" not in data["noise_remeasured"]
+    assert list(data["noise_unverified"]) == ["qc"]
+    assert data["noise_unverified"]["qc"][0] is None
+    assert calls["qc"] == 3
+
     # the re-measured blip is suppressed, never a flagged regression
     # (plan unchanged, absolute delta far under the 0.5s gate)
     vs_prev = json.loads((tmp_path / "BENCH_vs_prev.json").read_text())
     assert vs_prev["regressions"] == []
     assert vs_prev["noise_remeasured"] == data["noise_remeasured"]
+    assert vs_prev["noise_unverified"] == data["noise_unverified"]
 
 
 def test_bench_plan_normalization_strips_rdd_ids():

@@ -291,6 +291,7 @@ def test_schemad_parse_warns_on_mismatched_header(spark, recwarn):
     from dbitool_spark.io import csv_io
 
     # mismatched header: file says id,label — schema says k,name
+    csv_io._WARNED_HEADER_SCHEMAS.clear()  # once-per-schema dedup (r11)
     raw = spark.createDataFrame(
         [("id,label",), ("1,alpha",), ("2,beta",)], "value string"
     )
@@ -298,6 +299,30 @@ def test_schemad_parse_warns_on_mismatched_header(spark, recwarn):
         got = csv_io.parse_csv_lines(raw, schema="k string, name string")
     # the mismatched header is NOT dropped (documented): phantom row
     assert got.count() == 3
+
+    # same schema again: the warning fired once per schema — silent now
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        csv_io.parse_csv_lines(raw, schema="k string, name string").count()
+
+    # probe_header=False: no plan-build job, no warning, fresh schema
+    csv_io._WARNED_HEADER_SCHEMAS.clear()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        off = csv_io.parse_csv_lines(
+            raw, schema="k string, name string", probe_header=False
+        )
+    assert off.count() == 3
+
+    # env kill-switch: SPARK_GRAFT_CSV_HEADER_PROBE=0 disables the
+    # default-on probe process-wide
+    os.environ["SPARK_GRAFT_CSV_HEADER_PROBE"] = "0"
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            csv_io.parse_csv_lines(raw, schema="k string, name string").count()
+    finally:
+        del os.environ["SPARK_GRAFT_CSV_HEADER_PROBE"]
 
     # matching header: no warning
     ok = spark.createDataFrame(

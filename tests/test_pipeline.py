@@ -700,6 +700,13 @@ def test_named_shortcut_warns_when_value_is_existing_file(spark, tmpdir):
             p.add("csvread:in=data@v2.csv:out=rows")
         assert p._shortcuts == {"data": "v2.csv"}
 
+        # idempotent re-registration of the SAME spec: already bound,
+        # no second warning (ADVICE r11)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            p.add("csvread:in=data@v2.csv:out=rows2")
+        assert p._shortcuts == {"data": "v2.csv"}
+
         # ./-prefix forces the literal path: no warning, no shortcut
         p2 = Pipeline(spark)
         with warnings.catch_warnings():

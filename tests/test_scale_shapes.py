@@ -535,6 +535,11 @@ def test_bloom_membership_and_decontaminate_precision(spark):
         r.doc_id
         for r in grams.join(bench, "gram").select("doc_id").distinct().collect()
     }
+    # non-vacuity lives HERE (ADVICE r11): the registered entry and
+    # its oracle both return recall=1.0/n_exact=0 on an empty exact
+    # set instead of failing the plan, so the fixture must actually
+    # exercise the theorem at the test SF
+    assert exact_docs, "vacuous fixture: no exactly-contaminated docs at sf0.01"
     assert exact_docs <= bloom_docs  # recall 1.0, the oracle's claim
     precision = len(exact_docs) / len(bloom_docs)
     assert precision >= 0.9, f"bloom doc-level precision {precision:.3f}"
