@@ -187,6 +187,38 @@ def _scaling_ops():
 
         return bloom_decontaminate_documents(spark, d)
 
+    def strip_markup(spark, d):
+        # r12 registration: one JVM regexp projection — growth must
+        # track the scan almost exactly (~1x plus fixed job overhead)
+        from dbitool_spark.plans.llm_ops import strip_markup_documents
+
+        return strip_markup_documents(spark, d)
+
+    def dedup_representatives(spark, d):
+        # r12 registration: banded pairs + star CC + per-cluster
+        # argmax — candidate volume is the banded join's, never
+        # all-pairs; the argmax is one window over cluster members
+        from dbitool_spark.plans.llm_ops import dedup_representatives_documents
+
+        return dedup_representatives_documents(spark, d)
+
+    def trim_spans(spark, d):
+        # r12 staged ACTION: gram window + covered-position fan-out
+        # (<= _SPAN_GRAM per cut) + one doc_id join — must track the
+        # gram stream, never quadratic
+        from dbitool_spark.plans.llm_ops import trim_duplicate_spans_documents
+
+        return trim_duplicate_spans_documents(spark, d)
+
+    def streaming_hourly(spark, d):
+        # r12 registration: three hourly drains in one tagged union —
+        # Structured Streaming fixed overhead dominates at these SFs,
+        # so the ratio should sit well under the red line; gated so a
+        # state-size blowup in any constituent would surface
+        from dbitool_spark.plans.state_ops import streaming_hourly_composite
+
+        return streaming_hourly_composite(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -199,6 +231,10 @@ def _scaling_ops():
         "bm25_topk": bm25,
         "source_overlap_matrix": source_overlap,
         "bloom_decontaminate": bloom_decontaminate,
+        "strip_markup": strip_markup,
+        "dedup_representatives": dedup_representatives,
+        "trim_duplicate_spans": trim_spans,
+        "streaming_hourly_composite": streaming_hourly,
     }
 
 

@@ -628,6 +628,66 @@ ORDER BY method
 """
 
 
+def ann_recall_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-tagged merge of ann_recall_planted + ann_topk_bruteforce
+    (the r11 verdict's r13 merge candidate): one driver row drives the
+    brute-force exact top-k kernel (method='exact', per-(query, rank)
+    rows with the DuckDB-checked cosine as score) AND both approximate
+    indexes against the planted fixture (method='lsh'/'ivf', one row
+    each with recall as score, query/rank/neighbor NULL). Registering
+    it retires both constituents (standalone parity rows remain) and
+    frees one net window slot. STAGED r12 for the r13 window (parity
+    row staged_ann_recall_composite).
+
+    Scale shapes are the constituents', unchanged — see
+    ann_topk_bruteforce (score every (query, vector) pair, per-query
+    top-k via window) and ann_lsh_recall/ann_ivf_recall (bucketed
+    candidate generation, never all-pairs)."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select(
+        F.lit("exact").alias("method"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("cos_r").alias("score"),
+    )
+    planted = ann_recall_planted(spark, sf_dir).select(
+        "method",
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("long").alias("neighbor_id"),
+        F.col("recall").alias("score"),
+    )
+    return exact.unionAll(planted).orderBy("method", "query_id", "rank")
+
+
+ANN_RECALL_COMPOSITE_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_N_ANN_QUERIES}),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.qid
+),
+exact AS (
+  SELECT 'exact' AS method, query_id, rank, neighbor_id, round(cos, 6) AS score
+  FROM (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+)
+SELECT method, CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, score
+FROM exact
+UNION ALL
+SELECT 'ivf', NULL, NULL, NULL, CAST(1.0 AS DOUBLE)
+UNION ALL
+SELECT 'lsh', NULL, NULL, NULL, CAST(1.0 AS DOUBLE)
+ORDER BY method, query_id, rank
+"""
+
+
 # --- text analysis ----------------------------------------------------
 
 
@@ -984,6 +1044,107 @@ ORDER BY doc_id
 """
 
 
+# --- within-document repetition REMOVAL -------------------------------
+
+# Words per synthetic "line": the corpus text carries no newlines, so
+# lines are fixed-width word chunks — the plant (doc_id % _REP_MOD
+# docs re-append their first two lines) makes the removal provably
+# non-vacuous at every SF, the pii_scan/strip_markup pattern.
+_REP_LINE_WORDS = 6
+_REP_MOD = 3
+
+
+def strip_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line REMOVAL — the action to
+    repetition_stats_documents' detection (r11 verdict item 3): the
+    MassiveText/Gopher-style cleanup (Rae et al. 2021 §A1.1) that
+    drops repeated lines, keeping the FIRST occurrence in document
+    order, between strip_markup and quality_prune in a curation
+    pipeline. STAGED r12 for the r13 window (parity row
+    staged_strip_repetition_documents).
+
+    Semantics: text -> fixed-width word chunks ("lines"), planted
+    duplicates on every doc_id % _REP_MOD == 0 doc, then an
+    order-preserving distinct via a higher-order filter: keep element
+    i iff the array's FIRST occurrence of that value is at i. Both
+    engines evaluate the same expression (Spark array_position is
+    1-based with a 0-based lambda index; DuckDB list_position and the
+    lambda index are both 1-based).
+
+    Scale shape: ONE projection, no shuffle, no Python — the
+    first-occurrence filter is O(L^2) in the per-doc LINE count
+    (array_position rescans the array per element), which is bounded
+    by doc length, not corpus size; a pathological million-line doc
+    would move this to a posexplode + min(pos)-per-line groupBy
+    (one extra shuffle), documented not needed for web-page-scale
+    docs."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_lines = F.floor((F.size(w) + (_REP_LINE_WORDS - 1)) / _REP_LINE_WORDS).cast(
+        "int"
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * _REP_LINE_WORDS + 1, _REP_LINE_WORDS), " "
+        ),
+    )
+    planted = F.when(
+        F.col("doc_id") % _REP_MOD == 0,
+        F.concat(lines, F.slice(lines, 1, 2)),
+    ).otherwise(lines)
+    d = docs.select("doc_id", planted.alias("lines"))
+    deduped = F.filter(
+        F.col("lines"),
+        lambda x, i: F.array_position(F.col("lines"), x) == i + 1,
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size("lines").alias("n_lines_before"),
+            F.size(deduped).alias("n_lines_after"),
+            F.array_join(deduped, "\n").alias("clean_text"),
+        )
+        .withColumn(
+            "had_repetition",
+            (F.col("n_lines_before") > F.col("n_lines_after")).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+STRIP_REPETITION_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+),
+l AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(floor((len(w) + {_REP_LINE_WORDS - 1}) / {_REP_LINE_WORDS}.0) AS INT) - 1),
+           i -> array_to_string(w[i * {_REP_LINE_WORDS} + 1 : i * {_REP_LINE_WORDS} + {_REP_LINE_WORDS}], ' ')
+         ) AS lines0
+  FROM d
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_REP_MOD} = 0 THEN lines0 || lines0[1:2] ELSE lines0 END AS lines
+  FROM l
+),
+dd AS (
+  SELECT doc_id, lines,
+         list_filter(lines, (x, i) -> list_position(lines, x) = i) AS ded
+  FROM p
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines_before,
+       CAST(len(ded) AS INT) AS n_lines_after,
+       array_to_string(ded, chr(10)) AS clean_text,
+       CAST(len(lines) > len(ded) AS INT) AS had_repetition
+FROM dd
+ORDER BY doc_id
+"""
+
+
 # --- PII scan ---------------------------------------------------------
 
 # Deterministic planted contacts: the synthetic corpus contains no PII,
@@ -1053,6 +1214,88 @@ SELECT source,
 FROM scanned
 GROUP BY source
 ORDER BY source
+"""
+
+
+# --- PII redaction (the ACTION to pii_scan's detection) ---------------
+
+# Case-insensitive variants of the scan patterns: the scan counts on
+# lower(text); redaction must hit the original-case text, so the SAME
+# constants gain (?i) — one knob, both engines (Java regex and DuckDB
+# RE2 both honor inline (?i)).
+_EMAIL_REDACT_RE = "(?i)" + _EMAIL_RE
+_PHONE_REDACT_RE = "(?i)" + _PHONE_RE
+_EMAIL_MASK = "<EMAIL>"
+_PHONE_MASK = "<PHONE>"
+
+
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION — the action to pii_scan_documents' detection
+    (r11 verdict item 2): mask every email/phone match in the planted
+    corpus and emit the redacted text plus per-class redaction counts,
+    the step every training-data pipeline runs before packing.
+    STAGED r12 for the r13 window (parity row
+    staged_redact_pii_documents).
+
+    One knob, both engines (the _OVERLAP_GRAM precedent): the masks
+    reuse pii_scan's _EMAIL_RE/_PHONE_RE constants with an inline
+    (?i) so original-case text redacts exactly what the scan counts
+    on lowered text; zero matches survive redaction by construction
+    (pinned in pytest, tests/test_llm_ops.py).
+
+    Scale shape: ONE pure-JVM regexp_replace cascade projection —
+    no shuffle, no Python, runs at parquet scan speed; the result is
+    filtered to the redacted docs only (~1/_PII_MOD of the corpus),
+    so the driver compare's ORDER BY sorts the small side."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % _PII_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0100"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_REDACT_RE, _EMAIL_MASK),
+        _PHONE_REDACT_RE,
+        _PHONE_MASK,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(
+                F.regexp_extract_all(planted, F.lit(_EMAIL_REDACT_RE), F.lit(0))
+            ).alias("n_emails_redacted"),
+            F.size(
+                F.regexp_extract_all(planted, F.lit(_PHONE_REDACT_RE), F.lit(0))
+            ).alias("n_phones_redacted"),
+            redacted.alias("redacted_text"),
+        )
+        .filter((F.col("n_emails_redacted") > 0) | (F.col("n_phones_redacted") > 0))
+        .orderBy("doc_id")
+    )
+
+
+REDACT_PII_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {_PII_MOD} = 0
+           THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0100'
+           ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_REDACT_RE}', 0)) AS INT) AS n_emails_redacted,
+       CAST(len(regexp_extract_all(t, '{_PHONE_REDACT_RE}', 0)) AS INT) AS n_phones_redacted,
+       regexp_replace(regexp_replace(t, '{_EMAIL_REDACT_RE}', '{_EMAIL_MASK}', 'g'),
+                      '{_PHONE_REDACT_RE}', '{_PHONE_MASK}', 'g') AS redacted_text
+FROM planted
+WHERE len(regexp_extract_all(t, '{_EMAIL_REDACT_RE}', 0)) > 0
+   OR len(regexp_extract_all(t, '{_PHONE_REDACT_RE}', 0)) > 0
+ORDER BY doc_id
 """
 
 
@@ -1886,6 +2129,122 @@ SELECT doc_id,
 FROM s
 GROUP BY doc_id, span_id
 ORDER BY doc_id, span_start
+"""
+
+
+def trim_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring dedup ACTION — the removal step to
+    duplicate_spans_documents' detection (r11 verdict item 4, the
+    Lee et al. 2022 "Deduplicating Training Data" cut): every 8-word
+    gram occurring more than once in the corpus keeps its FIRST
+    occurrence (global (doc_id, pos) order — the
+    dedup_keep_representative owner-selection pattern) and every
+    later occurrence's covered word range is cut from its doc. Emits
+    all docs with before/after word counts and the trimmed text.
+    STAGED r12 for the r13 window (parity row
+    staged_trim_duplicate_spans_documents).
+
+    Scale shape: the SAME bounded hash-gram candidate volume as
+    duplicate_spans (one row_number window keyed on the gram — at
+    100 TB key it on xxhash64(gram) exactly as that entry's
+    hash_grams path documents), then covered positions fan out by at
+    most _SPAN_GRAM per cut gram, one distinct+collect_set keyed on
+    doc_id, and one shuffle join back to the corpus on doc_id. The
+    trim itself is a higher-order array filter — no Python anywhere.
+    Owner selection is row_number, not a self-join: each gram's
+    positions meet once."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", w.alias("w")).withColumn("n", F.size("w")).filter(
+        F.col("n") >= _SPAN_GRAM
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (_SPAN_GRAM - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(F.col("w"), i, _SPAN_GRAM), " ").alias(
+                        "gram"
+                    ),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    cut = (
+        grams.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    covered = (
+        cut.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_SPAN_GRAM - 1))
+            ).alias("i"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("cov"))
+    )
+    trimmed = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("cov"), F.array().cast("array<int>")), i + 1
+        ),
+    )
+    return (
+        docs.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "n_words_before"
+            ),
+            F.size(trimmed).alias("n_words_after"),
+            F.array_join(trimmed, " ").alias("trimmed_text"),
+        )
+        .withColumn(
+            "n_words_cut", F.col("n_words_before") - F.col("n_words_after")
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRIM_DUPLICATE_SPANS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{_SPAN_GRAM - 1}], ' ') AS gram
+  FROM d, LATERAL unnest(generate_series(1, len(w) - {_SPAN_GRAM - 1})) AS t(i)
+  WHERE len(w) >= {_SPAN_GRAM}
+),
+r AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+covpos AS (
+  SELECT DISTINCT doc_id, i
+  FROM r, LATERAL unnest(generate_series(pos, pos + {_SPAN_GRAM - 1})) AS t(i)
+  WHERE rn > 1
+),
+cov AS (SELECT doc_id, list(i) AS cov FROM covpos GROUP BY doc_id),
+tr AS (
+  SELECT d.doc_id, d.w,
+         list_filter(d.w, (x, i) -> NOT list_contains(coalesce(cov.cov, []), i)) AS trimmed
+  FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_words_before,
+       CAST(len(trimmed) AS INT) AS n_words_after,
+       -- a fully-cut doc trims to []: DuckDB's array_to_string([])
+       -- is NULL where Spark's array_join([]) is '' — coalesce
+       coalesce(array_to_string(trimmed, ' '), '') AS trimmed_text,
+       CAST(len(w) - len(trimmed) AS INT) AS n_words_cut
+FROM tr
+ORDER BY doc_id
 """
 
 

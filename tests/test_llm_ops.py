@@ -1162,7 +1162,17 @@ def test_bm25_plan_shape_and_semantics(spark):
     from dbitool_spark.ops.cache import release_persists
 
     assert len(lazy.__dict__.get("_dbitool_persists", ())) == 2  # dl, tf
-    release_persists(lazy)
+    # ADVICE r11: the handle rides the EXACT object — a transformation
+    # drops it (returns 0 = the silent-no-op failure mode, now visible
+    # via the return count); transfer_persists moves it explicitly
+    from dbitool_spark.ops.cache import transfer_persists
+
+    derived = lazy.limit(1)
+    assert release_persists(derived) == 0  # dropped handle is visible
+    moved = transfer_persists(lazy, derived)
+    assert moved is derived
+    assert len(lazy.__dict__.get("_dbitool_persists", ())) == 0
+    assert release_persists(derived) == 2
     leaked = _persistent_ids() - before
     assert not leaked, f"release_persists left new cached RDDs: {leaked}"
     if was_empty:
@@ -1257,3 +1267,140 @@ def test_strip_markup_semantics_and_plan(spark):
 
     exchanges = _re.findall(r"Exchange (\w+)", plan)
     assert all(e == "rangepartitioning" for e in exchanges), plan
+
+
+def _plan_text(df):
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_redact_pii_masks_everything_and_plan(spark):
+    """The PII ACTION's load-bearing invariant: redaction uses the
+    SAME pattern constants pii_scan detects with (one knob, both
+    engines), so zero matches survive in the redacted text; counts
+    are positive on every emitted row; and the plan is one JVM
+    regexp_replace cascade — no shuffle beyond the driver compare's
+    ORDER BY, no Python stage."""
+    import re as _re
+
+    from dbitool_spark.plans import llm_ops
+
+    df = llm_ops.redact_pii_documents(spark, SF_ORACLE)
+    survivors = df.agg(
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    "redacted_text", F.lit(llm_ops._EMAIL_REDACT_RE), F.lit(0)
+                )
+            )
+        ).alias("e"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    "redacted_text", F.lit(llm_ops._PHONE_REDACT_RE), F.lit(0)
+                )
+            )
+        ).alias("p"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(
+            F.col("n_emails_redacted") + F.col("n_phones_redacted")
+        ).alias("min_redactions"),
+    ).collect()[0]
+    assert survivors.n > 0, "vacuous: no docs redacted at sf0.01"
+    assert (survivors.e, survivors.p) == (0, 0), "PII survived redaction"
+    assert survivors.min_redactions >= 1  # only touched docs emit
+    # masks themselves must not re-match the patterns (idempotence)
+    assert not _re.search(llm_ops._EMAIL_REDACT_RE, llm_ops._EMAIL_MASK)
+    assert not _re.search(llm_ops._PHONE_REDACT_RE, llm_ops._PHONE_MASK)
+
+    plan = _plan_text(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "SerializeFromObject"):
+        assert marker not in plan, f"redact_pii plan has {marker}"
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), plan
+
+
+def test_strip_repetition_first_occurrence_order(spark, tmp_path):
+    """The repetition REMOVAL keeps the FIRST occurrence of each line
+    in document order (the MassiveText semantics), and the plan is a
+    single projection — no shuffle beyond the final ORDER BY, no
+    Python. Constructed corpus: a doc whose first 6-word line repeats
+    immediately must trim to [line1, line3] in that order."""
+    import re as _re
+
+    from dbitool_spark.plans import llm_ops
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 (no plant: 1 % 3 != 0): line repeated in the text
+            (1, "a b c d e f a b c d e f g h i j k l", "x", "s", 0),
+            # doc 2: no repetition at all
+            (2, "p q r s t u v w x y z1 z2", "x", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in llm_ops.strip_repetition_documents(spark, d).collect()
+    }
+    assert got[1].n_lines_before == 3
+    assert got[1].n_lines_after == 2
+    assert got[1].had_repetition == 1
+    assert got[1].clean_text == "a b c d e f\ng h i j k l"  # first kept
+    assert got[2].n_lines_before == 2
+    assert got[2].had_repetition == 0
+    assert got[2].clean_text == "p q r s t u\nv w x y z1 z2"
+
+    plan = _plan_text(llm_ops.strip_repetition_documents(spark, SF_SMOKE))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "SerializeFromObject"):
+        assert marker not in plan, f"strip_repetition plan has {marker}"
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), plan
+
+
+def test_trim_duplicate_spans_action(spark, tmp_path):
+    """The substring-dedup ACTION (Lee et al. 2022 shape): the first
+    (doc_id, pos) occurrence of a duplicated 8-gram is the owner and
+    keeps its words; every later occurrence's covered range is cut.
+    Constructed corpus: two docs sharing one 8-gram — the earlier doc
+    is untouched, the later loses exactly those 8 words. Plus corpus
+    invariants at sf0.01 and the no-Python plan pin."""
+    from dbitool_spark.plans import llm_ops
+
+    shared = "g1 g2 g3 g4 g5 g6 g7 g8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} only1 only2", "x", "s", 0),
+            (2, f"pre1 pre2 {shared} tail1", "x", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in llm_ops.trim_duplicate_spans_documents(spark, d).collect()
+    }
+    assert got[1].n_words_cut == 0  # owner: first (doc_id, pos)
+    assert got[1].trimmed_text == f"{shared} only1 only2"
+    assert got[2].n_words_cut == 8  # exactly the shared gram's words
+    assert got[2].trimmed_text == "pre1 pre2 tail1"
+
+    # corpus invariants: arithmetic closes, the action is non-vacuous
+    rows = llm_ops.trim_duplicate_spans_documents(spark, SF_ORACLE).collect()
+    assert all(r.n_words_after + r.n_words_cut == r.n_words_before for r in rows)
+    assert any(r.n_words_cut > 0 for r in rows), "vacuous at sf0.01"
+
+    plan = _plan_text(llm_ops.trim_duplicate_spans_documents(spark, SF_SMOKE))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "SerializeFromObject"):
+        assert marker not in plan, f"trim plan has {marker}"

@@ -146,6 +146,22 @@ _RETIRED_CASES += [
      _llm.NEAR_DUP_CLUSTERS_SQL),
 ]
 
+# STAGED for r13 (standing contract — oracle-proven a round ahead of
+# registration): the three new ACTIONS the r11 verdict requested
+# (PII redaction, within-doc repetition removal, cross-doc substring
+# trim) and the ann merge candidate (frees one net slot when it
+# registers, retiring ann_recall_planted + ann_topk_bruteforce).
+_RETIRED_CASES += [
+    ("staged_redact_pii_documents", _llm.redact_pii_documents,
+     _llm.REDACT_PII_SQL),
+    ("staged_strip_repetition_documents", _llm.strip_repetition_documents,
+     _llm.STRIP_REPETITION_SQL),
+    ("staged_trim_duplicate_spans_documents",
+     _llm.trim_duplicate_spans_documents,
+     _llm.TRIM_DUPLICATE_SPANS_SQL),
+    ("staged_ann_recall_composite", _llm.ann_recall_composite,
+     _llm.ANN_RECALL_COMPOSITE_SQL),
+]
 _CASES = _CASES + _RETIRED_CASES
 
 
