@@ -76,11 +76,30 @@ class NdbTable:
         key: str,
         *,
         n_buckets: int = 32,
+        files_per_bucket: int = 1,
     ):
         self.spark = spark
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
+        # files_per_bucket > 1 enables INTRA-bucket pruning (r11
+        # verdict item 7): each bucket's data is written as ~this many
+        # key-RANGE files, sorted by key inside each file (tight
+        # parquet row-group min/max stats), so a pruned upsert reads
+        # only the files whose key range intersects the batch's
+        # per-bucket key range and HARDLINKS the rest forward —
+        # O(state*b/n * hit_fraction + batch) when key locality
+        # exists. Successive upserts can produce overlapping ranges
+        # within a bucket (pruning degrades, correctness never: any
+        # file whose range could hold a batch key is selected); the
+        # production answer to that drift is compaction, i.e. the
+        # Delta/Iceberg OPTIMIZE this module's docstring already
+        # names as the table-format swap.
+        self.files_per_bucket = max(1, int(files_per_bucket))
+        #: observability: stats of the last pruned upsert's intra-
+        #: bucket file selection ({} until a files_per_bucket>1 table
+        #: prunes) — read by pytest and by curious operators.
+        self.last_prune_stats: dict = {}
         os.makedirs(path, exist_ok=True)
         # the stored layout is authoritative: a reopened table keeps
         # the bucket count it was written with (the constructor arg is
@@ -96,6 +115,9 @@ class NdbTable:
                     f"not {key!r}"
                 )
             self.n_buckets = int(meta.get("n_buckets", n_buckets))
+            self.files_per_bucket = int(
+                meta.get("files_per_bucket", files_per_bucket)
+            )
             self._key_type = meta.get("key_type")
 
     # -- state pointer ---------------------------------------------------
@@ -133,21 +155,20 @@ class NdbTable:
 
     def _write_meta(self) -> None:
         meta_path = os.path.join(self.path, _META)
+        want = {
+            "key": self.key,
+            "n_buckets": self.n_buckets,
+            "key_type": self._key_type,
+            "files_per_bucket": self.files_per_bucket,
+        }
         stale = True
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
-                stale = json.load(fh).get("key_type") != self._key_type
+                stale = json.load(fh) != want
         if stale:
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump(
-                    {
-                        "key": self.key,
-                        "n_buckets": self.n_buckets,
-                        "key_type": self._key_type,
-                    },
-                    fh,
-                )
+                json.dump(want, fh)
             os.replace(tmp, meta_path)
 
     def _state(self) -> DataFrame | None:
@@ -171,6 +192,76 @@ class NdbTable:
                 except ValueError:
                     continue
         return out
+
+    @staticmethod
+    def _file_key_range(path: str, key: str):
+        """Driver-side footer probe: (min, max) of `key` across the
+        file's row groups from parquet statistics, or None when stats
+        are missing (caller must then treat the file as a hit — safe
+        over-read, never a skipped rewrite). Bounded work: one footer
+        per candidate file, only for TOUCHED buckets."""
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.read_metadata(path)
+            idx = md.schema.names.index(key)
+        except (OSError, ValueError):
+            return None
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            gmin, gmax = st.min, st.max
+            if isinstance(gmin, bytes):
+                gmin = gmin.decode("utf-8", "replace")
+            if isinstance(gmax, bytes):
+                gmax = gmax.decode("utf-8", "replace")
+            lo = gmin if lo is None or gmin < lo else lo
+            hi = gmax if hi is None or gmax > hi else hi
+        return None if lo is None else (lo, hi)
+
+    def _split_touched_files(
+        self, batch: DataFrame, current: str,
+        bucket_dirs: dict[int, str], touched: list[int],
+    ) -> tuple[list[str], list[str]]:
+        """Intra-bucket pruning (files_per_bucket > 1): partition the
+        touched buckets' data files into (read_files, carry_files) by
+        intersecting each file's footer key range with the batch's
+        per-bucket key range. A carry file's range is DISJOINT from
+        the batch's [min, max], so it cannot hold any batch key — it
+        hardlinks forward untouched and per-key uniqueness survives.
+        Range-vs-range (not range-vs-key-set) keeps the driver edge
+        bounded: one n_buckets-row aggregate plus one footer per
+        touched-bucket file."""
+        rng = {
+            r[0]: (r[1], r[2])
+            for r in batch.groupBy(_BUCKET)
+            .agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi"))
+            .collect()
+        }
+        read: list[str] = []
+        carry: list[str] = []
+        for b in touched:
+            name = bucket_dirs.get(int(b))
+            if name is None:
+                continue
+            bdir = os.path.join(current, name)
+            lo, hi = rng.get(int(b), (None, None))
+            for fn in sorted(os.listdir(bdir)):
+                full = os.path.join(bdir, fn)
+                if not os.path.isfile(full) or fn.startswith((".", "_")):
+                    continue
+                frange = self._file_key_range(full, self.key)
+                if (
+                    frange is None
+                    or lo is None
+                    or (frange[0] <= hi and lo <= frange[1])
+                ):
+                    read.append(full)
+                else:
+                    carry.append(full)
+        return read, carry
 
     # -- operations ------------------------------------------------------
 
@@ -239,6 +330,7 @@ class NdbTable:
 
             bucket_dirs = self._bucket_dirs(current) if current is not None else {}
             legacy = current is not None and not bucket_dirs
+            carry_files: list[str] = []  # intra-bucket carryover links
             merged: DataFrame | None
             if current is None:
                 merged = batch
@@ -258,11 +350,35 @@ class NdbTable:
                 merged = state.unionByName(batch)
                 touched = None
             elif touched:
-                # partition-pruned read: only the touched buckets' files
-                state = self.spark.read.parquet(current).filter(
-                    F.col(_BUCKET).isin([int(t) for t in touched])
-                )
-                merged = state.unionByName(batch)
+                if self.files_per_bucket > 1 and bucket_dirs:
+                    # intra-bucket file pruning: read only the touched
+                    # buckets' files whose key range intersects the
+                    # batch; the rest hardlink forward below
+                    read_files, carry_files = self._split_touched_files(
+                        batch, current, bucket_dirs, touched
+                    )
+                    self.last_prune_stats = {
+                        "touched_buckets": len(touched),
+                        "files_read": len(read_files),
+                        "files_carried": len(carry_files),
+                        "bytes_read": sum(os.path.getsize(p) for p in read_files),
+                        "bytes_carried": sum(
+                            os.path.getsize(p) for p in carry_files
+                        ),
+                    }
+                    if read_files:
+                        state = self.spark.read.option(
+                            "basePath", current
+                        ).parquet(*read_files)
+                        merged = state.unionByName(batch)
+                    else:
+                        merged = batch  # all-new key ranges: nothing to merge
+                else:
+                    # partition-pruned read: the touched buckets' files
+                    state = self.spark.read.parquet(current).filter(
+                        F.col(_BUCKET).isin([int(t) for t in touched])
+                    )
+                    merged = state.unionByName(batch)
             else:
                 merged = None  # empty batch: pure link-forward version
 
@@ -297,9 +413,25 @@ class NdbTable:
                     resolved.coalesce(1).write.mode("overwrite").parquet(out_dir)
                 else:
                     n_parts = len(touched) if touched else self.n_buckets
+                    if self.files_per_bucket > 1:
+                        # key-RANGE files inside each bucket, sorted by
+                        # key within each file: tight row-group min/max
+                        # stats (predicate scans skip row groups) and
+                        # the footer ranges _split_touched_files prunes
+                        # on next upsert. A range partition straddling
+                        # a bucket boundary just writes one small file
+                        # into each side — correctness is unaffected.
+                        shaped = resolved.repartitionByRange(
+                            max(n_parts, 1) * self.files_per_bucket,
+                            F.col(_BUCKET),
+                            F.col(self.key),
+                        ).sortWithinPartitions(_BUCKET, self.key)
+                    else:
+                        shaped = resolved.repartition(
+                            max(n_parts, 1), F.col(_BUCKET)
+                        )
                     (
-                        resolved.repartition(max(n_parts, 1), F.col(_BUCKET))
-                        .write.partitionBy(_BUCKET)
+                        shaped.write.partitionBy(_BUCKET)
                         .mode("overwrite")
                         .parquet(out_dir)
                     )
@@ -325,6 +457,19 @@ class NdbTable:
                             _link_tree(
                                 os.path.join(current, name), os.path.join(out_dir, name)
                             )
+                    # intra-bucket carryover: files inside TOUCHED
+                    # buckets whose key range the batch provably
+                    # missed (files_per_bucket > 1 path) — hardlinked
+                    # alongside the freshly written range files; Spark
+                    # part-file names are UUID-unique so no collision
+                    for src in carry_files:
+                        rel = os.path.relpath(src, current)
+                        dst = os.path.join(out_dir, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        try:
+                            os.link(src, dst)
+                        except OSError:
+                            shutil.copy2(src, dst)
             self._write_meta()
             self._flip_pointer(version)
             self._gc_versions(keep={version, f"v{prev_gen}"})

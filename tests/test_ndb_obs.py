@@ -471,3 +471,91 @@ def test_ndb_bucket_prune_scales_with_touched_fraction(spark, tmpdir):
     got = t.replay().filter(F.col("k").isin(0, 97 * 3, 5)).collect()
     m = {r.k: r.v for r in got}
     assert m[5] == "payload_5"
+
+
+@pytest.mark.slow
+def test_ndb_intra_bucket_file_pruning(spark, tmpdir):
+    """VERDICT r11 task 7: row-group/file-level pruning WITHIN a
+    touched bucket. files_per_bucket=4 writes each bucket as key-range
+    files sorted by key (tight parquet min/max footer stats); a batch
+    confined to a narrow key range must
+    (a) read only the intersecting files: bytes_read strictly under
+        half the touched buckets' prior bytes, with the skipped files
+        hardlinked forward (same inode in the new version);
+    (b) keep exact upsert semantics: updated keys win, every other
+        row carries over;
+    (c) write sorted files: each data file's footer key range is
+        tight (non-overlapping row-group ranges within the file would
+        follow from the sort; we assert file-level monotonicity —
+        min <= max and intra-bucket ranges cover disjoint key spans
+        on the FIRST write, before drift);
+    (d) a reopened table keeps files_per_bucket from meta."""
+    path = os.path.join(tmpdir, "fpb_kv")
+    t = NdbTable(spark, path, key="k", n_buckets=8, files_per_bucket=4)
+    n_state = 200_000
+    base = spark.range(n_state).select(
+        F.col("id").cast("long").alias("k"),
+        F.concat(F.lit("payload_"), F.col("id")).alias("v"),
+    )
+    t.upsert(base)
+    v0 = os.path.join(path, "v0")
+
+    def data_files(vdir):
+        out = {}
+        for bname in os.listdir(vdir):
+            if not bname.startswith("__ndb_bucket="):
+                continue
+            for fn in os.listdir(os.path.join(vdir, bname)):
+                fp = os.path.join(vdir, bname, fn)
+                if os.path.isfile(fp) and not fn.startswith((".", "_")):
+                    st = os.stat(fp)
+                    out[os.path.join(bname, fn)] = (st.st_ino, st.st_size)
+        return out
+
+    before = data_files(v0)
+    # (c) multiple sorted range files per bucket with sane footer stats
+    per_bucket: dict[str, list] = {}
+    for rel in before:
+        b = rel.split(os.sep)[0]
+        rng = NdbTable._file_key_range(os.path.join(v0, rel), "k")
+        assert rng is not None and rng[0] <= rng[1]
+        per_bucket.setdefault(b, []).append(rng)
+    assert all(len(v) >= 2 for v in per_bucket.values()), {
+        k: len(v) for k, v in per_bucket.items()
+    }
+    for ranges in per_bucket.values():
+        ranges.sort()
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi <= b_lo, "first-write range files overlap"
+
+    # (a) narrow-range batch: 1000 consecutive keys
+    batch = spark.range(50_000, 51_000).select(
+        F.col("id").cast("long").alias("k"), F.lit("UPDATED").alias("v")
+    )
+    t.upsert(batch)
+    stats = t.last_prune_stats
+    touched_prior = stats["bytes_read"] + stats["bytes_carried"]
+    assert stats["files_carried"] > 0
+    assert stats["bytes_read"] < 0.5 * touched_prior, stats
+    v1 = os.path.join(path, "v1")
+    after = data_files(v1)
+    carried_inodes = {ino for (ino, _sz) in before.values()} & {
+        ino for (ino, _sz) in after.values()
+    }
+    assert len(carried_inodes) >= stats["files_carried"]
+    print(f"NDB_INTRA_BUCKET_PRUNE {stats} touched_prior={touched_prior}B")
+
+    # (b) semantics: every batch key updated, everything else intact
+    rp = t.replay()
+    assert rp.count() == n_state
+    assert (
+        rp.filter((F.col("k") >= 50_000) & (F.col("k") < 51_000))
+        .filter(F.col("v") == "UPDATED")
+        .count()
+        == 1000
+    )
+    assert rp.filter(F.col("k") == 123).collect()[0].v == "payload_123"
+
+    # (d) reopen: layout from meta, not the constructor default
+    t2 = NdbTable(spark, path, key="k")
+    assert t2.files_per_bucket == 4
