@@ -89,12 +89,11 @@ class NdbTable:
         # only the files whose key range intersects the batch's
         # per-bucket key range and HARDLINKS the rest forward —
         # O(state*b/n * hit_fraction + batch) when key locality
-        # exists. Successive upserts can produce overlapping ranges
-        # within a bucket (pruning degrades, correctness never: any
-        # file whose range could hold a batch key is selected); the
-        # production answer to that drift is compaction, i.e. the
-        # Delta/Iceberg OPTIMIZE this module's docstring already
-        # names as the table-format swap.
+        # exists. Range disjointness is PRESERVED across upserts
+        # (see compact()); what accumulates is small files — each
+        # pruned upsert replaces the intersecting files with
+        # ~files_per_bucket new ones — and compact() is the bounded
+        # OPTIMIZE analog that coalesces them.
         self.files_per_bucket = max(1, int(files_per_bucket))
         #: observability: stats of the last pruned upsert's intra-
         #: bucket file selection ({} until a files_per_bucket>1 table
@@ -494,6 +493,90 @@ class NdbTable:
                 and os.path.isdir(full)
             ):
                 shutil.rmtree(full, ignore_errors=True)
+
+    def compact(self, buckets: list[int] | None = None) -> list[int]:
+        """Coalesce buckets that have accumulated too many small data
+        files back to ~files_per_bucket fresh sorted range files — the
+        OPTIMIZE analog of the Delta/Iceberg swap this module
+        documents. Range-intersection selection plus range-partitioned
+        rewrite PRESERVES range disjointness across upserts (a carried
+        file never overlaps the batch span, and every stored file the
+        new span could reach gets selected — induction from the
+        disjoint first write), so pruning never degrades by overlap;
+        what grows is the FILE COUNT (each pruned upsert replaces the
+        intersecting files with ~files_per_bucket new ones), costing a
+        footer probe + file open per upsert. Compaction rewrites the
+        affected buckets only; untouched buckets hardlink forward into
+        a new version dir and the pointer flips after the write, so a
+        crashed compaction never corrupts the live state (same
+        contract as upsert; state is already one row per key, no merge
+        window needed). Returns the bucket ids rewritten.
+
+        Default bucket selection (bounded: one driver-side footer
+        probe per file): more data files than files_per_bucket, any
+        file missing key statistics, or — the belt-and-braces check
+        for states not written by this module's invariant-preserving
+        path — overlapping footer ranges."""
+        current = self._current_dir()
+        if current is None:
+            raise ValueError(f"ndb table at {self.path} is empty")
+        bucket_dirs = self._bucket_dirs(current)
+        if not bucket_dirs:
+            return []  # legacy flat layout: the next upsert migrates it
+        if buckets is None:
+            buckets = []
+            for bval, name in bucket_dirs.items():
+                bdir = os.path.join(current, name)
+                ranges = []
+                for fn in sorted(os.listdir(bdir)):
+                    full = os.path.join(bdir, fn)
+                    if not os.path.isfile(full) or fn.startswith((".", "_")):
+                        continue
+                    rng = self._file_key_range(full, self.key)
+                    ranges.append(rng)
+                if len(ranges) <= 1:
+                    continue
+                # +1 slack: a compacted write's range partition can
+                # straddle a bucket boundary and leave fpb+1 files, so
+                # selecting at > fpb would re-select forever
+                if (
+                    len(ranges) > self.files_per_bucket + 1
+                    or any(r is None for r in ranges)
+                ):
+                    buckets.append(bval)
+                    continue
+                ranges.sort()
+                if any(a_hi > b_lo for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:])):
+                    buckets.append(bval)
+        sel = sorted(int(b) for b in buckets)
+        if not sel:
+            return []
+        prev_gen = self._current_gen()
+        gen = 0 if prev_gen is None else prev_gen + 1
+        version = f"v{gen}"
+        out_dir = os.path.join(self.path, version)
+        state = self.spark.read.parquet(current).filter(
+            F.col(_BUCKET).isin(sel)
+        )
+        if self.files_per_bucket > 1:
+            shaped = state.repartitionByRange(
+                len(sel) * self.files_per_bucket,
+                F.col(_BUCKET),
+                F.col(self.key),
+            ).sortWithinPartitions(_BUCKET, self.key)
+        else:
+            shaped = state.repartition(len(sel), F.col(_BUCKET))
+        shaped.write.partitionBy(_BUCKET).mode("overwrite").parquet(out_dir)
+        keep = set(sel)
+        for bval, name in bucket_dirs.items():
+            if bval not in keep:
+                _link_tree(
+                    os.path.join(current, name), os.path.join(out_dir, name)
+                )
+        self._write_meta()
+        self._flip_pointer(version)
+        self._gc_versions(keep={version, f"v{prev_gen}"})
+        return sel
 
     def replay(self) -> DataFrame:
         """The table as a source (reference ndb-without-input mode:

@@ -559,3 +559,99 @@ def test_ndb_intra_bucket_file_pruning(spark, tmpdir):
     # (d) reopen: layout from meta, not the constructor default
     t2 = NdbTable(spark, path, key="k")
     assert t2.files_per_bucket == 4
+
+
+def test_ndb_compact_coalesces_file_growth(spark, tmpdir):
+    """compact() — the OPTIMIZE analog. Two claims:
+    (1) the pruned-upsert invariant: range-intersection selection +
+        range-partitioned rewrite PRESERVES intra-bucket range
+        disjointness (no bucket ever holds overlapping files), so
+        pruning never degrades by overlap — what grows is the file
+        count (~files_per_bucket new files per touched bucket per
+        upsert);
+    (2) compact() coalesces exactly the grown buckets back to ~fpb
+        sorted range files, hardlinks untouched buckets by inode,
+        preserves every row, and is idempotent."""
+    path = os.path.join(tmpdir, "cpt_kv")
+    t = NdbTable(spark, path, key="k", n_buckets=4, files_per_bucket=3)
+    base = spark.range(40_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.upsert(base)
+    # three narrow upserts (updates + some brand-new keys) grow files
+    for lo in (1_000, 9_000, 41_000):
+        t.upsert(
+            spark.range(lo, lo + 500).select(
+                F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+            )
+        )
+
+    def ranges_by_bucket(vdir):
+        out = {}
+        for bname in os.listdir(vdir):
+            if not bname.startswith("__ndb_bucket="):
+                continue
+            rs = []
+            for fn in sorted(os.listdir(os.path.join(vdir, bname))):
+                fp = os.path.join(vdir, bname, fn)
+                if os.path.isfile(fp) and not fn.startswith((".", "_")):
+                    rs.append(NdbTable._file_key_range(fp, "k"))
+            out[bname] = sorted(rs)
+        return out
+
+    def overlapping(out):
+        bad = []
+        for b, rs in out.items():
+            for (a_lo, a_hi), (b_lo, b_hi) in zip(rs, rs[1:]):
+                if a_hi > b_lo:
+                    bad.append(b)
+                    break
+        return bad
+
+    cur = t._current_dir()
+    drifted = ranges_by_bucket(cur)
+    # claim (1): never overlapping, but file counts grew past fpb
+    assert overlapping(drifted) == [], drifted
+    assert any(len(rs) > 3 + 1 for rs in drifted.values()), {
+        b: len(rs) for b, rs in drifted.items()
+    }
+
+    def inodes(vdir):
+        out = {}
+        for bname in os.listdir(vdir):
+            if not bname.startswith("__ndb_bucket="):
+                continue
+            for fn in os.listdir(os.path.join(vdir, bname)):
+                fp = os.path.join(vdir, bname, fn)
+                if os.path.isfile(fp) and not fn.startswith((".", "_")):
+                    out.setdefault(bname, set()).add(os.stat(fp).st_ino)
+        return out
+
+    before_inodes = inodes(cur)
+    rewritten = t.compact()
+    assert rewritten, "nothing compacted"
+    cur2 = t._current_dir()
+    assert cur2 != cur
+    after = ranges_by_bucket(cur2)
+    assert overlapping(after) == [], after
+    # coalesced: every rewritten bucket is back to ~fpb files (a range
+    # partition straddling a bucket boundary may add one)
+    for b in after:
+        if int(b.split("=", 1)[1]) in set(rewritten):
+            assert len(after[b]) <= 3 + 1, (b, len(after[b]))
+    # untouched buckets carried by inode
+    after_inodes = inodes(cur2)
+    untouched = [
+        b for b in before_inodes
+        if int(b.split("=", 1)[1]) not in set(rewritten)
+    ]
+    for b in untouched:
+        assert before_inodes[b] == after_inodes[b], b
+    # every row survives, values exact
+    rp = t.replay()
+    assert rp.count() == 40_500  # 40k base + 500 new keys at 41k
+    assert rp.filter((F.col("k") == 1_100) & (F.col("v") == -1)).count() == 1
+    assert rp.filter((F.col("k") == 41_100) & (F.col("v") == -1)).count() == 1
+    assert rp.filter((F.col("k") == 30_000) & (F.col("v") == 60_000)).count() == 1
+    # idempotent: a coalesced state has nothing to rewrite
+    assert t.compact() == []
