@@ -1241,7 +1241,11 @@ def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse pii_scan's _EMAIL_RE/_PHONE_RE constants with an inline
     (?i) so original-case text redacts exactly what the scan counts
     on lowered text; zero matches survive redaction by construction
-    (pinned in pytest, tests/test_llm_ops.py).
+    (pinned in pytest, tests/test_llm_ops.py). Counts are computed on
+    the PRE-redaction text, so a phone number embedded inside an
+    email's local part counts under both classes even though the
+    email mask swallows it — both engines state the same convention,
+    and "no match survives" is the load-bearing guarantee.
 
     Scale shape: ONE pure-JVM regexp_replace cascade projection —
     no shuffle, no Python, runs at parquet scan speed; the result is
