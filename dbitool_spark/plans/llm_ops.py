@@ -1303,6 +1303,163 @@ ORDER BY doc_id
 """
 
 
+# --- end-to-end text-curation chain -----------------------------------
+
+# Line-repeat plant modulus for the CHAIN (distinct from
+# strip_repetition's _REP_MOD so the chain's stages are separately
+# observable: %3 docs carry markup, %5 docs carry a repeated line,
+# %7 docs carry PII — every stage provably non-vacuous at every SF).
+_CHAIN_REP_MOD = 5
+
+
+def curation_text_chain_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-tokenization TEXT-cleaning chain in one plan —
+    strip_markup -> repeated-line removal -> PII redaction — the
+    sequence a web-corpus pipeline actually runs, proven end to end
+    by one oracle hash instead of three stage-local ones. STAGED r12
+    as an r13 spare-slot candidate (parity row
+    staged_curation_text_chain_documents).
+
+    Plants compose without interference (%3 markup, %5 repeated
+    line, %7 contact line), so each stage's counters are non-zero at
+    every SF and a doc hitting all three moduli exercises the full
+    cascade. Case note: the line stage normalizes to lowercase (the
+    strip_repetition convention), so the emitted final_text is
+    lowercase — stated here because the standalone redact entry
+    preserves case.
+
+    Scale shape: ONE pure-JVM projection — regexp cascade +
+    higher-order array filter + regexp_replace cascade, no shuffle
+    anywhere but the driver compare's ORDER BY, no Python. At 100 TB
+    this runs at parquet scan speed and composes with the
+    shuffle-bearing dedup/decontamination stages downstream."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % _MARKUP_MOD == 0,
+        F.concat(F.lit(_MARKUP_PREFIX), F.col("text"), F.lit(_MARKUP_SUFFIX)),
+    ).otherwise(F.col("text"))
+    clean = text.strip_markup(raw)
+    w = F.split(F.lower(F.trim(clean)), r"\s+")
+    n_lines = F.floor(
+        (F.size(w) + (_REP_LINE_WORDS - 1)) / _REP_LINE_WORDS
+    ).cast("int")
+    lines0 = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * _REP_LINE_WORDS + 1, _REP_LINE_WORDS), " "
+        ),
+    )
+    lines = F.when(
+        F.col("doc_id") % _CHAIN_REP_MOD == 0,
+        F.concat(lines0, F.slice(lines0, 1, 1)),
+    ).otherwise(lines0)
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count(raw, F.lit(text._TAG_RE)).alias("n_tags"),
+        lines.alias("lines"),
+    )
+    ded = F.filter(
+        F.col("lines"),
+        lambda x, i: F.array_position(F.col("lines"), x) == i + 1,
+    )
+    d = d.select(
+        "doc_id",
+        "source",
+        "n_tags",
+        (F.size("lines") - F.size(ded)).alias("n_lines_removed"),
+        F.array_join(ded, " ").alias("dedup_text"),
+    )
+    pii = F.when(
+        F.col("doc_id") % _PII_MOD == 0,
+        F.concat(
+            F.col("dedup_text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0100"),
+        ),
+    ).otherwise(F.col("dedup_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii, _EMAIL_REDACT_RE, _EMAIL_MASK),
+        _PHONE_REDACT_RE,
+        _PHONE_MASK,
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tags",
+        "n_lines_removed",
+        (
+            F.size(F.regexp_extract_all(pii, F.lit(_EMAIL_REDACT_RE), F.lit(0)))
+            + F.size(F.regexp_extract_all(pii, F.lit(_PHONE_REDACT_RE), F.lit(0)))
+        ).alias("n_redactions"),
+        F.length(redacted).alias("final_len"),
+        redacted.alias("final_text"),
+    ).orderBy("doc_id")
+
+
+def _curation_text_chain_sql() -> str:
+    pre = _MARKUP_PREFIX.replace("'", "''")
+    suf = _MARKUP_SUFFIX.replace("'", "''")
+    redact = (
+        f"regexp_replace(regexp_replace(t, '{_EMAIL_REDACT_RE}', "
+        f"'{_EMAIL_MASK}', 'g'), '{_PHONE_REDACT_RE}', '{_PHONE_MASK}', 'g')"
+    )
+    return rf"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {_MARKUP_MOD} = 0
+              THEN '{pre}' || text || '{suf}'
+              ELSE text END AS raw
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(raw, '{text._TAG_RE}')) AS INT) AS n_tags,
+         regexp_split_to_array(lower(trim({_strip_markup_expr_sql("raw")})), '\s+') AS w
+  FROM planted
+),
+lined AS (
+  SELECT doc_id, source, n_tags,
+         list_transform(
+           generate_series(0, CAST(floor((len(w) + {_REP_LINE_WORDS - 1}) / {_REP_LINE_WORDS}.0) AS INT) - 1),
+           i -> array_to_string(w[i * {_REP_LINE_WORDS} + 1 : i * {_REP_LINE_WORDS} + {_REP_LINE_WORDS}], ' ')
+         ) AS lines0
+  FROM stripped
+),
+pl AS (
+  SELECT doc_id, source, n_tags,
+         CASE WHEN doc_id % {_CHAIN_REP_MOD} = 0 THEN lines0 || lines0[1:1] ELSE lines0 END AS lines
+  FROM lined
+),
+dd AS (
+  SELECT doc_id, source, n_tags, lines,
+         list_filter(lines, (x, i) -> list_position(lines, x) = i) AS ded
+  FROM pl
+),
+piid AS (
+  SELECT doc_id, source, n_tags,
+         CAST(len(lines) - len(ded) AS INT) AS n_lines_removed,
+         CASE WHEN doc_id % {_PII_MOD} = 0
+           THEN array_to_string(ded, ' ') || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0100'
+           ELSE array_to_string(ded, ' ') END AS t
+  FROM dd
+)
+SELECT doc_id, source, n_tags, n_lines_removed,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_REDACT_RE}', 0))
+            + len(regexp_extract_all(t, '{_PHONE_REDACT_RE}', 0)) AS INT) AS n_redactions,
+       CAST(length({redact}) AS INT) AS final_len,
+       {redact} AS final_text
+FROM piid
+ORDER BY doc_id
+"""
+
+
+# CURATION_TEXT_CHAIN_SQL is assigned below STRIP_MARKUP_DOCUMENTS_SQL
+# (module bottom-up: the markup/strip constants it embeds are defined
+# at the strip_markup section).
+
+
 # --- token counting (BPE-ish regex) -----------------------------------
 
 
@@ -1957,21 +2114,26 @@ def strip_markup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _strip_markup_sql() -> str:
-    # same constants, same operation order as ops/text.strip_markup;
-    # DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
-    # global by default)
-    pre = _MARKUP_PREFIX.replace("'", "''")
-    suf = _MARKUP_SUFFIX.replace("'", "''")
+def _strip_markup_expr_sql(col: str) -> str:
+    """DuckDB expression mirroring ops/text.strip_markup(col): same
+    constants, same operation order (DuckDB regexp_replace needs the
+    explicit 'g' flag; Spark's is global by default). Shared by the
+    standalone strip oracle and the curation text chain."""
     stripped = (
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        f"raw, '{text._SCRIPT_RE}', ' ', 'g'), "
+        f"{col}, '{text._SCRIPT_RE}', ' ', 'g'), "
         f"'{text._STYLE_RE}', ' ', 'g'), "
         f"'{text._COMMENT_RE}', ' ', 'g'), "
         f"'{text._TAG_RE}', ' ', 'g')"
     )
     for ent, rep in text.HTML_ENTITIES:
         stripped = f"replace({stripped}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    return rf"trim(regexp_replace({stripped}, '\s+', ' ', 'g'))"
+
+
+def _strip_markup_sql() -> str:
+    pre = _MARKUP_PREFIX.replace("'", "''")
+    suf = _MARKUP_SUFFIX.replace("'", "''")
     return rf"""
 WITH planted AS (
   SELECT doc_id, source,
@@ -1982,7 +2144,7 @@ WITH planted AS (
 ),
 stripped AS (
   SELECT doc_id, source, raw,
-         trim(regexp_replace({stripped}, '\s+', ' ', 'g')) AS clean_text
+         {_strip_markup_expr_sql("raw")} AS clean_text
   FROM planted
 )
 SELECT doc_id, source,
@@ -1996,6 +2158,7 @@ ORDER BY doc_id
 
 
 STRIP_MARKUP_DOCUMENTS_SQL = _strip_markup_sql()
+CURATION_TEXT_CHAIN_SQL = _curation_text_chain_sql()
 
 
 # --- substring-level duplicate spans ---------------------------------

@@ -170,7 +170,13 @@ early in tests/test_oracle_parity.py at r12 HEAD):
   volume bounded by the existing hash-gram join;
 - llm_ops.ann_recall_composite — method-tagged merge candidate
   folding ann_recall_planted + ann_topk_bruteforce into one driver
-  row (frees one net slot when registered).
+  row (frees one net slot when registered);
+- llm_ops.curation_text_chain_documents — spare-slot candidate: the
+  end-to-end text-cleaning chain (strip_markup -> repeated-line
+  removal -> PII redaction) proven by one oracle hash, every stage
+  non-vacuous via disjoint plant moduli (%3/%5/%7).
+r13 math: 47 due − 2 retired by the ann merge + the 4-5 registrations
+= 49-50 slots; it fits.
 """
 
 from __future__ import annotations

@@ -1404,3 +1404,49 @@ def test_trim_duplicate_spans_action(spark, tmp_path):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "SerializeFromObject"):
         assert marker not in plan, f"trim plan has {marker}"
+
+
+def test_curation_text_chain_stages_and_plan(spark):
+    """The end-to-end text-cleaning chain: every stage provably fires
+    (%3 markup, %5 repeated line, %7 contact plants are disjoint-ish
+    moduli so each counter is non-zero), no PII survives the final
+    text, and the whole chain is ONE projection — no shuffle beyond
+    the driver compare's ORDER BY, no Python stage."""
+    import re as _re
+
+    from dbitool_spark.plans import llm_ops
+
+    df = llm_ops.curation_text_chain_documents(spark, SF_ORACLE)
+    agg = df.agg(
+        F.sum((F.col("n_tags") > 0).cast("int")).alias("markup_docs"),
+        F.sum((F.col("n_lines_removed") > 0).cast("int")).alias("rep_docs"),
+        F.sum((F.col("n_redactions") > 0).cast("int")).alias("pii_docs"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    "final_text", F.lit(llm_ops._EMAIL_REDACT_RE), F.lit(0)
+                )
+            )
+            + F.size(
+                F.regexp_extract_all(
+                    "final_text", F.lit(llm_ops._PHONE_REDACT_RE), F.lit(0)
+                )
+            )
+        ).alias("survivors"),
+    ).collect()[0]
+    assert agg.markup_docs > 0 and agg.rep_docs > 0 and agg.pii_docs > 0, agg
+    assert agg.survivors == 0, "PII survived the chain"
+    # a doc hitting all three moduli (lcm(3,5,7)=105) runs the full
+    # cascade in one row
+    full = df.filter(F.col("doc_id") % 105 == 0).collect()
+    assert full and all(
+        r.n_tags > 0 and r.n_lines_removed > 0 and r.n_redactions > 0
+        for r in full
+    )
+
+    plan = _plan_text(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "SerializeFromObject"):
+        assert marker not in plan, f"chain plan has {marker}"
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), plan

@@ -161,6 +161,12 @@ _RETIRED_CASES += [
      _llm.TRIM_DUPLICATE_SPANS_SQL),
     ("staged_ann_recall_composite", _llm.ann_recall_composite,
      _llm.ANN_RECALL_COMPOSITE_SQL),
+    # r13 spare-slot candidate: the end-to-end text-cleaning chain
+    # (strip_markup -> repeated-line removal -> PII redaction) proven
+    # by ONE oracle hash; %3/%5/%7 plants keep every stage non-vacuous
+    ("staged_curation_text_chain_documents",
+     _llm.curation_text_chain_documents,
+     _llm.CURATION_TEXT_CHAIN_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
