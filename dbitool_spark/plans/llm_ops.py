@@ -2358,7 +2358,9 @@ ORDER BY doc_id, span_start
 """
 
 
-def trim_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def trim_duplicate_spans_documents(
+    spark: SparkSession, sf_dir: str, *, hash_grams: bool = False
+) -> DataFrame:
     """Cross-document substring dedup ACTION — the removal step to
     duplicate_spans_documents' detection (r11 verdict item 4, the
     Lee et al. 2022 "Deduplicating Training Data" cut): every 8-word
@@ -2371,14 +2373,17 @@ def trim_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFram
     staged_trim_duplicate_spans_documents).
 
     Scale shape: the SAME bounded hash-gram candidate volume as
-    duplicate_spans (one row_number window keyed on the gram — at
-    100 TB key it on xxhash64(gram) exactly as that entry's
-    hash_grams path documents), then covered positions fan out by at
-    most _SPAN_GRAM per cut gram, one distinct+collect_set keyed on
-    doc_id, and one shuffle join back to the corpus on doc_id. The
-    trim itself is a higher-order array filter — no Python anywhere.
-    Owner selection is row_number, not a self-join: each gram's
-    positions meet once."""
+    duplicate_spans (one row_number window keyed on the gram;
+    `hash_grams=True` IS the 100 TB shuffle-width path — the window
+    keys on xxhash64(gram), a fixed 8 bytes instead of an ~8-word
+    ~50-byte string, same collision-odds math as duplicate_spans'
+    docstring; parity with the exact path pytest-pinned at sf0.01),
+    then covered positions fan out by at most _SPAN_GRAM per cut
+    gram, one distinct+collect_set keyed on doc_id, and one shuffle
+    join back to the corpus on doc_id. The trim itself is a
+    higher-order array filter — no Python anywhere. Owner selection
+    is row_number, not a self-join: each gram's positions meet
+    once."""
     docs = catalog.load(spark, sf_dir, "documents")
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = docs.select("doc_id", w.alias("w")).withColumn("n", F.size("w")).filter(
@@ -2398,6 +2403,8 @@ def trim_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ).alias("pg"),
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
     wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
     cut = (
         grams.withColumn("rn", F.row_number().over(wg))

@@ -612,6 +612,16 @@ def test_duplicate_spans_hash_gram_parity(spark):
     hashed = duplicate_spans_documents(spark, SF_ORACLE, hash_grams=True)
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, hashed.collect()))
 
+    # same contract on the trim ACTION: the hashed owner-selection
+    # window must cut the exact same words
+    from dbitool_spark.plans.llm_ops import trim_duplicate_spans_documents
+
+    t_exact = trim_duplicate_spans_documents(spark, SF_ORACLE)
+    t_hashed = trim_duplicate_spans_documents(spark, SF_ORACLE, hash_grams=True)
+    assert sorted(map(tuple, t_exact.collect())) == sorted(
+        map(tuple, t_hashed.collect())
+    )
+
 
 def test_connected_components_star_handles_high_diameter(spark):
     """algorithm='star' (Kiveris large-star/small-star, O(log^2 n)
