@@ -177,6 +177,14 @@ early in tests/test_oracle_parity.py at r12 HEAD):
   non-vacuous via disjoint plant moduli (%3/%5/%7).
 r13 math: 47 due − 2 retired by the ann merge + the 4-5 registrations
 = 49-50 slots; it fits.
+
+Staged further ahead (r14, no slot assigned —
+tests/test_oracle_parity.py rows green at r12 HEAD):
+- llm_ops.bpe_pair_counts_documents — BPE merge-iteration pair
+  statistics (bounded-alphabet exchange);
+- state_ops.ndb_range_pruned_replay — ndb upsert/replay through the
+  r12 files_per_bucket intra-bucket pruned path (the driver row for
+  that write path; read fraction pinned in tests/test_ndb_obs.py).
 """
 
 from __future__ import annotations

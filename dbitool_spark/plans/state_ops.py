@@ -149,6 +149,92 @@ ORDER BY user_id
 """
 
 
+# Narrow key range the second batch touches (contiguous on purpose —
+# intra-bucket file pruning is a key-LOCALITY optimization); the
+# oracle embeds the same constants.
+_NDB_RANGE_LO = 100
+_NDB_RANGE_HI = 130
+
+#: observability for pytest: last_prune_stats of the most recent
+#: ndb_range_pruned_replay call ({} until it runs on a
+#: files_per_bucket>1 state with something to prune).
+_LAST_RANGE_PRUNE_STATS: dict = {}
+
+
+def ndb_range_pruned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ndb upsert/replay through the INTRA-bucket pruned path (r12,
+    NdbTable files_per_bucket=4): batch 1 is the full per-user
+    max-event state; batch 2 synthesizes one marker row per user in
+    the contiguous [_NDB_RANGE_LO, _NDB_RANGE_HI) id range —
+    last-write-wins makes the marker the final row for exactly those
+    users. The narrow range is the point: its keys hash across every
+    bucket, so BUCKET-level pruning cannot help, but within each
+    touched bucket only the range files intersecting [lo, hi) are
+    read — the rest hardlink forward (read-fraction pinned in
+    pytest via _LAST_RANGE_PRUNE_STATS; this driver row proves the
+    pruned path's END RESULT against the oracle). STAGED r12 as an
+    r13/r14 candidate (parity row staged_ndb_range_pruned_replay).
+
+    Repeated calls in one process are deterministic: each call
+    replays upsert(full) then upsert(markers) onto the surviving
+    state, and last-write-wins lands on the same rows."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts_ts")).alias("ts_us"),
+    )
+    path = os.path.join(
+        _scratch_dir("ndb_range_pruned_replay", sf_dir), "events_kv_fpb"
+    )
+    table = NdbTable(
+        spark, path, key="user_id", n_buckets=8, files_per_bucket=4
+    )
+    table.upsert(ev, order_by=["ts_us", "event_id"])
+    markers = (
+        ev.filter(
+            (F.col("user_id") >= _NDB_RANGE_LO)
+            & (F.col("user_id") < _NDB_RANGE_HI)
+        )
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit("touched").alias("event_type"),
+            F.lit(0).cast("long").alias("ts_us"),
+        )
+    )
+    table.upsert(markers, order_by=["ts_us", "event_id"])
+    global _LAST_RANGE_PRUNE_STATS
+    _LAST_RANGE_PRUNE_STATS = dict(table.last_prune_stats)
+    return (
+        table.replay()
+        .select("user_id", "event_id", "event_type", "ts_us")
+        .orderBy("user_id")
+    )
+
+
+NDB_RANGE_PRUNED_REPLAY_SQL = f"""
+SELECT user_id,
+       CASE WHEN user_id >= {_NDB_RANGE_LO} AND user_id < {_NDB_RANGE_HI}
+            THEN CAST(-1 AS BIGINT) ELSE event_id END AS event_id,
+       CASE WHEN user_id >= {_NDB_RANGE_LO} AND user_id < {_NDB_RANGE_HI}
+            THEN 'touched' ELSE event_type END AS event_type,
+       CASE WHEN user_id >= {_NDB_RANGE_LO} AND user_id < {_NDB_RANGE_HI}
+            THEN CAST(0 AS BIGINT) ELSE ts_us END AS ts_us
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts) DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def _drain_streaming_entry(
     spark: SparkSession,
     sf_dir: str,

@@ -655,3 +655,26 @@ def test_ndb_compact_coalesces_file_growth(spark, tmpdir):
     assert rp.filter((F.col("k") == 30_000) & (F.col("v") == 60_000)).count() == 1
     # idempotent: a coalesced state has nothing to rewrite
     assert t.compact() == []
+
+
+def test_ndb_range_pruned_replay_prunes_within_buckets(spark):
+    """The staged driver entry actually exercises the intra-bucket
+    path: the marker batch's contiguous id range hashes across EVERY
+    bucket (bucket pruning can't help), yet under half the touched
+    buckets' bytes are read — the rest hardlink forward — and the
+    result is byte-stable across repeated calls in one process."""
+    from dbitool_spark.plans import state_ops
+
+    df1 = state_ops.ndb_range_pruned_replay(spark, "/root/testdata/sf0.01")
+    r1 = sorted(map(tuple, df1.collect()))
+    stats = dict(state_ops._LAST_RANGE_PRUNE_STATS)
+    assert stats, "pruned path never engaged"
+    assert stats["touched_buckets"] == 8  # range keys hash everywhere
+    assert stats["files_carried"] > 0
+    frac = stats["bytes_read"] / (stats["bytes_read"] + stats["bytes_carried"])
+    assert frac < 0.5, stats
+    touched = [t for t in r1 if 100 <= t[0] < 130]
+    assert touched and all(t[1] == -1 and t[2] == "touched" for t in touched)
+
+    df2 = state_ops.ndb_range_pruned_replay(spark, "/root/testdata/sf0.01")
+    assert sorted(map(tuple, df2.collect())) == r1

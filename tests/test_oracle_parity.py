@@ -173,6 +173,13 @@ _RETIRED_CASES += [
     ("staged_bpe_pair_counts_documents",
      _llm.bpe_pair_counts_documents,
      _llm.BPE_PAIR_COUNTS_SQL),
+    # r13/r14 candidate: ndb upsert/replay through the r12
+    # files_per_bucket intra-bucket pruned path — the driver row that
+    # proves the pruned write's END RESULT (read-fraction pinned in
+    # tests/test_ndb_obs.py)
+    ("staged_ndb_range_pruned_replay",
+     _state.ndb_range_pruned_replay,
+     _state.NDB_RANGE_PRUNED_REPLAY_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
