@@ -1334,6 +1334,14 @@ def curation_text_chain_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     this runs at parquet scan speed and composes with the
     shuffle-bearing dedup/decontamination stages downstream."""
     docs = catalog.load(spark, sf_dir, "documents")
+    return curation_chain_transform(docs).orderBy("doc_id")
+
+
+def curation_chain_transform(docs: DataFrame) -> DataFrame:
+    """The chain's projection on ANY (doc_id, source, text) frame —
+    batch or streaming (stateless, so the streaming analogue needs no
+    watermark; state_ops.streaming_curation_chain_documents drains it
+    against the same oracle)."""
     raw = F.when(
         F.col("doc_id") % _MARKUP_MOD == 0,
         F.concat(F.lit(_MARKUP_PREFIX), F.col("text"), F.lit(_MARKUP_SUFFIX)),
@@ -1395,7 +1403,7 @@ def curation_text_chain_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("n_redactions"),
         F.length(redacted).alias("final_len"),
         redacted.alias("final_text"),
-    ).orderBy("doc_id")
+    )
 
 
 def _curation_text_chain_sql() -> str:

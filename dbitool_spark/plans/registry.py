@@ -184,7 +184,10 @@ tests/test_oracle_parity.py rows green at r12 HEAD):
   statistics (bounded-alphabet exchange);
 - state_ops.ndb_range_pruned_replay — ndb upsert/replay through the
   r12 files_per_bucket intra-bucket pruned path (the driver row for
-  that write path; read fraction pinned in tests/test_ndb_obs.py).
+  that write path; read fraction pinned in tests/test_ndb_obs.py);
+- state_ops.streaming_curation_chain_documents — clean-on-ingest: the
+  curation chain as a stateless streaming projection, drained against
+  the BATCH chain's oracle (micro-batch-boundary invariance).
 """
 
 from __future__ import annotations

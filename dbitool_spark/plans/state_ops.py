@@ -528,6 +528,35 @@ def streaming_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataF
     return sink.select("doc_id", "source").orderBy("doc_id")
 
 
+def streaming_curation_chain_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-on-ingest: the full text-curation chain (strip_markup ->
+    repeated-line removal -> PII redaction,
+    llm_ops.curation_chain_transform) applied to documents replayed
+    as a file stream. The chain is a stateless projection — no
+    watermark, no state store; every row's output is a pure function
+    of the row — so the drained sink is invariant to micro-batch
+    boundaries and hash-matches the BATCH chain's oracle, proving the
+    streaming plan reaches the batch answer. This is how a 100 TB
+    ingest pipeline runs the cleanup: at the stream edge, before
+    anything shuffles. STAGED r12 (parity row
+    staged_streaming_curation_chain_documents)."""
+    from dbitool_spark.plans import llm_ops
+
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    sink = _drain_streaming_entry(
+        spark,
+        sf_dir,
+        prefix="stream_curation_",
+        source_df=docs,
+        schema="doc_id bigint, text string, source string",
+        plan=lambda stream: llm_ops.curation_chain_transform(stream),
+        output_mode="append",
+    )
+    return sink.orderBy("doc_id")
+
+
 def _streaming_decontaminate_sql() -> str:
     """Oracle shares the batch decontaminate CTEs (same gram builder
     constant) — survivors instead of overlap counts."""

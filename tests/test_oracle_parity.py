@@ -180,6 +180,12 @@ _RETIRED_CASES += [
     ("staged_ndb_range_pruned_replay",
      _state.ndb_range_pruned_replay,
      _state.NDB_RANGE_PRUNED_REPLAY_SQL),
+    # r14 candidate: clean-on-ingest — the curation chain as a
+    # stateless streaming projection, drained against the BATCH
+    # chain's oracle (micro-batch-boundary invariance)
+    ("staged_streaming_curation_chain_documents",
+     _state.streaming_curation_chain_documents,
+     _llm.CURATION_TEXT_CHAIN_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
