@@ -1303,6 +1303,113 @@ ORDER BY doc_id
 """
 
 
+# --- link-graph PageRank (corpus quality signal) ----------------------
+
+_PR_LINKS = 4       # out-degree of every node (constant => no dangling)
+_PR_ITERS = 5       # fixed iteration count, unrolled in the oracle
+_PR_UNIT = 1_000_000  # integer rank unit (exact cross-engine arithmetic)
+_PR_TOPK = 20
+
+
+def pagerank_links_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank over the corpus — the web-scale quality
+    signal (Page et al. 1999; Common-Crawl-style curation ranks
+    hosts/pages by link structure before content filters run). The
+    synthetic corpus has no hyperlinks, so the edge list is a
+    deterministic arithmetic graph both engines construct identically
+    (each doc links to (doc_id^2 + k) % n_docs for k in 1.._PR_LINKS —
+    constant out-degree so no dangling mass, but the QUADRATIC map is
+    non-bijective, so in-degrees vary and the ranks are genuinely
+    non-uniform; an affine map would make the graph in-regular and
+    the test vacuously uniform). STAGED r12 as an r14
+    candidate (parity row staged_pagerank_links_documents).
+
+    Cross-engine exactness WITHOUT the decimal machinery: ranks are
+    INTEGERS (unit 10^6) and the update is
+        r'(v) = 150_000 + floor(85 * sum_in floor(r(u)/4) / 100)
+    i.e. damping 0.85 in integer arithmetic — floor loses mass
+    deterministically, every intermediate stays far below 2^52, and
+    both engines compute bit-identical BIGINTs (no float summation
+    order anywhere). The oracle unrolls the _PR_ITERS iterations as
+    chained CTEs.
+
+    Scale shape: the edge table builds once and persists; each
+    iteration is ONE shuffle (contributions aggregated on dst) plus a
+    broadcast-sized left join back to the node set, and the rank
+    frame is localCheckpoint-ed per iteration so lineage stays O(1)
+    — the standard iterative-algorithm discipline on Spark (same as
+    kmeans_distributed). At 100 TB the shuffle is |edges| rows of two
+    longs per iteration; convergence iterations are a constant."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one bounded driver scalar (graph modulus)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_PR_LINKS)),
+                lambda k: (F.col("doc_id") * F.col("doc_id") + k)
+                % F.lit(n_docs),
+            )
+        ).alias("dst"),
+    ).persist()
+    nodes = docs.select("doc_id")
+    ranks = nodes.select(
+        "doc_id", F.lit(_PR_UNIT).cast("long").alias("rank")
+    )
+    base = int(_PR_UNIT * 15 // 100)
+    for _ in range(_PR_ITERS):
+        inflow = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .select("dst", F.floor(F.col("rank") / _PR_LINKS).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes.doc_id == inflow.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.floor(F.coalesce(F.col("inflow"), F.lit(0)) * 85 / 100)
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    result = ranks.orderBy(F.desc("rank"), F.asc("doc_id")).limit(_PR_TOPK)
+    from dbitool_spark.ops.cache import materialize_release
+
+    return materialize_release(result, edges)
+
+
+def _pagerank_sql() -> str:
+    base = _PR_UNIT * 15 // 100
+    ctes = [
+        f"n AS (SELECT COUNT(*) AS c FROM documents)",
+        (
+            "e AS (SELECT doc_id AS src, (doc_id * doc_id + k) % (SELECT c FROM n) AS dst "
+            f"FROM documents, LATERAL unnest(generate_series(1, {_PR_LINKS})) AS t(k))"
+        ),
+        f"r0 AS (SELECT doc_id, CAST({_PR_UNIT} AS BIGINT) AS rank FROM documents)",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"r{i + 1} AS (SELECT d.doc_id, CAST({base} + "
+            f"COALESCE(85 * (SELECT SUM(r.rank // {_PR_LINKS}) FROM e "
+            f"JOIN r{i} r ON r.doc_id = e.src WHERE e.dst = d.doc_id) // 100, 0) "
+            "AS BIGINT) AS rank FROM documents d)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id, rank FROM r{_PR_ITERS}
+ORDER BY rank DESC, doc_id
+LIMIT {_PR_TOPK}
+"""
+    )
+
+
+PAGERANK_LINKS_SQL = _pagerank_sql()
+
+
 # --- end-to-end text-curation chain -----------------------------------
 
 # Line-repeat plant modulus for the CHAIN (distinct from

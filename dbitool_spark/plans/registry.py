@@ -187,7 +187,11 @@ tests/test_oracle_parity.py rows green at r12 HEAD):
   that write path; read fraction pinned in tests/test_ndb_obs.py);
 - state_ops.streaming_curation_chain_documents — clean-on-ingest: the
   curation chain as a stateless streaming projection, drained against
-  the BATCH chain's oracle (micro-batch-boundary invariance).
+  the BATCH chain's oracle (micro-batch-boundary invariance);
+- llm_ops.pagerank_links_documents — link-graph PageRank quality
+  signal: integer-arithmetic ranks (bit-identical cross-engine, no
+  float summation), per-iteration checkpoint discipline, oracle
+  unrolls the iterations as chained CTEs.
 """
 
 from __future__ import annotations

@@ -1279,6 +1279,24 @@ def test_strip_markup_semantics_and_plan(spark):
     assert all(e == "rangepartitioning" for e in exchanges), plan
 
 
+def test_pagerank_links_properties(spark):
+    """Integer PageRank invariants: top-K is sorted and genuinely
+    NON-uniform (the quadratic edge map varies in-degrees — an affine
+    map would be in-regular and the whole test vacuous), every rank
+    is at least the teleport base, and the top node beats the uniform
+    stationary value."""
+    from dbitool_spark.plans import llm_ops
+
+    rows = llm_ops.pagerank_links_documents(spark, SF_ORACLE).collect()
+    assert len(rows) == llm_ops._PR_TOPK
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert len(set(ranks)) > 1, "degenerate: uniform ranks"
+    base = llm_ops._PR_UNIT * 15 // 100
+    assert all(r >= base for r in ranks)
+    assert ranks[0] > llm_ops._PR_UNIT  # top node beats uniform mass
+
+
 def test_bpe_pair_counts_shape_and_plan(spark):
     """BPE pair statistics: counts are exact (closed-form check on a
     constructed word multiset via the real corpus invariant — every

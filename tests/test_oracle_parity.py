@@ -186,6 +186,11 @@ _RETIRED_CASES += [
     ("staged_streaming_curation_chain_documents",
      _state.streaming_curation_chain_documents,
      _llm.CURATION_TEXT_CHAIN_SQL),
+    # r14 candidate: link-graph PageRank (integer-arithmetic ranks,
+    # oracle unrolls the iterations as chained CTEs)
+    ("staged_pagerank_links_documents",
+     _llm.pagerank_links_documents,
+     _llm.PAGERANK_LINKS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
