@@ -1500,3 +1500,111 @@ def test_curation_text_chain_stages_and_plan(spark):
         assert marker not in plan, f"chain plan has {marker}"
     exchanges = _re.findall(r"Exchange (\w+)", plan)
     assert all(e == "rangepartitioning" for e in exchanges), plan
+
+
+def test_text_actions_match_python_reference(spark, tmp_path):
+    """Differential check: the three r12 text ACTIONS against pure
+    pytest-side Python references on a seeded random corpus (200 docs,
+    adversarial word distribution with heavy repeats so line-dedup and
+    span-trim both fire naturally). Catches any divergence between
+    the Spark/DuckDB expression semantics and the intended algorithm
+    that a hash-parity test (engine vs engine) cannot see."""
+    import random as _random
+    import re as _re
+
+    from dbitool_spark.plans import llm_ops
+
+    rng = _random.Random(0xC0FFEE)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab => heavy repeats
+    rows = []
+    for doc_id in range(200):
+        n = rng.randint(8, 60)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if doc_id % 4 == 0:  # planted cross-doc span
+            words[0:8] = ["s1", "s2", "s3", "s4", "s5", "s6", "s7", "s8"]
+        text = " ".join(words)
+        if doc_id % 7 == 0:
+            text += f" reach me at user{doc_id}@test.org or +1-555-0100"
+        rows.append((doc_id, text, "x", "s", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # --- strip_repetition vs reference -------------------------------
+    K, MOD = llm_ops._REP_LINE_WORDS, llm_ops._REP_MOD
+
+    def ref_strip_rep(doc_id, text):
+        w = _re.split(r"\s+", text.strip().lower())
+        lines = [" ".join(w[i * K:(i + 1) * K]) for i in range((len(w) + K - 1) // K)]
+        if doc_id % MOD == 0:
+            lines = lines + lines[:2]
+        seen, ded = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                ded.append(ln)
+        return len(lines), len(ded), "\n".join(ded)
+
+    got = {r.doc_id: r for r in llm_ops.strip_repetition_documents(spark, d).collect()}
+    assert len(got) == 200
+    for doc_id, text, *_ in rows:
+        nb, na, clean = ref_strip_rep(doc_id, text)
+        g = got[doc_id]
+        assert (g.n_lines_before, g.n_lines_after, g.clean_text) == (nb, na, clean), doc_id
+
+    # --- trim_duplicate_spans vs reference ----------------------------
+    G = 8  # _SPAN_GRAM
+
+    def ref_trim():
+        grams: dict[str, list[tuple[int, int]]] = {}
+        words_by_doc = {}
+        for doc_id, text, *_ in rows:
+            w = _re.split(r"\s+", text.strip().lower())
+            words_by_doc[doc_id] = w
+            for pos in range(1, len(w) - G + 2):
+                gram = " ".join(w[pos - 1:pos - 1 + G])
+                grams.setdefault(gram, []).append((doc_id, pos))
+        cov: dict[int, set] = {}
+        for occs in grams.values():
+            for doc_id, pos in sorted(occs)[1:]:
+                cov.setdefault(doc_id, set()).update(range(pos, pos + G))
+        out = {}
+        for doc_id, w in words_by_doc.items():
+            keep = [x for i, x in enumerate(w, 1) if i not in cov.get(doc_id, ())]
+            out[doc_id] = (len(w), len(keep), " ".join(keep))
+        return out
+
+    ref = ref_trim()
+    got_t = {
+        r.doc_id: r
+        for r in llm_ops.trim_duplicate_spans_documents(spark, d).collect()
+    }
+    assert len(got_t) == 200
+    assert any(got_t[i].n_words_cut > 0 for i in got_t), "trim never fired"
+    for doc_id, (nb, na, trimmed) in ref.items():
+        g = got_t[doc_id]
+        assert (g.n_words_before, g.n_words_after, g.trimmed_text) == (
+            nb, na, trimmed,
+        ), doc_id
+
+    # --- redact vs reference ------------------------------------------
+    email = _re.compile(llm_ops._EMAIL_REDACT_RE)
+    phone = _re.compile(llm_ops._PHONE_REDACT_RE)
+    got_r = {r.doc_id: r for r in llm_ops.redact_pii_documents(spark, d).collect()}
+    for doc_id, text, *_ in rows:
+        planted = text
+        if doc_id % llm_ops._PII_MOD == 0:
+            planted += f" contact: user{doc_id}@example.com or +1-555-0100"
+        ne, np_ = len(email.findall(planted)), len(phone.findall(planted))
+        if ne == 0 and np_ == 0:
+            assert doc_id not in got_r
+            continue
+        want = phone.sub(
+            llm_ops._PHONE_MASK, email.sub(llm_ops._EMAIL_MASK, planted)
+        )
+        g = got_r[doc_id]
+        assert (g.n_emails_redacted, g.n_phones_redacted, g.redacted_text) == (
+            ne, np_, want,
+        ), doc_id
