@@ -1608,3 +1608,34 @@ def test_text_actions_match_python_reference(spark, tmp_path):
         assert (g.n_emails_redacted, g.n_phones_redacted, g.redacted_text) == (
             ne, np_, want,
         ), doc_id
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Third-implementation check: the integer PageRank's full rank
+    table (not just top-K) against a pure-Python reference at
+    sf0.001 — the oracle already cross-checks DuckDB, but all three
+    agreeing pins the integer-arithmetic semantics (floor placement,
+    damping order) rather than any one engine's reading of it."""
+    from dbitool_spark import catalog
+    from dbitool_spark.plans import llm_ops
+
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    L, U, I = llm_ops._PR_LINKS, llm_ops._PR_UNIT, llm_ops._PR_ITERS
+    base = U * 15 // 100
+
+    in_edges: dict[int, list[int]] = {v: [] for v in ids}
+    for src in ids:
+        for k in range(1, L + 1):
+            in_edges[(src * src + k) % n].append(src)
+    rank = {v: U for v in ids}
+    for _ in range(I):
+        rank = {
+            v: base + (85 * sum(rank[u] // L for u in in_edges[v])) // 100
+            for v in ids
+        }
+    want = sorted(ids, key=lambda v: (-rank[v], v))[: llm_ops._PR_TOPK]
+
+    got = llm_ops.pagerank_links_documents(spark, SF_SMOKE).collect()
+    assert [(r.doc_id, r.rank) for r in got] == [(v, rank[v]) for v in want]
