@@ -542,3 +542,56 @@ FROM events e LEFT JOIN LATERAL (
 ) o ON true
 ORDER BY variant, event_id
 """
+
+
+def skew_composite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-tagged composite of the two skew-shape entries — the
+    r14 merge candidate per the registry ledger's retirement/merge
+    policy: one driver row drives BOTH ops/scale skew answers through
+    their full original codepaths — salted AGGREGATION
+    (skewed_user_rollup_events: partial agg on (key, salt-of-16),
+    final recombine) and salted JOIN (skewed_segment_join_events:
+    per-row fact salt × 16-way dimension replicate). Rows normalize to
+    one schema: the agg variant keys on user_id (as string, NULL
+    key2) and carries min/max; the join variant keys on
+    (c_mktsegment, event_type) with NULL min/max. The union hash
+    proves both decompositions lossless at once; the oracle is the
+    plain unsalted GROUP BY / join.
+
+    Scale notes are the constituents': a hot key fans over 16 tasks in
+    both shapes — the fix for the skew cases AQE does not cover
+    (aggregation; a dimension too big to broadcast). Retirees keep
+    standalone parity rows per the retirement contract."""
+    agg = skewed_user_rollup_events(spark, sf_dir).select(
+        F.lit("salted_agg").alias("variant"),
+        F.col("user_id").cast("string").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+    join = skewed_segment_join_events(spark, sf_dir).select(
+        F.lit("salted_join").alias("variant"),
+        F.col("c_mktsegment").alias("key1"),
+        F.col("event_type").alias("key2"),
+        "n_events",
+        "sum_value",
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+    )
+    return agg.unionAll(join).orderBy("variant", "key1", "key2")
+
+
+SKEW_COMPOSITE_SQL = f"""
+SELECT 'salted_agg' AS variant, CAST(user_id AS VARCHAR) AS key1,
+       CAST(NULL AS VARCHAR) AS key2, t.n_events, t.sum_value,
+       t.min_value, t.max_value
+FROM ({SKEWED_USER_ROLLUP_SQL.replace("ORDER BY user_id", "")}) t
+UNION ALL
+SELECT 'salted_join' AS variant, t.c_mktsegment AS key1,
+       t.event_type AS key2, t.n_events, t.sum_value,
+       CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value
+FROM ({SKEWED_SEGMENT_JOIN_SQL.replace("ORDER BY 1, 2", "")}) t
+ORDER BY variant, key1, key2
+"""

@@ -776,3 +776,54 @@ SELECT 'chart' AS kind, event_type AS key, COUNT(*) AS n,
        CAST(NULL AS BIGINT) AS total
 FROM events GROUP BY event_type
 """
+
+
+def format_chain_docs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-tagged composite of the two remaining standalone format
+    chains — the r14 merge candidate per the registry capacity policy
+    (the email_chart_roundtrip shape): one driver row drives the
+    documents chain (quoted CSV → NDJSON → ZIP → zipread → raw parse;
+    hostile free text) AND the orders chain (NDJSON → gzip '|' CSV;
+    timestamps + typed doubles), each through its full original
+    codepath. Rows normalize to one schema with NO lossy serialization:
+    every recovered column rides as its own field (text/lang/source/
+    n_chars for documents, status/date/priority/custkey + the DOUBLE
+    o_totalprice for orders), so the union hash still proves
+    byte-exact round-trip fidelity of all five sink/source pairs —
+    separator-free by construction (free text never concatenates with
+    other fields). Retirees keep standalone parity rows per the
+    retirement contract."""
+    docs = format_chain_documents(spark, sf_dir).select(
+        F.lit("documents").alias("kind"),
+        F.col("doc_id").alias("key"),
+        F.col("text").alias("s1"),
+        F.col("lang").alias("s2"),
+        F.col("source").alias("s3"),
+        F.col("n_chars").cast("string").alias("s4"),
+        F.lit(None).cast("double").alias("num"),
+    )
+    orders = format_chain_orders(spark, sf_dir).select(
+        F.lit("orders").alias("kind"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("s1"),
+        F.col("orderdate").alias("s2"),
+        F.col("o_orderpriority").alias("s3"),
+        F.col("o_custkey").cast("string").alias("s4"),
+        F.col("o_totalprice").alias("num"),
+    )
+    return docs.unionByName(orders).orderBy("kind", "key")
+
+
+FORMAT_CHAIN_DOCS_ORDERS_SQL = """
+SELECT 'documents' AS kind, doc_id AS key, text AS s1, lang AS s2,
+       source AS s3, CAST(n_chars AS VARCHAR) AS s4,
+       CAST(NULL AS DOUBLE) AS num
+FROM documents
+UNION ALL
+SELECT 'orders' AS kind, o_orderkey AS key, o_orderstatus AS s1,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s2,
+       o_orderpriority AS s3, CAST(o_custkey AS VARCHAR) AS s4,
+       o_totalprice AS num
+FROM orders
+ORDER BY kind, key
+"""

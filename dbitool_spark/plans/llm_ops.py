@@ -2896,3 +2896,158 @@ JOIN ({QUALITY_SCORES_DOCUMENTS_SQL}) q USING (doc_id)
 JOIN ({_langid_sql(per_doc=True)}) l USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-composite of the two per-doc repetition metric tables —
+    the r14 merge candidate per the registry capacity policy (the
+    text_profile_documents shape): token_repetition_metrics_documents
+    (itself the r8 merge of BPE-ish token counts + 2-gram repetition)
+    joined on doc_id with repetition_stats_documents (Gopher word-level
+    dup/top fractions). Both sides emit exactly one row per document,
+    so the inner join is lossless and one driver row drives all four
+    constituent codepaths. The join adds one doc_id shuffle over
+    |docs| metric rows — never the corpus text. Retirees keep
+    standalone parity rows per the retirement contract."""
+    toks = token_repetition_metrics_documents(spark, sf_dir)
+    reps = repetition_stats_documents(spark, sf_dir)
+    return toks.join(reps, "doc_id").orderBy("doc_id")
+
+
+REPETITION_PROFILE_SQL = f"""
+SELECT a.*, b.total_words, b.dup_word_frac, b.top_word_frac, b.low_quality
+FROM ({TOKEN_REPETITION_METRICS_SQL.replace("ORDER BY toks.doc_id", "")}) a
+JOIN ({REPETITION_STATS_SQL.replace("ORDER BY doc_id", "")}) b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def source_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-tagged composite of the two per-source corpus audit
+    entries — the r14 merge candidate per the registry capacity
+    policy (the email_chart_roundtrip shape): domain_stats_documents
+    (per-domain link audit) unioned with top_terms_per_source
+    (distinctive terms, df-cut tf ranking), each through its full
+    original codepath; one driver row, one union hash. Normalized
+    rows: domain rows key on (domain, NULL) carrying (n_links,
+    n_docs, NULL); term rows key on (source, term) carrying (tf, df,
+    rank). Retirees keep standalone parity rows per the retirement
+    contract."""
+    dom = domain_stats_documents(spark, sf_dir).select(
+        F.lit("domain").alias("kind"),
+        F.col("domain").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        F.col("n_links").alias("n1"),
+        F.col("n_docs").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+    )
+    terms = top_terms_per_source(spark, sf_dir).select(
+        F.lit("term").alias("kind"),
+        F.col("source").alias("key1"),
+        F.col("term").alias("key2"),
+        F.col("tf").alias("n1"),
+        F.col("df").alias("n2"),
+        F.col("rank").cast("long").alias("n3"),
+    )
+    return dom.unionByName(terms).orderBy("kind", "key1", "key2")
+
+
+SOURCE_PROFILE_SQL = f"""
+SELECT 'domain' AS kind, t.domain AS key1, CAST(NULL AS VARCHAR) AS key2,
+       t.n_links AS n1, t.n_docs AS n2, CAST(NULL AS BIGINT) AS n3
+FROM ({DOMAIN_STATS_SQL.replace("ORDER BY domain", "")}) t
+UNION ALL
+SELECT 'term' AS kind, t.source AS key1, t.term AS key2,
+       t.tf AS n1, t.df AS n2, CAST(t.rank AS BIGINT) AS n3
+FROM ({TOP_TERMS_PER_SOURCE_SQL.replace("ORDER BY source, rank", "")}) t
+ORDER BY kind, key1, key2
+"""
+
+
+# --- model-based quality classifier (inference shape) ------------------
+
+# Deterministic linear model: the top-_CLF_VOCAB corpus words by
+# (count desc, word asc) get integer weights in [-1000, 1000] derived
+# from their rank by a fixed multiplicative-hash formula — a stand-in
+# for trained fastText/logreg weights (no trained artifact ships in
+# this container; the SPARK SHAPE is the deliverable). One knob, both
+# engines: the oracle derives the same vocab + weights from the same
+# formula.
+_CLF_VOCAB = 256
+_CLF_MIX = 2654435761  # Knuth multiplicative constant
+
+
+def classifier_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the inference half (CCNet /
+    LLaMA-style: a linear classifier over bag-of-words scores each doc
+    and the pipeline keeps the high-scoring side): tokens explode
+    once, LEFT-join the (tiny) vocab-weight table, per-doc integer
+    weight sum -> exact rational logit -> boolean label.
+
+    Scale shape: the vocab is built with a distributed top-k
+    (orderBy+limit -> TakeOrderedAndProject, never a global window
+    over the corpus vocabulary); rank assignment windows over the
+    256-row result only (bounded single partition BY CONSTRUCTION).
+    The token->vocab join is a 256-row build side — AQE converts it
+    to a broadcast hash join from runtime size stats, no forced hint.
+    Per-doc aggregation is one map-side-combined shuffle on doc_id.
+    All arithmetic is integer until the final round(x/(1000*n), 6),
+    so both engines produce bit-identical doubles."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    cnt = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.orderBy(F.desc("c"), F.asc("w")).limit(_CLF_VOCAB)
+    rank_w = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = top.withColumn("rank", F.row_number().over(rank_w)).select(
+        "w",
+        (
+            (F.col("rank").cast("long") * F.lit(_CLF_MIX)) % F.lit(2001) - F.lit(1000)
+        ).alias("wt"),
+    )
+    scored = (
+        words.join(vocab, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("wt").alias("matched"),
+            F.coalesce(F.sum("wt"), F.lit(0)).alias("s"),
+        )
+    )
+    logit = F.round(F.col("s") / (F.lit(1000.0) * F.col("n_tokens")), 6)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "matched",
+        logit.alias("logit"),
+        (logit > 0).alias("label"),
+    ).orderBy("doc_id")
+
+
+CLASSIFIER_SCORE_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+vocab AS (
+  SELECT w, ((rank * {_CLF_MIX}) % 2001) - 1000 AS wt
+  FROM (
+    SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank
+    FROM cnt
+  ) WHERE rank <= {_CLF_VOCAB}
+),
+scored AS (
+  SELECT w.doc_id, COUNT(*) AS n_tokens, COUNT(v.wt) AS matched,
+         COALESCE(SUM(v.wt), 0) AS s
+  FROM w LEFT JOIN vocab v ON w.w = v.w
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_tokens, matched,
+       round(s / (1000.0 * n_tokens), 6) AS logit,
+       (round(s / (1000.0 * n_tokens), 6) > 0) AS label
+FROM scored
+ORDER BY doc_id
+"""

@@ -178,13 +178,41 @@ early in tests/test_oracle_parity.py at r12 HEAD):
 r13 math: 47 due − 2 retired by the ann merge + the 4-5 registrations
 = 49-50 slots; it fits.
 
-Staged further ahead (r14, no slot assigned —
-tests/test_oracle_parity.py rows green at r12 HEAD):
+r13 amendment (closes the r13 math exactly while freeing an r14
+slot): state_ops.ndb_range_pruned_replay registers in r13 as
+ndb_upsert_replay's SUPERSEDER (same upsert/replay contract driven
+through the files_per_bucket intra-bucket pruned write path —
+strictly more codepath; ndb_upsert_replay is due r13, so due drops
+47 → 46). Final r13 math: 47 due − 2 (ann merge) − 1 (ndb supersede)
++ 6 registrations = 50, exactly full. Registry after r13: 100.
+
+r14 PLAN (due = the full 50-entry r12 head, so EVERY r14
+registration needs a merge/retirement; all six merge composites are
+staged with green parity rows at r12 HEAD —
+tests/test_oracle_parity.py staged_ entries):
+- state_ops.sessions_composite_events — merges user_sessions +
+  user_sessions_window + streaming_user_sessions_events (three
+  realizations of the >30-min-gap semantics, one union hash; frees 1
+  head slot + 2 tail rows);
+- format_io.format_chain_docs_orders — merges format_chain_documents
+  + format_chain_orders (kind-tagged, lossless column-per-field
+  normalization; frees 1 head slot);
+- events_ops.skew_composite_events — merges skewed_user_rollup_events
+  + skewed_segment_join_events (both ops/scale skew answers; frees 1
+  head slot + 1 tail row);
+- llm_ops.repetition_profile_documents — merges
+  token_repetition_metrics_documents + repetition_stats_documents
+  (per-doc column-composite; frees 1 head slot + 1 tail row);
+- llm_ops.source_profile_documents — merges domain_stats_documents +
+  top_terms_per_source (kind-tagged per-source audit; frees 2 head
+  slots);
+- minhash_near_dup_documents RETIRES superseded by
+  dedup_representatives_documents (same dedup.minhash_near_dup_pairs
+  call, threshold 0.7, plus CC + selection — the near_dup_clusters
+  precedent; frees 1 head slot).
+Plus the three staged net-new registrations:
 - llm_ops.bpe_pair_counts_documents — BPE merge-iteration pair
   statistics (bounded-alphabet exchange);
-- state_ops.ndb_range_pruned_replay — ndb upsert/replay through the
-  r12 files_per_bucket intra-bucket pruned path (the driver row for
-  that write path; read fraction pinned in tests/test_ndb_obs.py);
 - state_ops.streaming_curation_chain_documents — clean-on-ingest: the
   curation chain as a stateless streaming projection, drained against
   the BATCH chain's oracle (micro-batch-boundary invariance);
@@ -192,6 +220,27 @@ tests/test_oracle_parity.py rows green at r12 HEAD):
   signal: integer-arithmetic ranks (bit-identical cross-engine, no
   float summation), per-iteration checkpoint discipline, oracle
   unrolls the iterations as chained CTEs.
+r14 math: 50 due − 8 head-slot retirees + 5 composites + 3 net-new =
+50, exactly full. Registry after r14: 100 − 12 retirees + 8 = 96;
+r15 due = r13's head-50 − the 4 tail retirees driven r13 = 46, so
+r15 opens with 4 slots of slack for net-new operators.
+
+Staged for that r15 slack (green parity rows at r12 HEAD —
+tests/test_oracle_parity.py staged_ entries):
+- llm_ops.classifier_score_documents — model-based quality filtering,
+  the inference half (CCNet/LLaMA shape): deterministic rank->weight
+  vocab via distributed top-k, tiny-build-side lookup join, exact
+  rational logit + label; pure-Python differential test on top of
+  the DuckDB hash parity;
+- state_ops.ndb_time_travel_replay — ndb snapshot reads
+  (keep_versions retention + replay(as_of=gen)); every retained
+  snapshot hash-matches the last-write-wins resolution over its
+  batch prefix — the transaction-log read of the Delta/Iceberg swap;
+- state_ops.streaming_rollup_ndb_events — continuous aggregate
+  maintained in ndb by per-micro-batch read-modify-write merge (the
+  incremental-materialized-view / hypertable-rollup shape); the
+  final table hash-matches the batch GROUP BY regardless of
+  micro-batch boundaries.
 """
 
 from __future__ import annotations

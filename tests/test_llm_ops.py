@@ -1639,3 +1639,60 @@ def test_pagerank_matches_python_reference(spark):
 
     got = llm_ops.pagerank_links_documents(spark, SF_SMOKE).collect()
     assert [(r.doc_id, r.rank) for r in got] == [(v, rank[v]) for v in want]
+
+
+def test_classifier_score_matches_python_reference(spark):
+    """Third-implementation check for the linear-classifier inference:
+    vocab ranking (count desc, word asc), the rank->weight mixing
+    formula, OOV-as-zero, and the exact rational logit all recomputed
+    in pure Python at sf0.001 — the oracle already cross-checks
+    DuckDB; all three agreeing pins the model semantics rather than
+    any one engine's reading of them."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dbitool_spark import catalog
+    from dbitool_spark.plans import llm_ops
+
+    sf = "/root/testdata/sf0.001"
+    docs = catalog.load(spark, sf, "documents").select("doc_id", "text").collect()
+    tokens = {r.doc_id: r.text.strip().lower().split() for r in docs}
+    cnt = Counter(w for ws in tokens.values() for w in ws)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: llm_ops._CLF_VOCAB]
+    wt = {
+        w: ((rank + 1) * llm_ops._CLF_MIX) % 2001 - 1000
+        for rank, (w, _) in enumerate(ranked)
+    }
+    got = {r.doc_id: r for r in llm_ops.classifier_score_documents(spark, sf).collect()}
+    assert set(got) == set(tokens)
+    for doc_id, ws in tokens.items():
+        n = len(ws)
+        s = sum(wt.get(w, 0) for w in ws)
+        # exact rational -> HALF_UP at 6 places (Spark/DuckDB round
+        # away from zero on ties; Python's round() is banker's)
+        logit = float(
+            (Decimal(s) / (Decimal(1000) * n)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        r = got[doc_id]
+        assert r.n_tokens == n, doc_id
+        assert r.matched == sum(1 for w in ws if w in wt), doc_id
+        assert abs(r.logit - logit) < 1e-12, (doc_id, r.logit, logit)
+        assert r.label == (logit > 0), doc_id
+
+
+def test_classifier_score_plan_is_jvm_side_topk(spark):
+    """Plan pin: no Python stage anywhere, and the vocab selection is
+    a distributed TakeOrderedAndProject (top-k), never a global sort
+    or a corpus-wide unpartitioned window."""
+    from dbitool_spark.plans import llm_ops
+
+    df = llm_ops.classifier_score_documents(spark, SF_ORACLE)
+    plan = _plan_text(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"classifier plan has {marker}"
+    assert "TakeOrderedAndProject" in plan
+    # labels must be non-degenerate at the test SF (both classes occur)
+    labels = {r.label for r in df.collect()}
+    assert labels == {True, False}, labels

@@ -192,6 +192,65 @@ _RETIRED_CASES += [
      _llm.pagerank_links_documents,
      _llm.PAGERANK_LINKS_SQL),
 ]
+
+# STAGED r14 MERGE COMPOSITES (the window-math enablers — r14's due
+# list is the full 50-entry r12 head, so every r14 registration needs
+# a merge/retirement; see the registry ledger's r14 plan). Each
+# composite drives every constituent codepath; constituents keep
+# their standalone rows (registered now, retired_ later).
+_RETIRED_CASES += [
+    # merges user_sessions + user_sessions_window +
+    # streaming_user_sessions_events (three realizations, one hash)
+    ("staged_sessions_composite_events",
+     _state.sessions_composite_events,
+     _state.SESSIONS_COMPOSITE_SQL),
+    # merges format_chain_documents + format_chain_orders (all five
+    # sink/source pairs, kind-tagged, lossless normalization)
+    ("staged_format_chain_docs_orders",
+     _fmt.format_chain_docs_orders,
+     _fmt.FORMAT_CHAIN_DOCS_ORDERS_SQL),
+    # merges skewed_user_rollup_events + skewed_segment_join_events
+    # (both ops/scale skew answers, variant-tagged)
+    ("staged_skew_composite_events",
+     _ev.skew_composite_events,
+     _ev.SKEW_COMPOSITE_SQL),
+    # merges token_repetition_metrics_documents +
+    # repetition_stats_documents (per-doc column-composite)
+    ("staged_repetition_profile_documents",
+     _llm.repetition_profile_documents,
+     _llm.REPETITION_PROFILE_SQL),
+    # merges domain_stats_documents + top_terms_per_source
+    # (kind-tagged per-source corpus audit)
+    ("staged_source_profile_documents",
+     _llm.source_profile_documents,
+     _llm.SOURCE_PROFILE_SQL),
+]
+
+# STAGED r15 NET-NEW candidates (the r14 plan leaves r15 with 4 slots
+# of slack — registry ledger): model-based quality filtering, ndb
+# time travel, and the continuous-aggregate rollup.
+_RETIRED_CASES += [
+    # linear-classifier inference (CCNet/LLaMA-style model-based
+    # quality filter): deterministic rank->weight vocab, broadcast
+    # lookup, exact rational logit; differential-tested against a
+    # pure-Python reference in test_llm_ops
+    ("staged_classifier_score_documents",
+     _llm.classifier_score_documents,
+     _llm.CLASSIFIER_SCORE_SQL),
+    # ndb TIME TRAVEL: keep_versions retention + replay(as_of=gen);
+    # each retained snapshot hash-matches the last-write-wins
+    # resolution over its batch prefix
+    ("staged_ndb_time_travel_replay",
+     _state.ndb_time_travel_replay,
+     _state.NDB_TIME_TRAVEL_SQL),
+    # continuous aggregate maintained in ndb via foreachBatch
+    # read-modify-write merge (the incremental-materialized-view /
+    # hypertable-rollup shape); final state hash-matches the batch
+    # GROUP BY regardless of micro-batch boundaries
+    ("staged_streaming_rollup_ndb_events",
+     _state.streaming_rollup_ndb_events,
+     _state.STREAMING_ROLLUP_NDB_SQL),
+]
 _CASES = _CASES + _RETIRED_CASES
 
 
