@@ -219,6 +219,24 @@ def _scaling_ops():
 
         return streaming_hourly_composite(spark, d)
 
+    def classifier_score(spark, d):
+        # r12 staged (r15 candidate): tokenize + 256-row vocab top-k +
+        # lookup join + per-doc agg — growth must track the token
+        # stream; the vocab build is a distributed top-k, never a
+        # corpus-wide window
+        from dbitool_spark.plans.llm_ops import classifier_score_documents
+
+        return classifier_score_documents(spark, d)
+
+    def streaming_rollup_ndb(spark, d):
+        # r12 staged (r15 candidate): per-batch partials + keyed merge
+        # into dimension-sized rollup state — growth must track the
+        # event stream, with per-batch merge cost bounded by distinct
+        # (hour, type) keys, never the accumulated history
+        from dbitool_spark.plans.state_ops import streaming_rollup_ndb_events
+
+        return streaming_rollup_ndb_events(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -235,6 +253,8 @@ def _scaling_ops():
         "dedup_representatives": dedup_representatives,
         "trim_duplicate_spans": trim_spans,
         "streaming_hourly_composite": streaming_hourly,
+        "classifier_score": classifier_score,
+        "streaming_rollup_ndb": streaming_rollup_ndb,
     }
 
 

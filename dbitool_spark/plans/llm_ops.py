@@ -3051,3 +3051,54 @@ SELECT doc_id, n_tokens, matched,
 FROM scored
 ORDER BY doc_id
 """
+
+
+def quantized_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over int8-QUANTIZED embeddings (ops/similarity
+    quantize_int8 + quantized_topk, l2 scale): exact integer-dot
+    top-5 for the first 10 vectors, approximating 127²·cosine
+    (recall@5 ~0.98 vs the float baseline, pinned in pytest). The
+    output is ALL integers — quantization is deterministic by IEEE
+    arithmetic (the squared norm accumulates left-to-right in element
+    order in Spark, DuckDB and CPython alike, bit-for-bit pinned in
+    pytest; sqrt/multiply/divide are exactly-rounded ops; both
+    engines round halves away from zero), so the driver hash is
+    bit-exact with no rounding escape hatch. This is the memory-bound
+    scale answer for embedding stores: int8 cuts ANN residency 4x,
+    and the integer score is exactly reproducible across engines,
+    partitionings, and replays — unlike float accumulation, whose
+    answer depends on summation order."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_ANN_QUERIES)
+    return similarity.quantized_topk(emb, queries, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+QUANTIZED_ANN_TOPK_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mq AS (SELECT vec_id, v,
+              sqrt(list_sum(list_transform(v, x -> x * x))) AS m
+       FROM base),
+qv AS (
+  SELECT vec_id,
+         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round(x * 127 / m) AS BIGINT))
+         END AS q
+  FROM mq
+),
+queries AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id < {_N_ANN_QUERIES}),
+scored AS (
+  SELECT queries.qid AS query_id, e.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+                                      i -> e.q[i] * queries.qq[i])) AS BIGINT) AS dot
+  FROM qv e CROSS JOIN queries
+  WHERE e.vec_id != queries.qid
+)
+SELECT query_id, neighbor_id, rank, dot FROM (
+  SELECT query_id, neighbor_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""

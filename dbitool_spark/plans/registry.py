@@ -240,7 +240,12 @@ tests/test_oracle_parity.py staged_ entries):
   maintained in ndb by per-micro-batch read-modify-write merge (the
   incremental-materialized-view / hypertable-rollup shape); the
   final table hash-matches the batch GROUP BY regardless of
-  micro-batch boundaries.
+  micro-batch boundaries;
+- llm_ops.quantized_ann_topk_embeddings — int8-quantized ANN (l2
+  scale): integer-exact dot-product top-k, bit-exact across engines
+  by IEEE determinism (norm bit-identity pinned in pytest), recall@5
+  ~0.98 vs the float cosine baseline.
+r15 math: 46 due + these 4 = 50, exactly full.
 """
 
 from __future__ import annotations

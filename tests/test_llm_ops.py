@@ -1696,3 +1696,58 @@ def test_classifier_score_plan_is_jvm_side_topk(spark):
     # labels must be non-degenerate at the test SF (both classes occur)
     labels = {r.label for r in df.collect()}
     assert labels == {True, False}, labels
+
+
+def test_quantize_int8_norm_is_bit_identical_to_python(spark):
+    """The determinism claim behind the integer-exact quantized ANN
+    hash: the L2 norm is a left-to-right element-order accumulation,
+    so Spark's aggregate() and a plain CPython loop produce the SAME
+    double bit pattern for every corpus vector (DuckDB's list_sum is
+    pinned transitively by the oracle hash parity)."""
+    import struct
+
+    from dbitool_spark import catalog
+    from dbitool_spark.ops import similarity
+
+    sf = "/root/testdata/sf0.001"
+    emb = catalog.load(spark, sf, "embeddings")
+    got = emb.select(
+        "vec_id",
+        F.sqrt(similarity.dot(F.col("embedding"), F.col("embedding"))).alias("n"),
+    ).collect()
+    raw = {r.vec_id: r.embedding for r in emb.select("vec_id", "embedding").collect()}
+    for r in got:
+        acc = 0.0
+        for x in raw[r.vec_id]:
+            acc += float(x) * float(x)
+        assert struct.pack("<d", r.n) == struct.pack("<d", acc ** 0.5), r.vec_id
+
+
+def test_quantized_topk_recall_and_range(spark):
+    """Quality gate for l2-scaled int8 quantization: recall@5 vs the
+    exact float cosine top-k stays >= 0.9 on the corpus (measured
+    ~0.98), every quantized component is within [-127, 127], and no
+    nonzero vector quantizes to all zeros."""
+    from dbitool_spark import catalog
+    from dbitool_spark.ops import similarity
+
+    sf = SF_ORACLE
+    emb = catalog.load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.quantized_topk(emb, q, k=5).collect()
+    }
+    assert len(exact & quant) / len(exact) >= 0.9
+
+    qc = similarity.quantize_int8(emb, "embedding")
+    stats = qc.select(
+        F.max(F.array_max(F.transform("qvec", lambda x: F.abs(x)))).alias("mx"),
+        F.min(F.array_max(F.transform("qvec", lambda x: F.abs(x)))).alias("mn"),
+    ).first()
+    assert stats.mx <= similarity.QUANT_LEVELS
+    assert stats.mn > 0  # no nonzero vector collapses to zeros

@@ -250,6 +250,12 @@ _RETIRED_CASES += [
     ("staged_streaming_rollup_ndb_events",
      _state.streaming_rollup_ndb_events,
      _state.STREAMING_ROLLUP_NDB_SQL),
+    # int8-quantized ANN (l2 scale): integer-exact dot-product top-k
+    # — bit-exact across engines by IEEE determinism (norms pinned
+    # bit-for-bit in test_llm_ops), recall@5 ~0.98 vs float cosine
+    ("staged_quantized_ann_topk_embeddings",
+     _llm.quantized_ann_topk_embeddings,
+     _llm.QUANTIZED_ANN_TOPK_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
