@@ -937,3 +937,224 @@ def synthesize_media(df: DataFrame, id_col: str, *, families: int = 3) -> DataFr
             yield pd.DataFrame(rows)
 
     return ids_df.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+# --- image RESIZE (the pre-processing step between decode and
+# --- feature extraction / model input) ---------------------------------
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, src_w int, src_h int, out_w int, "
+    "out_h int, decoded boolean, mean_r double, mean_g double, mean_b double"
+)
+
+
+def _pixels_bmp(content: bytes):
+    """Full-pixel BMP decode to an RGB uint8 (h, w, 3) array — the
+    uncompressed 24-bit BI_RGB layout only (the family the synth
+    fixture and the feature decoder's pixel path cover); bottom-up
+    rows flipped to top-down. None on any other variant."""
+    import numpy as np
+
+    if content[:2] != b"BM":
+        return None
+    try:
+        dib_size = struct.unpack_from("<I", content, 14)[0]
+        if dib_size < 40:
+            return None
+        width, height = struct.unpack_from("<ii", content, 18)
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        compression = struct.unpack_from("<I", content, 30)[0]
+        if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+            return None
+        offset = struct.unpack_from("<I", content, 10)[0]
+        h = abs(height)
+        stride = (width * 3 + 3) & ~3
+        if offset + stride * h > len(content):
+            return None
+        rows = (
+            np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=offset)
+            .reshape(h, stride)[:, : width * 3]
+            .reshape(h, width, 3)
+        )
+        if height > 0:  # bottom-up storage
+            rows = rows[::-1]
+        return rows[:, :, ::-1]  # BGR -> RGB
+    except (struct.error, ValueError):
+        return None
+
+
+def _pixels_png(content: bytes):
+    """Full-pixel PNG decode to an RGB uint8 (h, w, 3) array — 8-bit
+    non-interlaced gray/RGB/gray+alpha/RGBA (gray replicates to three
+    channels, alpha drops). None on palette/16-bit/interlaced or any
+    parse failure."""
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        width, height = struct.unpack_from(">II", content, 16)
+        bit_depth, color_type, _comp, _filt, interlace = content[24:29]
+        channels = _PNG_CHANNELS.get(color_type)
+        if bit_depth != 8 or channels is None or interlace != 0:
+            return None
+        i, idat = 8, bytearray()
+        while i + 8 <= len(content):
+            (ln,) = struct.unpack_from(">I", content, i)
+            tag = content[i + 4 : i + 8]
+            body = content[i + 8 : i + 8 + ln]
+            (crc,) = struct.unpack_from(">I", content, i + 8 + ln)
+            if crc != zlib.crc32(tag + body):
+                return None
+            if tag == b"IDAT":
+                idat += body
+            if tag == b"IEND":
+                break
+            i += 12 + ln
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != height * (1 + width * channels):
+            return None
+        flat = _png_unfilter(raw, width, height, channels)
+        px = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, channels)
+        if channels == 1:
+            return np.repeat(px, 3, axis=2)
+        if channels == 2:  # gray + alpha
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return px[:, :, :3]  # RGB / RGBA minus alpha
+    except (zlib.error, ValueError, IndexError, struct.error):
+        return None
+
+
+def _pixels_gif(content: bytes):
+    """Full-pixel GIF decode to an RGB uint8 (h, w, 3) array — first
+    non-interlaced frame through the LZW decoder + palette. None on
+    interlace, oversize frames, or any parse failure. (Standalone
+    walk, deliberately not threaded through _decode_gif: that
+    function's fallback ladder backs a recorded driver hash.)"""
+    import numpy as np
+
+    if content[:4] != b"GIF8":
+        return None
+    try:
+        packed = content[10]
+        bits = (packed & 0x07) + 1
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 3 * (1 << bits)
+            gct = content[pos : pos + n]
+            pos += n
+        while pos < len(content):
+            block = content[pos]
+            if block == 0x21:
+                pos += 2
+                while pos < len(content) and content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+            elif block == 0x2C:
+                iw, ih = struct.unpack_from("<HH", content, pos + 5)
+                ipacked = content[pos + 9]
+                pos += 10
+                palette = gct
+                if ipacked & 0x80:
+                    n = 3 * (1 << ((ipacked & 0x07) + 1))
+                    palette = content[pos : pos + n]
+                    pos += n
+                if bool(ipacked & 0x40) or palette is None or iw * ih > (1 << 22):
+                    return None
+                min_code = content[pos]
+                pos += 1
+                data = bytearray()
+                while pos < len(content) and content[pos] != 0:
+                    ln = content[pos]
+                    data += content[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _gif_lzw(bytes(data), min_code, iw * ih)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+                flat = np.frombuffer(bytes(idx[: iw * ih]), dtype=np.uint8) % len(pal)
+                return pal[flat].reshape(ih, iw, 3)
+            else:
+                break
+        return None
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def _fake_pixels(content: bytes):
+    """Deterministic digest-keyed 16x16 RGB stand-in for kinds without
+    a pixel decoder (same honesty contract as _fake_decode): resize
+    plumbing stays testable, the `decoded` flag stays False."""
+    import numpy as np
+
+    digest = hashlib.sha256(content).digest()
+    y, x, c = np.ogrid[0:16, 0:16, 0:3]
+    d = np.frombuffer(digest, dtype=np.uint8)
+    return d[(x + y + c) % 32].astype(np.uint8)
+
+
+_PIXEL_DECODERS = (_pixels_bmp, _pixels_png, _pixels_gif)
+
+
+def resize_nearest(px, out_w: int, out_h: int):
+    """Nearest-neighbor resize by integer index mapping: source index
+    = (dst_index * src_dim) // dst_dim — pure integer arithmetic, so
+    the resized array (and anything derived from it) is exactly
+    reproducible on any engine or platform."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[np.ix_(ys, xs)]
+
+
+def resize_media(df: DataFrame, *, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """mapInPandas image resize over MEDIA_SCHEMA rows: real pixel
+    decode (BMP/PNG/GIF) -> nearest-neighbor resize -> per-channel
+    means of the RESIZED image, rounded to 1e-6. Kinds without a
+    pixel decoder resize the digest-keyed fake grid with
+    decoded=False — the plumbing (schema, batching, arithmetic) is
+    identical either way. Means are exact: integer pixel sums divided
+    by out_w*out_h (a power of two in the default), so cross-engine
+    oracles can state them arithmetically. Same partitioning guidance
+    as extract_media_features: media bytes never leave the executors."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "src_w": [], "src_h": [],
+                "out_w": [], "out_h": [], "decoded": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                px = None
+                for dec in _PIXEL_DECODERS:
+                    px = dec(content)
+                    if px is not None:
+                        break
+                decoded = px is not None
+                if px is None:
+                    px = _fake_pixels(content)
+                rs = resize_nearest(px, out_w, out_h)
+                sums = rs.reshape(-1, 3).sum(axis=0, dtype="int64")
+                n = out_w * out_h
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+                out["src_h"].append(int(px.shape[0]))
+                out["src_w"].append(int(px.shape[1]))
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["decoded"].append(decoded)
+                out["mean_r"].append(round(float(sums[0]) / n, 6))
+                out["mean_g"].append(round(float(sums[1]) / n, 6))
+                out["mean_b"].append(round(float(sums[2]) / n, 6))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(process, schema=RESIZE_SCHEMA)

@@ -225,6 +225,15 @@ def _parquetread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     return _with_file(p.spark.read.parquet(a["in"]), a)
 
 
+@register_module("orcread")
+def _orcread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
+    # ORC is Spark-native (the second columnar format next to
+    # parquet): same pushdown/pruning behavior, no extra jars. Avro
+    # by contrast is the external spark-avro module — env-gated like
+    # the cassandra connector (recipe pinned in tests/test_pipeline).
+    return _with_file(p.spark.read.orc(a["in"]), a)
+
+
 @register_module("xmlread")
 def _xmlread(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     return xml_io.read_xml(
@@ -682,6 +691,11 @@ def _parquetwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     ins[0].write.mode(a.get("mode", "overwrite")).parquet(a["out"])
 
 
+@register_module("orcwrite")
+def _orcwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
+    ins[0].write.mode(a.get("mode", "overwrite")).orc(a["out"])
+
+
 @register_module("xmlwrite")
 def _xmlwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
     xml_io.write_xml(
@@ -954,7 +968,7 @@ def _chartwrite(p: "Pipeline", ins: list[DataFrame], a: dict) -> None:
 
 _SOURCES = {
     "fileread", "csvread", "ndjsonread", "jsonread", "fixedwidthread",
-    "parquetread", "xmlread", "bsonread", "sqliteselect", "stdin",
+    "parquetread", "orcread", "xmlread", "bsonread", "sqliteselect", "stdin",
     "spreadsheetread", "jdbcselect", "mysqlselect", "cassandraselect",
     "zipread", "tarread", "tcpread", "mssqlselect",
 }
@@ -968,7 +982,8 @@ _STREAMABLE_SOURCES = {
 _RAW_CONSUMING_SOURCES = {"csvread", "ndjsonread"}
 _SINKS = {
     "filewrite", "csvwrite", "ndjsonwrite", "jsonwrite", "fixedwidthwrite",
-    "parquetwrite", "xmlwrite", "bsonwrite", "sqliteinsert", "stdout", "stderr",
+    "parquetwrite", "orcwrite", "xmlwrite", "bsonwrite", "sqliteinsert",
+    "stdout", "stderr",
     "spreadsheetwrite", "jdbcinsert", "zipwrite", "tcpwrite", "mysqlinsert",
     "mssqlinsert", "cassandrainsert", "emailwrite", "chartwrite",
 }

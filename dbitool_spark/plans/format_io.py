@@ -783,13 +783,16 @@ def format_chain_docs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains — the r14 merge candidate per the registry capacity policy
     (the email_chart_roundtrip shape): one driver row drives the
     documents chain (quoted CSV → NDJSON → ZIP → zipread → raw parse;
-    hostile free text) AND the orders chain (NDJSON → gzip '|' CSV;
-    timestamps + typed doubles), each through its full original
-    codepath. Rows normalize to one schema with NO lossy serialization:
-    every recovered column rides as its own field (text/lang/source/
-    n_chars for documents, status/date/priority/custkey + the DOUBLE
-    o_totalprice for orders), so the union hash still proves
-    byte-exact round-trip fidelity of all five sink/source pairs —
+    hostile free text) AND the orders chain (NDJSON → gzip '|' CSV →
+    ORC → back; timestamps + typed doubles — the ORC hop rides the
+    recovered typed rows through Spark's second native columnar
+    format, r12 orcread/orcwrite modules), each through its full
+    original codepath. Rows normalize to one schema with NO lossy
+    serialization: every recovered column rides as its own field
+    (text/lang/source/n_chars for documents, status/date/priority/
+    custkey + the DOUBLE o_totalprice for orders), so the union hash
+    still proves byte-exact round-trip fidelity of all six
+    sink/source pairs —
     separator-free by construction (free text never concatenates with
     other fields). Retirees keep standalone parity rows per the
     retirement contract."""
@@ -802,7 +805,11 @@ def format_chain_docs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("string").alias("s4"),
         F.lit(None).cast("double").alias("num"),
     )
-    orders = format_chain_orders(spark, sf_dir).select(
+    # ORC hop: recovered typed rows -> ORC -> back (Spark-native
+    # columnar; same pushdown class as parquet, zero extra jars)
+    orc_dir = os.path.join(_scratch("chain_docs_orders"), "orders.orc")
+    format_chain_orders(spark, sf_dir).write.mode("overwrite").orc(orc_dir)
+    orders = spark.read.orc(orc_dir).select(
         F.lit("orders").alias("kind"),
         F.col("o_orderkey").alias("key"),
         F.col("o_orderstatus").alias("s1"),

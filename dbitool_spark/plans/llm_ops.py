@@ -3102,3 +3102,74 @@ SELECT query_id, neighbor_id, rank, dot FROM (
 ) WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+def media_resize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end to end: the synthesized media corpus's
+    image rows (24-bit BMP / RGB8 PNG / LZW GIF — same fixture as
+    media_decode_roundtrip) are pixel-decoded
+    (ops.multimodal._pixels_*), nearest-neighbor resized to 8x8
+    (integer index map (j*src)//8 — exactly reproducible arithmetic),
+    and reduced to per-channel means of the RESIZED image. Every
+    synth pixel is a closed-form function of (doc_id, x, y), so the
+    oracle states the resized means purely arithmetically: a hash
+    match proves pixel decode (row order, BGR->RGB, palette mapping),
+    the resize index map, and the mean arithmetic exactly — the
+    decode->resize->featurize preprocessing chain a multimodal
+    training pipeline runs before the model. Arrow-batched
+    mapInPandas; media bytes never leave the executors; means are
+    k/64 exact binary fractions so round(6) is tie-free."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", families=4).filter(
+        F.col("kind") == "image"
+    )
+    rs = multimodal.resize_media(media, out_w=8, out_h=8)
+    return rs.select(
+        "media_id", "src_w", "src_h", "decoded", "mean_r", "mean_g", "mean_b"
+    ).orderBy("media_id")
+
+
+MEDIA_RESIZE_DOCUMENTS_SQL = """
+WITH imgs AS (
+  SELECT doc_id AS media_id, doc_id % 4 AS fam,
+         CASE doc_id % 4 WHEN 1 THEN 8 + doc_id % 16
+                         WHEN 2 THEN 4 + doc_id % 13
+                         ELSE 6 + doc_id % 10 END AS w,
+         CASE doc_id % 4 WHEN 1 THEN 8 + doc_id % 9
+                         WHEN 2 THEN 4 + doc_id % 11
+                         ELSE 6 + doc_id % 7 END AS h
+  FROM documents WHERE doc_id % 4 != 0
+),
+grid AS (
+  SELECT media_id, fam, w, h,
+         (i.i * h) // 8 AS y, (j.j * w) // 8 AS x
+  FROM imgs, generate_series(0, 7) AS i(i), generate_series(0, 7) AS j(j)
+),
+px AS (
+  SELECT media_id, fam, w, h,
+         CASE fam
+           WHEN 1 THEN (((media_id + x) % 256) * 7) % 256
+           WHEN 2 THEN (media_id + 3 * x) % 256
+           ELSE (media_id * 31 + ((x + y + media_id) % 4) * 67) % 256
+         END AS r,
+         CASE fam
+           WHEN 1 THEN 255 - ((media_id + x) % 256)
+           WHEN 2 THEN (media_id + 3 * x + 1) % 256
+           ELSE (media_id * 53 + ((x + y + media_id) % 4) * 29) % 256
+         END AS g,
+         CASE fam
+           WHEN 1 THEN (media_id + x) % 256
+           WHEN 2 THEN (media_id + 3 * x + 2) % 256
+           ELSE (media_id * 17 + ((x + y + media_id) % 4) * 101) % 256
+         END AS b
+  FROM grid
+)
+SELECT media_id, CAST(MIN(w) AS INT) AS src_w, CAST(MIN(h) AS INT) AS src_h,
+       TRUE AS decoded,
+       round(SUM(r) / 64.0, 6) AS mean_r,
+       round(SUM(g) / 64.0, 6) AS mean_g,
+       round(SUM(b) / 64.0, 6) AS mean_b
+FROM px
+GROUP BY media_id
+ORDER BY media_id
+"""

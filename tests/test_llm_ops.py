@@ -1751,3 +1751,79 @@ def test_quantized_topk_recall_and_range(spark):
     ).first()
     assert stats.mx <= similarity.QUANT_LEVELS
     assert stats.mn > 0  # no nonzero vector collapses to zeros
+
+
+def test_resize_media_matches_numpy_reference(spark):
+    """Exact resize semantics: for synthesized BMP/PNG/GIF rows the
+    full pixel decode + nearest-neighbor 8x8 resize is recomputed
+    with an independent numpy reference built from the synth
+    formulas (not the decoders), and the per-channel means must match
+    to the 1e-6 rounding exactly. Pins pixel decode (row order,
+    BGR->RGB, palette mapping), the (j*src)//dst index map, and the
+    mean arithmetic."""
+    import numpy as np
+
+    from dbitool_spark.ops import multimodal as m
+
+    ids = [1, 2, 3, 5, 6, 7, 13, 14, 15]  # three of each image family
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    media = m.synthesize_media(df, "doc_id", families=4).filter("kind = 'image'")
+    got = {r.media_id: r for r in m.resize_media(media, out_w=8, out_h=8).collect()}
+    assert set(got) == set(ids)
+
+    def expected_pixels(mid):
+        fam = mid % 4
+        if fam == 1:
+            w, h = 8 + mid % 16, 8 + mid % 9
+            px = np.zeros((h, w, 3), dtype=np.int64)
+            for x in range(w):
+                b = (mid + x) % 256
+                px[:, x] = (b * 7 % 256, 255 - b, b)  # RGB
+            return px
+        if fam == 2:
+            w, h = 4 + mid % 13, 4 + mid % 11
+            px = np.zeros((h, w, 3), dtype=np.int64)
+            for x in range(w):
+                px[:, x] = ((mid + 3 * x) % 256, (mid + 3 * x + 1) % 256,
+                            (mid + 3 * x + 2) % 256)
+            return px
+        w, h = 6 + mid % 10, 6 + mid % 7
+        pal = [((mid * 31 + c * 67) % 256, (mid * 53 + c * 29) % 256,
+                (mid * 17 + c * 101) % 256) for c in range(4)]
+        px = np.zeros((h, w, 3), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                px[y, x] = pal[(x + y + mid) % 4]
+        return px
+
+    for mid in ids:
+        px = expected_pixels(mid)
+        h, w = px.shape[:2]
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        rs = px[np.ix_(ys, xs)]
+        r = got[mid]
+        assert r.decoded, mid
+        assert (r.src_w, r.src_h) == (w, h), mid
+        for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(getattr(r, name) - round(float(rs[:, :, ch].mean()), 6)) < 1e-9, (
+                mid, name,
+            )
+
+
+def test_resize_media_fallback_is_deterministic(spark):
+    """Kinds without a pixel decoder (WAV) resize the digest-keyed
+    fake grid with decoded=False — same bytes, same means, and real
+    image rows are never routed through the fallback."""
+    from dbitool_spark.ops import multimodal as m
+
+    df = spark.createDataFrame([(0,), (4,), (8,)], "doc_id bigint")
+    media = m.synthesize_media(df, "doc_id", families=4)  # all WAV
+    a = {r.media_id: r for r in m.resize_media(media).collect()}
+    b = {r.media_id: r for r in m.resize_media(media).collect()}
+    for mid in (0, 4, 8):
+        assert not a[mid].decoded
+        assert (a[mid].mean_r, a[mid].mean_g, a[mid].mean_b) == (
+            b[mid].mean_r, b[mid].mean_g, b[mid].mean_b,
+        )
+        assert a[mid].src_w == 16 and a[mid].src_h == 16

@@ -256,6 +256,13 @@ _RETIRED_CASES += [
     ("staged_quantized_ann_topk_embeddings",
      _llm.quantized_ann_topk_embeddings,
      _llm.QUANTIZED_ANN_TOPK_SQL),
+    # r16 candidate (staged ahead): decode -> nearest-neighbor resize
+    # -> channel means over the synthesized image corpus; every synth
+    # pixel is closed-form so the oracle states the resized means
+    # arithmetically (numpy-reference differential in test_llm_ops)
+    ("staged_media_resize_documents",
+     _llm.media_resize_documents,
+     _llm.MEDIA_RESIZE_DOCUMENTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 

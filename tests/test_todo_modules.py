@@ -1011,3 +1011,50 @@ def test_atomic_write_never_exposes_partial(tmp_path):
     _atomic.write_bytes(bt, blob)
     with open(bt, "rb") as fh:
         assert fh.read() == blob
+
+
+def test_orc_module_roundtrip(spark, tmp_path):
+    """orcread/orcwrite (r12): Spark's second native columnar format
+    as first-class pipeline modules — typed rows round-trip exactly,
+    withfile provenance works on the scan, and the pair composes in
+    a CLI spec like any other sink/source."""
+    from dbitool_spark.pipeline import MODULES, Pipeline
+
+    p = Pipeline(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "k bigint, s string, v double"
+    )
+    path = str(tmp_path / "t.orc")
+    MODULES["orcwrite"](p, [df], {"out": path})
+    back = MODULES["orcread"](p, [], {"in": path})
+    assert {(r.k, r.s, r.v) for r in back.collect()} == {
+        (1, "a", 1.5), (2, "b", -2.25),
+    }
+    withf = MODULES["orcread"](p, [], {"in": path, "withfile": 1})
+    assert withf.columns[0] == "file"
+    assert all(r.file for r in withf.collect())
+
+    # CLI composition: orc -> csv in one pipeline spec
+    out_csv = str(tmp_path / "o.csv")
+    Pipeline(spark).add(f"orcread:in={path}").add(
+        f"csvwrite:out={out_csv}:header=0"
+    ).run()
+    import glob
+
+    text = "".join(open(f).read() for f in glob.glob(out_csv + "/part-*"))
+    assert "1,a,1.5" in text and "2,b,-2.25" in text
+
+
+def test_avro_env_blocked_recipe_pinned(spark, tmp_path):
+    """Avro is Spark's EXTERNAL built-in module (no jar in this
+    container): the failure mode is pinned here with the --packages
+    recipe, the cassandra-connector precedent. If the environment
+    ever gains org.apache.spark:spark-avro_2.13, this test documents
+    exactly what to flip."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    df = spark.range(3)
+    with pytest.raises(AnalysisException, match="avro"):
+        df.write.format("avro").save(str(tmp_path / "a.avro"))
+    # recipe: spark-submit --packages org.apache.spark:spark-avro_2.13:<spark version>
