@@ -48,6 +48,27 @@ _GEN = "__ndb_gen"
 _BUCKET = "__ndb_bucket"
 _POINTER = "current"
 _META = "meta.json"
+_LOCK = ".writer_lock"
+
+# sentinel: /proc entry exists but is unreadable (hidepid) — the
+# process is ALIVE, its identity just can't be checked; must never
+# read as "owner gone" (same contract as plans/state_ops scratch
+# reclamation)
+_ALIVE_UNREADABLE = -1
+
+
+def _proc_start_ticks(pid: int) -> int | None:
+    """Kernel start time of `pid` from /proc/<pid>/stat field 22 — the
+    PID-reuse-proof identity. None = gone; _ALIVE_UNREADABLE = alive
+    but unreadable."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read()
+        return int(stat.rsplit(b")", 1)[1].split()[19])
+    except PermissionError:
+        return _ALIVE_UNREADABLE
+    except (OSError, IndexError, ValueError):
+        return None
 
 
 def _link_tree(src_dir: str, dst_dir: str) -> None:
@@ -78,6 +99,7 @@ class NdbTable:
         n_buckets: int = 32,
         files_per_bucket: int = 1,
         keep_versions: int = 2,
+        single_writer: bool = True,
     ):
         self.spark = spark
         self.path = path
@@ -94,6 +116,18 @@ class NdbTable:
         # default 2 (current + crash-recovery previous) is the
         # historical behavior byte-for-byte.
         self.keep_versions = max(2, int(keep_versions))
+        # advisory cross-PROCESS writer guard (default on): two live
+        # processes upserting the same table would race the pointer
+        # flip and silently drop one's merge — the lost-update case a
+        # table format's optimistic concurrency rejects. Same-process
+        # writers (nested merge_upsert->upsert, multiple instances,
+        # sequential foreachBatch micro-batches) always pass. Stale
+        # locks (dead or PID-recycled owner, proven via the kernel
+        # start-time stamp) are stolen; a LIVE foreign owner raises.
+        # Best-effort by design: O_EXCL semantics are local-FS; on a
+        # cluster the Delta/Iceberg swap's transaction log is the
+        # real answer (module docstring).
+        self.single_writer = bool(single_writer)
         # files_per_bucket > 1 enables INTRA-bucket pruning (r11
         # verdict item 7): each bucket's data is written as ~this many
         # key-RANGE files, sorted by key inside each file (tight
@@ -322,6 +356,7 @@ class NdbTable:
                 f"{self._key_type}, batch has {batch_key_type} — cast the "
                 "batch key to the stored type before upserting"
             )
+        owns_lock = self._acquire_writer_lock()
         current = self._current_dir()
         prev_gen = self._current_gen()
         gen = 0 if prev_gen is None else prev_gen + 1
@@ -489,8 +524,65 @@ class NdbTable:
             self._flip_pointer(version)
             self._gc_versions(keep=self._retention_keep(gen))
         finally:
+            if owns_lock:
+                self._release_writer_lock()
             if prune:
                 batch.unpersist()
+
+    def _acquire_writer_lock(self) -> bool:
+        """Take the advisory writer lock. Returns True when THIS call
+        owns it (caller must release), False when the current process
+        already holds it (reentrant pass-through) or the guard is off.
+        Raises RuntimeError on a live foreign owner."""
+        if not self.single_writer:
+            return False
+        lock = os.path.join(self.path, _LOCK)
+        me = os.getpid()
+        for _ in range(2):  # one steal attempt, then give up
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(f"{me} {_proc_start_ticks(me) or 0}")
+                return True
+            except FileExistsError:
+                try:
+                    with open(lock) as fh:
+                        pid_s, start_s = fh.read().split()
+                    pid, start = int(pid_s), int(start_s)
+                except (OSError, ValueError):
+                    # half-written or vanished between open attempts:
+                    # try to steal once
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    continue
+                if pid == me:
+                    return False  # reentrant: nested upsert in-process
+                cur = _proc_start_ticks(pid)
+                alive = cur == start or cur == _ALIVE_UNREADABLE
+                if alive:
+                    raise RuntimeError(
+                        f"ndb table at {self.path} is locked by live "
+                        f"writer pid {pid}; concurrent cross-process "
+                        "upserts would race the pointer flip (pass "
+                        "single_writer=False to override at your own "
+                        "risk)"
+                    )
+                try:  # dead or PID-recycled owner: steal
+                    os.unlink(lock)
+                except OSError:
+                    pass
+        raise RuntimeError(
+            f"ndb writer lock at {self.path} could not be acquired "
+            "(persistent contention)"
+        )
+
+    def _release_writer_lock(self) -> None:
+        try:
+            os.unlink(os.path.join(self.path, _LOCK))
+        except OSError:
+            pass
 
     def _retention_keep(self, gen: int) -> set[str]:
         """Version dirs the GC must retain after flipping to `gen`:
@@ -617,6 +709,105 @@ class NdbTable:
         self._flip_pointer(version)
         self._gc_versions(keep=self._retention_keep(gen))
         return sel
+
+    _MERGE_RULES = ("sum", "min", "max", "last", "first")
+
+    def merge_upsert(self, df: DataFrame, *, combine: dict[str, str]) -> None:
+        """Keyed merge with per-column COMBINE rules instead of pure
+        last-write-wins — the MERGE-with-aggregation shape behind
+        continuous aggregates / incremental materialized views
+        (per-batch partials folded into dimension-sized state):
+
+        - 'sum'  : old + new (additive; NULL treated as identity)
+        - 'min'  / 'max' : least/greatest of old and new (NULL-safe)
+        - 'last' : the batch value wins when present (upsert default)
+        - 'first': the stored value wins when present
+
+        Unlisted non-key columns default to 'last'. The batch must
+        hold AT MOST ONE row per key (partials are pre-aggregated by
+        construction; duplicated keys raise — silently combining
+        within a batch would hide a missing groupBy upstream).
+
+        Cost shape: one bucket-pruned read of the touched buckets'
+        current rows (the same prune the plain upsert pays), one
+        keyed left-join of batch-vs-state, then the standard pruned
+        upsert write — O(state*b/n + batch), never the accumulated
+        history."""
+        unknown = [r for r in combine.values() if r not in self._MERGE_RULES]
+        if unknown:
+            raise ValueError(
+                f"unknown combine rules {unknown}; pick from {self._MERGE_RULES}"
+            )
+        if self.key in combine:
+            raise ValueError(f"key column {self.key!r} cannot carry a combine rule")
+        dup = (
+            df.groupBy(self.key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_upsert batch holds duplicate keys — pre-aggregate "
+                "the batch (one row per key) so the combine rules are "
+                "well-defined"
+            )
+        # the lock spans READ + combine + write: an interleaved foreign
+        # writer between the state read and the upsert would be exactly
+        # the lost update the guard exists to prevent (the nested
+        # upsert's acquire passes through reentrantly)
+        owns_lock = self._acquire_writer_lock()
+        try:
+            current = self._current_dir()
+            if current is not None:
+                batch_b = df.withColumn(_BUCKET, self._bucket_expr())
+                touched = [
+                    r[0] for r in batch_b.select(_BUCKET).distinct().collect()
+                ]
+                state = self.spark.read.parquet(current)
+                if _BUCKET in state.columns:
+                    state = state.filter(
+                        F.col(_BUCKET).isin([int(t) for t in touched])
+                    )
+                old = state.drop(_GEN, _BUCKET).select(
+                    F.col(self.key),
+                    *[
+                        F.col(c).alias(f"__old_{c}")
+                        for c in df.columns
+                        if c != self.key
+                    ],
+                )
+                merged_cols = [F.col(self.key)]
+                for c in df.columns:
+                    if c == self.key:
+                        continue
+                    rule = combine.get(c, "last")
+                    new, prev = F.col(c), F.col(f"__old_{c}")
+                    if rule == "sum":
+                        # NULL is the additive identity; both-NULL stays
+                        # NULL (type-preserving: no lit(0) cast needed)
+                        expr = (
+                            F.when(new.isNull(), prev)
+                            .when(prev.isNull(), new)
+                            .otherwise(new + prev)
+                        )
+                    elif rule == "min":
+                        expr = F.least(new, prev)
+                    elif rule == "max":
+                        expr = F.greatest(new, prev)
+                    elif rule == "first":
+                        expr = F.coalesce(prev, new)
+                    else:  # last
+                        expr = F.coalesce(new, prev)
+                    # the batch schema is the contract (the key_type
+                    # pinning precedent): combine results cast back to
+                    # it, so e.g. decimal addition's widened precision
+                    # cannot drift the stored schema across merges
+                    merged_cols.append(
+                        expr.cast(df.schema[c].dataType).alias(c)
+                    )
+                df = df.join(old, self.key, "left").select(*merged_cols)
+            self.upsert(df)
+        finally:
+            if owns_lock:
+                self._release_writer_lock()
 
     def replay(self, *, as_of: int | None = None) -> DataFrame:
         """The table as a source (reference ndb-without-input mode:

@@ -3173,3 +3173,38 @@ FROM px
 GROUP BY media_id
 ORDER BY media_id
 """
+
+
+def media_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-composite of the media DECODE and RESIZE stages — the
+    r16 merge candidate per the registry capacity policy: ONE synth
+    pass (families=4) feeds both extract_media_features (container
+    decode: dims + duration, the media_decode_roundtrip codepath) and
+    resize_media (pixel decode -> nearest-neighbor 8x8 -> channel
+    means, the media_resize_documents codepath), left-joined on
+    media_id — audio rows carry NULL resize columns, and src_w/src_h
+    arriving from the PIXEL decoder cross-check width/height from the
+    CONTAINER decoder inside one hash. Registers by superseding
+    media_decode_roundtrip + media_resize_documents (both keep
+    standalone parity rows). Oracle = the two arithmetic oracles
+    joined; one synth pass, two Arrow-batched mapInPandas stages,
+    one media_id join."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", families=4)
+    dec = multimodal.extract_media_features(media).select(
+        "media_id", "kind", "width", "height", "duration_ms"
+    )
+    rs = multimodal.resize_media(
+        media.filter(F.col("kind") == "image"), out_w=8, out_h=8
+    ).select("media_id", "src_w", "src_h", "decoded", "mean_r", "mean_g", "mean_b")
+    return dec.join(rs, "media_id", "left").orderBy("media_id")
+
+
+MEDIA_PIPELINE_DOCUMENTS_SQL = f"""
+SELECT d.media_id, d.kind, d.width, d.height, d.duration_ms,
+       r.src_w, r.src_h, r.decoded, r.mean_r, r.mean_g, r.mean_b
+FROM ({MEDIA_DECODE_ROUNDTRIP_SQL.replace("ORDER BY media_id", "")}) d
+LEFT JOIN ({MEDIA_RESIZE_DOCUMENTS_SQL.replace("ORDER BY media_id", "")}) r
+  USING (media_id)
+ORDER BY media_id
+"""

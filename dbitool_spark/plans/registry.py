@@ -246,6 +246,14 @@ tests/test_oracle_parity.py staged_ entries):
   by IEEE determinism (norm bit-identity pinned in pytest), recall@5
   ~0.98 vs the float cosine baseline.
 r15 math: 46 due + these 4 = 50, exactly full.
+
+Staged toward r16 (media family): media_resize_documents (pixel
+decode -> nearest-neighbor 8x8 -> channel means, fully arithmetic
+oracle) and its merge composite media_pipeline_documents (ONE synth
+pass -> container decode + pixel resize joined on media_id), which
+registers by SUPERSEDING media_decode_roundtrip +
+media_resize_documents — net-zero slots while adding the resize
+codepath to the driver window.
 """
 
 from __future__ import annotations

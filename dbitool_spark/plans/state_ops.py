@@ -1013,28 +1013,14 @@ def streaming_rollup_ndb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("rollup_key", F.concat_ws("|", "hour", "event_type"))
         )
-        if table._current_dir() is not None:
-            cur = table.replay().select(
-                "rollup_key",
-                F.col("n").alias("n_old"),
-                F.col("sum_v").alias("sum_v_old"),
-            )
-            partial = (
-                partial.join(cur, "rollup_key", "left")
-                .select(
-                    "rollup_key",
-                    "hour",
-                    "event_type",
-                    (F.col("n") + F.coalesce(F.col("n_old"), F.lit(0))).alias("n"),
-                    (
-                        F.col("sum_v")
-                        + F.coalesce(
-                            F.col("sum_v_old"), F.lit(0).cast("decimal(18,6)")
-                        )
-                    ).cast("decimal(18,6)").alias("sum_v"),
-                )
-            )
-        table.upsert(partial.select("rollup_key", "hour", "event_type", "n", "sum_v"))
+        # the first-class MERGE-with-aggregation table op (r12): the
+        # additive fold into dimension-sized state is the table's job,
+        # not every caller's — bucket-pruned read + keyed left-join +
+        # pruned rewrite, O(state*b/n + batch)
+        table.merge_upsert(
+            partial.select("rollup_key", "hour", "event_type", "n", "sum_v"),
+            combine={"n": "sum", "sum_v": "sum"},
+        )
 
     stream = streaming.stream_ndjson(
         spark,

@@ -470,3 +470,57 @@ def test_stream_near_dup_lsh_index_is_order_insensitive(spark, tmpdir):
         for r in dedup.lsh_near_dup_flags(corpus, "doc_id", "text").collect()
     }
     assert batch == {9: True, 1: False, 5: False}
+
+
+def test_rollup_merge_survives_restart(spark, tmpdir):
+    """The continuous-aggregate durability claim: a rollup maintained
+    in ndb via foreachBatch merge_upsert survives a query RESTART —
+    the second start (same checkpoint, same table, new files) merges
+    ONLY the unseen files, exactly once, and the final table equals
+    the batch GROUP BY over everything that ever arrived. This is
+    what distinguishes the table-backed rollup from state-store
+    windowed aggregation: state outlives the query."""
+    import json as _json
+
+    from dbitool_spark.ndb import NdbTable
+
+    src = os.path.join(tmpdir, "src")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+
+    def publish(name, rows):
+        with open(os.path.join(src, name), "w") as fh:
+            for k, n in rows:
+                fh.write(_json.dumps({"k": k, "n": n}) + "\n")
+
+    table = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k", n_buckets=4)
+
+    def merge_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy("k").agg(F.sum("n").alias("n"))
+        table.merge_upsert(partial, combine={"n": "sum"})
+
+    def drain():
+        stream = streaming.stream_ndjson(
+            spark, src, "k bigint, n bigint", max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    publish("f1.json", [(1, 10), (2, 20)])
+    publish("f2.json", [(1, 5)])
+    drain()
+    assert {r.k: r.n for r in table.replay().collect()} == {1: 15, 2: 20}
+
+    publish("f3.json", [(2, 7), (3, 1)])
+    drain()  # restart: fresh query, same checkpoint — only f3 merges
+    assert {r.k: r.n for r in table.replay().collect()} == {1: 15, 2: 27, 3: 1}
+
+    drain()  # nothing new: a pure re-drain must change nothing
+    assert {r.k: r.n for r in table.replay().collect()} == {1: 15, 2: 27, 3: 1}

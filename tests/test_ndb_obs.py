@@ -731,3 +731,115 @@ def test_ndb_range_pruned_replay_prunes_within_buckets(spark):
 
     df2 = state_ops.ndb_range_pruned_replay(spark, "/root/testdata/sf0.01")
     assert sorted(map(tuple, df2.collect())) == r1
+
+
+def test_ndb_merge_upsert_rules(spark, tmpdir):
+    """merge_upsert: per-column combine rules (sum/min/max/last/first)
+    fold a pre-aggregated batch into the stored row per key — the
+    MERGE-with-aggregation primitive behind continuous aggregates."""
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k", n_buckets=2)
+    schema = "k bigint, n bigint, lo bigint, hi bigint, tag string, origin string"
+    t.merge_upsert(
+        spark.createDataFrame([(1, 10, 5, 5, "a", "first")], schema),
+        combine={"n": "sum", "lo": "min", "hi": "max", "tag": "last", "origin": "first"},
+    )
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, 7, 3, 9, "b", "second"), (2, 1, 1, 1, "x", "x0")], schema
+        ),
+        combine={"n": "sum", "lo": "min", "hi": "max", "tag": "last", "origin": "first"},
+    )
+    got = {r.k: r for r in t.replay().collect()}
+    assert (got[1].n, got[1].lo, got[1].hi) == (17, 3, 9)
+    assert got[1].tag == "b"        # last: batch wins
+    assert got[1].origin == "first"  # first: stored wins
+    assert (got[2].n, got[2].lo, got[2].hi) == (1, 1, 1)
+    # NULL is the sum identity and never poisons the fold
+    t.merge_upsert(
+        spark.createDataFrame([(1, None, None, None, None, None)], schema),
+        combine={"n": "sum", "lo": "min", "hi": "max", "tag": "last", "origin": "first"},
+    )
+    r1 = {r.k: r for r in t.replay().collect()}[1]
+    assert (r1.n, r1.lo, r1.hi, r1.tag, r1.origin) == (17, 3, 9, "b", "first")
+
+
+def test_ndb_merge_upsert_rejects_bad_input(spark, tmpdir):
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k", n_buckets=2)
+    df = spark.createDataFrame([(1, 1), (1, 2)], "k bigint, n bigint")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_upsert(df, combine={"n": "sum"})
+    ok = spark.createDataFrame([(1, 1)], "k bigint, n bigint")
+    with pytest.raises(ValueError, match="unknown combine"):
+        t.merge_upsert(ok, combine={"n": "avg"})
+    with pytest.raises(ValueError, match="cannot carry"):
+        t.merge_upsert(ok, combine={"k": "sum"})
+
+
+def test_ndb_merge_upsert_matches_batch_groupby(spark, tmpdir):
+    """Additive merges over arbitrary batch splits equal one batch
+    GROUP BY — micro-batch-boundary invariance at the table level,
+    and decimal sums keep their declared precision across merges."""
+    import decimal
+
+    rows = [(i % 7, 1, decimal.Decimal(f"{i}.25")) for i in range(40)]
+    schema = "k bigint, n bigint, v decimal(18,6)"
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k", n_buckets=4)
+    for lo, hi in ((0, 13), (13, 14), (14, 40)):  # lopsided splits
+        batch = (
+            spark.createDataFrame(rows[lo:hi], schema)
+            .groupBy("k")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("v").cast("decimal(18,6)").alias("v"),
+            )
+        )
+        t.merge_upsert(batch, combine={"n": "sum", "v": "sum"})
+    got = {r.k: (r.n, r.v) for r in t.replay().collect()}
+    expect = {}
+    for k, n, v in rows:
+        pn, pv = expect.get(k, (0, decimal.Decimal(0)))
+        expect[k] = (pn + n, pv + v)
+    assert got == expect
+    assert dict(t.replay().dtypes)["v"] == "decimal(18,6)"
+
+
+def test_ndb_writer_lock_blocks_live_foreign_owner(spark, tmpdir):
+    """The advisory single-writer guard: a lock held by a LIVE foreign
+    process (here: pid 1 with its true kernel start time) makes
+    upsert raise instead of racing the pointer flip; a STALE lock
+    (dead pid, or a live pid whose start time mismatches — i.e. PID
+    reuse) is stolen silently; single_writer=False bypasses the guard
+    entirely."""
+    from dbitool_spark.ndb import NdbTable, _proc_start_ticks
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    t.upsert(df)  # creates the table; lock released after
+
+    lock = os.path.join(path, ".writer_lock")
+    start1 = _proc_start_ticks(1)
+    if start1 is not None and start1 >= 0:
+        with open(lock, "w") as fh:
+            fh.write(f"1 {start1}")  # live foreign owner
+        with pytest.raises(RuntimeError, match="locked by live writer"):
+            t.upsert(df)
+        # override hatch
+        t2 = NdbTable(spark, path, key="k", single_writer=False)
+        t2.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+        os.unlink(lock)
+
+    # dead owner: impossible pid -> stolen, upsert proceeds
+    with open(lock, "w") as fh:
+        fh.write("99999999 12345")
+    t.upsert(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    assert not os.path.exists(lock)  # released after the write
+
+    # PID-reuse: live pid, WRONG start stamp -> provably not the
+    # original owner -> stolen
+    if start1 is not None and start1 >= 0:
+        with open(lock, "w") as fh:
+            fh.write(f"1 {start1 + 777}")
+        t.upsert(spark.createDataFrame([(4, "d")], "k bigint, v string"))
+    got = {r.k for r in t.replay().collect()}
+    assert 3 in got and 1 in got

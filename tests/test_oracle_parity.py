@@ -263,6 +263,13 @@ _RETIRED_CASES += [
     ("staged_media_resize_documents",
      _llm.media_resize_documents,
      _llm.MEDIA_RESIZE_DOCUMENTS_SQL),
+    # r16 merge candidate: ONE synth pass -> container decode + pixel
+    # resize, joined on media_id (supersedes media_decode_roundtrip +
+    # media_resize_documents when it registers; pixel-decoder
+    # src_w/src_h cross-check container width/height in one hash)
+    ("staged_media_pipeline_documents",
+     _llm.media_pipeline_documents,
+     _llm.MEDIA_PIPELINE_DOCUMENTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
