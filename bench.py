@@ -792,5 +792,63 @@ def main() -> int:
     return 0
 
 
+def staged_preflight() -> int:
+    """SPARK_GRAFT_BENCH_STAGED=1 mode: measure the parity suite's
+    staged_ entries (next-round registration candidates) at the bench
+    SF — medians of 3 to BENCH_staged.json + one stdout JSON line.
+    This formalizes the per-round staged pre-flight (SURVEY r12
+    appendix) so a candidate's cost is known BEFORE it enters the
+    50-slot window, not discovered in the round's exclusive record.
+    Separate from the driver-contract record on purpose: staged
+    entries are not registered, so they never touch BENCH_queries /
+    vs_prev."""
+    import statistics
+    import time
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from dbitool_spark.session import get_session
+
+    spark = get_session("dbitool_spark-bench-staged")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tests import test_oracle_parity as parity
+
+    cases = [
+        (name, fn)
+        for name, fn, _sql in parity._RETIRED_CASES
+        if name.startswith("staged_")
+    ]
+    timings: dict[str, float] = {}
+    for name, fn in cases:
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        print(f"{name}: {timings[name]}s {sorted(round(x, 2) for x in samples)}",
+              file=sys.stderr)
+    repo_dir = os.environ.get("SPARK_GRAFT_BENCH_REPO_DIR") or os.path.dirname(
+        os.path.abspath(__file__)
+    )
+    try:
+        with open(os.path.join(repo_dir, "BENCH_staged.json"), "w") as fh:
+            json.dump({"sf_dir": sf_dir, "runs": runs, "staged": timings}, fh, indent=1)
+    except OSError as exc:
+        print(f"WARN: could not write BENCH_staged.json: {exc}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "staged_total_median_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "n_staged": len(timings),
+    }))
+    return 0
+
+
 if __name__ == "__main__":
+    if os.environ.get("SPARK_GRAFT_BENCH_STAGED", "0") == "1":
+        raise SystemExit(staged_preflight())
     raise SystemExit(main())

@@ -533,55 +533,82 @@ class NdbTable:
         """Take the advisory writer lock. Returns True when THIS call
         owns it (caller must release), False when the current process
         already holds it (reentrant pass-through) or the guard is off.
-        Raises RuntimeError on a live foreign owner."""
+        Raises RuntimeError on a live foreign owner.
+
+        Race-hardened construction: the lock file is created
+        ATOMICALLY WITH ITS CONTENT (write a tmp stamp, os.link into
+        place — link fails on an existing path), so no observer can
+        ever read a half-written stamp; a stale lock is stolen via
+        os.rename into a per-stealer graveyard name — rename is
+        atomic, so of two concurrent stealers exactly one wins and
+        the loser just retries, and a freshly re-acquired lock can
+        never be unlinked by a slow second stealer (the unlink-based
+        steal's classic race)."""
         if not self.single_writer:
             return False
         lock = os.path.join(self.path, _LOCK)
         me = os.getpid()
-        for _ in range(2):  # one steal attempt, then give up
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as fh:
-                    fh.write(f"{me} {_proc_start_ticks(me) or 0}")
-                return True
-            except FileExistsError:
+        tmp = f"{lock}.stamp.{me}"
+        try:
+            with open(tmp, "w") as fh:
+                fh.write(f"{me} {_proc_start_ticks(me) or 0}")
+            for _ in range(3):  # initial try + steal retries
+                try:
+                    os.link(tmp, lock)  # atomic create-with-content
+                    return True
+                except FileExistsError:
+                    pass
                 try:
                     with open(lock) as fh:
                         pid_s, start_s = fh.read().split()
                     pid, start = int(pid_s), int(start_s)
+                except FileNotFoundError:
+                    continue  # released between attempts: retry
                 except (OSError, ValueError):
-                    # half-written or vanished between open attempts:
-                    # try to steal once
-                    try:
-                        os.unlink(lock)
-                    except OSError:
-                        pass
-                    continue
+                    # unreadable — cannot happen from this module's
+                    # atomic create; treat as foreign garbage, steal
+                    pid, start = -1, -1
                 if pid == me:
                     return False  # reentrant: nested upsert in-process
-                cur = _proc_start_ticks(pid)
-                alive = cur == start or cur == _ALIVE_UNREADABLE
-                if alive:
-                    raise RuntimeError(
-                        f"ndb table at {self.path} is locked by live "
-                        f"writer pid {pid}; concurrent cross-process "
-                        "upserts would race the pointer flip (pass "
-                        "single_writer=False to override at your own "
-                        "risk)"
-                    )
-                try:  # dead or PID-recycled owner: steal
-                    os.unlink(lock)
+                if pid > 0:
+                    cur = _proc_start_ticks(pid)
+                    if cur == start or cur == _ALIVE_UNREADABLE:
+                        raise RuntimeError(
+                            f"ndb table at {self.path} is locked by "
+                            f"live writer pid {pid}; concurrent "
+                            "cross-process upserts would race the "
+                            "pointer flip (pass single_writer=False "
+                            "to override at your own risk)"
+                        )
+                # dead or PID-recycled owner: atomic rename-steal —
+                # exactly one concurrent stealer wins; losers loop
+                grave = f"{lock}.stale.{me}"
+                try:
+                    os.rename(lock, grave)
+                    os.unlink(grave)
                 except OSError:
-                    pass
-        raise RuntimeError(
-            f"ndb writer lock at {self.path} could not be acquired "
-            "(persistent contention)"
-        )
+                    pass  # another stealer won; retry the link
+            raise RuntimeError(
+                f"ndb writer lock at {self.path} could not be acquired "
+                "(persistent contention)"
+            )
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def _release_writer_lock(self) -> None:
+        """Unlink the lock only when it is provably OURS — a plain
+        unlink could remove a lock a stealer re-acquired after
+        declaring this process's (earlier, renamed-away) lock stale."""
+        lock = os.path.join(self.path, _LOCK)
         try:
-            os.unlink(os.path.join(self.path, _LOCK))
-        except OSError:
+            with open(lock) as fh:
+                pid = int(fh.read().split()[0])
+            if pid == os.getpid():
+                os.unlink(lock)
+        except (OSError, ValueError, IndexError):
             pass
 
     def _retention_keep(self, gen: int) -> set[str]:
