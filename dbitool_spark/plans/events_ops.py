@@ -595,3 +595,97 @@ SELECT 'salted_join' AS variant, t.c_mktsegment AS key1,
 FROM ({SKEWED_SEGMENT_JOIN_SQL.replace("ORDER BY 1, 2", "")}) t
 ORDER BY variant, key1, key2
 """
+
+
+# Funnel definition: the ordered conversion path a product-analytics
+# pipeline measures, with each step restricted to a time-of-day band
+# (morning view -> midday click -> evening purchase). The bands make
+# the metric non-degenerate at every shipped SF (unbanded, every
+# user's event stream contains the plain subsequence): measured
+# step distribution at sf0.01 is 1/7/16/126 over steps 0-3. Step k
+# counts only events strictly AFTER the event that completed step
+# k-1 in the per-user (ts, event_id) total order.
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_BANDS = ((0, 8), (8, 16), (16, 24))  # [lo, hi) hour-of-day
+
+
+def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (morning view -> midday click ->
+    evening purchase): per user, the highest funnel step completed IN
+    SEQUENCE — a midday click only counts after the first morning
+    view, an evening purchase only after that click. Spark realizes
+    it as ONE shuffle: per-user events sort_array'd by (ts_us,
+    event_id) and folded with a higher-order aggregate whose
+    accumulator is the step counter (first qualifying event advances
+    it — equivalent, under the total order, to the min-seq-after
+    construction the oracle uses, so the hash cross-checks two
+    INDEPENDENT formulations of funnel semantics). Pure JVM; no
+    window self-joins, no Python.
+
+    Scale note: collect_list bounds state by per-user activity — the
+    normal case for event funnels; a pathologically hot user would
+    instead use the three-pass conditional-min-after joins (the
+    oracle's shape), trading two extra keyed shuffles for O(1) state
+    per row."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts_ts")).alias("ts_us"),
+        F.hour(F.col("ts_ts")).alias("hh"),
+        "event_id",
+        "event_type",
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_us", "event_id", "event_type", "hh"))
+        ).alias("evs")
+    )
+
+    def _qual(e, i):
+        lo, hi = _FUNNEL_BANDS[i]
+        return (
+            (e["event_type"] == _FUNNEL_STEPS[i])
+            & (e["hh"] >= lo)
+            & (e["hh"] < hi)
+        )
+
+    step = F.aggregate(
+        F.col("evs"),
+        F.lit(0),
+        lambda acc, e: (
+            F.when((acc == 0) & _qual(e, 0), F.lit(1))
+            .when((acc == 1) & _qual(e, 1), F.lit(2))
+            .when((acc == 2) & _qual(e, 2), F.lit(3))
+            .otherwise(acc)
+        ),
+    )
+    return arr.select(
+        "user_id", step.cast("int").alias("funnel_step")
+    ).orderBy("user_id")
+
+
+FUNNEL_STEPS_EVENTS_SQL = """
+WITH seqd AS (
+  SELECT user_id, event_type, extract(hour FROM ts) AS hh,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS seq
+  FROM events
+),
+t1 AS (SELECT user_id, MIN(seq) AS s1 FROM seqd
+       WHERE event_type = 'view' AND hh >= 0 AND hh < 8 GROUP BY user_id),
+t2 AS (SELECT s.user_id, MIN(s.seq) AS s2 FROM seqd s JOIN t1 USING (user_id)
+       WHERE s.event_type = 'click' AND s.hh >= 8 AND s.hh < 16
+         AND s.seq > t1.s1 GROUP BY s.user_id),
+t3 AS (SELECT s.user_id, MIN(s.seq) AS s3 FROM seqd s JOIN t2 USING (user_id)
+       WHERE s.event_type = 'purchase' AND s.hh >= 16 AND s.hh < 24
+         AND s.seq > t2.s2 GROUP BY s.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.s3 IS NOT NULL THEN 3
+                 WHEN t2.s2 IS NOT NULL THEN 2
+                 WHEN t1.s1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_step
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+ORDER BY user_id
+"""

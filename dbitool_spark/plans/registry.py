@@ -254,6 +254,14 @@ pass -> container decode + pixel resize joined on media_id), which
 registers by SUPERSEDING media_decode_roundtrip +
 media_resize_documents — net-zero slots while adding the resize
 codepath to the driver window.
+
+Staged with no slot assigned yet (r16+ candidate, needs a paired
+merge when scheduled): events_ops.funnel_steps_events — ordered
+funnel analysis (morning view -> midday click -> evening purchase,
+hour-banded so the step distribution is non-degenerate at every SF):
+one shuffle, per-user sort_array + higher-order fold; the oracle is
+the INDEPENDENT min-seq-after three-join formulation, so the hash
+cross-checks two constructions of funnel semantics.
 """
 
 from __future__ import annotations

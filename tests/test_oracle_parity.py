@@ -270,6 +270,12 @@ _RETIRED_CASES += [
     ("staged_media_pipeline_documents",
      _llm.media_pipeline_documents,
      _llm.MEDIA_PIPELINE_DOCUMENTS_SQL),
+    # ordered funnel analysis (morning view -> midday click -> evening
+    # purchase): single-shuffle higher-order fold, hash cross-checked
+    # against the oracle's independent min-seq-after formulation
+    ("staged_funnel_steps_events",
+     _ev.funnel_steps_events,
+     _ev.FUNNEL_STEPS_EVENTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 

@@ -562,3 +562,48 @@ def test_bloom_decontaminate_plan_shape(spark):
                    "SerializeFromObject"):
         assert marker not in plan, f"bloom plan has {marker}"
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row bloom ride
+
+
+def test_funnel_fold_semantics_on_constructed_sequences(spark, tmp_path):
+    """The funnel fold's ORDER and BAND rules on hand-built streams:
+    out-of-order purchases don't count, a qualifying event in the
+    wrong time-of-day band doesn't advance, and only strictly-later
+    events can complete the next step. Built as a parquet events
+    table so the entry runs its real path end to end."""
+    import datetime as dt
+
+    from dbitool_spark.plans.events_ops import funnel_steps_events
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # user 0: perfect path -> step 3
+        (0, 1, "view", ts(6)), (0, 2, "click", ts(9)), (0, 3, "purchase", ts(17)),
+        # user 1: purchase BEFORE the click -> stuck at 2
+        (1, 4, "view", ts(6)), (1, 5, "purchase", ts(7, 30)), (1, 6, "click", ts(9)),
+        # user 2: click outside the 8-16 band -> stuck at 1
+        (2, 7, "view", ts(6)), (2, 8, "click", ts(7)), (2, 9, "purchase", ts(17)),
+        # user 3: view outside the 0-8 band -> step 0
+        (3, 10, "view", ts(9)), (3, 11, "click", ts(10)), (3, 12, "purchase", ts(17)),
+        # user 4: same-ts tie broken by event_id (view id 13 < click id
+        # 14 at the same instant, click in band) -> the click counts
+        (4, 13, "view", ts(7, 59)), (4, 14, "click", ts(7, 59)),
+    ]
+    # the click in user 4's pair is at hour 7 — outside the click band,
+    # so user 4 stops at 1 regardless of the tie-break; flip one that IS
+    # in band to pin the tie-break itself:
+    rows += [(5, 15, "view", ts(8, 0)), (5, 16, "click", ts(8, 0))]
+    # user 5's view is at hour 8 — outside the VIEW band -> step 0
+
+    df = spark.createDataFrame(
+        [(u, e, t, when) for u, e, t, when in rows],
+        "user_id bigint, event_id bigint, event_type string, ts timestamp_ntz",
+    )
+    d = str(tmp_path / "events.parquet")
+    df.write.parquet(d)
+    got = {
+        r.user_id: r.funnel_step
+        for r in funnel_steps_events(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 3, 1: 2, 2: 1, 3: 0, 4: 1, 5: 0}, got
