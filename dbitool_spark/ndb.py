@@ -100,6 +100,7 @@ class NdbTable:
         files_per_bucket: int = 1,
         keep_versions: int = 2,
         single_writer: bool = True,
+        evolve_schema: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -128,6 +129,17 @@ class NdbTable:
         # cluster the Delta/Iceberg swap's transaction log is the
         # real answer (module docstring).
         self.single_writer = bool(single_writer)
+        # evolve_schema=True lets a batch ADD or DROP non-key columns:
+        # the merge unions by name with NULL backfill, old version
+        # files keep their written schema (hardlink carry is
+        # byte-identical by design), and every read goes through
+        # parquet mergeSchema once the table has evolved — the
+        # schema-evolution half of the Delta/Iceberg swap. Default
+        # False keeps drift a LOUD error (a renamed column silently
+        # nulling out is the nastier failure mode).
+        self.evolve_schema = bool(evolve_schema)
+        self._evolved = False  # any evolution recorded in meta
+        self._columns: list[str] | None = None  # stored payload columns
         # files_per_bucket > 1 enables INTRA-bucket pruning (r11
         # verdict item 7): each bucket's data is written as ~this many
         # key-RANGE files, sorted by key inside each file (tight
@@ -167,6 +179,8 @@ class NdbTable:
                 2, int(meta.get("keep_versions", keep_versions))
             )
             self._key_type = meta.get("key_type")
+            self._evolved = bool(meta.get("evolved", False))
+            self._columns = meta.get("columns")
 
     # -- state pointer ---------------------------------------------------
 
@@ -209,6 +223,8 @@ class NdbTable:
             "key_type": self._key_type,
             "files_per_bucket": self.files_per_bucket,
             "keep_versions": self.keep_versions,
+            "evolved": self._evolved,
+            "columns": self._columns,
         }
         stale = True
         if os.path.exists(meta_path):
@@ -220,11 +236,20 @@ class NdbTable:
                 json.dump(want, fh)
             os.replace(tmp, meta_path)
 
+    def _reader(self):
+        """DataFrameReader for state files: once the table has EVOLVED
+        its schema, version dirs legitimately hold mixed-schema files
+        (hardlink carryover keeps old files byte-identical), so reads
+        must merge footers; un-evolved tables keep the cheap
+        single-footer read."""
+        r = self.spark.read
+        return r.option("mergeSchema", "true") if self._evolved else r
+
     def _state(self) -> DataFrame | None:
         current = self._current_dir()
         if current is None:
             return None
-        return self.spark.read.parquet(current)
+        return self._reader().parquet(current)
 
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
@@ -356,6 +381,24 @@ class NdbTable:
                 f"{self._key_type}, batch has {batch_key_type} — cast the "
                 "batch key to the stored type before upserting"
             )
+        payload = sorted(df.columns)
+        if self._columns is None:
+            self._columns = payload
+        elif payload != self._columns:
+            added = [c for c in payload if c not in self._columns]
+            dropped = [c for c in self._columns if c not in payload]
+            if not self.evolve_schema:
+                raise ValueError(
+                    f"ndb schema drift: table stores columns "
+                    f"{self._columns}, batch has {payload} (added {added}, "
+                    f"missing {dropped}) — pass evolve_schema=True to "
+                    "union by name with NULL backfill, or align the batch"
+                )
+            # schema EVOLUTION: record it so every future read merges
+            # parquet footers (version dirs now legitimately hold
+            # mixed-schema files via hardlink carryover)
+            self._evolved = True
+            self._columns = sorted(set(self._columns) | set(payload))
         owns_lock = self._acquire_writer_lock()
         current = self._current_dir()
         prev_gen = self._current_gen()
@@ -386,18 +429,18 @@ class NdbTable:
                 merged = batch
             elif touched is None:
                 # prune=False: read the whole state, rewrite every bucket
-                state = self.spark.read.parquet(current)
+                state = self._reader().parquet(current)
                 if _BUCKET not in state.columns:
                     state = state.withColumn(_BUCKET, self._bucket_expr())
-                merged = state.unionByName(batch)
+                merged = state.unionByName(batch, allowMissingColumns=self.evolve_schema)
             elif legacy and touched:
                 # flat pre-bucket layout (an empty first write, or a table
                 # from before bucketing): full rewrite migrates it into
                 # the bucket layout — nothing can link
-                state = self.spark.read.parquet(current)
+                state = self._reader().parquet(current)
                 if _BUCKET not in state.columns:
                     state = state.withColumn(_BUCKET, self._bucket_expr())
-                merged = state.unionByName(batch)
+                merged = state.unionByName(batch, allowMissingColumns=self.evolve_schema)
                 touched = None
             elif touched:
                 if self.files_per_bucket > 1 and bucket_dirs:
@@ -417,18 +460,18 @@ class NdbTable:
                         ),
                     }
                     if read_files:
-                        state = self.spark.read.option(
+                        state = self._reader().option(
                             "basePath", current
                         ).parquet(*read_files)
-                        merged = state.unionByName(batch)
+                        merged = state.unionByName(batch, allowMissingColumns=self.evolve_schema)
                     else:
                         merged = batch  # all-new key ranges: nothing to merge
                 else:
                     # partition-pruned read: the touched buckets' files
-                    state = self.spark.read.parquet(current).filter(
+                    state = self._reader().parquet(current).filter(
                         F.col(_BUCKET).isin([int(t) for t in touched])
                     )
-                    merged = state.unionByName(batch)
+                    merged = state.unionByName(batch, allowMissingColumns=self.evolve_schema)
             else:
                 merged = None  # empty batch: pure link-forward version
 
@@ -714,7 +757,7 @@ class NdbTable:
         gen = 0 if prev_gen is None else prev_gen + 1
         version = f"v{gen}"
         out_dir = os.path.join(self.path, version)
-        state = self.spark.read.parquet(current).filter(
+        state = self._reader().parquet(current).filter(
             F.col(_BUCKET).isin(sel)
         )
         if self.files_per_bucket > 1:
@@ -788,15 +831,22 @@ class NdbTable:
                 touched = [
                     r[0] for r in batch_b.select(_BUCKET).distinct().collect()
                 ]
-                state = self.spark.read.parquet(current)
+                state = self._reader().parquet(current)
                 if _BUCKET in state.columns:
                     state = state.filter(
                         F.col(_BUCKET).isin([int(t) for t in touched])
                     )
+                stored_cols = set(state.columns)
                 old = state.drop(_GEN, _BUCKET).select(
                     F.col(self.key),
                     *[
-                        F.col(c).alias(f"__old_{c}")
+                        (
+                            F.col(c)
+                            if c in stored_cols
+                            # evolved table: a batch column the stored
+                            # state has never seen folds against NULL
+                            else F.lit(None).cast(df.schema[c].dataType)
+                        ).alias(f"__old_{c}")
                         for c in df.columns
                         if c != self.key
                     ],
@@ -859,7 +909,7 @@ class NdbTable:
                     f"(retained: {self.versions()}; raise keep_versions "
                     "to widen the window)"
                 )
-            return self.spark.read.parquet(vdir).drop(_GEN, _BUCKET)
+            return self._reader().parquet(vdir).drop(_GEN, _BUCKET)
         state = self._state()
         if state is None:
             raise ValueError(f"ndb table at {self.path} is empty")

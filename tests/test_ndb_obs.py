@@ -843,3 +843,63 @@ def test_ndb_writer_lock_blocks_live_foreign_owner(spark, tmpdir):
         t.upsert(spark.createDataFrame([(4, "d")], "k bigint, v string"))
     got = {r.k for r in t.replay().collect()}
     assert 3 in got and 1 in got
+
+
+def test_ndb_schema_drift_is_a_loud_error_by_default(spark, tmpdir):
+    t = NdbTable(spark, os.path.join(tmpdir, "kv"), key="k", n_buckets=2)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    with pytest.raises(ValueError, match="schema drift.*evolve_schema"):
+        t.upsert(
+            spark.createDataFrame([(2, "b", 9)], "k bigint, v string, extra bigint")
+        )
+
+
+def test_ndb_schema_evolution_add_and_drop_columns(spark, tmpdir):
+    """evolve_schema=True: a batch may ADD columns (old rows read NULL
+    there — including rows living in HARDLINKED old-schema files of
+    untouched buckets, which is why evolved reads merge parquet
+    footers) or DROP columns (new rows read NULL in the dropped ones);
+    last-write-wins semantics are unchanged, meta round-trips the
+    evolved flag so a plain reopen still reads mixed-schema dirs, and
+    merge_upsert folds never-seen columns against NULL."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=4, evolve_schema=True)
+    # keys 0..15 spread over buckets; the evolving batch touches ONE
+    # key so most buckets hardlink forward with the OLD schema
+    t.upsert(
+        spark.createDataFrame([(i, f"v{i}") for i in range(16)], "k bigint, v string")
+    )
+    t.upsert(
+        spark.createDataFrame([(0, "V0", 42)], "k bigint, v string, extra bigint")
+    )
+    got = {r.k: (r.v, r.extra) for r in t.replay().collect()}
+    assert got[0] == ("V0", 42)
+    assert got[5] == ("v5", None)  # old row in a hardlinked file
+    assert len(got) == 16
+
+    # DROP: a narrower batch still merges; its row reads NULL extras
+    t.upsert(spark.createDataFrame([(1, "V1")], "k bigint, v string"))
+    got = {r.k: (r.v, r.extra) for r in t.replay().collect()}
+    assert got[1] == ("V1", None)
+    assert got[0] == ("V0", 42)
+
+    # reopen WITHOUT the flag: reads still mergeSchema (meta), and a
+    # further drifting write is refused (evolution is per-instance
+    # opt-in, not a permanent table property)
+    t2 = NdbTable(spark, path, key="k")
+    assert {r.k: r.extra for r in t2.replay().collect()}[0] == 42
+    with pytest.raises(ValueError, match="schema drift"):
+        t2.upsert(spark.createDataFrame([(2, "x", 1, 2)],
+                  "k bigint, v string, extra bigint, more bigint"))
+
+    # merge_upsert on the evolved table: a column the stored state has
+    # never seen folds against NULL
+    t3 = NdbTable(spark, path, key="k", evolve_schema=True)
+    t3.merge_upsert(
+        spark.createDataFrame([(0, "V0b", 8, 100)],
+                              "k bigint, v string, extra bigint, n bigint"),
+        combine={"extra": "sum", "n": "sum", "v": "last"},
+    )
+    got = {r.k: (r.v, r.extra, r.n) for r in t3.replay().collect()}
+    assert got[0] == ("V0b", 50, 100)
+    assert got[5] == ("v5", None, None)
