@@ -382,6 +382,15 @@ class NdbTable:
                 "batch key to the stored type before upserting"
             )
         payload = sorted(df.columns)
+        if self._columns is None and self._current_dir() is not None:
+            # legacy table (meta predates the columns record): derive
+            # the stored payload columns from the footer once, so the
+            # drift check protects pre-existing tables too
+            state0 = self._state()
+            if state0 is not None:
+                self._columns = sorted(
+                    c for c in state0.columns if c not in (_GEN, _BUCKET)
+                )
         if self._columns is None:
             self._columns = payload
         elif payload != self._columns:
@@ -761,11 +770,32 @@ class NdbTable:
             F.col(_BUCKET).isin(sel)
         )
         if self.files_per_bucket > 1:
-            shaped = state.repartitionByRange(
-                len(sel) * self.files_per_bucket,
-                F.col(_BUCKET),
-                F.col(self.key),
-            ).sortWithinPartitions(_BUCKET, self.key)
+            # DETERMINISTIC slot assignment: ntile splits each bucket's
+            # key order into exactly files_per_bucket contiguous range
+            # groups — unlike repartitionByRange's sample-estimated
+            # boundaries (seeded by RDD id), which can straddle a
+            # bucket across fpb+2 partitions on an unlucky sample and
+            # leave compact() not actually converging to ~fpb files
+            # (observed 1-in-3 under full-suite RDD-id drift). Range-
+            # partitioning on (bucket, slot) keeps equal composite
+            # keys together, so per bucket the file count is AT MOST
+            # fpb by construction (adjacent slots may merge — fewer,
+            # wider, still-disjoint files). The per-bucket sort window
+            # is one task per bucket — the same cost class as the
+            # rewrite itself, fine for a maintenance op.
+            slot = F.ntile(self.files_per_bucket).over(
+                Window.partitionBy(_BUCKET).orderBy(self.key)
+            )
+            shaped = (
+                state.withColumn("__slot", slot)
+                .repartitionByRange(
+                    len(sel) * self.files_per_bucket,
+                    F.col(_BUCKET),
+                    F.col("__slot"),
+                )
+                .sortWithinPartitions(_BUCKET, "__slot", self.key)
+                .drop("__slot")
+            )
         else:
             shaped = state.repartition(len(sel), F.col(_BUCKET))
         shaped.write.partitionBy(_BUCKET).mode("overwrite").parquet(out_dir)

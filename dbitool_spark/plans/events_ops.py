@@ -689,3 +689,46 @@ LEFT JOIN t2 USING (user_id)
 LEFT JOIN t3 USING (user_id)
 ORDER BY user_id
 """
+
+
+def events_audit_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-tagged composite of two per-type events audit entries —
+    the merge candidate PAIRED with funnel_steps_events' registration
+    (registry capacity policy: a net-new entry needs a freed slot):
+    events_daily_type_pivot (pivot -> stack round trip) and
+    events_json_props (codegen JSON path extraction + exact-integer
+    aggregates), each through its full original codepath, normalized
+    to one schema and hash-checked as one union. Retirees keep
+    standalone parity rows per the retirement contract."""
+    pivot = events_daily_type_pivot(spark, sf_dir).select(
+        F.lit("pivot").alias("kind"),
+        F.col("day").alias("key1"),
+        F.col("event_type").alias("key2"),
+        F.col("n").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("long").alias("n4"),
+    )
+    props = events_json_props(spark, sf_dir).select(
+        F.lit("json").alias("kind"),
+        F.col("event_type").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        F.col("n").alias("n1"),
+        F.col("sum_k").alias("n2"),
+        F.col("min_k").alias("n3"),
+        F.col("max_k").alias("n4"),
+    )
+    return pivot.unionByName(props).orderBy("kind", "key1", "key2")
+
+
+EVENTS_AUDIT_COMPOSITE_SQL = f"""
+SELECT 'pivot' AS kind, t.day AS key1, t.event_type AS key2, t.n AS n1,
+       CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+       CAST(NULL AS BIGINT) AS n4
+FROM ({EVENTS_DAILY_TYPE_PIVOT_SQL.replace("ORDER BY day, event_type", "")}) t
+UNION ALL
+SELECT 'json' AS kind, t.event_type AS key1, CAST(NULL AS VARCHAR) AS key2,
+       t.n AS n1, t.sum_k AS n2, t.min_k AS n3, t.max_k AS n4
+FROM ({EVENTS_JSON_PROPS_SQL.replace("ORDER BY event_type", "")}) t
+ORDER BY kind, key1, key2
+"""

@@ -255,13 +255,19 @@ registers by SUPERSEDING media_decode_roundtrip +
 media_resize_documents — net-zero slots while adding the resize
 codepath to the driver window.
 
-Staged with no slot assigned yet (r16+ candidate, needs a paired
-merge when scheduled): events_ops.funnel_steps_events — ordered
-funnel analysis (morning view -> midday click -> evening purchase,
-hour-banded so the step distribution is non-degenerate at every SF):
-one shuffle, per-user sort_array + higher-order fold; the oracle is
-the INDEPENDENT min-seq-after three-join formulation, so the hash
-cross-checks two constructions of funnel semantics.
+Staged as a PAIR with no round assigned yet (slot-neutral: the merge
+frees exactly the slot the net-new entry needs — schedule both in
+whichever window next has its constituents due, e.g. r14 where
+events_daily_type_pivot and events_json_props both sit):
+- events_ops.funnel_steps_events — ordered funnel analysis (morning
+  view -> midday click -> evening purchase, hour-banded so the step
+  distribution is non-degenerate at every SF): one shuffle, per-user
+  sort_array + higher-order fold; the oracle is the INDEPENDENT
+  min-seq-after three-join formulation, so the hash cross-checks two
+  constructions of funnel semantics;
+- events_ops.events_audit_composite — kind-tagged merge of
+  events_daily_type_pivot + events_json_props (both keep standalone
+  parity rows per the retirement contract).
 """
 
 from __future__ import annotations

@@ -687,11 +687,13 @@ def test_ndb_compact_coalesces_file_growth(spark, tmpdir):
     assert cur2 != cur
     after = ranges_by_bucket(cur2)
     assert overlapping(after) == [], after
-    # coalesced: every rewritten bucket is back to ~fpb files (a range
-    # partition straddling a bucket boundary may add one)
+    # coalesced: every rewritten bucket is back to AT MOST fpb files —
+    # deterministic by construction since the r12 ntile-slot rewrite
+    # (repartitionByRange's sample-estimated boundaries could straddle
+    # a bucket across fpb+2 partitions on an unlucky RDD-id seed)
     for b in after:
         if int(b.split("=", 1)[1]) in set(rewritten):
-            assert len(after[b]) <= 3 + 1, (b, len(after[b]))
+            assert len(after[b]) <= 3, (b, len(after[b]))
     # untouched buckets carried by inode
     after_inodes = inodes(cur2)
     untouched = [
@@ -903,3 +905,30 @@ def test_ndb_schema_evolution_add_and_drop_columns(spark, tmpdir):
     got = {r.k: (r.v, r.extra, r.n) for r in t3.replay().collect()}
     assert got[0] == ("V0b", 50, 100)
     assert got[5] == ("v5", None, None)
+
+
+def test_ndb_legacy_table_gains_drift_protection_on_reopen(spark, tmpdir):
+    """A table whose meta predates the columns record (simulated by
+    stripping the key) derives its stored payload columns from the
+    parquet footer on the first reopened upsert — pre-existing tables
+    get the drift check too, not just freshly created ones."""
+    import json as _json
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    meta.pop("columns", None)
+    meta.pop("evolved", None)
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
+
+    t2 = NdbTable(spark, path, key="k")
+    with pytest.raises(ValueError, match="schema drift"):
+        t2.upsert(
+            spark.createDataFrame([(2, "b", 1)], "k bigint, v string, extra bigint")
+        )
+    t2.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert {r.k for r in t2.replay().collect()} == {1, 2}

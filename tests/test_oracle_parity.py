@@ -276,6 +276,11 @@ _RETIRED_CASES += [
     ("staged_funnel_steps_events",
      _ev.funnel_steps_events,
      _ev.FUNNEL_STEPS_EVENTS_SQL),
+    # the merge PAIRED with funnel's registration (frees the slot it
+    # needs): events_daily_type_pivot + events_json_props, kind-tagged
+    ("staged_events_audit_composite",
+     _ev.events_audit_composite,
+     _ev.EVENTS_AUDIT_COMPOSITE_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
