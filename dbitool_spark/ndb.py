@@ -55,6 +55,12 @@ _LOCK = ".writer_lock"
 # read as "owner gone" (same contract as plans/state_ops scratch
 # reclamation)
 _ALIVE_UNREADABLE = -1
+# stamp sentinel: the WRITER could not read its own start ticks
+# (non-Linux, masked procfs) so PID-reuse detection is impossible for
+# this lock; checkers must ASSUME the owner is alive rather than
+# classify it PID-recycled and silently steal (ADVICE r12: a 0 stamp
+# made every lock stealable on such platforms — guard became a no-op)
+_NO_SELF_IDENTITY = -2
 
 
 def _proc_start_ticks(pid: int) -> int | None:
@@ -175,8 +181,14 @@ class NdbTable:
             self.files_per_bucket = int(
                 meta.get("files_per_bucket", files_per_bucket)
             )
+            # retention may be WIDENED on reopen (replay(as_of)'s error
+            # message prescribes exactly that remediation — ADVICE r12:
+            # the meta value used to override the arg unconditionally,
+            # making the prescribed fix a silent no-op); it never
+            # narrows implicitly, so already-retained snapshots stay
+            # readable
             self.keep_versions = max(
-                2, int(meta.get("keep_versions", keep_versions))
+                2, int(meta.get("keep_versions", 2)), int(keep_versions)
             )
             self._key_type = meta.get("key_type")
             self._evolved = bool(meta.get("evolved", False))
@@ -602,8 +614,11 @@ class NdbTable:
         me = os.getpid()
         tmp = f"{lock}.stamp.{me}"
         try:
+            my_ticks = _proc_start_ticks(me)
+            if my_ticks is None:
+                my_ticks = _NO_SELF_IDENTITY  # platform w/o readable /proc
             with open(tmp, "w") as fh:
-                fh.write(f"{me} {_proc_start_ticks(me) or 0}")
+                fh.write(f"{me} {my_ticks}")
             for _ in range(3):  # initial try + steal retries
                 try:
                     os.link(tmp, lock)  # atomic create-with-content
@@ -624,13 +639,30 @@ class NdbTable:
                     return False  # reentrant: nested upsert in-process
                 if pid > 0:
                     cur = _proc_start_ticks(pid)
-                    if cur == start or cur == _ALIVE_UNREADABLE:
+                    if (
+                        cur == start
+                        or cur == _ALIVE_UNREADABLE
+                        or start == _NO_SELF_IDENTITY
+                    ):
+                        # _NO_SELF_IDENTITY: the owner couldn't stamp a
+                        # verifiable identity, so liveness is UNKNOWABLE
+                        # — fail safe (assume alive) rather than degrade
+                        # the guard to silently-stealable; a provably
+                        # dead owner's lock must be removed by hand there
+                        who = (
+                            f"writer pid {pid} with an unverifiable "
+                            f"identity stamp (assumed alive — if that "
+                            f"writer is known dead, delete {lock} "
+                            "manually)"
+                            if start == _NO_SELF_IDENTITY
+                            else f"live writer pid {pid}"
+                        )
                         raise RuntimeError(
                             f"ndb table at {self.path} is locked by "
-                            f"live writer pid {pid}; concurrent "
-                            "cross-process upserts would race the "
-                            "pointer flip (pass single_writer=False "
-                            "to override at your own risk)"
+                            f"{who}; concurrent cross-process upserts "
+                            "would race the pointer flip (pass "
+                            "single_writer=False to override at your "
+                            "own risk)"
                         )
                 # dead or PID-recycled owner: atomic rename-steal —
                 # exactly one concurrent stealer wins; losers loop
@@ -727,7 +759,21 @@ class NdbTable:
         probe per file): more data files than files_per_bucket, any
         file missing key statistics, or — the belt-and-braces check
         for states not written by this module's invariant-preserving
-        path — overlapping footer ranges."""
+        path — overlapping footer ranges.
+
+        Holds the same advisory writer lock as upsert()/merge_upsert()
+        for the whole read-rewrite-flip (ADVICE r12: an unguarded
+        compact racing a cross-process upsert could flip the pointer
+        over the other writer's version and GC it — the lost-update
+        case the guard exists to prevent)."""
+        owns_lock = self._acquire_writer_lock()
+        try:
+            return self._compact_locked(buckets)
+        finally:
+            if owns_lock:
+                self._release_writer_lock()
+
+    def _compact_locked(self, buckets: list[int] | None) -> list[int]:
         current = self._current_dir()
         if current is None:
             raise ValueError(f"ndb table at {self.path} is empty")
@@ -747,11 +793,14 @@ class NdbTable:
                     ranges.append(rng)
                 if len(ranges) <= 1:
                     continue
-                # +1 slack: a compacted write's range partition can
-                # straddle a bucket boundary and leave fpb+1 files, so
-                # selecting at > fpb would re-select forever
+                # the ntile rewrite below converges to <= fpb files per
+                # bucket by construction (equal (bucket, slot) keys stay
+                # together), so anything above fpb is selectable without
+                # re-select churn (ADVICE r12: the old +1 slack dated
+                # from the sample-estimated repartitionByRange straddle
+                # and left fpb+1-file buckets never coalescing)
                 if (
-                    len(ranges) > self.files_per_bucket + 1
+                    len(ranges) > self.files_per_bucket
                     or any(r is None for r in ranges)
                 ):
                     buckets.append(bval)

