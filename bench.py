@@ -237,6 +237,53 @@ def _scaling_ops():
 
         return streaming_rollup_ndb_events(spark, d)
 
+    def redact_pii(spark, d):
+        # r13 registration: a regexp_replace cascade is one pure-JVM
+        # projection — growth must track the scan (~1x + job overhead)
+        from dbitool_spark.plans.llm_ops import redact_pii_documents
+
+        return redact_pii_documents(spark, d)
+
+    def curation_chain(spark, d):
+        # r13 registration: strip -> dedup-lines -> redact composed
+        # into ONE projection — same ~1x scan-tracking expectation
+        from dbitool_spark.plans.llm_ops import curation_text_chain_documents
+
+        return curation_text_chain_documents(spark, d)
+
+    def ann_recall_composite_op(spark, d):
+        # r13 registration: the exact kernel is queries(10)*corpus —
+        # linear in corpus for fixed queries — and both approximate
+        # paths are bucketed probes; growth must track corpus size
+        from dbitool_spark.plans.llm_ops import ann_recall_composite
+
+        return ann_recall_composite(spark, d)
+
+    def ndb_range_pruned(spark, d):
+        # r13 registration: upserts through the files_per_bucket
+        # pruned path — per-upsert cost must track touched buckets *
+        # intersecting range files + batch, never the full state
+        from dbitool_spark.plans.state_ops import ndb_range_pruned_replay
+
+        return ndb_range_pruned_replay(spark, d)
+
+    def pagerank_links(spark, d):
+        # r12 verdict item 8 (gate BEFORE the r14 registration):
+        # per-iteration shuffle is |edges| rows and iterations are
+        # checkpointed — growth must stay ~linear in the edge count;
+        # super-linear would expose lineage/checkpoint leaks early
+        from dbitool_spark.plans.llm_ops import pagerank_links_documents
+
+        return pagerank_links_documents(spark, d)
+
+    def perplexity_score(spark, d):
+        # r13 staged (r15 candidate), gated from birth: one token
+        # explode + vocab groupBy + token-keyed count join + per-doc
+        # agg — growth must track the token stream, never doc x doc
+        from dbitool_spark.plans.llm_ops import perplexity_score_documents
+
+        return perplexity_score_documents(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -255,6 +302,12 @@ def _scaling_ops():
         "streaming_hourly_composite": streaming_hourly,
         "classifier_score": classifier_score,
         "streaming_rollup_ndb": streaming_rollup_ndb,
+        "redact_pii": redact_pii,
+        "curation_text_chain": curation_chain,
+        "ann_recall_composite": ann_recall_composite_op,
+        "ndb_range_pruned_replay": ndb_range_pruned,
+        "pagerank_links": pagerank_links,
+        "perplexity_score": perplexity_score,
     }
 
 
@@ -507,15 +560,26 @@ def main() -> int:
     # contract) but REFUSES to overwrite the sidecars, so the repo's
     # record stays exclusive-run-only.
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    # r12 verdict item 2: the 1-min average alone passed runs whose
+    # host was still cooling off from recent heavy work (the 82.65 ->
+    # 99.49s same-plan drift bracket); the 15-min average is the
+    # cheap cold-state witness, so the gate keys on BOTH.
+    max_load_15 = float(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD_15", str(max_load))
+    )
     try:
         pre_load = list(os.getloadavg())
     except OSError:
         pre_load = None
     foreign_java = _foreign_java_pids()
-    exclusive = (pre_load is None or pre_load[0] <= max_load) and not foreign_java
+    exclusive = (
+        pre_load is None
+        or (pre_load[0] <= max_load and pre_load[2] <= max_load_15)
+    ) and not foreign_java
     if not exclusive:
         print(
-            f"LOADED RUN: loadavg={pre_load} (max {max_load}), foreign java "
+            f"LOADED RUN: loadavg={pre_load} (max {max_load} 1-min / "
+            f"{max_load_15} 15-min), foreign java "
             f"pids={foreign_java} — sidecars will NOT be overwritten; "
             "re-run on an idle box for a recordable measurement",
             file=sys.stderr,

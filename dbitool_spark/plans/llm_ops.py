@@ -688,6 +688,66 @@ ORDER BY method, query_id, rank
 """
 
 
+def ann_topk_planted_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY planted-neighbor hits for the LSH and IVF top-k paths
+    — the oracle-backed SUPERSEDER of the rows-only ann_topk_lsh /
+    ann_topk_ivf registry entries (r12 verdict item 5: their raw
+    approximate top-k had no SQL oracle, the agreed exception this
+    entry removes). It drives the SAME similarity.lsh_topk / ivf_topk
+    kernels, but against the planted fixture, and emits one row per
+    (method, query) with planted_hit = whether the guaranteed-
+    retrievable planted neighbor surfaced in that query's top-k.
+    Determinism: seeded hyperplanes / seeded k-means, planted cos >=
+    0.9798 vs a ~0.28 natural ceiling, miss probability < 1e-10
+    (constituent docstrings carry the arguments), so every row is
+    exactly 1 and the oracle can state the table outright. Stronger
+    than the aggregate recall entries: a single lost query names
+    itself instead of moving a ratio.
+
+    Scale shape: both kernels are bucketed candidate generation
+    (never all-pairs); the hit join is a broadcast-sized left join on
+    the query set — per-query rows add no shuffle beyond the kernels'
+    own."""
+    corpus, queries = _planted_ann_setup(spark, sf_dir)
+    lsh = similarity.lsh_topk(corpus, queries, k=5, id_col="vec_id", vec_col="v")
+    ivf = similarity.ivf_topk(
+        corpus, queries, k=5, id_col="vec_id", vec_col="v",
+        n_centroids=16, n_probe=4,
+    )
+
+    def hits(topk: DataFrame, method: str) -> DataFrame:
+        # left join from the query frame: a MISSED query keeps its row
+        # (planted_hit = 0) instead of vanishing from the result
+        found = topk.filter(
+            F.col("neighbor_id") == F.col("query_id") + _PERTURB_OFFSET
+        ).select("query_id", F.lit(1).alias("__hit"))
+        return (
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(found, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                F.col("query_id").cast("long").alias("query_id"),
+                F.coalesce("__hit", F.lit(0)).cast("int").alias("planted_hit"),
+            )
+        )
+
+    return (
+        hits(lsh, "lsh")
+        .unionAll(hits(ivf, "ivf"))
+        .orderBy("method", "query_id")
+    )
+
+
+ANN_TOPK_PLANTED_HITS_SQL = f"""
+SELECT m.method, CAST(e.vec_id AS BIGINT) AS query_id,
+       CAST(1 AS INT) AS planted_hit
+FROM embeddings e
+CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
+WHERE e.vec_id < {_N_ANN_QUERIES}
+ORDER BY method, query_id
+"""
+
+
 # --- text analysis ----------------------------------------------------
 
 
@@ -3207,4 +3267,126 @@ FROM ({MEDIA_DECODE_ROUNDTRIP_SQL.replace("ORDER BY media_id", "")}) d
 LEFT JOIN ({MEDIA_RESIZE_DOCUMENTS_SQL.replace("ORDER BY media_id", "")}) r
   USING (media_id)
 ORDER BY media_id
+"""
+
+
+# --- LM-perplexity quality filtering (CCNet shape, r15 candidate) -----
+
+# flag threshold in milli-bits/token: a doc whose mean unigram
+# cross-entropy exceeds this is "surprising" under the reference LM —
+# the CCNet tail bucket. The corpus's per-doc mean sits tightly
+# around ~4910 mb/token with a fat right tail (p90 ~4926 at sf0.01,
+# p95 ~4920 at sf0.1 — measured), so 4925 flags the genuine tail at
+# every SF without degenerating to all-true/all-false. Integer so the
+# flag is an exact cross-multiplied comparison in both engines.
+_PPL_FLAG_MILLIBITS = 4_925
+
+
+def perplexity_score_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
+    """Unigram-LM cross-entropy quality scoring — the perplexity-
+    filtering half of CCNet (Wenzek et al. 2020: score documents under
+    a reference LM, keep the low-perplexity head; the reference's
+    quality signals are rule-based only, so this extends §2's text-
+    analysis family with the model-statistics signal 100 TB curation
+    pipelines actually rank by).
+
+    Train/score split is deterministic: even doc_ids are the
+    reference corpus (add-one-smoothed unigram counts), odd doc_ids
+    are scored held-out. Per token, surprisal = log2((N + V) /
+    (c + 1)) — N total reference tokens, V vocab size, c the token's
+    reference count (0 when OOV) — QUANTIZED to integer milli-bits
+    per DISTINCT count value, so the per-doc sum is an exact integer
+    in both engines (the classifier_score rational-arithmetic
+    precedent: no float summation order can drift the hash) and the
+    flag is an integer cross-multiplication against
+    _PPL_FLAG_MILLIBITS.
+
+    Scale shape: one token explode (linear in the token stream), one
+    groupBy(token) for counts (shuffle ~ distinct vocab), one
+    token-keyed left join of the scored stream against the counts
+    (shuffle ~ token stream, never doc x doc), one per-doc agg. The
+    N/V scalars ride a broadcast 1-row crossJoin. At 100 TB the
+    count table prunes to top-K vocab + an OOV default and broadcasts.
+    The count table is PERSISTED once: it feeds both the token join
+    and the N/V scalar agg, and an unshared plan would re-run the
+    full reference-token aggregation for each (the
+    simhash_recall_planted precedent; lazy callers get a release
+    handle via attach_persists)."""
+    from dbitool_spark.ops.cache import attach_persists, materialize_release
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    counts = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    scal = counts.agg(
+        F.sum("c").alias("n_tok"), F.count(F.lit(1)).alias("v_sz")
+    )
+    scored = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .join(counts, "w", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.round(
+                F.log2(
+                    (F.col("n_tok") + F.col("v_sz"))
+                    / (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                )
+                * 1000,
+                0,
+            )
+            .cast("long")
+            .alias("s_mb"),
+        )
+    )
+    result = (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tok_n"), F.sum("s_mb").alias("ce_mb"))
+        .select(
+            "doc_id",
+            "tok_n",
+            "ce_mb",
+            (F.col("ce_mb") > F.col("tok_n") * _PPL_FLAG_MILLIBITS).alias(
+                "flagged"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+    if not materialize:
+        return attach_persists(result, counts)  # lazy: caller releases
+    return materialize_release(result, counts)
+
+
+PERPLEXITY_SCORE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT w, COUNT(*) AS c FROM toks WHERE doc_id % 2 = 0 GROUP BY w
+),
+scal AS (SELECT SUM(c) AS n_tok, COUNT(*) AS v_sz FROM counts),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(log2((s.n_tok + s.v_sz) * 1.0
+                         / (COALESCE(c.c, 0) + 1)) * 1000, 0) AS BIGINT)
+           AS s_mb
+  FROM toks t
+  LEFT JOIN counts c USING (w)
+  CROSS JOIN scal s
+  WHERE t.doc_id % 2 = 1
+)
+SELECT doc_id, COUNT(*) AS tok_n, CAST(SUM(s_mb) AS BIGINT) AS ce_mb,
+       SUM(s_mb) > COUNT(*) * {_PPL_FLAG_MILLIBITS} AS flagged
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """

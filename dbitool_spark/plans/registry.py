@@ -152,41 +152,36 @@ minus the retired near_dup_clusters_documents). All four retirees
 keep standalone oracle-parity rows in tests/test_oracle_parity.py per
 the retirement contract.
 
-Current capacity: 97 registered / 50-slot window -> 47 tail rows, all
-driver-green in r11; every entry is covered by CORRECTNESS_r11 ∪ r12.
-r13 headroom: 47 due-tail entries against 50 slots -> 3 slots of
-slack. Staged for r13 (same contract — each oracle-proven a round
-early in tests/test_oracle_parity.py at r12 HEAD):
-- llm_ops.redact_pii_documents — the PII ACTION: mask the classes
-  pii_scan detects via a regexp_replace cascade over the SAME pattern
-  constants (one knob, both engines), emitting redacted text +
-  per-class counts;
-- llm_ops.strip_repetition_documents — within-document repeated-line
-  removal (first-occurrence-preserving, higher-order array functions,
-  one projection, no shuffle);
-- llm_ops.trim_duplicate_spans_documents — the cross-doc substring
-  dedup ACTION: cut the shared-span suffix from the lower-priority
-  doc of each duplicate_spans pair (Lee et al. 2022 shape), candidate
-  volume bounded by the existing hash-gram join;
-- llm_ops.ann_recall_composite — method-tagged merge candidate
-  folding ann_recall_planted + ann_topk_bruteforce into one driver
-  row (frees one net slot when registered);
-- llm_ops.curation_text_chain_documents — spare-slot candidate: the
-  end-to-end text-cleaning chain (strip_markup -> repeated-line
-  removal -> PII redaction) proven by one oracle hash, every stage
-  non-vacuous via disjoint plant moduli (%3/%5/%7).
-r13 math: 47 due − 2 retired by the ann merge + the 4-5 registrations
-= 49-50 slots; it fits.
+r13 rotation (EXECUTED — the staged plan plus the r12 judge's item 5,
+which zeroed the rows-only set, and the slot-neutral funnel pair):
+- the six staged entries registered exactly as ledgered:
+  redact_pii_documents, strip_repetition_documents,
+  trim_duplicate_spans_documents, curation_text_chain_documents,
+  ann_recall_composite (RETIRING ann_recall_planted +
+  ann_topk_bruteforce, both due r13), and
+  state_ops.ndb_range_pruned_replay (SUPERSEDING ndb_upsert_replay,
+  due r13, through the files_per_bucket pruned write path);
+- llm_ops.ann_topk_planted_hits registered (r12 verdict item 5),
+  RETIRING the two rows-only entries ann_topk_lsh + ann_topk_ivf
+  (both due r13): it drives the same lsh_topk/ivf_topk kernels
+  against the planted fixture and emits per-(method, query) hit rows
+  the oracle states outright — oracle_sql() now covers 100% of
+  queries() and the rows-only exception is GONE (the retired pair
+  keeps pytest recall/top-k coverage in tests/test_similarity.py);
+- the slot-neutral pair registered in the remaining slack:
+  events_ops.funnel_steps_events (net-new ordered-funnel operator)
+  + events_ops.events_audit_composite (kind-tagged merge RETIRING
+  events_daily_type_pivot, r12-green, and events_json_props, due
+  r13 — both keep standalone parity rows).
+r13 math: 47 due − 2 (ann merge) − 1 (ndb supersede) − 2 (rows-only
+retirees) − 1 (events_json_props) = 41 due + 9 registrations = 50,
+exactly full. Registry after r13: 97 − 7 retirees + 9 = 99; tail =
+the 49 r12-green entries (r12 head-50 minus the retired
+events_daily_type_pivot), due r14.
 
-r13 amendment (closes the r13 math exactly while freeing an r14
-slot): state_ops.ndb_range_pruned_replay registers in r13 as
-ndb_upsert_replay's SUPERSEDER (same upsert/replay contract driven
-through the files_per_bucket intra-bucket pruned write path —
-strictly more codepath; ndb_upsert_replay is due r13, so due drops
-47 → 46). Final r13 math: 47 due − 2 (ann merge) − 1 (ndb supersede)
-+ 6 registrations = 50, exactly full. Registry after r13: 100.
-
-r14 PLAN (due = the full 50-entry r12 head, so EVERY r14
+r14 PLAN (due = the 49-entry r12-green tail after the r13 early
+retirement of events_daily_type_pivot — one slot of slack vs the
+original full-50 plan, so EVERY r14
 registration needs a merge/retirement; all six merge composites are
 staged with green parity rows at r12 HEAD —
 tests/test_oracle_parity.py staged_ entries):
@@ -220,10 +215,12 @@ Plus the three staged net-new registrations:
   signal: integer-arithmetic ranks (bit-identical cross-engine, no
   float summation), per-iteration checkpoint discipline, oracle
   unrolls the iterations as chained CTEs.
-r14 math: 50 due − 8 head-slot retirees + 5 composites + 3 net-new =
-50, exactly full. Registry after r14: 100 − 12 retirees + 8 = 96;
-r15 due = r13's head-50 − the 4 tail retirees driven r13 = 46, so
-r15 opens with 4 slots of slack for net-new operators.
+r14 math: 49 due − 7 head-slot retirees (events_daily_type_pivot
+already retired r13) + 5 composites + 3 net-new = 50, exactly full.
+Registry after r14: 99 − 11 retirees + 8 = 96; r15 due = r13's
+head-50 − the tail retirees driven r13 = 50 − 4 staged-for-later
+retirees at most, so r15 opens with ~4 slots of slack for the staged
+net-new operators (recomputed when r14 executes).
 
 Staged for that r15 slack (green parity rows at r12 HEAD —
 tests/test_oracle_parity.py staged_ entries):
@@ -246,6 +243,13 @@ tests/test_oracle_parity.py staged_ entries):
   by IEEE determinism (norm bit-identity pinned in pytest), recall@5
   ~0.98 vs the float cosine baseline.
 r15 math: 46 due + these 4 = 50, exactly full.
+
+Staged toward r15/r16 slack (net-new r13, parity row
+staged_perplexity_score_documents): llm_ops.perplexity_score_documents
+— CCNet-style unigram-LM cross-entropy quality scoring (Wenzek et al.
+2020), integer milli-bit surprisal so the per-doc sum is exact in
+both engines; the model-statistics quality signal completing the
+rule-based text_profile / classifier_score family.
 
 Staged toward r16 (media family): media_resize_documents (pixel
 decode -> nearest-neighbor 8x8 -> channel means, fully arithmetic
@@ -307,57 +311,257 @@ def oracle_sql() -> dict[str, str]:
 
 
 # =====================================================================
-# r12 WINDOW (head-50): the 4 staged entries (the hourly streaming
-# merge register-and-retire, the two net-new LLM ops, and the
-# broadcast-Bloom decontaminator in the freed spare slot) + ALL 46
-# entries whose last driver row was r10 (the rotation tripwire's
-# printed list minus near_dup_clusters_documents, retired as
-# superseded). Tail = the 47 remaining r11-green entries.
+# r13 WINDOW (head-50): the 9 registrations (six staged per the
+# ledger, the rows-only-zeroing ann_topk_planted_hits, and the
+# slot-neutral funnel pair) + the 41 due-tail entries (last driver
+# row: r11; the old 47-entry tail minus the 6 retirees that sat in
+# it). Tail = the 49 r12-green entries, due r14.
 # =====================================================================
 
-# NEW (r12): hourly tumbling-window composite — variant-tagged union
-# of the batch, streaming-complete and streaming-append+watermark
-# hourly aggregations; merges the retired streaming_hourly_append_events
-# + streaming_hourly_stats_events + events_hourly_stats per the r11
-# staging (oracle-proven a round early as
-# staged_streaming_hourly_composite).
+# NEW (r13): the PII ACTION — mask the classes pii_scan detects via a
+# regexp_replace cascade over the SAME pattern constants (one knob,
+# both engines), emitting redacted text + per-class counts
+# (oracle-proven a round early as staged_redact_pii_documents).
+register(
+    "redact_pii_documents",
+    llm_ops.redact_pii_documents,
+    llm_ops.REDACT_PII_SQL,
+)
+# NEW (r13): within-document repeated-line removal — first-occurrence-
+# preserving, ONE higher-order-filter projection, no shuffle
+# (oracle-proven a round early as staged_strip_repetition_documents).
+register(
+    "strip_repetition_documents",
+    llm_ops.strip_repetition_documents,
+    llm_ops.STRIP_REPETITION_SQL,
+)
+# NEW (r13): the cross-doc substring dedup ACTION (Lee et al. 2022
+# shape) — cut the shared-span suffix from the lower-priority doc of
+# each duplicate_spans pair; candidate volume bounded by the existing
+# hash-gram join (oracle-proven a round early as
+# staged_trim_duplicate_spans_documents).
+register(
+    "trim_duplicate_spans_documents",
+    llm_ops.trim_duplicate_spans_documents,
+    llm_ops.TRIM_DUPLICATE_SPANS_SQL,
+)
+# NEW (r13): the end-to-end text-cleaning chain (strip_markup ->
+# repeated-line removal -> PII redaction) proven by ONE oracle hash,
+# every stage non-vacuous via disjoint plant moduli (%3/%5/%7;
+# oracle-proven a round early as staged_curation_text_chain_documents).
+register(
+    "curation_text_chain_documents",
+    llm_ops.curation_text_chain_documents,
+    llm_ops.CURATION_TEXT_CHAIN_SQL,
+)
+# NEW (r13): method-tagged merge of ann_recall_planted +
+# ann_topk_bruteforce (both RETIRED with standalone parity rows) —
+# one driver row drives the brute-force exact top-k kernel AND both
+# approximate indexes against the planted fixture (oracle-proven a
+# round early as staged_ann_recall_composite).
+register(
+    "ann_recall_composite",
+    llm_ops.ann_recall_composite,
+    llm_ops.ANN_RECALL_COMPOSITE_SQL,
+)
+# NEW (r13): ndb upsert/replay through the r12 files_per_bucket
+# intra-bucket pruned write path — SUPERSEDES ndb_upsert_replay
+# (strictly more codepath; retiree keeps a standalone parity row;
+# oracle-proven a round early as staged_ndb_range_pruned_replay).
+register(
+    "ndb_range_pruned_replay",
+    state_ops.ndb_range_pruned_replay,
+    state_ops.NDB_RANGE_PRUNED_REPLAY_SQL,
+)
+# NEW (r13, r12 verdict item 5): per-(method, query) planted-neighbor
+# hits for the LSH and IVF top-k paths — the oracle-backed SUPERSEDER
+# of the rows-only ann_topk_lsh/ann_topk_ivf entries (both RETIRED;
+# they keep pytest recall/top-k coverage in tests/test_similarity.py).
+# oracle_sql() now covers 100% of queries().
+register(
+    "ann_topk_planted_hits",
+    llm_ops.ann_topk_planted_hits,
+    llm_ops.ANN_TOPK_PLANTED_HITS_SQL,
+)
+# NEW (r13): ordered funnel analysis (morning view -> midday click ->
+# evening purchase, hour-banded): one shuffle, per-user sort_array +
+# higher-order fold; the oracle is the INDEPENDENT min-seq-after
+# three-join formulation (oracle-proven a round early as
+# staged_funnel_steps_events).
+register(
+    "funnel_steps_events",
+    events_ops.funnel_steps_events,
+    events_ops.FUNNEL_STEPS_EVENTS_SQL,
+)
+# NEW (r13): kind-tagged merge of events_daily_type_pivot +
+# events_json_props (both RETIRED with standalone parity rows) — the
+# slot-neutral pair with funnel_steps_events per the ledger.
+register(
+    "events_audit_composite",
+    events_ops.events_audit_composite,
+    events_ops.EVENTS_AUDIT_COMPOSITE_SQL,
+)
+
+# --- the 41 entries due their r13 row (last driver row: r11) ----------
+
+register(
+    "format_chain_nation_xmlbson",
+    format_io.format_chain_nation_xmlbson,
+    format_io.FORMAT_CHAIN_NATION_XMLBSON_SQL,
+)
+register(
+    "source_overlap_matrix",
+    llm_ops.source_overlap_matrix,
+    llm_ops.SOURCE_OVERLAP_MATRIX_SQL,
+)
+register(
+    "quality_prune_documents",
+    llm_ops.quality_prune_documents,
+    llm_ops.QUALITY_PRUNE_DOCUMENTS_SQL,
+)
+register(
+    "streaming_lsh_near_dup_documents",
+    state_ops.streaming_lsh_near_dup_documents,
+    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
+)
+register(
+    "skewed_segment_join_events",
+    events_ops.skewed_segment_join_events,
+    events_ops.SKEWED_SEGMENT_JOIN_SQL,
+)
+register(
+    "streaming_dedup_events",
+    state_ops.streaming_dedup_events,
+    state_ops.STREAMING_DEDUP_EVENTS_SQL,
+)
+register(
+    "curation_pipeline_documents",
+    pipeline_ops.curation_pipeline_documents,
+    pipeline_ops.CURATION_PIPELINE_SQL,
+)
+register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
+register(
+    "ngram_containment_documents",
+    llm_ops.ngram_containment_documents,
+    llm_ops.NGRAM_CONTAINMENT_SQL,
+)
+register(
+    "streaming_decontaminate_documents",
+    state_ops.streaming_decontaminate_documents,
+    state_ops.STREAMING_DECONTAMINATE_SQL,
+)
+register(
+    "semantic_outliers_documents",
+    llm_ops.semantic_outliers_documents,
+    llm_ops.SEMANTIC_OUTLIERS_SQL,
+)
+register(
+    "media_decode_roundtrip",
+    llm_ops.media_decode_roundtrip,
+    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
+)
+register(
+    "streaming_user_sessions_events",
+    state_ops.streaming_user_sessions_events,
+    events_ops.USER_SESSIONS_SQL,
+)
+register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
+register(
+    "sample_stratified_documents",
+    pipeline_ops.sample_stratified_documents,
+    pipeline_ops.SAMPLE_STRATIFIED_SQL,
+)
+register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
+register(
+    "array_functions_embeddings",
+    scalar_ops.array_functions_embeddings,
+    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
+)
+register(
+    "stats_functions_lineitem",
+    scalar_ops.stats_functions_lineitem,
+    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
+)
+register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
+register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
+register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
+register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
+register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
+register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
+register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
+register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
+register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
+register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
+register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
+register(
+    "fingerprint_dedup_counts",
+    llm_ops.fingerprint_dedup_counts,
+    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
+)
+register(
+    "media_features_documents",
+    llm_ops.media_features_documents,
+    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
+)
+register(
+    "frame_sample_documents",
+    llm_ops.frame_sample_documents,
+    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
+)
+register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
+register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
+register(
+    "decontaminate_documents",
+    pipeline_ops.decontaminate_documents,
+    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
+)
+register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
+register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
+register(
+    "repetition_stats_documents",
+    llm_ops.repetition_stats_documents,
+    llm_ops.REPETITION_STATS_SQL,
+)
+register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
+register(
+    "customer_order_distribution",
+    relational.customer_order_distribution,
+    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+)
+register(
+    "bucketed_orders_customer_join",
+    relational.bucketed_orders_customer_join,
+    relational.BUCKETED_ORDERS_CUSTOMER_SQL,
+)
+
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r12 (CORRECTNESS_r12) and is
+# unchanged this round; full pytest oracle-parity coverage continues
+# every round regardless of position. Due their next driver row in
+# r14 (49 entries — the r12 head-50 minus the retired
+# events_daily_type_pivot — against 50 slots; the r14 merge plan in
+# the ledger above closes the math).
+
 register(
     "streaming_hourly_composite",
     state_ops.streaming_hourly_composite,
     state_ops.STREAMING_HOURLY_COMPOSITE_SQL,
 )
-# NEW (r12): HTML/boilerplate strip — script/style/comment blocks
-# removed with content, tags to word boundaries, entities decoded,
-# whitespace collapsed; one pure-JVM regexp projection, no shuffle
-# (oracle-proven a round early as staged_strip_markup_documents).
 register(
     "strip_markup_documents",
     llm_ops.strip_markup_documents,
     llm_ops.STRIP_MARKUP_DOCUMENTS_SQL,
 )
-# NEW (r12): the dedup ACTION — one max-quality representative per
-# near-dup cluster incl. singletons; drives the near_dup_clusters
-# pairs+CC codepaths PLUS selection, so it registers as that entry's
-# SUPERSEDER (near_dup_clusters_documents retired with a standalone
-# parity row; oracle-proven a round early as
-# staged_dedup_representatives_documents).
 register(
     "dedup_representatives_documents",
     llm_ops.dedup_representatives_documents,
     llm_ops.DEDUP_REPRESENTATIVES_SQL,
 )
-# NEW (r12): broadcast-Bloom decontamination — the unbroadcastable-
-# benchmark-set path (m/64-long Bloom words built via one bit_or agg,
-# membership as a pure-SQL codegen expression; zero false negatives by
-# construction, precision pinned in pytest; oracle-proven a round early
-# as staged_bloom_decontaminate_documents).
 register(
     "bloom_decontaminate_documents",
     pipeline_ops.bloom_decontaminate_documents,
     pipeline_ops.BLOOM_DECONTAMINATE_SQL,
 )
-
-# --- the 46 entries due their r12 row (last driver row: r10) ----------
 
 register(
     "text_profile_documents",
@@ -464,11 +668,8 @@ register(
     format_io.quarantine_corrupt_formats,
     format_io.QUARANTINE_CORRUPT_FORMATS_SQL,
 )
-register(
-    "events_daily_type_pivot",
-    events_ops.events_daily_type_pivot,
-    events_ops.EVENTS_DAILY_TYPE_PIVOT_SQL,
-)
+# (events_daily_type_pivot retired r13 into events_audit_composite —
+# standalone parity row kept in tests/test_oracle_parity.py)
 register(
     "duplicate_spans_documents",
     llm_ops.duplicate_spans_documents,
@@ -536,148 +737,3 @@ register(
     pipeline_ops.PACK_SEQUENCES_SQL,
 )
 
-# ===================== driver-window boundary (50) ====================
-# Everything below was driver-green in r11 (CORRECTNESS_r11) and is
-# unchanged this round; full pytest oracle-parity coverage continues
-# every round regardless of position. Due their next driver row in
-# r13 (47 entries against 50 slots: 3 slots of slack).
-
-register(
-    "format_chain_nation_xmlbson",
-    format_io.format_chain_nation_xmlbson,
-    format_io.FORMAT_CHAIN_NATION_XMLBSON_SQL,
-)
-register(
-    "source_overlap_matrix",
-    llm_ops.source_overlap_matrix,
-    llm_ops.SOURCE_OVERLAP_MATRIX_SQL,
-)
-register(
-    "quality_prune_documents",
-    llm_ops.quality_prune_documents,
-    llm_ops.QUALITY_PRUNE_DOCUMENTS_SQL,
-)
-register(
-    "streaming_lsh_near_dup_documents",
-    state_ops.streaming_lsh_near_dup_documents,
-    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
-)
-register(
-    "ann_recall_planted",
-    llm_ops.ann_recall_planted,
-    llm_ops.ANN_RECALL_PLANTED_SQL,
-)
-register(
-    "skewed_segment_join_events",
-    events_ops.skewed_segment_join_events,
-    events_ops.SKEWED_SEGMENT_JOIN_SQL,
-)
-register(
-    "streaming_dedup_events",
-    state_ops.streaming_dedup_events,
-    state_ops.STREAMING_DEDUP_EVENTS_SQL,
-)
-register(
-    "curation_pipeline_documents",
-    pipeline_ops.curation_pipeline_documents,
-    pipeline_ops.CURATION_PIPELINE_SQL,
-)
-register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
-register(
-    "ngram_containment_documents",
-    llm_ops.ngram_containment_documents,
-    llm_ops.NGRAM_CONTAINMENT_SQL,
-)
-register(
-    "streaming_decontaminate_documents",
-    state_ops.streaming_decontaminate_documents,
-    state_ops.STREAMING_DECONTAMINATE_SQL,
-)
-register(
-    "semantic_outliers_documents",
-    llm_ops.semantic_outliers_documents,
-    llm_ops.SEMANTIC_OUTLIERS_SQL,
-)
-register(
-    "media_decode_roundtrip",
-    llm_ops.media_decode_roundtrip,
-    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
-)
-register(
-    "streaming_user_sessions_events",
-    state_ops.streaming_user_sessions_events,
-    events_ops.USER_SESSIONS_SQL,
-)
-register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
-register(
-    "sample_stratified_documents",
-    pipeline_ops.sample_stratified_documents,
-    pipeline_ops.SAMPLE_STRATIFIED_SQL,
-)
-register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
-register("ann_topk_lsh", llm_ops.ann_topk_lsh)  # rows-only (approximate)
-register(
-    "array_functions_embeddings",
-    scalar_ops.array_functions_embeddings,
-    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
-)
-register(
-    "stats_functions_lineitem",
-    scalar_ops.stats_functions_lineitem,
-    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
-)
-register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
-register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
-register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
-register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
-register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
-register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
-register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
-register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
-register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
-register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
-register("ann_topk_ivf", llm_ops.ann_topk_ivf)  # rows-only; quality via ann_recall_planted
-register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
-register("ann_topk_bruteforce", llm_ops.ann_topk_bruteforce, llm_ops.ANN_TOPK_BRUTEFORCE_SQL)
-register(
-    "fingerprint_dedup_counts",
-    llm_ops.fingerprint_dedup_counts,
-    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
-)
-register(
-    "media_features_documents",
-    llm_ops.media_features_documents,
-    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
-)
-register(
-    "frame_sample_documents",
-    llm_ops.frame_sample_documents,
-    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
-)
-register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
-register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
-register(
-    "decontaminate_documents",
-    pipeline_ops.decontaminate_documents,
-    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
-)
-register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
-register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
-register("ndb_upsert_replay", state_ops.ndb_upsert_replay, state_ops.NDB_UPSERT_REPLAY_SQL)
-register("events_json_props", events_ops.events_json_props, events_ops.EVENTS_JSON_PROPS_SQL)
-register(
-    "repetition_stats_documents",
-    llm_ops.repetition_stats_documents,
-    llm_ops.REPETITION_STATS_SQL,
-)
-register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
-register(
-    "customer_order_distribution",
-    relational.customer_order_distribution,
-    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
-)
-register(
-    "bucketed_orders_customer_join",
-    relational.bucketed_orders_customer_join,
-    relational.BUCKETED_ORDERS_CUSTOMER_SQL,
-)

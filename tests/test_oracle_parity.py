@@ -151,35 +151,33 @@ _RETIRED_CASES += [
 # (PII redaction, within-doc repetition removal, cross-doc substring
 # trim) and the ann merge candidate (frees one net slot when it
 # registers, retiring ann_recall_planted + ann_topk_bruteforce).
+# r13 retirees (registered composites/superseders drive their
+# codepaths in the driver window; these pin standalone semantics).
+# The rows-only pair ann_topk_lsh/ann_topk_ivf also retired r13 —
+# they have no oracle BY NATURE, so their standalone coverage stays
+# where it always was: recall/top-k assertions in
+# tests/test_similarity.py, plus the registered oracle-backed
+# ann_topk_planted_hits driving the same kernels.
 _RETIRED_CASES += [
-    ("staged_redact_pii_documents", _llm.redact_pii_documents,
-     _llm.REDACT_PII_SQL),
-    ("staged_strip_repetition_documents", _llm.strip_repetition_documents,
-     _llm.STRIP_REPETITION_SQL),
-    ("staged_trim_duplicate_spans_documents",
-     _llm.trim_duplicate_spans_documents,
-     _llm.TRIM_DUPLICATE_SPANS_SQL),
-    ("staged_ann_recall_composite", _llm.ann_recall_composite,
-     _llm.ANN_RECALL_COMPOSITE_SQL),
-    # r13 spare-slot candidate: the end-to-end text-cleaning chain
-    # (strip_markup -> repeated-line removal -> PII redaction) proven
-    # by ONE oracle hash; %3/%5/%7 plants keep every stage non-vacuous
-    ("staged_curation_text_chain_documents",
-     _llm.curation_text_chain_documents,
-     _llm.CURATION_TEXT_CHAIN_SQL),
+    ("retired_ann_recall_planted", _llm.ann_recall_planted,
+     _llm.ANN_RECALL_PLANTED_SQL),
+    ("retired_ann_topk_bruteforce", _llm.ann_topk_bruteforce,
+     _llm.ANN_TOPK_BRUTEFORCE_SQL),
+    ("retired_ndb_upsert_replay", _state.ndb_upsert_replay,
+     _state.NDB_UPSERT_REPLAY_SQL),
+    ("retired_events_json_props", _ev.events_json_props,
+     _ev.EVENTS_JSON_PROPS_SQL),
+    ("retired_events_daily_type_pivot", _ev.events_daily_type_pivot,
+     _ev.EVENTS_DAILY_TYPE_PIVOT_SQL),
+]
+
+_RETIRED_CASES += [
     # r14 candidate (staged ahead per the standing contract): BPE
     # merge-iteration pair statistics — the distributed primitive
     # behind corpus tokenizer training
     ("staged_bpe_pair_counts_documents",
      _llm.bpe_pair_counts_documents,
      _llm.BPE_PAIR_COUNTS_SQL),
-    # r13/r14 candidate: ndb upsert/replay through the r12
-    # files_per_bucket intra-bucket pruned path — the driver row that
-    # proves the pruned write's END RESULT (read-fraction pinned in
-    # tests/test_ndb_obs.py)
-    ("staged_ndb_range_pruned_replay",
-     _state.ndb_range_pruned_replay,
-     _state.NDB_RANGE_PRUNED_REPLAY_SQL),
     # r14 candidate: clean-on-ingest — the curation chain as a
     # stateless streaming projection, drained against the BATCH
     # chain's oracle (micro-batch-boundary invariance)
@@ -256,6 +254,14 @@ _RETIRED_CASES += [
     ("staged_quantized_ann_topk_embeddings",
      _llm.quantized_ann_topk_embeddings,
      _llm.QUANTIZED_ANN_TOPK_SQL),
+    # r15/r16 candidate (net-new r13): CCNet-style unigram-LM
+    # cross-entropy quality scoring — even doc_ids train the
+    # reference LM, odd doc_ids score held-out; per-token surprisal
+    # quantized to integer milli-bits so the per-doc sum is exact in
+    # both engines and the tail flag is an integer cross-multiply
+    ("staged_perplexity_score_documents",
+     _llm.perplexity_score_documents,
+     _llm.PERPLEXITY_SCORE_SQL),
     # r16 candidate (staged ahead): decode -> nearest-neighbor resize
     # -> channel means over the synthesized image corpus; every synth
     # pixel is closed-form so the oracle states the resized means
@@ -270,17 +276,6 @@ _RETIRED_CASES += [
     ("staged_media_pipeline_documents",
      _llm.media_pipeline_documents,
      _llm.MEDIA_PIPELINE_DOCUMENTS_SQL),
-    # ordered funnel analysis (morning view -> midday click -> evening
-    # purchase): single-shuffle higher-order fold, hash cross-checked
-    # against the oracle's independent min-seq-after formulation
-    ("staged_funnel_steps_events",
-     _ev.funnel_steps_events,
-     _ev.FUNNEL_STEPS_EVENTS_SQL),
-    # the merge PAIRED with funnel's registration (frees the slot it
-    # needs): events_daily_type_pivot + events_json_props, kind-tagged
-    ("staged_events_audit_composite",
-     _ev.events_audit_composite,
-     _ev.EVENTS_AUDIT_COMPOSITE_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 

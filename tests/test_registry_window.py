@@ -7,9 +7,9 @@ verifies by hand, turned into CI:
   driver's 50-slot window (head of registration order — it gets its
   row THIS round) or present in the newest CORRECTNESS_r*.json (it
   got one LAST round).
-- ROWS-ONLY SET: exactly the two approximate ANN entries lack an
-  oracle (the agreed exception; each has an oracle-backed recall
-  companion driving the same codepaths).
+- ROWS-ONLY SET: empty since r13 — every registered entry has a
+  DuckDB oracle (the former exception pair ann_topk_lsh/ann_topk_ivf
+  retired into the oracle-backed ann_topk_planted_hits).
 """
 
 from __future__ import annotations
@@ -43,12 +43,13 @@ def test_every_entry_within_two_round_window():
     )
 
 
-def test_rows_only_set_is_exactly_the_two_ann_entries():
+def test_rows_only_set_is_empty():
     qs = set(registry.queries())
     oracles = set(registry.oracle_sql())
-    assert qs - oracles == {"ann_topk_lsh", "ann_topk_ivf"}, (
-        "the rows-only (no-oracle) set must stay exactly the two "
-        f"approximate ANN entries, got {sorted(qs - oracles)}"
+    assert qs - oracles == set(), (
+        "every registered entry must carry a DuckDB oracle (the "
+        "rows-only exception set was zeroed in r13), got "
+        f"{sorted(qs - oracles)}"
     )
 
 
