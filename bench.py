@@ -284,6 +284,14 @@ def _scaling_ops():
 
         return perplexity_score_documents(spark, d)
 
+    def dsir_weights(spark, d):
+        # r13 staged (r15+ candidate), gated from birth: ONE
+        # conditional-count pass builds both distributions; growth
+        # must track the token stream, never two corpus passes
+        from dbitool_spark.plans.llm_ops import dsir_weights_documents
+
+        return dsir_weights_documents(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -308,6 +316,7 @@ def _scaling_ops():
         "ndb_range_pruned_replay": ndb_range_pruned,
         "pagerank_links": pagerank_links,
         "perplexity_score": perplexity_score,
+        "dsir_weights": dsir_weights,
     }
 
 

@@ -3390,3 +3390,127 @@ SELECT doc_id, COUNT(*) AS tok_n, CAST(SUM(s_mb) AS BIGINT) AS ce_mb,
        SUM(s_mb) > COUNT(*) * {_PPL_FLAG_MILLIBITS} AS flagged
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# --- DSIR importance weights (data-selection shape, r15+ candidate) ---
+
+# target-distribution proxy: a fixed, deterministic source subset. At
+# a real deployment this is the high-quality corpus (Wikipedia/books);
+# the point the entry proves is the two-distribution log-ratio
+# machinery, not the subset choice.
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def dsir_weights_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
+    """DSIR-style importance-resampling weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-pool document by how much more likely its tokens
+    are under the TARGET distribution than under the RAW distribution
+    — log p_target(w) − p_raw(w) summed per doc — then keep the
+    target-like half. The modern data-mixing primitive that sits
+    between quality filtering and deduplication in a 100 TB curation
+    pipeline.
+
+    Cross-engine exactness: per token the weight is log2 of ONE exact
+    rational ((ct+1)(Nr+V)) / ((cr+1)(Nt+V)) — products stay well
+    under 2^53 at the committed SFs so the double ratio is correctly
+    rounded and identical in both engines — quantized to integer
+    MILLI-BITS per distinct (ct, cr) pair (the perplexity_score
+    precedent), so the per-doc sum is an exact integer and the keep
+    flag (sum > 0: more target-like than raw-like) is an integer
+    comparison. At cluster-scale counts (>2^26) the expression
+    becomes a difference of two quantized logs — same machinery, the
+    docstring bound is the committed-SF exactness argument.
+
+    Scale shape: ONE token explode feeds ONE groupBy(token) computing
+    both distributions' counts as conditional aggregates (no second
+    corpus pass — unlike naive two-model scoring), the Nt/Nr/V
+    scalars ride a broadcast 1-row crossJoin, the raw-pool token
+    stream joins the count table on token (shuffle ~ token stream,
+    never doc x doc), one per-doc agg. The count table is persisted
+    once and released (it feeds the join and the scalar agg)."""
+    from dbitool_spark.ops.cache import attach_persists, materialize_release
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    toks = docs.select(
+        "doc_id",
+        is_target.alias("tgt"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    counts = (
+        toks.groupBy("w")
+        .agg(
+            F.count(F.when(F.col("tgt"), 1)).alias("ct"),
+            F.count(F.when(~F.col("tgt"), 1)).alias("cr"),
+        )
+        .persist()
+    )
+    scal = counts.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = (
+        toks.filter(~F.col("tgt"))
+        .join(counts, "w")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.round(
+                F.log2(
+                    ((F.col("ct") + 1) * (F.col("nr") + F.col("v")))
+                    / ((F.col("cr") + 1) * (F.col("nt") + F.col("v")))
+                )
+                * 1000,
+                0,
+            )
+            .cast("long")
+            .alias("s_mb"),
+        )
+    )
+    result = (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tok_n"), F.sum("s_mb").alias("w_mb"))
+        .select(
+            "doc_id",
+            "tok_n",
+            "w_mb",
+            (F.col("w_mb") > 0).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+    if not materialize:
+        return attach_persists(result, counts)  # lazy: caller releases
+    return materialize_release(result, counts)
+
+
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+
+DSIR_WEIGHTS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source IN ({_DSIR_TGT_SQL}) AS tgt,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT w,
+         COUNT(CASE WHEN tgt THEN 1 END) AS ct,
+         COUNT(CASE WHEN NOT tgt THEN 1 END) AS cr
+  FROM toks GROUP BY w
+),
+scal AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS v FROM counts),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(log2(((c.ct + 1) * (s.nr + s.v) * 1.0)
+                         / ((c.cr + 1) * (s.nt + s.v))) * 1000, 0)
+              AS BIGINT) AS s_mb
+  FROM toks t JOIN counts c USING (w) CROSS JOIN scal s
+  WHERE NOT t.tgt
+)
+SELECT doc_id, COUNT(*) AS tok_n, CAST(SUM(s_mb) AS BIGINT) AS w_mb,
+       SUM(s_mb) > 0 AS kept
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

@@ -244,12 +244,18 @@ tests/test_oracle_parity.py staged_ entries):
   ~0.98 vs the float cosine baseline.
 r15 math: 46 due + these 4 = 50, exactly full.
 
-Staged toward r15/r16 slack (net-new r13, parity row
-staged_perplexity_score_documents): llm_ops.perplexity_score_documents
-— CCNet-style unigram-LM cross-entropy quality scoring (Wenzek et al.
-2020), integer milli-bit surprisal so the per-doc sum is exact in
-both engines; the model-statistics quality signal completing the
-rule-based text_profile / classifier_score family.
+Staged toward r15/r16 slack (net-new r13, parity rows
+staged_perplexity_score_documents / staged_dsir_weights_documents):
+- llm_ops.perplexity_score_documents — CCNet-style unigram-LM
+  cross-entropy quality scoring (Wenzek et al. 2020), integer
+  milli-bit surprisal so the per-doc sum is exact in both engines;
+  the model-statistics quality signal completing the rule-based
+  text_profile / classifier_score family.
+- llm_ops.dsir_weights_documents — DSIR importance-resampling
+  weights (Xie et al. 2023): per-doc sum of target-vs-raw unigram
+  log-ratios (one conditional-count pass builds both distributions),
+  same integer milli-bit quantization; the data-MIXING primitive
+  between quality filtering and dedup.
 
 Staged toward r16 (media family): media_resize_documents (pixel
 decode -> nearest-neighbor 8x8 -> channel means, fully arithmetic

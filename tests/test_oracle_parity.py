@@ -262,6 +262,13 @@ _RETIRED_CASES += [
     ("staged_perplexity_score_documents",
      _llm.perplexity_score_documents,
      _llm.PERPLEXITY_SCORE_SQL),
+    # r15/r16 candidate (net-new r13): DSIR importance-resampling
+    # weights (Xie et al. 2023) — one conditional-count pass builds
+    # BOTH distributions, per-token log-ratio of one exact rational
+    # quantized to integer milli-bits, keep flag = sum > 0
+    ("staged_dsir_weights_documents",
+     _llm.dsir_weights_documents,
+     _llm.DSIR_WEIGHTS_SQL),
     # r16 candidate (staged ahead): decode -> nearest-neighbor resize
     # -> channel means over the synthesized image corpus; every synth
     # pixel is closed-form so the oracle states the resized means
