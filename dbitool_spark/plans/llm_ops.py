@@ -3514,3 +3514,48 @@ SELECT doc_id, COUNT(*) AS tok_n, CAST(SUM(s_mb) AS BIGINT) AS w_mb,
        SUM(s_mb) > 0 AS kept
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def embedding_audit_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-tagged merge candidate for kmeans_embeddings +
+    semantic_outliers_documents (the r15 capacity note in the registry
+    ledger — both constituents keep standalone parity rows when it
+    registers): one driver row drives the distributed Lloyd's kernel
+    (kind='kmeans': per-cluster size + rounded inertia, key =
+    cluster id) AND the per-source centroid/cosine outlier gate
+    (kind='outliers': doc counts, outlier counts, rounded avg/min
+    cosine, key = source). Scale shapes are the constituents',
+    unchanged — see their docstrings."""
+    km = kmeans_embeddings(spark, sf_dir).select(
+        F.lit("kmeans").alias("kind"),
+        F.col("cluster_id").cast("string").alias("key"),
+        F.col("n_vecs").alias("n"),
+        F.lit(None).cast("long").alias("n_extra"),
+        F.col("inertia_r").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+    )
+    so = semantic_outliers_documents(spark, sf_dir).select(
+        F.lit("outliers").alias("kind"),
+        F.col("source").alias("key"),
+        F.col("n_docs").alias("n"),
+        F.col("n_outliers").alias("n_extra"),
+        F.col("avg_cos_r").alias("m1"),
+        F.col("min_cos_r").alias("m2"),
+    )
+    return km.unionByName(so).orderBy("kind", "key")
+
+
+EMBEDDING_AUDIT_COMPOSITE_SQL = f"""
+SELECT 'kmeans' AS kind, CAST(cluster_id AS VARCHAR) AS key,
+       n_vecs AS n, CAST(NULL AS BIGINT) AS n_extra,
+       inertia_r AS m1, CAST(NULL AS DOUBLE) AS m2
+FROM ({KMEANS_EMBEDDINGS_SQL.strip().rstrip().removesuffix("ORDER BY cluster_id")}) km
+UNION ALL
+SELECT 'outliers' AS kind, source AS key, n_docs AS n,
+       n_extra, avg_cos_r AS m1, min_cos_r AS m2
+FROM (
+  SELECT source, n_docs, n_outliers AS n_extra, avg_cos_r, min_cos_r
+  FROM ({SEMANTIC_OUTLIERS_SQL.strip().removesuffix("ORDER BY source")}) so
+) so2
+ORDER BY kind, key
+"""

@@ -167,7 +167,7 @@ which zeroed the rows-only set, and the slot-neutral funnel pair):
   against the planted fixture and emits per-(method, query) hit rows
   the oracle states outright — oracle_sql() now covers 100% of
   queries() and the rows-only exception is GONE (the retired pair
-  keeps pytest recall/top-k coverage in tests/test_similarity.py);
+  keeps pytest recall/top-k coverage in tests/test_llm_ops.py);
 - the slot-neutral pair registered in the remaining slack:
   events_ops.funnel_steps_events (net-new ordered-funnel operator)
   + events_ops.events_audit_composite (kind-tagged merge RETIRING
@@ -256,6 +256,22 @@ staged_perplexity_score_documents / staged_dsir_weights_documents):
   log-ratios (one conditional-count pass builds both distributions),
   same integer milli-bit quantization; the data-MIXING primitive
   between quality filtering and dedup.
+
+r15 CAPACITY NOTE (for the r14 builder): after the planned r14
+rotation, r15 due = r13's head-50 minus the r14-plan retirees that
+sit in it (user_sessions, streaming_user_sessions_events,
+skewed_segment_join_events) = 47, i.e. 3 slots — against SIX staged
+net-new candidates (classifier_score, ndb_time_travel,
+streaming_rollup_ndb, quantized_ann, perplexity_score, dsir_weights).
+Merge candidates to free the gap, in preference order:
+- llm_ops.embedding_audit_composite — kmeans_embeddings +
+  semantic_outliers_documents in one kind-tagged row (STAGED r13,
+  parity row staged_embedding_audit_composite — registers r14/r15,
+  frees 1 slot);
+- semdedup_embeddings + embedding_near_dup (same perturbed corpus +
+  cosine machinery — not staged yet);
+- deterministic_split_documents + sample_stratified_documents (both
+  hash-split shapes on documents — not staged yet).
 
 Staged toward r16 (media family): media_resize_documents (pixel
 decode -> nearest-neighbor 8x8 -> channel means, fully arithmetic
@@ -382,7 +398,7 @@ register(
 # NEW (r13, r12 verdict item 5): per-(method, query) planted-neighbor
 # hits for the LSH and IVF top-k paths — the oracle-backed SUPERSEDER
 # of the rows-only ann_topk_lsh/ann_topk_ivf entries (both RETIRED;
-# they keep pytest recall/top-k coverage in tests/test_similarity.py).
+# they keep pytest recall/top-k coverage in tests/test_llm_ops.py).
 # oracle_sql() now covers 100% of queries().
 register(
     "ann_topk_planted_hits",

@@ -146,17 +146,12 @@ _RETIRED_CASES += [
      _llm.NEAR_DUP_CLUSTERS_SQL),
 ]
 
-# STAGED for r13 (standing contract — oracle-proven a round ahead of
-# registration): the three new ACTIONS the r11 verdict requested
-# (PII redaction, within-doc repetition removal, cross-doc substring
-# trim) and the ann merge candidate (frees one net slot when it
-# registers, retiring ann_recall_planted + ann_topk_bruteforce).
 # r13 retirees (registered composites/superseders drive their
 # codepaths in the driver window; these pin standalone semantics).
 # The rows-only pair ann_topk_lsh/ann_topk_ivf also retired r13 —
 # they have no oracle BY NATURE, so their standalone coverage stays
 # where it always was: recall/top-k assertions in
-# tests/test_similarity.py, plus the registered oracle-backed
+# tests/test_llm_ops.py, plus the registered oracle-backed
 # ann_topk_planted_hits driving the same kernels.
 _RETIRED_CASES += [
     ("retired_ann_recall_planted", _llm.ann_recall_planted,
@@ -269,6 +264,12 @@ _RETIRED_CASES += [
     ("staged_dsir_weights_documents",
      _llm.dsir_weights_documents,
      _llm.DSIR_WEIGHTS_SQL),
+    # r15 merge candidate (ledger capacity note): kmeans_embeddings +
+    # semantic_outliers_documents in one kind-tagged row — frees one
+    # of the slots the six staged net-new operators need
+    ("staged_embedding_audit_composite",
+     _llm.embedding_audit_composite,
+     _llm.EMBEDDING_AUDIT_COMPOSITE_SQL),
     # r16 candidate (staged ahead): decode -> nearest-neighbor resize
     # -> channel means over the synthesized image corpus; every synth
     # pixel is closed-form so the oracle states the resized means
