@@ -1827,3 +1827,84 @@ def test_resize_media_fallback_is_deterministic(spark):
             b[mid].mean_r, b[mid].mean_g, b[mid].mean_b,
         )
         assert a[mid].src_w == 16 and a[mid].src_h == 16
+
+
+def test_perplexity_score_matches_python_reference(spark):
+    """Third-implementation check for the unigram-LM cross-entropy
+    scorer: train/eval split, add-one smoothing, the milli-bit
+    quantization, and the tail flag all recomputed in pure Python at
+    sf0.001 — the oracle already cross-checks DuckDB; all three
+    agreeing pins the LM semantics rather than any one engine's
+    reading of them."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dbitool_spark import catalog
+    from dbitool_spark.plans import llm_ops
+
+    docs = catalog.load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: re.split(r"\s+", r.text.strip().lower()) for r in docs}
+    cnt = Counter(w for d, ws in toks.items() if d % 2 == 0 for w in ws)
+    n_tok, v_sz = sum(cnt.values()), len(cnt)
+
+    def s_mb(w):
+        x = math.log2((n_tok + v_sz) / (cnt.get(w, 0) + 1)) * 1000
+        return int(Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    got = {
+        r.doc_id: r
+        for r in llm_ops.perplexity_score_documents(spark, SF_SMOKE).collect()
+    }
+    want_ids = {d for d in toks if d % 2 == 1}
+    assert set(got) == want_ids
+    for d in want_ids:
+        ws = toks[d]
+        ce = sum(s_mb(w) for w in ws)
+        r = got[d]
+        assert (r.tok_n, r.ce_mb, r.flagged) == (
+            len(ws), ce, ce > len(ws) * llm_ops._PPL_FLAG_MILLIBITS,
+        ), d
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """Third-implementation check for the DSIR importance weights:
+    the target/raw conditional counts, the single-rational log-ratio,
+    the milli-bit quantization, and the keep flag recomputed in pure
+    Python at sf0.001."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dbitool_spark import catalog
+    from dbitool_spark.plans import llm_ops
+
+    rows = catalog.load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    tgt_srcs = set(llm_ops._DSIR_TARGET_SOURCES)
+    toks = {r.doc_id: re.split(r"\s+", r.text.strip().lower()) for r in rows}
+    is_tgt = {r.doc_id: r.source in tgt_srcs for r in rows}
+    ct = Counter(w for d, ws in toks.items() if is_tgt[d] for w in ws)
+    cr = Counter(w for d, ws in toks.items() if not is_tgt[d] for w in ws)
+    nt, nr = sum(ct.values()), sum(cr.values())
+    v = len(set(ct) | set(cr))
+
+    def s_mb(w):
+        x = math.log2(
+            ((ct.get(w, 0) + 1) * (nr + v)) / ((cr.get(w, 0) + 1) * (nt + v))
+        ) * 1000
+        return int(Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    got = {
+        r.doc_id: r for r in llm_ops.dsir_weights_documents(spark, SF_SMOKE).collect()
+    }
+    raw_ids = {d for d in toks if not is_tgt[d]}
+    assert set(got) == raw_ids
+    for d in raw_ids:
+        ws = toks[d]
+        w_mb = sum(s_mb(w) for w in ws)
+        r = got[d]
+        assert (r.tok_n, r.w_mb, r.kept) == (len(ws), w_mb, w_mb > 0), d
