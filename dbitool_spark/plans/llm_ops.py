@@ -3559,3 +3559,58 @@ FROM (
 ) so2
 ORDER BY kind, key
 """
+
+
+def semantic_dedup_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-tagged merge candidate for embedding_near_dup +
+    semdedup_embeddings (registry ledger r15 capacity note — both
+    constituents keep standalone parity rows when it registers), and
+    a real plan IMPROVEMENT over running both: the LSH-bucketed
+    cosine pair table is computed ONCE (localCheckpointed) and feeds
+    both the pair listing (kind='pairs': id_a, id_b, rounded cosine)
+    and the SemDeDup keep/drop decision table (kind='dedup': vec_id
+    as id_a, cluster id as id_b, kept flag) — the two standalone
+    entries each pay that candidate-generation cost today. Scale
+    shapes otherwise unchanged (bucketed candidates, min-label
+    components — see the constituents)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    corpus = base.unionAll(_perturbed_embeddings(base))
+    # materialize=True: the pair table localCheckpoints, so the two
+    # consumers below share the computed candidates instead of
+    # re-running the LSH + cosine verify
+    pairs = similarity.embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="v", dim=64,
+        threshold=0.95, n_tables=16, bits=10, materialize=True,
+    )
+    pair_rows = pairs.select(
+        F.lit("pairs").alias("kind"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.round("cos", 6).alias("cos_r"),
+        F.lit(None).cast("boolean").alias("kept"),
+    )
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    out = corpus.select("vec_id").join(
+        comp, corpus.vec_id == comp.id, "left"
+    )
+    cluster = F.coalesce("cluster_id", F.col("vec_id"))
+    dedup_rows = out.select(
+        F.lit("dedup").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        cluster.alias("id_b"),
+        F.lit(None).cast("double").alias("cos_r"),
+        (cluster == F.col("vec_id")).alias("kept"),
+    )
+    return pair_rows.unionByName(dedup_rows).orderBy("kind", "id_a", "id_b")
+
+
+SEMANTIC_DEDUP_COMPOSITE_SQL = f"""
+SELECT 'pairs' AS kind, id_a, id_b, cos_r, CAST(NULL AS BOOLEAN) AS kept
+FROM ({EMBEDDING_NEAR_DUP_SQL.strip().removesuffix("ORDER BY id_a, id_b")}) p
+UNION ALL
+SELECT 'dedup' AS kind, vec_id AS id_a, cluster_id AS id_b,
+       CAST(NULL AS DOUBLE) AS cos_r, kept
+FROM ({SEMDEDUP_EMBEDDINGS_SQL.strip().removesuffix("ORDER BY vec_id")}) s
+ORDER BY kind, id_a, id_b
+"""

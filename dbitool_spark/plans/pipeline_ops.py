@@ -670,3 +670,39 @@ SELECT s.pos AS pos, s_name, c_name
 FROM s JOIN c USING (pos)
 ORDER BY pos
 """
+
+
+def split_sample_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-tagged merge candidate for deterministic_split_documents +
+    sample_stratified_documents (registry ledger r15 capacity note —
+    both constituents keep standalone parity rows when it registers):
+    the two realizations of the multiplicative id-hash partitioning
+    family in one row — the 80/10/10 split stats (kind='split', key =
+    split name, sum_metric = total chars) and the per-language
+    stratified sample membership (kind='sample', key = lang,
+    sum_metric = exact id checksum, so the hash proves the membership
+    SET). Both are single scan-shaped aggregates; the union adds no
+    shuffle beyond the constituents'."""
+    split = deterministic_split_documents(spark, sf_dir).select(
+        F.lit("split").alias("kind"),
+        F.col("split").alias("key"),
+        F.col("n_docs").alias("n"),
+        F.col("total_chars").alias("sum_metric"),
+    )
+    sample = sample_stratified_documents(spark, sf_dir).select(
+        F.lit("sample").alias("kind"),
+        F.col("lang").alias("key"),
+        F.col("n_sampled").alias("n"),
+        F.col("id_checksum").alias("sum_metric"),
+    )
+    return split.unionByName(sample).orderBy("kind", "key")
+
+
+SPLIT_SAMPLE_COMPOSITE_SQL = f"""
+SELECT 'split' AS kind, split AS key, n_docs AS n, total_chars AS sum_metric
+FROM ({DETERMINISTIC_SPLIT_SQL.strip().removesuffix("ORDER BY split")}) sp
+UNION ALL
+SELECT 'sample' AS kind, lang AS key, n_sampled AS n, id_checksum AS sum_metric
+FROM ({SAMPLE_STRATIFIED_SQL.strip().removesuffix("ORDER BY lang")}) sa
+ORDER BY kind, key
+"""

@@ -268,10 +268,19 @@ Merge candidates to free the gap, in preference order:
   semantic_outliers_documents in one kind-tagged row (STAGED r13,
   parity row staged_embedding_audit_composite — registers r14/r15,
   frees 1 slot);
-- semdedup_embeddings + embedding_near_dup (same perturbed corpus +
-  cosine machinery — not staged yet);
-- deterministic_split_documents + sample_stratified_documents (both
-  hash-split shapes on documents — not staged yet).
+- llm_ops.semantic_dedup_composite — embedding_near_dup +
+  semdedup_embeddings sharing ONE checkpointed pair table (STAGED
+  r13, parity row staged_semantic_dedup_composite; measured 3.30s vs
+  the constituents' combined 4.82s at sf0.1 — registering it frees 1
+  slot AND cuts ~1.5s of bench);
+- pipeline_ops.split_sample_composite — deterministic_split_documents
+  + sample_stratified_documents, the two multiplicative-id-hash
+  partitioning entries in one kind-tagged row (STAGED r13, parity row
+  staged_split_sample_composite — frees 1 slot).
+All three merge enablers staged: r15 math closes as 47 due − 3
+composite retire-pairs' head slots + 6 net-new + 3 composites ≈ 50
+(exact arithmetic recomputed at r14 HEAD when the r14 rotation fixes
+which constituents sit where).
 
 Staged toward r16 (media family): media_resize_documents (pixel
 decode -> nearest-neighbor 8x8 -> channel means, fully arithmetic

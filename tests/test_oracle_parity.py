@@ -65,6 +65,7 @@ _RETIRED_CASES = [
 ]
 
 from dbitool_spark.plans import llm_ops as _llm
+from dbitool_spark.plans import pipeline_ops as _pipe
 
 _RETIRED_CASES += [
     ("retired_ann_lsh_recall", _llm.ann_lsh_recall, _llm.CONST_RECALL_SQL),
@@ -270,6 +271,17 @@ _RETIRED_CASES += [
     ("staged_embedding_audit_composite",
      _llm.embedding_audit_composite,
      _llm.EMBEDDING_AUDIT_COMPOSITE_SQL),
+    # r15 merge candidate #2 (ledger capacity note): embedding_near_dup
+    # + semdedup_embeddings sharing ONE checkpointed pair table —
+    # measured 3.30s vs the constituents' combined 4.82s at sf0.1
+    ("staged_semantic_dedup_composite",
+     _llm.semantic_dedup_composite,
+     _llm.SEMANTIC_DEDUP_COMPOSITE_SQL),
+    # r15 merge candidate #3 (ledger capacity note): the two
+    # multiplicative-id-hash partitioning entries in one row
+    ("staged_split_sample_composite",
+     _pipe.split_sample_composite,
+     _pipe.SPLIT_SAMPLE_COMPOSITE_SQL),
     # r16 candidate (staged ahead): decode -> nearest-neighbor resize
     # -> channel means over the synthesized image corpus; every synth
     # pixel is closed-form so the oracle states the resized means
