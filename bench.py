@@ -292,6 +292,14 @@ def _scaling_ops():
 
         return dsir_weights_documents(spark, d)
 
+    def funnel_steps(spark, d):
+        # r13 registration: one user-keyed shuffle + per-user
+        # sort_array + higher-order fold — growth must track the
+        # event stream, with state bounded per user
+        from dbitool_spark.plans.events_ops import funnel_steps_events
+
+        return funnel_steps_events(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -317,6 +325,7 @@ def _scaling_ops():
         "pagerank_links": pagerank_links,
         "perplexity_score": perplexity_score,
         "dsir_weights": dsir_weights,
+        "funnel_steps": funnel_steps,
     }
 
 
