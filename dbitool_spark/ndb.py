@@ -28,10 +28,26 @@ that remains the production swap behind this same API, adding
 row-group-level skipping and a transaction log. Honest caveat: a
 batch whose keys spread uniformly (e.g. LSH bucket ids) touches all n
 buckets and degrades to the full rewrite; pruning pays off exactly
-when key locality exists (per-user/per-entity streams). The write
-lands in a versioned subdirectory and a `current` pointer file flips
-atomically afterward, so a crashed upsert never corrupts the previous
-state — hardlinks keep shared files alive across version GC.
+when key locality exists (per-user/per-entity streams).
+
+COMMIT PROTOCOL (optimistic concurrency, the Delta-log shape on a
+filesystem): every write builds its FULL version content — parquet
+writes plus hardlink carryover plus a `_committed` marker file — in a
+private staging directory (`.stage-v{gen}-pid{pid}`), then publishes
+it with ONE atomic `os.rename` to `v{gen}`. rename-onto-existing
+fails, so of two writers racing the same generation exactly one
+commits and the loser raises NdbWriteConflict (re-read and retry) —
+no torn state, no lost update, even with the advisory writer lock
+disabled. The committed-generation authority is the in-dir marker
+(max committed v{gen}); the legacy `current` pointer file is kept as
+a compatibility cache and the fallback for pre-protocol tables. A
+crashed writer leaves only an unpublished staging dir (GC'd once its
+pid is dead) or a markerless `v{gen}` from the pre-protocol format
+(cleared and retried on the next commit). Honest scope: atomic
+rename is a local/POSIX-filesystem guarantee — on S3-class object
+stores the same protocol needs a log/CAS service, exactly as
+Delta/Iceberg require there. Hardlinks keep shared files alive
+across version GC.
 """
 
 from __future__ import annotations
@@ -49,6 +65,17 @@ _BUCKET = "__ndb_bucket"
 _POINTER = "current"
 _META = "meta.json"
 _LOCK = ".writer_lock"
+# in-dir commit marker: a v{gen} dir is a COMMITTED snapshot iff it
+# contains this file (written in staging, published atomically by the
+# rename — data and marker become visible together). Underscore
+# prefix keeps parquet readers from treating it as data.
+_COMMITTED = "_committed"
+
+
+class NdbWriteConflict(RuntimeError):
+    """Another writer committed the generation this writer was about
+    to publish (optimistic-concurrency loser). The table state is
+    intact and includes the winner's commit; re-read and retry."""
 
 # sentinel: /proc entry exists but is unreadable (hidepid) — the
 # process is ALIVE, its identity just can't be checked; must never
@@ -196,29 +223,87 @@ class NdbTable:
 
     # -- state pointer ---------------------------------------------------
 
-    def _current_dir(self) -> str | None:
+    def _pointer_gen(self) -> int | None:
+        """Generation named by the legacy `current` pointer file —
+        the compatibility cache / pre-protocol fallback."""
         ptr = os.path.join(self.path, _POINTER)
         if not os.path.exists(ptr):
             return None
         with open(ptr) as fh:
             version = fh.read().strip()
-        return os.path.join(self.path, version) if version else None
-
-    def _current_gen(self) -> int | None:
-        """Generation number encoded in the pointer's version string
-        (`v{gen}`) — the authoritative counter. Deriving it from
-        max(__ndb_gen) over the stored rows would (a) pay a full state
-        scan per upsert and (b) go stale after an empty batch (a v2
-        written from an empty upsert still carries only _GEN=1 rows,
-        so the next max()+1 would collide with the LIVE v2 dir and
-        overwrite the path being read)."""
-        current = self._current_dir()
-        if current is None:
+        if not version:
             return None
-        version = os.path.basename(current)
         if not version.startswith("v"):
             raise ValueError(f"ndb pointer names a non-version dir {version!r}")
         return int(version[1:])
+
+    def _committed_gens(self) -> list[int]:
+        """Generations with a published in-dir commit marker."""
+        out = []
+        for name in os.listdir(self.path):
+            if (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and os.path.exists(os.path.join(self.path, name, _COMMITTED))
+            ):
+                out.append(int(name[1:]))
+        return out
+
+    def _current_gen(self) -> int | None:
+        """The newest COMMITTED generation: max over in-dir commit
+        markers, falling back to (and never below) the legacy pointer
+        for pre-protocol tables. Deriving it from max(__ndb_gen) over
+        the stored rows would (a) pay a full state scan per upsert and
+        (b) go stale after an empty batch (a v2 written from an empty
+        upsert still carries only _GEN=1 rows, so the next max()+1
+        would collide with the LIVE v2 dir and overwrite the path
+        being read)."""
+        cands = self._committed_gens()
+        ptr = self._pointer_gen()
+        if ptr is not None:
+            cands.append(ptr)
+        return max(cands) if cands else None
+
+    def _current_dir(self) -> str | None:
+        gen = self._current_gen()
+        return None if gen is None else os.path.join(self.path, f"v{gen}")
+
+    def _commit_version(self, staging: str, gen: int) -> str:
+        """Atomically publish a fully-built staging dir as v{gen} —
+        the optimistic-concurrency commit. The marker is written into
+        the staging dir FIRST, so the single rename makes data and
+        marker visible together; rename-onto-existing fails, so of
+        two racers exactly one wins. A markerless v{gen} in the way
+        can only be pre-protocol crash debris (a committed dir always
+        carries its marker): cleared once, then retried. Raises
+        NdbWriteConflict (staging cleaned up) when the generation was
+        genuinely committed by another writer first."""
+        open(os.path.join(staging, _COMMITTED), "w").close()
+        final = os.path.join(self.path, f"v{gen}")
+        for attempt in (0, 1):
+            try:
+                os.rename(staging, final)
+                return final
+            except OSError:
+                if (
+                    attempt == 0
+                    and os.path.isdir(final)
+                    and not os.path.exists(os.path.join(final, _COMMITTED))
+                ):
+                    shutil.rmtree(final, ignore_errors=True)
+                    continue
+                break
+        shutil.rmtree(staging, ignore_errors=True)
+        raise NdbWriteConflict(
+            f"ndb commit conflict at {self.path}: generation v{gen} was "
+            "committed by another writer between this writer's read and "
+            "its publish — re-read the table state and retry the write"
+        )
+
+    def _staging_dir(self, gen: int) -> str:
+        """Private, pid-unique staging path for building v{gen} —
+        concurrent racers never write into each other's files."""
+        return os.path.join(self.path, f".stage-v{gen}-pid{os.getpid()}")
 
     def _flip_pointer(self, version: str) -> None:
         ptr = os.path.join(self.path, _POINTER)
@@ -497,7 +582,10 @@ class NdbTable:
                 merged = None  # empty batch: pure link-forward version
 
             version = f"v{gen}"
-            out_dir = os.path.join(self.path, version)
+            # build the full version in a private staging dir; the
+            # atomic rename in _commit_version publishes it (see the
+            # module docstring's commit protocol)
+            out_dir = self._staging_dir(gen)
             if merged is None:
                 os.makedirs(out_dir, exist_ok=True)
             else:
@@ -584,6 +672,7 @@ class NdbTable:
                             os.link(src, dst)
                         except OSError:
                             shutil.copy2(src, dst)
+            self._commit_version(out_dir, gen)
             self._write_meta()
             self._flip_pointer(version)
             self._gc_versions(keep=self._retention_keep(gen))
@@ -705,17 +794,22 @@ class NdbTable:
 
     def versions(self) -> list[int]:
         """Retained snapshot generations, oldest first — each readable
-        via replay(as_of=gen). Bounded by keep_versions."""
+        via replay(as_of=gen). Bounded by keep_versions. A version
+        counts if it carries the commit marker OR (pre-protocol
+        tables) sits at/below the legacy pointer — never a markerless
+        dir above the pointer (crash debris)."""
         current = self._current_gen()
         if current is None:
             return []
+        ptr = self._pointer_gen()
+        committed = set(self._committed_gens())
         out = []
         for name in os.listdir(self.path):
             if name.startswith("v") and name[1:].isdigit():
                 g = int(name[1:])
-                # dirs newer than the pointer are in-flight writes,
-                # not snapshots
-                if g <= current and os.path.isdir(os.path.join(self.path, name)):
+                if not os.path.isdir(os.path.join(self.path, name)):
+                    continue
+                if g in committed or (ptr is not None and g <= ptr):
                     out.append(g)
         return sorted(out)
 
@@ -726,7 +820,9 @@ class NdbTable:
         disk growth). The immediately-previous version is kept as the
         crash-recovery fallback; anything older is garbage. Hardlinked
         bucket files shared with live versions survive the rmtree (the
-        inode outlives this name)."""
+        inode outlives this name). Also reclaims staging dirs whose
+        writer pid is provably dead (a crashed writer's unpublished
+        build — never another LIVE writer's in-progress staging)."""
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
             if (
@@ -736,6 +832,11 @@ class NdbTable:
                 and os.path.isdir(full)
             ):
                 shutil.rmtree(full, ignore_errors=True)
+            elif name.startswith(".stage-v") and os.path.isdir(full):
+                pid_s = name.rsplit("-pid", 1)[-1]
+                if pid_s.isdigit() and int(pid_s) != os.getpid():
+                    if _proc_start_ticks(int(pid_s)) is None:  # dead owner
+                        shutil.rmtree(full, ignore_errors=True)
 
     def compact(self, buckets: list[int] | None = None) -> list[int]:
         """Coalesce buckets that have accumulated too many small data
@@ -814,7 +915,7 @@ class NdbTable:
         prev_gen = self._current_gen()
         gen = 0 if prev_gen is None else prev_gen + 1
         version = f"v{gen}"
-        out_dir = os.path.join(self.path, version)
+        out_dir = self._staging_dir(gen)  # stage-then-commit protocol
         state = self._reader().parquet(current).filter(
             F.col(_BUCKET).isin(sel)
         )
@@ -854,6 +955,7 @@ class NdbTable:
                 _link_tree(
                     os.path.join(current, name), os.path.join(out_dir, name)
                 )
+        self._commit_version(out_dir, gen)
         self._write_meta()
         self._flip_pointer(version)
         self._gc_versions(keep=self._retention_keep(gen))

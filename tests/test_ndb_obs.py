@@ -1107,3 +1107,77 @@ def test_ndb_lifecycle_merge_evolve_compact_time_travel(spark, tmpdir):
     assert {
         (r.k, r.total, r.seen) for r in t.replay(as_of=5).collect()
     } == got
+
+
+def test_ndb_commit_conflict_loser_raises_and_cleans_staging(spark, tmpdir):
+    """Optimistic-concurrency CAS: when another writer committed the
+    generation first (its v{gen} dir carries the marker), the loser's
+    _commit_version raises NdbWriteConflict, removes its staging dir,
+    and leaves the winner's commit untouched; the loser's RETRY on
+    fresh state lands on the next generation."""
+    import shutil as _sh
+
+    from dbitool_spark.ndb import NdbWriteConflict
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))  # v0
+
+    # interloper commits v1 (valid state: clone of v0 + marker)
+    v0, v1 = os.path.join(path, "v0"), os.path.join(path, "v1")
+    _sh.copytree(v0, v1)
+
+    # this writer had staged its own v1 (raced, lost)
+    staging = t._staging_dir(1)
+    os.makedirs(staging)
+    with pytest.raises(NdbWriteConflict, match="committed by another writer"):
+        t._commit_version(staging, 1)
+    assert not os.path.exists(staging)  # loser cleaned up
+    assert os.path.exists(os.path.join(v1, "_committed"))  # winner intact
+
+    # marker authority: current gen is the interloper's commit, and a
+    # fresh upsert lands on v2 merged against it
+    assert t._current_gen() == 1
+    t.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert t._current_gen() == 2
+    assert {r.k: r.v for r in t.replay().collect()} == {1: "a", 2: "b"}
+
+
+def test_ndb_markerless_debris_is_cleared_and_commit_retries(spark, tmpdir):
+    """A markerless v{gen} dir (pre-protocol crash debris — a
+    committed dir always carries its in-dir marker) must not block
+    the table forever: the next commit clears it once and publishes."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))  # v0
+
+    debris = os.path.join(path, "v1")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    # debris is ignored as a snapshot and as the current gen
+    assert t._current_gen() == 0
+    assert t.versions() == [0]
+
+    t.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert os.path.exists(os.path.join(path, "v1", "_committed"))
+    assert not os.path.exists(os.path.join(path, "v1", "junk.parquet"))
+    assert {r.k for r in t.replay().collect()} == {1, 2}
+
+
+def test_ndb_dead_writer_staging_is_reclaimed(spark, tmpdir):
+    """A crashed writer's unpublished staging dir is GC'd on the next
+    successful write (dead pid), while a live foreign writer's staging
+    is left alone."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+
+    dead = os.path.join(path, ".stage-v9-pid99999999")
+    live = os.path.join(path, ".stage-v9-pid1")  # pid 1 is alive
+    os.makedirs(dead)
+    os.makedirs(live)
+    t.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
+    os.rmdir(live)
