@@ -3614,3 +3614,84 @@ SELECT 'dedup' AS kind, vec_id AS id_a, cluster_id AS id_b,
 FROM ({SEMDEDUP_EMBEDDINGS_SQL.strip().removesuffix("ORDER BY vec_id")}) s
 ORDER BY kind, id_a, id_b
 """
+
+
+def quality_ensemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE keep/drop decision a curation pipeline actually
+    applies: every independent quality signal family joined into one
+    per-document verdict — rule-based per-source prune (the
+    quality_prune percent-rank cut), Gopher repetition gate,
+    linear-classifier label, and unigram-LM perplexity tail flag
+    (defined on the held-out half only; NULL elsewhere) — with a
+    QUORUM decision: kept = at least 3 of the 4 signals pass (a NULL
+    perplexity counts as a pass; a strict AND is degenerate on this
+    corpus — the repetition and classifier gates each pass only
+    ~12-14% of the synthetic docs, measured, so the conjunction keeps
+    ~0.2%). Staged as quality_prune_documents' eventual SUPERSEDER
+    (it drives
+    the same percent-rank window plus three more signal codepaths in
+    one row; registry ledger r15 capacity note).
+
+    Scale shape: each signal keeps its own documented shape (one
+    window, three scan-shaped token aggregations); the ensemble adds
+    four doc_id equi-joins — co-partitionable on the id at 100 TB,
+    no new shuffle class."""
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "source")
+    rule = quality_prune_documents(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("__rule")
+    )
+    rep = repetition_stats_documents(spark, sf_dir).select(
+        "doc_id", (~F.col("low_quality")).alias("rep_pass")
+    )
+    clf = classifier_score_documents(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("clf_pass")
+    )
+    ppl = perplexity_score_documents(spark, sf_dir).select(
+        "doc_id", (~F.col("flagged")).alias("ppl_pass")
+    )
+    rule_pass = F.coalesce("__rule", F.lit(False))
+    return (
+        docs.join(rule, "doc_id", "left")
+        .join(rep, "doc_id")
+        .join(clf, "doc_id")
+        .join(ppl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            rule_pass.alias("rule_pass"),
+            "rep_pass",
+            "clf_pass",
+            "ppl_pass",
+            (
+                rule_pass.cast("int")
+                + F.col("rep_pass").cast("int")
+                + F.col("clf_pass").cast("int")
+                + F.coalesce("ppl_pass", F.lit(True)).cast("int")
+            ).alias("votes"),
+        )
+        .withColumn("kept", F.col("votes") >= 3)
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_ENSEMBLE_SQL = f"""
+SELECT d.doc_id, d.source,
+       (r.doc_id IS NOT NULL) AS rule_pass,
+       rep.rep_pass, clf.clf_pass, ppl.ppl_pass,
+       (CAST(r.doc_id IS NOT NULL AS INT) + CAST(rep.rep_pass AS INT)
+        + CAST(clf.clf_pass AS INT)
+        + CAST(COALESCE(ppl.ppl_pass, TRUE) AS INT)) AS votes,
+       (CAST(r.doc_id IS NOT NULL AS INT) + CAST(rep.rep_pass AS INT)
+        + CAST(clf.clf_pass AS INT)
+        + CAST(COALESCE(ppl.ppl_pass, TRUE) AS INT)) >= 3 AS kept
+FROM documents d
+LEFT JOIN (SELECT doc_id FROM ({QUALITY_PRUNE_DOCUMENTS_SQL}) pr) r
+  USING (doc_id)
+JOIN (SELECT doc_id, NOT low_quality AS rep_pass
+      FROM ({REPETITION_STATS_SQL}) rs) rep USING (doc_id)
+JOIN (SELECT doc_id, label AS clf_pass
+      FROM ({CLASSIFIER_SCORE_SQL}) cs) clf USING (doc_id)
+LEFT JOIN (SELECT doc_id, NOT flagged AS ppl_pass
+           FROM ({PERPLEXITY_SCORE_SQL}) ps) ppl USING (doc_id)
+ORDER BY doc_id
+"""

@@ -277,10 +277,17 @@ Merge candidates to free the gap, in preference order:
   + sample_stratified_documents, the two multiplicative-id-hash
   partitioning entries in one kind-tagged row (STAGED r13, parity row
   staged_split_sample_composite — frees 1 slot).
-All three merge enablers staged: r15 math closes as 47 due − 3
-composite retire-pairs' head slots + 6 net-new + 3 composites ≈ 50
-(exact arithmetic recomputed at r14 HEAD when the r14 rotation fixes
-which constituents sit where).
+Plus a SUPERSEDER candidate: llm_ops.quality_ensemble_documents
+(STAGED r13, parity row staged_quality_ensemble_documents) — the
+capstone per-doc keep/drop verdict (quorum >= 3 of: per-source rule
+prune, repetition gate, classifier label, perplexity tail) — it
+drives quality_prune's percent-rank window plus three more signal
+codepaths, so registering it RETIRES quality_prune_documents
+slot-neutrally.
+All merge/supersede enablers staged: r15 math closes as 47 due − 3
+composite retire-pairs' head slots − 1 (quality_prune supersede)
++ 7 net-new + 3 composites ≈ 50 (exact arithmetic recomputed at r14
+HEAD when the r14 rotation fixes which constituents sit where).
 
 Staged toward r16 (media family): media_resize_documents (pixel
 decode -> nearest-neighbor 8x8 -> channel means, fully arithmetic

@@ -282,6 +282,14 @@ _RETIRED_CASES += [
     ("staged_split_sample_composite",
      _pipe.split_sample_composite,
      _pipe.SPLIT_SAMPLE_COMPOSITE_SQL),
+    # r15 candidate: the capstone per-doc keep/drop verdict — quorum
+    # of the four quality-signal families (rule prune, repetition,
+    # classifier, perplexity tail); supersedes quality_prune when it
+    # registers (drives the same percent-rank window plus three more
+    # signal codepaths)
+    ("staged_quality_ensemble_documents",
+     _llm.quality_ensemble_documents,
+     _llm.QUALITY_ENSEMBLE_SQL),
     # r16 candidate (staged ahead): decode -> nearest-neighbor resize
     # -> channel means over the synthesized image corpus; every synth
     # pixel is closed-form so the oracle states the resized means
