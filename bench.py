@@ -300,6 +300,14 @@ def _scaling_ops():
 
         return funnel_steps_events(spark, d)
 
+    def bpe_learn_merges(spark, d):
+        # r13 staged: the iterative loop runs over the VOCAB-sized
+        # word-frequency table, so growth must track the one-time
+        # token-stream aggregation, not K x corpus
+        from dbitool_spark.plans.llm_ops import bpe_learn_merges_documents
+
+        return bpe_learn_merges_documents(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -326,6 +334,7 @@ def _scaling_ops():
         "perplexity_score": perplexity_score,
         "dsir_weights": dsir_weights,
         "funnel_steps": funnel_steps,
+        "bpe_learn_merges": bpe_learn_merges,
     }
 
 

@@ -3695,3 +3695,140 @@ LEFT JOIN (SELECT doc_id, NOT flagged AS ppl_pass
            FROM ({PERPLEXITY_SCORE_SQL}) ps) ppl USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# --- BPE merge LEARNING (the tokenizer-training loop, r15+/r16) -------
+
+_BPE_LEARN_ITERS = 3
+
+
+def _bpe_apply_merge(r, a, b):
+    """Maximal non-overlapping merge of the symbol pair (a, b) inside
+    a pipe-delimited symbol string ('|h|e|l|l|o|') as TWO passes of
+    literal replace('|a|b|' -> '|ab|'). One pass can miss an
+    occurrence whose leading '|' was consumed as the previous match's
+    trailing '|'; after that pass, remaining occurrences are never
+    boundary-adjacent, so the second pass catches them. Semantics,
+    property-tested in test_llm_ops: for every a != b this EQUALS
+    textbook greedy left-to-right BPE; for self-pairs (a == b) it is
+    LOCALLY MAXIMAL — no adjacent unmerged (a, a) remains, the
+    flattened string is preserved, every merged token is exactly
+    a+b — but long self-runs can merge fewer times than greedy
+    ('aaaaaa' -> aa,a,aa,a vs greedy's aa,aa,aa). A documented,
+    deterministic variant, identical in BOTH engines because literal
+    replace has the same left-to-right non-overlapping semantics in
+    Spark and DuckDB, which is what makes the ORACLE exact (and the
+    local-maximality is what the learning loop needs: the next
+    iteration's pair counts see no leftover (a, b) adjacency)."""
+    pat = F.concat(F.lit("|"), a, F.lit("|"), b, F.lit("|"))
+    rep = F.concat(F.lit("|"), a, b, F.lit("|"))
+    return F.replace(F.replace(r, pat, rep), pat, rep)
+
+
+def bpe_learn_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE merge-LEARNING loop (Sennrich et al. 2016) — the
+    iterative half that bpe_pair_counts_documents (one iteration's
+    statistics) feeds: K rounds of count-all-adjacent-pairs ->
+    pick-the-most-frequent -> merge-it-everywhere, run over the
+    word-frequency table (classic BPE trains on distinct words
+    weighted by count, so the iterative state is vocabulary-sized,
+    NOT corpus-sized). Emits the learned merge list
+    (it, pair_a, pair_b, cnt) — deterministic by the exact integer
+    counts and the (cnt DESC, pair ASC) tie-break.
+
+    Scale shape: one token explode + one groupBy(word) builds the
+    frequency table (shuffle ~ token stream, once); each iteration
+    is a pair explode + aggregation over DISTINCT WORDS (vocab-sized,
+    orders of magnitude smaller than the corpus) + a 1-row best-pair
+    agg broadcast back via crossJoin + a pure projection applying the
+    merge. K is a constant; nothing iterates over the corpus."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = words.select(
+        F.concat(
+            F.lit("|"), F.regexp_replace("word", "(.)", "$1|")
+        ).alias("r"),
+        "n",
+    )
+    bests = []
+    for i in range(_BPE_LEARN_ITERS):
+        syms = F.filter(F.split("r", r"\|"), lambda x: F.length(x) > 0)
+        pairs = (
+            w.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, F.size(syms) - 1).alias("a"),
+                        F.slice(syms, 2, F.size(syms) - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1)
+        bests.append(
+            best.select(
+                F.lit(i).alias("it"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+        )
+        w = w.crossJoin(F.broadcast(best)).select(
+            _bpe_apply_merge(F.col("r"), F.col("a"), F.col("b")).alias("r"),
+            "n",
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("it")
+
+
+def _bpe_learn_iteration_sql(i: int) -> str:
+    return f"""
+pairs{i} AS (
+  SELECT s[j] AS a, s[j+1] AS b, SUM(n) AS cnt
+  FROM (SELECT list_filter(string_split(r, '|'), x -> len(x) > 0) AS s, n
+        FROM w{i}),
+       LATERAL unnest(generate_series(1, len(s) - 1)) AS t(j)
+  GROUP BY 1, 2
+),
+best{i} AS (
+  SELECT a, b, cnt, {i} AS it FROM pairs{i}
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w{i + 1} AS (
+  SELECT replace(replace(w.r, '|' || q.a || '|' || q.b || '|',
+                         '|' || q.a || q.b || '|'),
+                 '|' || q.a || '|' || q.b || '|',
+                 '|' || q.a || q.b || '|') AS r, w.n
+  FROM w{i} w CROSS JOIN best{i} q
+)"""
+
+
+BPE_LEARN_MERGES_SQL = (
+    r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+w0 AS (
+  SELECT '|' || regexp_replace(word, '(.)', '\1|', 'g') AS r, COUNT(*) AS n
+  FROM toks GROUP BY 1
+),"""
+    + ",".join(_bpe_learn_iteration_sql(i) for i in range(_BPE_LEARN_ITERS))
+    + f"""
+SELECT it, a AS pair_a, b AS pair_b, CAST(cnt AS BIGINT) AS cnt
+FROM ({" UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(_BPE_LEARN_ITERS))})
+ORDER BY it
+"""
+)

@@ -256,6 +256,15 @@ staged_perplexity_score_documents / staged_dsir_weights_documents):
   log-ratios (one conditional-count pass builds both distributions),
   same integer milli-bit quantization; the data-MIXING primitive
   between quality filtering and dedup.
+- llm_ops.bpe_learn_merges_documents — the full BPE merge-LEARNING
+  loop (Sennrich et al. 2016): K unrolled rounds of pair-count /
+  argmax / merge-everywhere over the VOCAB-sized word-frequency
+  table (iterative state never corpus-sized); merges applied as
+  two-pass literal replace with property-pinned semantics, identical
+  in both engines, so the oracle unrolls the loop exactly (the
+  kmeans/pagerank iterative-oracle family). Completes the tokenizer
+  story bpe_pair_counts_documents opens — a later kind-tagged
+  composite can merge the two.
 
 r15 CAPACITY NOTE (for the r14 builder): after the planned r14
 rotation, r15 due = r13's head-50 minus the r14-plan retirees that

@@ -1908,3 +1908,91 @@ def test_dsir_weights_match_python_reference(spark):
         w_mb = sum(s_mb(w) for w in ws)
         r = got[d]
         assert (r.tok_n, r.w_mb, r.kept) == (len(ws), w_mb, w_mb > 0), d
+
+
+def _greedy_bpe_merge(symbols, a, b):
+    """True greedy left-to-right BPE merge — the reference semantics
+    the engines' two-pass replace must reproduce."""
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def _two_pass_merge(symbols, a, b):
+    """The engines' shared semantics: two passes of literal replace
+    on the pipe-delimited form (mirrors llm_ops._bpe_apply_merge and
+    the oracle's replace(replace(...)) exactly)."""
+    s = "|" + "".join(x + "|" for x in symbols)
+    pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
+    out = s.replace(pat, rep).replace(pat, rep)
+    return [x for x in out.split("|") if x]
+
+
+def test_bpe_two_pass_replace_merge_semantics():
+    """The cross-engine trick behind bpe_learn_merges: pair merging
+    as TWO passes of literal replace('|a|b|' -> '|ab|'). Pinned
+    semantics (the docstring's contract): for a != b the result
+    EQUALS textbook greedy left-to-right BPE; for self-pairs (a == b)
+    the NUMBER of merges equals greedy (maximal non-overlapping) even
+    though the residue of an odd run >= 5 may sit elsewhere.
+    Property-tested over random symbol runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.sampled_from(["a", "b", "c"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(sym, min_size=0, max_size=12), sym, sym)
+    def check(symbols, a, b):
+        got = _two_pass_merge(symbols, a, b)
+        want = _greedy_bpe_merge(symbols, a, b)
+        if a != b:
+            assert got == want, (symbols, a, b, got, want)
+        else:
+            ab = a + b
+            # flattening preserved, merges well-formed, locally maximal
+            assert "".join(got) == "".join(symbols), (symbols, got)
+            assert all(x == ab or ab not in x for x in got), (symbols, got)
+            assert not any(
+                x == a and y == b for x, y in zip(got, got[1:])
+            ), (symbols, a, b, got)
+
+    check()
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    """Third-implementation check: the full K-iteration merge-learning
+    loop recomputed in pure Python at sf0.001 (word-frequency table,
+    pair counts, (cnt DESC, pair ASC) tie-break, greedy application)."""
+    import re
+    from collections import Counter
+
+    from dbitool_spark import catalog
+    from dbitool_spark.plans import llm_ops
+
+    docs = catalog.load(spark, SF_SMOKE, "documents").select("text").collect()
+    words = Counter(
+        w for r in docs for w in re.split(r"\s+", r.text.strip().lower())
+    )
+    state = {w: list(w) for w in words}
+    expected = []
+    for i in range(llm_ops._BPE_LEARN_ITERS):
+        cnt = Counter()
+        for w, syms in state.items():
+            for x, y in zip(syms, syms[1:]):
+                cnt[(x, y)] += words[w]
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((i, a, b, c))
+        state = {w: _two_pass_merge(s, a, b) for w, s in state.items()}
+
+    got = [
+        (r.it, r.pair_a, r.pair_b, r.cnt)
+        for r in llm_ops.bpe_learn_merges_documents(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected

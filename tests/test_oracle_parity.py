@@ -290,6 +290,15 @@ _RETIRED_CASES += [
     ("staged_quality_ensemble_documents",
      _llm.quality_ensemble_documents,
      _llm.QUALITY_ENSEMBLE_SQL),
+    # r15/r16 candidate (net-new r13): the full BPE merge-LEARNING
+    # loop — K unrolled count/argmax/apply rounds over the
+    # vocab-sized word-frequency table; the two-pass-replace merge
+    # semantics are property-pinned in test_llm_ops (exact textbook
+    # greedy for a != b; locally-maximal documented variant for
+    # self-pairs). Natural later composite with bpe_pair_counts.
+    ("staged_bpe_learn_merges_documents",
+     _llm.bpe_learn_merges_documents,
+     _llm.BPE_LEARN_MERGES_SQL),
     # r16 candidate (staged ahead): decode -> nearest-neighbor resize
     # -> channel means over the synthesized image corpus; every synth
     # pixel is closed-form so the oracle states the resized means
