@@ -275,22 +275,54 @@ class NdbTable:
         marker visible together; rename-onto-existing fails, so of
         two racers exactly one wins. A markerless v{gen} in the way
         can only be pre-protocol crash debris (a committed dir always
-        carries its marker): cleared once, then retried. Raises
-        NdbWriteConflict (staging cleaned up) when the generation was
-        genuinely committed by another writer first."""
+        carries its marker): it is moved aside with an ATOMIC rename
+        into a pid-unique grave — never rmtree'd in place, so two
+        racers clearing the same debris get exactly one winner and a
+        just-committed dir can never be deleted out from under its
+        writer (review finding; the grave is marker-verified after
+        the move, the one unwinnable interleaving restores it and
+        fails LOUDLY rather than losing a commit). Raises
+        NdbWriteConflict (staging cleaned up) only for genuine
+        commit collisions (EEXIST/ENOTEMPTY/ENOTDIR); any other
+        rename failure (permissions, I/O) re-raises as itself with
+        the staging dir left intact for inspection."""
+        import errno
+
         open(os.path.join(staging, _COMMITTED), "w").close()
         final = os.path.join(self.path, f"v{gen}")
+        conflict_errnos = (errno.EEXIST, errno.ENOTEMPTY, errno.ENOTDIR)
         for attempt in (0, 1):
             try:
                 os.rename(staging, final)
                 return final
-            except OSError:
+            except OSError as exc:
+                if exc.errno not in conflict_errnos:
+                    raise  # genuine I/O failure: never mask as conflict
                 if (
                     attempt == 0
                     and os.path.isdir(final)
                     and not os.path.exists(os.path.join(final, _COMMITTED))
                 ):
-                    shutil.rmtree(final, ignore_errors=True)
+                    grave = f"{final}.debris.pid{os.getpid()}"
+                    try:
+                        os.rename(final, grave)  # atomic: one winner
+                    except OSError:
+                        continue  # another racer moved it; retry rename
+                    if os.path.exists(os.path.join(grave, _COMMITTED)):
+                        # the narrow check->move window: a racer cleared
+                        # the debris AND committed before our move, so
+                        # we just hid a LIVE commit — restore it
+                        try:
+                            os.rename(grave, final)
+                        except OSError as restore_exc:
+                            raise RuntimeError(
+                                f"ndb debris clearing at {self.path} "
+                                f"displaced a committed v{gen} and could "
+                                f"not restore it (now at {grave}) — "
+                                "manual inspection required"
+                            ) from restore_exc
+                        break  # their commit stands: genuine conflict
+                    shutil.rmtree(grave, ignore_errors=True)
                     continue
                 break
         shutil.rmtree(staging, ignore_errors=True)
@@ -306,8 +338,20 @@ class NdbTable:
         return os.path.join(self.path, f".stage-v{gen}-pid{os.getpid()}")
 
     def _flip_pointer(self, version: str) -> None:
+        """Update the compat pointer cache. pid-unique tmp: two
+        lock-disabled writers flipping concurrently must not share a
+        tmp path (the loser's os.replace would hit FileNotFoundError
+        after its commit already succeeded — review finding), and the
+        flip is FORWARD-ONLY so a slower lower-generation writer
+        cannot regress the cache under a newer commit."""
+        try:
+            ptr_gen = self._pointer_gen()
+        except ValueError:
+            ptr_gen = None
+        if ptr_gen is not None and ptr_gen >= int(version[1:]):
+            return
         ptr = os.path.join(self.path, _POINTER)
-        tmp = ptr + ".tmp"
+        tmp = f"{ptr}.tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, ptr)  # atomic on POSIX
@@ -470,41 +514,48 @@ class NdbTable:
         # and refuse drifted batches loudly — casting silently could
         # corrupt keys (e.g. string->int nulls).
         batch_key_type = df.schema[self.key].dataType.simpleString()
-        if self._key_type is None:
-            self._key_type = batch_key_type
-        elif batch_key_type != self._key_type:
+        if self._key_type is not None and batch_key_type != self._key_type:
             raise ValueError(
                 f"ndb key dtype drift: table stores {self.key!r} as "
                 f"{self._key_type}, batch has {batch_key_type} — cast the "
                 "batch key to the stored type before upserting"
             )
+        # schema decisions are computed into LOCALS and applied to the
+        # instance only AFTER the version commit publishes: a conflict
+        # loser (or any failed write) must not keep phantom evolution
+        # state that a later _write_meta would persist (review finding)
+        new_key_type = self._key_type or batch_key_type
         payload = sorted(df.columns)
-        if self._columns is None and self._current_dir() is not None:
+        known = self._columns
+        if known is None and self._current_dir() is not None:
             # legacy table (meta predates the columns record): derive
             # the stored payload columns from the footer once, so the
             # drift check protects pre-existing tables too
             state0 = self._state()
             if state0 is not None:
-                self._columns = sorted(
+                known = sorted(
                     c for c in state0.columns if c not in (_GEN, _BUCKET)
                 )
-        if self._columns is None:
-            self._columns = payload
-        elif payload != self._columns:
-            added = [c for c in payload if c not in self._columns]
-            dropped = [c for c in self._columns if c not in payload]
+        new_evolved = self._evolved
+        if known is None:
+            new_columns = payload
+        elif payload != known:
+            added = [c for c in payload if c not in known]
+            dropped = [c for c in known if c not in payload]
             if not self.evolve_schema:
                 raise ValueError(
                     f"ndb schema drift: table stores columns "
-                    f"{self._columns}, batch has {payload} (added {added}, "
+                    f"{known}, batch has {payload} (added {added}, "
                     f"missing {dropped}) — pass evolve_schema=True to "
                     "union by name with NULL backfill, or align the batch"
                 )
             # schema EVOLUTION: record it so every future read merges
             # parquet footers (version dirs now legitimately hold
             # mixed-schema files via hardlink carryover)
-            self._evolved = True
-            self._columns = sorted(set(self._columns) | set(payload))
+            new_evolved = True
+            new_columns = sorted(set(known) | set(payload))
+        else:
+            new_columns = known
         owns_lock = self._acquire_writer_lock()
         current = self._current_dir()
         prev_gen = self._current_gen()
@@ -673,6 +724,11 @@ class NdbTable:
                         except OSError:
                             shutil.copy2(src, dst)
             self._commit_version(out_dir, gen)
+            # the commit published: NOW the schema decisions become
+            # instance + meta state (a conflict loser never gets here)
+            self._key_type = new_key_type
+            self._columns = new_columns
+            self._evolved = new_evolved
             self._write_meta()
             self._flip_pointer(version)
             self._gc_versions(keep=self._retention_keep(gen))
@@ -833,6 +889,13 @@ class NdbTable:
             ):
                 shutil.rmtree(full, ignore_errors=True)
             elif name.startswith(".stage-v") and os.path.isdir(full):
+                # liveness is only provable where /proc is readable: on
+                # a platform where even OUR OWN pid has no stat entry,
+                # None means "unknowable", not "dead" — skip the sweep
+                # rather than delete a live writer's in-progress build
+                # (the _NO_SELF_IDENTITY lesson, review finding)
+                if _proc_start_ticks(os.getpid()) is None:
+                    continue
                 pid_s = name.rsplit("-pid", 1)[-1]
                 if pid_s.isdigit() and int(pid_s) != os.getpid():
                     if _proc_start_ticks(int(pid_s)) is None:  # dead owner

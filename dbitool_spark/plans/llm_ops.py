@@ -3611,7 +3611,7 @@ FROM ({EMBEDDING_NEAR_DUP_SQL.strip().removesuffix("ORDER BY id_a, id_b")}) p
 UNION ALL
 SELECT 'dedup' AS kind, vec_id AS id_a, cluster_id AS id_b,
        CAST(NULL AS DOUBLE) AS cos_r, kept
-FROM ({SEMDEDUP_EMBEDDINGS_SQL.strip().removesuffix("ORDER BY vec_id")}) s
+FROM ({SEMDEDUP_EMBEDDINGS_SQL.strip().removesuffix("ORDER BY c.vec_id")}) s
 ORDER BY kind, id_a, id_b
 """
 
@@ -3747,6 +3747,11 @@ def bpe_learn_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
         )
+        # empty tokens (whitespace-only/empty text) have no symbols:
+        # without this guard F.slice(syms, 1, size-1) would get -1 at
+        # runtime on the Spark side while DuckDB's generate_series
+        # silently yields nothing — an engine-divergent crash
+        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -3823,7 +3828,7 @@ WITH toks AS (
 ),
 w0 AS (
   SELECT '|' || regexp_replace(word, '(.)', '\1|', 'g') AS r, COUNT(*) AS n
-  FROM toks GROUP BY 1
+  FROM toks WHERE len(word) > 0 GROUP BY 1
 ),"""
     + ",".join(_bpe_learn_iteration_sql(i) for i in range(_BPE_LEARN_ITERS))
     + f"""

@@ -1939,9 +1939,11 @@ def test_bpe_two_pass_replace_merge_semantics():
     as TWO passes of literal replace('|a|b|' -> '|ab|'). Pinned
     semantics (the docstring's contract): for a != b the result
     EQUALS textbook greedy left-to-right BPE; for self-pairs (a == b)
-    the NUMBER of merges equals greedy (maximal non-overlapping) even
-    though the residue of an odd run >= 5 may sit elsewhere.
-    Property-tested over random symbol runs."""
+    it is LOCALLY MAXIMAL — the flattened string is preserved, every
+    merged token is exactly a+b, and NO adjacent unmerged (a, a)
+    remains — while long self-runs may merge FEWER times than greedy
+    ('aaaaaa' -> aa,a,aa,a vs greedy's aa,aa,aa), the documented
+    variant. Property-tested over random symbol runs."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 

@@ -1181,3 +1181,46 @@ def test_ndb_dead_writer_staging_is_reclaimed(spark, tmpdir):
     assert not os.path.exists(dead)
     assert os.path.exists(live)
     os.rmdir(live)
+
+
+def test_ndb_conflict_loser_keeps_no_phantom_schema_state(spark, tmpdir):
+    """A conflict loser must not retain in-memory schema evolution it
+    never committed (review finding): after a lost race on a batch
+    that ADDED a column, the instance still accepts the original
+    schema without a drift error and meta never records the ghost
+    column."""
+    import json as _json
+
+    from dbitool_spark.ndb import NdbWriteConflict
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, evolve_schema=True)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+
+    real = t._commit_version
+
+    def lose_once(staging, gen, _state={"fired": False}):
+        if not _state["fired"]:
+            _state["fired"] = True
+            import shutil as _sh
+
+            _sh.rmtree(staging, ignore_errors=True)
+            raise NdbWriteConflict("simulated race loss")
+        return real(staging, gen)
+
+    t._commit_version = lose_once
+    with pytest.raises(NdbWriteConflict):
+        t.upsert(
+            spark.createDataFrame(
+                [(2, "b", 7)], "k bigint, v string, extra bigint"
+            )
+        )
+    # no phantom evolution on the instance or in meta
+    assert t._evolved is False
+    assert t._columns == ["k", "v"]
+    t.upsert(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    assert meta["evolved"] is False
+    assert meta["columns"] == ["k", "v"]
+    assert {r.k for r in t.replay().collect()} == {1, 3}
