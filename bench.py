@@ -491,30 +491,23 @@ def _lazy_plan_variants():
     optimized plan. The lazy call may leave an operator-internal
     persist registered (caller-owned in lazy mode); the caller clears
     the cache after fingerprinting."""
-    from dbitool_spark import catalog
-    from dbitool_spark.ops import similarity
     from dbitool_spark.plans import llm_ops, pipeline_ops
-
-    def kmeans_lazy(spark, sf_dir):
-        emb = catalog.load(spark, sf_dir, "embeddings")
-        return similarity.kmeans_distributed(
-            emb, "vec_id", "embedding",
-            k=llm_ops._KMEANS_K, iters=llm_ops._KMEANS_ITERS,
-            materialize=False,
-        )
 
     def _entry_lazy(fn):
         return lambda spark, sf_dir: fn(spark, sf_dir, materialize=False)
 
     return {
-        "kmeans_embeddings": kmeans_lazy,
+        # r14: the retired kmeans_embeddings / top_terms_per_source /
+        # minhash_near_dup_documents twins moved with their codepaths
+        # into the registered composites (materialize= threads through)
+        "embedding_audit_composite": _entry_lazy(llm_ops.embedding_audit_composite),
+        "source_profile_documents": _entry_lazy(llm_ops.source_profile_documents),
         "curation_pipeline_documents": _entry_lazy(
             pipeline_ops.curation_pipeline_documents
         ),
         # the dedup/similarity family — the entries whose plan shape IS
         # the 100 TB story, so a real regression-detectable fingerprint
         # matters most exactly here
-        "minhash_near_dup_documents": _entry_lazy(llm_ops.minhash_near_dup_documents),
         "simhash_recall_planted": _entry_lazy(llm_ops.simhash_recall_planted),
         "ngram_jaccard_variants_documents": _entry_lazy(
             llm_ops.ngram_jaccard_variants_documents
@@ -523,7 +516,6 @@ def _lazy_plan_variants():
             llm_ops.ngram_containment_documents
         ),
         "embedding_near_dup": _entry_lazy(llm_ops.embedding_near_dup),
-        "top_terms_per_source": _entry_lazy(llm_ops.top_terms_per_source),
         "bm25_topk_documents": _entry_lazy(llm_ops.bm25_topk_documents),
     }
 

@@ -2765,7 +2765,9 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 2
 
 
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_embeddings(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """Distributed Lloyd's k-means (ops.similarity.kmeans_distributed)
     over the full embeddings table: k=8 centroids seeded from the 8
     smallest vec_ids, 2 iterations, squared-L2 in double. The first
@@ -2777,7 +2779,8 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     two full rounds of the loop."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     return similarity.kmeans_distributed(
-        emb, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS
+        emb, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS,
+        materialize=materialize,
     )
 
 
@@ -2982,7 +2985,9 @@ ORDER BY doc_id
 """
 
 
-def source_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_profile_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """Kind-tagged composite of the two per-source corpus audit
     entries — the r14 merge candidate per the registry capacity
     policy (the email_chart_roundtrip shape): domain_stats_documents
@@ -3001,7 +3006,7 @@ def source_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n2"),
         F.lit(None).cast("long").alias("n3"),
     )
-    terms = top_terms_per_source(spark, sf_dir).select(
+    terms = top_terms_per_source(spark, sf_dir, materialize=materialize).select(
         F.lit("term").alias("kind"),
         F.col("source").alias("key1"),
         F.col("term").alias("key2"),
@@ -3516,7 +3521,9 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def embedding_audit_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_audit_composite(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
     """Kind-tagged merge candidate for kmeans_embeddings +
     semantic_outliers_documents (the r15 capacity note in the registry
     ledger — both constituents keep standalone parity rows when it
@@ -3526,7 +3533,7 @@ def embedding_audit_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kind='outliers': doc counts, outlier counts, rounded avg/min
     cosine, key = source). Scale shapes are the constituents',
     unchanged — see their docstrings."""
-    km = kmeans_embeddings(spark, sf_dir).select(
+    km = kmeans_embeddings(spark, sf_dir, materialize=materialize).select(
         F.lit("kmeans").alias("kind"),
         F.col("cluster_id").cast("string").alias("key"),
         F.col("n_vecs").alias("n"),

@@ -179,48 +179,68 @@ exactly full. Registry after r13: 97 − 7 retirees + 9 = 99; tail =
 the 49 r12-green entries (r12 head-50 minus the retired
 events_daily_type_pivot), due r14.
 
-r14 PLAN (due = the 49-entry r12-green tail after the r13 early
-retirement of events_daily_type_pivot — one slot of slack vs the
-original full-50 plan, so EVERY r14
-registration needs a merge/retirement; all six merge composites are
-staged with green parity rows at r12 HEAD —
-tests/test_oracle_parity.py staged_ entries):
-- state_ops.sessions_composite_events — merges user_sessions +
-  user_sessions_window + streaming_user_sessions_events (three
-  realizations of the >30-min-gap semantics, one union hash; frees 1
-  head slot + 2 tail rows);
-- format_io.format_chain_docs_orders — merges format_chain_documents
-  + format_chain_orders (kind-tagged, lossless column-per-field
-  normalization; frees 1 head slot);
-- events_ops.skew_composite_events — merges skewed_user_rollup_events
-  + skewed_segment_join_events (both ops/scale skew answers; frees 1
-  head slot + 1 tail row);
-- llm_ops.repetition_profile_documents — merges
-  token_repetition_metrics_documents + repetition_stats_documents
-  (per-doc column-composite; frees 1 head slot + 1 tail row);
-- llm_ops.source_profile_documents — merges domain_stats_documents +
-  top_terms_per_source (kind-tagged per-source audit; frees 2 head
-  slots);
-- minhash_near_dup_documents RETIRES superseded by
+r14 rotation (EXECUTED — the staged plan, plus one capacity
+pull-forward; all nine registrations were oracle-proven a round
+early as staged_ parity rows):
+- the five staged merge composites registered exactly as ledgered:
+  state_ops.sessions_composite_events (RETIRING user_sessions +
+  user_sessions_window + streaming_user_sessions_events — three
+  realizations of the >30-min-gap semantics, one union hash),
+  format_io.format_chain_docs_orders (RETIRING format_chain_documents
+  + format_chain_orders — kind-tagged, lossless column-per-field
+  normalization), events_ops.skew_composite_events (RETIRING
+  skewed_user_rollup_events + skewed_segment_join_events),
+  llm_ops.repetition_profile_documents (RETIRING
+  token_repetition_metrics_documents + repetition_stats_documents),
+  llm_ops.source_profile_documents (RETIRING domain_stats_documents +
+  top_terms_per_source);
+- minhash_near_dup_documents RETIRED superseded by
   dedup_representatives_documents (same dedup.minhash_near_dup_pairs
   call, threshold 0.7, plus CC + selection — the near_dup_clusters
-  precedent; frees 1 head slot).
-Plus the three staged net-new registrations:
-- llm_ops.bpe_pair_counts_documents — BPE merge-iteration pair
-  statistics (bounded-alphabet exchange);
-- state_ops.streaming_curation_chain_documents — clean-on-ingest: the
+  precedent);
+- the three staged net-new operators registered:
+  llm_ops.bpe_pair_counts_documents (BPE merge-iteration pair
+  statistics, bounded-alphabet exchange),
+  state_ops.streaming_curation_chain_documents (clean-on-ingest: the
   curation chain as a stateless streaming projection, drained against
-  the BATCH chain's oracle (micro-batch-boundary invariance);
-- llm_ops.pagerank_links_documents — link-graph PageRank quality
-  signal: integer-arithmetic ranks (bit-identical cross-engine, no
-  float summation), per-iteration checkpoint discipline, oracle
-  unrolls the iterations as chained CTEs.
-r14 math: 49 due − 7 head-slot retirees (events_daily_type_pivot
-already retired r13) + 5 composites + 3 net-new = 50, exactly full.
-Registry after r14: 99 − 11 retirees + 8 = 96; r15 due = r13's
-head-50 − the tail retirees driven r13 = 50 − 4 staged-for-later
-retirees at most, so r15 opens with ~4 slots of slack for the staged
-net-new operators (recomputed when r14 executes).
+  the BATCH chain's oracle — micro-batch-boundary invariance), and
+  llm_ops.pagerank_links_documents (link-graph PageRank quality
+  signal: integer-arithmetic ranks, per-iteration checkpoint
+  discipline, oracle unrolls the iterations as chained CTEs);
+- CAPACITY PULL-FORWARD: the r15-staged merge
+  llm_ops.embedding_audit_composite registered a round early
+  (RETIRING kmeans_embeddings + semantic_outliers_documents, both
+  r13-green, in one kind-tagged row). Rationale: the original plan's
+  8 registrations left the 50th head slot empty (the plan's "7
+  head-slot retirees" undercounted — the due tail holds EIGHT
+  retirees once user_sessions_window is counted), and pulling this
+  merge forward both fills the slot and shrinks r15's due list so
+  r15 closes EXACTLY with its six staged net-new candidates.
+r14 math: 49 due − 8 due-tail retirees (user_sessions_window,
+format_chain_documents, format_chain_orders, skewed_user_rollup,
+token_repetition_metrics, domain_stats, top_terms_per_source,
+minhash_near_dup) = 41 survivors + 9 registrations = 50, exactly
+full. Registry after r14: 99 − 14 retirees + 9 = 94; tail = the 44
+r13-green entries (r13 head-50 minus the six retirees that sat in
+it: user_sessions, streaming_user_sessions_events,
+skewed_segment_join_events, repetition_stats_documents,
+kmeans_embeddings, semantic_outliers_documents), due r15. All 14
+retirees keep standalone retired_ oracle-parity rows in
+tests/test_oracle_parity.py per the retirement contract.
+
+r15 PLAN (due = the 44-entry r13-green tail, 6 slots of slack —
+exactly the six staged net-new candidates, all parity-green):
+classifier_score_documents, ndb_time_travel_replay,
+streaming_rollup_ndb_events, quantized_ann_topk_embeddings,
+perplexity_score_documents, dsir_weights_documents. r15 math:
+44 due + 6 net-new = 50, exactly full; registry lands at 100.
+The remaining staged merge candidates (semantic_dedup_composite —
+which retires embedding_near_dup + semdedup_embeddings, both due
+r15, and also cuts ~1.5s of bench — split_sample_composite, and the
+quality_ensemble_documents supersede of quality_prune) stay in
+reserve: executing semantic_dedup in r15 instead frees a slot for
+bpe_learn_merges_documents if the r15 builder prefers the tokenizer
+capstone over one of the six (recompute at r15 HEAD).
 
 Staged for that r15 slack (green parity rows at r12 HEAD —
 tests/test_oracle_parity.py staged_ entries):
@@ -266,37 +286,30 @@ staged_perplexity_score_documents / staged_dsir_weights_documents):
   story bpe_pair_counts_documents opens — a later kind-tagged
   composite can merge the two.
 
-r15 CAPACITY NOTE (for the r14 builder): after the planned r14
-rotation, r15 due = r13's head-50 minus the r14-plan retirees that
-sit in it (user_sessions, streaming_user_sessions_events,
-skewed_segment_join_events) = 47, i.e. 3 slots — against SIX staged
-net-new candidates (classifier_score, ndb_time_travel,
-streaming_rollup_ndb, quantized_ann, perplexity_score, dsir_weights).
-Merge candidates to free the gap, in preference order:
-- llm_ops.embedding_audit_composite — kmeans_embeddings +
-  semantic_outliers_documents in one kind-tagged row (STAGED r13,
-  parity row staged_embedding_audit_composite — registers r14/r15,
-  frees 1 slot);
+r15 CAPACITY NOTE (recomputed at r14 HEAD — the
+embedding_audit_composite pull-forward above made the gap vanish):
+r15 due = 44, slack = 6 = exactly the six staged net-new candidates
+(classifier_score, ndb_time_travel, streaming_rollup_ndb,
+quantized_ann, perplexity_score, dsir_weights). The remaining merge
+candidates stay in RESERVE for r15/r16 flexibility:
 - llm_ops.semantic_dedup_composite — embedding_near_dup +
   semdedup_embeddings sharing ONE checkpointed pair table (STAGED
   r13, parity row staged_semantic_dedup_composite; measured 3.30s vs
   the constituents' combined 4.82s at sf0.1 — registering it frees 1
-  slot AND cuts ~1.5s of bench);
+  slot AND cuts ~1.5s of bench; both constituents sit in the r15 due
+  tail, so executing it in r15 frees a slot for
+  bpe_learn_merges_documents);
 - pipeline_ops.split_sample_composite — deterministic_split_documents
   + sample_stratified_documents, the two multiplicative-id-hash
   partitioning entries in one kind-tagged row (STAGED r13, parity row
-  staged_split_sample_composite — frees 1 slot).
-Plus a SUPERSEDER candidate: llm_ops.quality_ensemble_documents
-(STAGED r13, parity row staged_quality_ensemble_documents) — the
-capstone per-doc keep/drop verdict (quorum >= 3 of: per-source rule
-prune, repetition gate, classifier label, perplexity tail) — it
-drives quality_prune's percent-rank window plus three more signal
-codepaths, so registering it RETIRES quality_prune_documents
-slot-neutrally.
-All merge/supersede enablers staged: r15 math closes as 47 due − 3
-composite retire-pairs' head slots − 1 (quality_prune supersede)
-+ 7 net-new + 3 composites ≈ 50 (exact arithmetic recomputed at r14
-HEAD when the r14 rotation fixes which constituents sit where).
+  staged_split_sample_composite — frees 1 slot);
+- SUPERSEDER: llm_ops.quality_ensemble_documents (STAGED r13, parity
+  row staged_quality_ensemble_documents) — the capstone per-doc
+  keep/drop verdict (quorum >= 3 of: per-source rule prune,
+  repetition gate, classifier label, perplexity tail) — drives
+  quality_prune's percent-rank window plus three more signal
+  codepaths, so registering it RETIRES quality_prune_documents
+  slot-neutrally.
 
 Staged toward r16 (media family): media_resize_documents (pixel
 decode -> nearest-neighbor 8x8 -> channel means, fully arithmetic
@@ -358,12 +371,273 @@ def oracle_sql() -> dict[str, str]:
 
 
 # =====================================================================
-# r13 WINDOW (head-50): the 9 registrations (six staged per the
-# ledger, the rows-only-zeroing ann_topk_planted_hits, and the
-# slot-neutral funnel pair) + the 41 due-tail entries (last driver
-# row: r11; the old 47-entry tail minus the 6 retirees that sat in
-# it). Tail = the 49 r12-green entries, due r14.
+# r14 WINDOW (head-50): the 9 registrations (five staged merge
+# composites, the embedding-audit capacity pull-forward, and three
+# staged net-new operators) + the 41 due-tail survivors (last driver
+# row: r12; the old 49-entry tail minus the 8 retirees that sat in
+# it). Tail = the 44 r13-green entries, due r15.
 # =====================================================================
+
+# NEW (r14): variant-tagged merge of user_sessions +
+# user_sessions_window + streaming_user_sessions_events (all three
+# RETIRED with standalone parity rows) — three realizations of the
+# >30-min-gap session semantics (lag+cumsum, native session_window,
+# streaming drain) cross-checked by ONE union hash (oracle-proven a
+# round early as staged_sessions_composite_events).
+register(
+    "sessions_composite_events",
+    state_ops.sessions_composite_events,
+    state_ops.SESSIONS_COMPOSITE_SQL,
+)
+# NEW (r14): kind-tagged merge of format_chain_documents +
+# format_chain_orders (both RETIRED with standalone parity rows) —
+# both multi-hop sink/source chains plus an ORC hop on the recovered
+# typed orders rows, lossless column-per-field normalization
+# (oracle-proven a round early as staged_format_chain_docs_orders).
+register(
+    "format_chain_docs_orders",
+    format_io.format_chain_docs_orders,
+    format_io.FORMAT_CHAIN_DOCS_ORDERS_SQL,
+)
+# NEW (r14): variant-tagged merge of skewed_user_rollup_events +
+# skewed_segment_join_events (both RETIRED with standalone parity
+# rows) — the salted-aggregation and salted-join skew answers in one
+# driver row (oracle-proven a round early as
+# staged_skew_composite_events).
+register(
+    "skew_composite_events",
+    events_ops.skew_composite_events,
+    events_ops.SKEW_COMPOSITE_SQL,
+)
+# NEW (r14): per-doc column-composite merge of
+# token_repetition_metrics_documents + repetition_stats_documents
+# (both RETIRED with standalone parity rows; oracle-proven a round
+# early as staged_repetition_profile_documents).
+register(
+    "repetition_profile_documents",
+    llm_ops.repetition_profile_documents,
+    llm_ops.REPETITION_PROFILE_SQL,
+)
+# NEW (r14): kind-tagged per-source corpus audit merging
+# domain_stats_documents + top_terms_per_source (both RETIRED with
+# standalone parity rows; oracle-proven a round early as
+# staged_source_profile_documents).
+register(
+    "source_profile_documents",
+    llm_ops.source_profile_documents,
+    llm_ops.SOURCE_PROFILE_SQL,
+)
+# NEW (r14, capacity pull-forward from the r15 reserve): kind-tagged
+# merge of kmeans_embeddings + semantic_outliers_documents (both
+# RETIRED with standalone parity rows) — fills the 50th head slot the
+# original 8-registration plan left empty and makes r15 close exactly
+# with its six staged net-new candidates (oracle-proven a round early
+# as staged_embedding_audit_composite).
+register(
+    "embedding_audit_composite",
+    llm_ops.embedding_audit_composite,
+    llm_ops.EMBEDDING_AUDIT_COMPOSITE_SQL,
+)
+# NEW (r14): BPE merge-iteration pair statistics — the distributed
+# primitive behind corpus tokenizer training; iterative state stays
+# vocab-sized, the exchange alphabet-bounded (oracle-proven a round
+# early as staged_bpe_pair_counts_documents).
+register(
+    "bpe_pair_counts_documents",
+    llm_ops.bpe_pair_counts_documents,
+    llm_ops.BPE_PAIR_COUNTS_SQL,
+)
+# NEW (r14): clean-on-ingest — the full text-curation chain
+# (strip_markup -> repeated-line removal -> PII redaction) as a
+# stateless streaming projection, drained against the BATCH chain's
+# oracle: micro-batch-boundary invariance is the claim (oracle-proven
+# a round early as staged_streaming_curation_chain_documents).
+register(
+    "streaming_curation_chain_documents",
+    state_ops.streaming_curation_chain_documents,
+    llm_ops.CURATION_TEXT_CHAIN_SQL,
+)
+# NEW (r14): link-graph PageRank quality signal (Page et al. 1999)
+# — integer-arithmetic ranks are bit-identical cross-engine (no float
+# summation order dependence), per-iteration checkpoint discipline,
+# and the oracle unrolls the iterations as chained CTEs (the
+# kmeans iterative-oracle family; oracle-proven a round early as
+# staged_pagerank_links_documents).
+register(
+    "pagerank_links_documents",
+    llm_ops.pagerank_links_documents,
+    llm_ops.PAGERANK_LINKS_SQL,
+)
+
+# --- the 41 entries due their r14 row (last driver row: r12) ----------
+
+register(
+    "streaming_hourly_composite",
+    state_ops.streaming_hourly_composite,
+    state_ops.STREAMING_HOURLY_COMPOSITE_SQL,
+)
+register(
+    "strip_markup_documents",
+    llm_ops.strip_markup_documents,
+    llm_ops.STRIP_MARKUP_DOCUMENTS_SQL,
+)
+register(
+    "dedup_representatives_documents",
+    llm_ops.dedup_representatives_documents,
+    llm_ops.DEDUP_REPRESENTATIVES_SQL,
+)
+register(
+    "bloom_decontaminate_documents",
+    pipeline_ops.bloom_decontaminate_documents,
+    pipeline_ops.BLOOM_DECONTAMINATE_SQL,
+)
+register(
+    "text_profile_documents",
+    llm_ops.text_profile_documents,
+    llm_ops.TEXT_PROFILE_DOCUMENTS_SQL,
+)
+register(
+    "bm25_topk_documents",
+    llm_ops.bm25_topk_documents,
+    llm_ops.BM25_TOPK_DOCUMENTS_SQL,
+)
+register(
+    "concat_positional_supplier_customer",
+    pipeline_ops.concat_positional_supplier_customer,
+    pipeline_ops.CONCAT_POSITIONAL_SQL,
+)
+register(
+    "email_chart_roundtrip",
+    format_io.email_chart_roundtrip,
+    format_io.EMAIL_CHART_ROUNDTRIP_SQL,
+)
+register(
+    "ngram_jaccard_variants_documents",
+    llm_ops.ngram_jaccard_variants_documents,
+    llm_ops.NGRAM_JACCARD_VARIANTS_SQL,
+)
+register(
+    "streaming_click_purchase_join",
+    state_ops.streaming_click_purchase_join,
+    state_ops.STREAMING_CLICK_PURCHASE_JOIN_SQL,
+)
+register(
+    "sketch_accuracy_gates",
+    scalar_ops.sketch_accuracy_gates,
+    scalar_ops.SKETCH_ACCURACY_GATES_SQL,
+)
+register(
+    "xls_roundtrip_nation",
+    format_io.xls_roundtrip_nation,
+    format_io.XLS_ROUNDTRIP_NATION_SQL,
+)
+register(
+    "sqlite_query_from_stream_part",
+    format_io.sqlite_query_from_stream_part,
+    format_io.SQLITE_QUERY_FROM_STREAM_PART_SQL,
+)
+register(
+    "jdbc_roundtrip_part",
+    format_io.jdbc_roundtrip_part,
+    format_io.JDBC_ROUNDTRIP_PART_SQL,
+)
+register("q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_SQL)
+register("q11_important_stock", relational.q11_important_stock, relational.Q11_SQL)
+register(
+    "q16_supplier_part_counts",
+    relational.q16_supplier_part_counts,
+    relational.Q16_SQL,
+)
+register(
+    "q20_potential_part_promotion",
+    relational.q20_potential_part_promotion,
+    relational.Q20_SQL,
+)
+register("q21_waiting_suppliers", relational.q21_waiting_suppliers, relational.Q21_SQL)
+register(
+    "dormant_rich_customers",
+    relational.dormant_rich_customers,
+    relational.DORMANT_RICH_SQL,
+)
+register(
+    "corpus_mix_weighted",
+    pipeline_ops.corpus_mix_weighted,
+    pipeline_ops.CORPUS_MIX_WEIGHTED_SQL,
+)
+register(
+    "events_asof_orders",
+    events_ops.events_asof_orders,
+    events_ops.EVENTS_ASOF_ORDERS_SQL,
+)
+register(
+    "quarantine_corrupt_formats",
+    format_io.quarantine_corrupt_formats,
+    format_io.QUARANTINE_CORRUPT_FORMATS_SQL,
+)
+# (events_daily_type_pivot retired r13 into events_audit_composite —
+# standalone parity row kept in tests/test_oracle_parity.py)
+register(
+    "duplicate_spans_documents",
+    llm_ops.duplicate_spans_documents,
+    llm_ops.DUPLICATE_SPANS_SQL,
+)
+register("semdedup_embeddings", llm_ops.semdedup_embeddings, llm_ops.SEMDEDUP_EMBEDDINGS_SQL)
+register(
+    "supplier_nation_profit",
+    relational.supplier_nation_profit,
+    relational.SUPPLIER_NATION_PROFIT_SQL,
+)
+register(
+    "priority_by_shipyear",
+    relational.priority_by_shipyear,
+    relational.PRIORITY_BY_SHIPYEAR_SQL,
+)
+register(
+    "top_revenue_suppliers",
+    relational.top_revenue_suppliers,
+    relational.TOP_REVENUE_SUPPLIERS_SQL,
+)
+register(
+    "small_quantity_revenue",
+    relational.small_quantity_revenue,
+    relational.SMALL_QUANTITY_REVENUE_SQL,
+)
+register("simhash_recall_planted", llm_ops.simhash_recall_planted, llm_ops.CONST_RECALL_SQL)
+register(
+    "events_after_busy_hours",
+    events_ops.events_after_busy_hours,
+    events_ops.EVENTS_AFTER_BUSY_SQL,
+)
+register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
+register("q3_shipping_priority", relational.q3_shipping_priority, relational.Q3_SQL)
+register("q5_region_revenue", relational.q5_region_revenue, relational.Q5_SQL)
+register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_SQL)
+register("customer_segment_stats", relational.customer_segment_stats, relational.CUSTOMER_SEGMENT_SQL)
+register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
+register(
+    "customers_without_recent_orders",
+    relational.customers_without_recent_orders,
+    relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
+)
+register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
+register(
+    "deterministic_split_documents",
+    pipeline_ops.deterministic_split_documents,
+    pipeline_ops.DETERMINISTIC_SPLIT_SQL,
+)
+register(
+    "pack_sequences_documents",
+    pipeline_ops.pack_sequences_documents,
+    pipeline_ops.PACK_SEQUENCES_SQL,
+)
+
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r13 (CORRECTNESS_r13) and is
+# unchanged this round; full pytest oracle-parity coverage continues
+# every round regardless of position. Due their next driver row in
+# r15 (44 entries — the r13 head-50 minus the six r14 retirees that
+# sat in it — against 50 slots; the six staged r15 net-new candidates
+# in the ledger above close the math exactly).
 
 # NEW (r13): the PII ACTION — mask the classes pii_scan detects via a
 # regexp_replace cascade over the SAME pattern constants (one knob,
@@ -448,9 +722,6 @@ register(
     events_ops.events_audit_composite,
     events_ops.EVENTS_AUDIT_COMPOSITE_SQL,
 )
-
-# --- the 41 entries due their r13 row (last driver row: r11) ----------
-
 register(
     "format_chain_nation_xmlbson",
     format_io.format_chain_nation_xmlbson,
@@ -472,11 +743,6 @@ register(
     state_ops.STREAMING_LSH_NEAR_DUP_SQL,
 )
 register(
-    "skewed_segment_join_events",
-    events_ops.skewed_segment_join_events,
-    events_ops.SKEWED_SEGMENT_JOIN_SQL,
-)
-register(
     "streaming_dedup_events",
     state_ops.streaming_dedup_events,
     state_ops.STREAMING_DEDUP_EVENTS_SQL,
@@ -486,7 +752,6 @@ register(
     pipeline_ops.curation_pipeline_documents,
     pipeline_ops.CURATION_PIPELINE_SQL,
 )
-register("kmeans_embeddings", llm_ops.kmeans_embeddings, llm_ops.KMEANS_EMBEDDINGS_SQL)
 register(
     "ngram_containment_documents",
     llm_ops.ngram_containment_documents,
@@ -498,21 +763,10 @@ register(
     state_ops.STREAMING_DECONTAMINATE_SQL,
 )
 register(
-    "semantic_outliers_documents",
-    llm_ops.semantic_outliers_documents,
-    llm_ops.SEMANTIC_OUTLIERS_SQL,
-)
-register(
     "media_decode_roundtrip",
     llm_ops.media_decode_roundtrip,
     llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
 )
-register(
-    "streaming_user_sessions_events",
-    state_ops.streaming_user_sessions_events,
-    events_ops.USER_SESSIONS_SQL,
-)
-register("user_sessions", events_ops.user_sessions, events_ops.USER_SESSIONS_SQL)
 register(
     "sample_stratified_documents",
     pipeline_ops.sample_stratified_documents,
@@ -564,11 +818,6 @@ register(
 )
 register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
 register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
-register(
-    "repetition_stats_documents",
-    llm_ops.repetition_stats_documents,
-    llm_ops.REPETITION_STATS_SQL,
-)
 register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
 register(
     "customer_order_distribution",
@@ -580,207 +829,3 @@ register(
     relational.bucketed_orders_customer_join,
     relational.BUCKETED_ORDERS_CUSTOMER_SQL,
 )
-
-# ===================== driver-window boundary (50) ====================
-# Everything below was driver-green in r12 (CORRECTNESS_r12) and is
-# unchanged this round; full pytest oracle-parity coverage continues
-# every round regardless of position. Due their next driver row in
-# r14 (49 entries — the r12 head-50 minus the retired
-# events_daily_type_pivot — against 50 slots; the r14 merge plan in
-# the ledger above closes the math).
-
-register(
-    "streaming_hourly_composite",
-    state_ops.streaming_hourly_composite,
-    state_ops.STREAMING_HOURLY_COMPOSITE_SQL,
-)
-register(
-    "strip_markup_documents",
-    llm_ops.strip_markup_documents,
-    llm_ops.STRIP_MARKUP_DOCUMENTS_SQL,
-)
-register(
-    "dedup_representatives_documents",
-    llm_ops.dedup_representatives_documents,
-    llm_ops.DEDUP_REPRESENTATIVES_SQL,
-)
-register(
-    "bloom_decontaminate_documents",
-    pipeline_ops.bloom_decontaminate_documents,
-    pipeline_ops.BLOOM_DECONTAMINATE_SQL,
-)
-
-register(
-    "text_profile_documents",
-    llm_ops.text_profile_documents,
-    llm_ops.TEXT_PROFILE_DOCUMENTS_SQL,
-)
-register(
-    "bm25_topk_documents",
-    llm_ops.bm25_topk_documents,
-    llm_ops.BM25_TOPK_DOCUMENTS_SQL,
-)
-register(
-    "concat_positional_supplier_customer",
-    pipeline_ops.concat_positional_supplier_customer,
-    pipeline_ops.CONCAT_POSITIONAL_SQL,
-)
-register(
-    "email_chart_roundtrip",
-    format_io.email_chart_roundtrip,
-    format_io.EMAIL_CHART_ROUNDTRIP_SQL,
-)
-register(
-    "ngram_jaccard_variants_documents",
-    llm_ops.ngram_jaccard_variants_documents,
-    llm_ops.NGRAM_JACCARD_VARIANTS_SQL,
-)
-register(
-    "streaming_click_purchase_join",
-    state_ops.streaming_click_purchase_join,
-    state_ops.STREAMING_CLICK_PURCHASE_JOIN_SQL,
-)
-register(
-    "token_repetition_metrics_documents",
-    llm_ops.token_repetition_metrics_documents,
-    llm_ops.TOKEN_REPETITION_METRICS_SQL,
-)
-register(
-    "sketch_accuracy_gates",
-    scalar_ops.sketch_accuracy_gates,
-    scalar_ops.SKETCH_ACCURACY_GATES_SQL,
-)
-register(
-    "format_chain_documents",
-    format_io.format_chain_documents,
-    format_io.FORMAT_CHAIN_DOCUMENTS_SQL,
-)
-register(
-    "format_chain_orders",
-    format_io.format_chain_orders,
-    format_io.FORMAT_CHAIN_ORDERS_SQL,
-)
-register(
-    "xls_roundtrip_nation",
-    format_io.xls_roundtrip_nation,
-    format_io.XLS_ROUNDTRIP_NATION_SQL,
-)
-register(
-    "sqlite_query_from_stream_part",
-    format_io.sqlite_query_from_stream_part,
-    format_io.SQLITE_QUERY_FROM_STREAM_PART_SQL,
-)
-register(
-    "jdbc_roundtrip_part",
-    format_io.jdbc_roundtrip_part,
-    format_io.JDBC_ROUNDTRIP_PART_SQL,
-)
-register(
-    "skewed_user_rollup_events",
-    events_ops.skewed_user_rollup_events,
-    events_ops.SKEWED_USER_ROLLUP_SQL,
-)
-register("q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_SQL)
-register("q11_important_stock", relational.q11_important_stock, relational.Q11_SQL)
-register(
-    "q16_supplier_part_counts",
-    relational.q16_supplier_part_counts,
-    relational.Q16_SQL,
-)
-register(
-    "q20_potential_part_promotion",
-    relational.q20_potential_part_promotion,
-    relational.Q20_SQL,
-)
-register("q21_waiting_suppliers", relational.q21_waiting_suppliers, relational.Q21_SQL)
-register(
-    "dormant_rich_customers",
-    relational.dormant_rich_customers,
-    relational.DORMANT_RICH_SQL,
-)
-register("domain_stats_documents", llm_ops.domain_stats_documents, llm_ops.DOMAIN_STATS_SQL)
-register("top_terms_per_source", llm_ops.top_terms_per_source, llm_ops.TOP_TERMS_PER_SOURCE_SQL)
-register(
-    "corpus_mix_weighted",
-    pipeline_ops.corpus_mix_weighted,
-    pipeline_ops.CORPUS_MIX_WEIGHTED_SQL,
-)
-register(
-    "events_asof_orders",
-    events_ops.events_asof_orders,
-    events_ops.EVENTS_ASOF_ORDERS_SQL,
-)
-register(
-    "quarantine_corrupt_formats",
-    format_io.quarantine_corrupt_formats,
-    format_io.QUARANTINE_CORRUPT_FORMATS_SQL,
-)
-# (events_daily_type_pivot retired r13 into events_audit_composite —
-# standalone parity row kept in tests/test_oracle_parity.py)
-register(
-    "duplicate_spans_documents",
-    llm_ops.duplicate_spans_documents,
-    llm_ops.DUPLICATE_SPANS_SQL,
-)
-register("semdedup_embeddings", llm_ops.semdedup_embeddings, llm_ops.SEMDEDUP_EMBEDDINGS_SQL)
-register(
-    "supplier_nation_profit",
-    relational.supplier_nation_profit,
-    relational.SUPPLIER_NATION_PROFIT_SQL,
-)
-register(
-    "priority_by_shipyear",
-    relational.priority_by_shipyear,
-    relational.PRIORITY_BY_SHIPYEAR_SQL,
-)
-register(
-    "top_revenue_suppliers",
-    relational.top_revenue_suppliers,
-    relational.TOP_REVENUE_SUPPLIERS_SQL,
-)
-register(
-    "small_quantity_revenue",
-    relational.small_quantity_revenue,
-    relational.SMALL_QUANTITY_REVENUE_SQL,
-)
-register("simhash_recall_planted", llm_ops.simhash_recall_planted, llm_ops.CONST_RECALL_SQL)
-register(
-    "minhash_near_dup_documents",
-    llm_ops.minhash_near_dup_documents,
-    llm_ops.MINHASH_NEAR_DUP_SQL,
-)
-register(
-    "events_after_busy_hours",
-    events_ops.events_after_busy_hours,
-    events_ops.EVENTS_AFTER_BUSY_SQL,
-)
-register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
-register("q3_shipping_priority", relational.q3_shipping_priority, relational.Q3_SQL)
-register("q5_region_revenue", relational.q5_region_revenue, relational.Q5_SQL)
-register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_SQL)
-register("customer_segment_stats", relational.customer_segment_stats, relational.CUSTOMER_SEGMENT_SQL)
-register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
-register(
-    "customers_without_recent_orders",
-    relational.customers_without_recent_orders,
-    relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
-)
-register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
-register(
-    "user_sessions_window",
-    events_ops.user_sessions_window,
-    # same gap semantics, disjoint plan (native session windows) —
-    # shares the lag+cumsum oracle, so the driver cross-checks both
-    events_ops.USER_SESSIONS_SQL,
-)
-register(
-    "deterministic_split_documents",
-    pipeline_ops.deterministic_split_documents,
-    pipeline_ops.DETERMINISTIC_SPLIT_SQL,
-)
-register(
-    "pack_sequences_documents",
-    pipeline_ops.pack_sequences_documents,
-    pipeline_ops.PACK_SEQUENCES_SQL,
-)
-

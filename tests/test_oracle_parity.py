@@ -167,57 +167,50 @@ _RETIRED_CASES += [
      _ev.EVENTS_DAILY_TYPE_PIVOT_SQL),
 ]
 
+# r14 retirees (the r14 rotation's registered composites/superseders
+# drive their codepaths in the driver window; these rows pin the
+# constituents' standalone semantics per the retirement contract).
 _RETIRED_CASES += [
-    # r14 candidate (staged ahead per the standing contract): BPE
-    # merge-iteration pair statistics — the distributed primitive
-    # behind corpus tokenizer training
-    ("staged_bpe_pair_counts_documents",
-     _llm.bpe_pair_counts_documents,
-     _llm.BPE_PAIR_COUNTS_SQL),
-    # r14 candidate: clean-on-ingest — the curation chain as a
-    # stateless streaming projection, drained against the BATCH
-    # chain's oracle (micro-batch-boundary invariance)
-    ("staged_streaming_curation_chain_documents",
-     _state.streaming_curation_chain_documents,
-     _llm.CURATION_TEXT_CHAIN_SQL),
-    # r14 candidate: link-graph PageRank (integer-arithmetic ranks,
-    # oracle unrolls the iterations as chained CTEs)
-    ("staged_pagerank_links_documents",
-     _llm.pagerank_links_documents,
-     _llm.PAGERANK_LINKS_SQL),
-]
-
-# STAGED r14 MERGE COMPOSITES (the window-math enablers — r14's due
-# list is the full 50-entry r12 head, so every r14 registration needs
-# a merge/retirement; see the registry ledger's r14 plan). Each
-# composite drives every constituent codepath; constituents keep
-# their standalone rows (registered now, retired_ later).
-_RETIRED_CASES += [
-    # merges user_sessions + user_sessions_window +
-    # streaming_user_sessions_events (three realizations, one hash)
-    ("staged_sessions_composite_events",
-     _state.sessions_composite_events,
-     _state.SESSIONS_COMPOSITE_SQL),
-    # merges format_chain_documents + format_chain_orders (all five
-    # sink/source pairs, kind-tagged, lossless normalization)
-    ("staged_format_chain_docs_orders",
-     _fmt.format_chain_docs_orders,
-     _fmt.FORMAT_CHAIN_DOCS_ORDERS_SQL),
-    # merges skewed_user_rollup_events + skewed_segment_join_events
-    # (both ops/scale skew answers, variant-tagged)
-    ("staged_skew_composite_events",
-     _ev.skew_composite_events,
-     _ev.SKEW_COMPOSITE_SQL),
-    # merges token_repetition_metrics_documents +
-    # repetition_stats_documents (per-doc column-composite)
-    ("staged_repetition_profile_documents",
-     _llm.repetition_profile_documents,
-     _llm.REPETITION_PROFILE_SQL),
-    # merges domain_stats_documents + top_terms_per_source
-    # (kind-tagged per-source corpus audit)
-    ("staged_source_profile_documents",
-     _llm.source_profile_documents,
-     _llm.SOURCE_PROFILE_SQL),
+    # the three session-semantics realizations, merged into the
+    # registered sessions_composite_events
+    ("retired_user_sessions", _ev.user_sessions, _ev.USER_SESSIONS_SQL),
+    ("retired_user_sessions_window", _ev.user_sessions_window,
+     _ev.USER_SESSIONS_SQL),
+    ("retired_streaming_user_sessions_events",
+     _state.streaming_user_sessions_events,
+     _ev.USER_SESSIONS_SQL),
+    # the two format chains, merged into format_chain_docs_orders
+    ("retired_format_chain_documents", _fmt.format_chain_documents,
+     _fmt.FORMAT_CHAIN_DOCUMENTS_SQL),
+    ("retired_format_chain_orders", _fmt.format_chain_orders,
+     _fmt.FORMAT_CHAIN_ORDERS_SQL),
+    # the two skew answers, merged into skew_composite_events
+    ("retired_skewed_user_rollup_events", _ev.skewed_user_rollup_events,
+     _ev.SKEWED_USER_ROLLUP_SQL),
+    ("retired_skewed_segment_join_events", _ev.skewed_segment_join_events,
+     _ev.SKEWED_SEGMENT_JOIN_SQL),
+    # the two repetition projections, merged into
+    # repetition_profile_documents
+    ("retired_token_repetition_metrics_documents",
+     _llm.token_repetition_metrics_documents,
+     _llm.TOKEN_REPETITION_METRICS_SQL),
+    ("retired_repetition_stats_documents", _llm.repetition_stats_documents,
+     _llm.REPETITION_STATS_SQL),
+    # the two per-source audits, merged into source_profile_documents
+    ("retired_domain_stats_documents", _llm.domain_stats_documents,
+     _llm.DOMAIN_STATS_SQL),
+    ("retired_top_terms_per_source", _llm.top_terms_per_source,
+     _llm.TOP_TERMS_PER_SOURCE_SQL),
+    # superseded by dedup_representatives_documents (same
+    # minhash_near_dup_pairs call plus CC + representative selection)
+    ("retired_minhash_near_dup_documents", _llm.minhash_near_dup_documents,
+     _llm.MINHASH_NEAR_DUP_SQL),
+    # the two embedding audits, merged into the pulled-forward
+    # embedding_audit_composite
+    ("retired_kmeans_embeddings", _llm.kmeans_embeddings,
+     _llm.KMEANS_EMBEDDINGS_SQL),
+    ("retired_semantic_outliers_documents", _llm.semantic_outliers_documents,
+     _llm.SEMANTIC_OUTLIERS_SQL),
 ]
 
 # STAGED r15 NET-NEW candidates (the r14 plan leaves r15 with 4 slots
@@ -265,13 +258,7 @@ _RETIRED_CASES += [
     ("staged_dsir_weights_documents",
      _llm.dsir_weights_documents,
      _llm.DSIR_WEIGHTS_SQL),
-    # r15 merge candidate (ledger capacity note): kmeans_embeddings +
-    # semantic_outliers_documents in one kind-tagged row — frees one
-    # of the slots the six staged net-new operators need
-    ("staged_embedding_audit_composite",
-     _llm.embedding_audit_composite,
-     _llm.EMBEDDING_AUDIT_COMPOSITE_SQL),
-    # r15 merge candidate #2 (ledger capacity note): embedding_near_dup
+    # r15 merge candidate (ledger capacity note): embedding_near_dup
     # + semdedup_embeddings sharing ONE checkpointed pair table —
     # measured 3.30s vs the constituents' combined 4.82s at sf0.1
     ("staged_semantic_dedup_composite",
