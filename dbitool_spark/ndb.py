@@ -131,7 +131,7 @@ class NdbTable:
         *,
         n_buckets: int = 32,
         files_per_bucket: int = 1,
-        keep_versions: int = 2,
+        keep_versions: int | None = None,
         single_writer: bool = True,
         evolve_schema: bool = False,
     ):
@@ -147,9 +147,13 @@ class NdbTable:
         # range-missed files hardlink forward between versions, so K
         # snapshots share inodes and cost only the per-version
         # rewritten deltas, exactly like a table format's log. The
-        # default 2 (current + crash-recovery previous) is the
-        # historical behavior byte-for-byte.
-        self.keep_versions = max(2, int(keep_versions))
+        # default None means "2 for a new table, meta's value on
+        # reopen"; an EXPLICIT arg wins on reopen in both directions
+        # (ADVICE r13: max(meta, arg) silently ignored an explicit
+        # smaller value, so a one-time accidental widening retained
+        # extra snapshots forever), floored at 2 (current + the
+        # crash-recovery previous, the historical behavior).
+        self.keep_versions = 2 if keep_versions is None else max(2, int(keep_versions))
         # advisory cross-PROCESS writer guard (default on): two live
         # processes upserting the same table would race the pointer
         # flip and silently drop one's merge — the lost-update case a
@@ -208,15 +212,14 @@ class NdbTable:
             self.files_per_bucket = int(
                 meta.get("files_per_bucket", files_per_bucket)
             )
-            # retention may be WIDENED on reopen (replay(as_of)'s error
-            # message prescribes exactly that remediation — ADVICE r12:
-            # the meta value used to override the arg unconditionally,
-            # making the prescribed fix a silent no-op); it never
-            # narrows implicitly, so already-retained snapshots stay
-            # readable
-            self.keep_versions = max(
-                2, int(meta.get("keep_versions", 2)), int(keep_versions)
-            )
+            # retention on reopen: the DEFAULT (no arg) keeps meta's
+            # recorded window — it never narrows IMPLICITLY, so
+            # already-retained snapshots stay readable; an EXPLICIT
+            # arg wins in both directions (widening is the remediation
+            # replay(as_of)'s error message prescribes — ADVICE r12;
+            # honoring explicit narrowing is ADVICE r13), floored at 2
+            if keep_versions is None:
+                self.keep_versions = max(2, int(meta.get("keep_versions", 2)))
             self._key_type = meta.get("key_type")
             self._evolved = bool(meta.get("evolved", False))
             self._columns = meta.get("columns")
@@ -285,15 +288,63 @@ class NdbTable:
         NdbWriteConflict (staging cleaned up) only for genuine
         commit collisions (EEXIST/ENOTEMPTY/ENOTDIR); any other
         rename failure (permissions, I/O) re-raises as itself with
-        the staging dir left intact for inspection."""
+        the staging dir left intact for inspection.
+
+        STALE-PUBLISH GUARD (ADVICE r13, the protocol hole): a writer
+        stalled across >= keep_versions newer commits targets a v{gen}
+        slot GC already VACATED — its rename succeeds (nothing in the
+        way) and would publish a generation BELOW the table's real
+        head, after which its own retention GC (keyed off its stale
+        gen) would delete every newer committed version. Two checks
+        close it: (a) before renaming, any committed generation >= gen
+        means this writer's read is stale — conflict, nothing
+        published; (b) after a successful rename, any committed
+        generation > gen can only be the same staleness seen through
+        the residual check->rename window (a LEGITIMATE successor
+        would have had to read this very commit and finish a full
+        Spark write inside microseconds), so the just-published dir is
+        moved aside and the writer conflicts. _gc_versions carries the
+        matching clamp (never deletes committed generations above the
+        published one) as defense in depth."""
         import errno
 
-        open(os.path.join(staging, _COMMITTED), "w").close()
         final = os.path.join(self.path, f"v{gen}")
+        newest = max(self._committed_gens(), default=-1)
+        if newest >= gen:
+            shutil.rmtree(staging, ignore_errors=True)
+            how = (
+                "committed by another writer between this writer's read "
+                "and its publish"
+                if newest == gen
+                else f"read stale — the committed head is already v{newest}"
+            )
+            raise NdbWriteConflict(
+                f"ndb commit conflict at {self.path}: generation v{gen} was "
+                f"{how} — re-read the table state and retry the write"
+            )
+        open(os.path.join(staging, _COMMITTED), "w").close()
         conflict_errnos = (errno.EEXIST, errno.ENOTEMPTY, errno.ENOTDIR)
         for attempt in (0, 1):
             try:
                 os.rename(staging, final)
+                # post-rename stale-publish check (guard (b) above):
+                # a committed generation ABOVE ours at this instant
+                # means our slot had been GC-vacated and we published
+                # below the table's head — unpublish and conflict
+                newest = max(self._committed_gens(), default=gen)
+                if newest > gen:
+                    stale_grave = f"{final}.stale.pid{os.getpid()}"
+                    try:
+                        os.rename(final, stale_grave)
+                        shutil.rmtree(stale_grave, ignore_errors=True)
+                    except OSError:
+                        pass  # a racer moved it first; either way: conflict
+                    raise NdbWriteConflict(
+                        f"ndb commit conflict at {self.path}: v{gen} was "
+                        f"published below the committed head v{newest} "
+                        "(stale read across a GC'd window) — re-read the "
+                        "table state and retry the write"
+                    )
                 return final
             except OSError as exc:
                 if exc.errno not in conflict_errnos:
@@ -304,6 +355,11 @@ class NdbTable:
                     and not os.path.exists(os.path.join(final, _COMMITTED))
                 ):
                     grave = f"{final}.debris.pid{os.getpid()}"
+                    # marker re-check IMMEDIATELY before the move
+                    # (ADVICE r13: shrink the clear-vs-fresh-commit
+                    # window to the rename itself)
+                    if os.path.exists(os.path.join(final, _COMMITTED)):
+                        break  # a racer just committed: genuine conflict
                     try:
                         os.rename(final, grave)  # atomic: one winner
                     except OSError:
@@ -343,18 +399,38 @@ class NdbTable:
         tmp path (the loser's os.replace would hit FileNotFoundError
         after its commit already succeeded — review finding), and the
         flip is FORWARD-ONLY so a slower lower-generation writer
-        cannot regress the cache under a newer commit."""
-        try:
-            ptr_gen = self._pointer_gen()
-        except ValueError:
-            ptr_gen = None
-        if ptr_gen is not None and ptr_gen >= int(version[1:]):
-            return
+        cannot regress the cache under a newer commit. The guard is
+        read-then-write, not atomic, so two lock-disabled writers can
+        still interleave check/replace with the lower flip landing
+        last — SELF-HEALING loop (ADVICE r13): after each replace,
+        re-read; if the pointer regressed below the newest committed
+        generation, re-flip to that head. Each writer only ever flips
+        UP, so the loop converges (bounded retries; marker-based
+        readers never consult this cache anyway — it exists for
+        pre-protocol readers)."""
         ptr = os.path.join(self.path, _POINTER)
-        tmp = f"{ptr}.tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            fh.write(version)
-        os.replace(tmp, ptr)  # atomic on POSIX
+        target = int(version[1:])
+        for _ in range(4):
+            try:
+                ptr_gen = self._pointer_gen()
+            except ValueError:
+                ptr_gen = None
+            if ptr_gen is not None and ptr_gen >= target:
+                return
+            tmp = f"{ptr}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                fh.write(f"v{target}")
+            os.replace(tmp, ptr)  # atomic on POSIX
+            # heal: did a concurrent lower-generation flip land after
+            # ours, regressing the cache below the committed head?
+            head = max(self._committed_gens(), default=target)
+            target = max(target, head)
+            try:
+                now = self._pointer_gen()
+            except ValueError:
+                now = None
+            if now is not None and now >= target:
+                return
 
     def _write_meta(self) -> None:
         meta_path = os.path.join(self.path, _META)
@@ -878,7 +954,21 @@ class NdbTable:
         bucket files shared with live versions survive the rmtree (the
         inode outlives this name). Also reclaims staging dirs whose
         writer pid is provably dead (a crashed writer's unpublished
-        build — never another LIVE writer's in-progress staging)."""
+        build — never another LIVE writer's in-progress staging), and
+        grave dirs (v*.debris.pid* / v*.stale.pid*) orphaned by a
+        clearer that crashed between the move-aside and the rmtree
+        (ADVICE r13: these were never swept).
+
+        CLAMP (ADVICE r13, the commit-protocol hole's second half):
+        a COMMITTED generation ABOVE the window this GC was keyed on
+        is another writer's newer commit seen through a stale read —
+        it is NEVER deleted here, whatever the keep set says. Without
+        this, a stale publish that slipped every guard would follow
+        up by rmtree-ing the real head."""
+        floor = max(
+            (int(n[1:]) for n in keep if n.startswith("v") and n[1:].isdigit()),
+            default=None,
+        )
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
             if (
@@ -887,7 +977,37 @@ class NdbTable:
                 and name not in keep
                 and os.path.isdir(full)
             ):
+                if (
+                    floor is not None
+                    and int(name[1:]) > floor
+                    and os.path.exists(os.path.join(full, _COMMITTED))
+                ):
+                    continue  # newer committed head: never ours to GC
                 shutil.rmtree(full, ignore_errors=True)
+            elif (
+                (".debris.pid" in name or ".stale.pid" in name)
+                and name.startswith("v")
+                and os.path.isdir(full)
+            ):
+                # orphaned grave from a crashed clearer: reclaim only
+                # when the mover is provably dead (same liveness rule
+                # as staging below — unknowable liveness never deletes)
+                if ".debris.pid" in name and os.path.exists(
+                    os.path.join(full, _COMMITTED)
+                ):
+                    # a DISPLACED COMMITTED version (the restore-failed
+                    # path raises RuntimeError naming this dir): keep
+                    # it for the manual inspection that error demands.
+                    # (.stale.pid graves carry a marker too but are by
+                    # construction a stale publish below the live head
+                    # — those sweep normally.)
+                    continue
+                if _proc_start_ticks(os.getpid()) is None:
+                    continue
+                pid_s = name.rsplit(".pid", 1)[-1]
+                if pid_s.isdigit() and int(pid_s) != os.getpid():
+                    if _proc_start_ticks(int(pid_s)) is None:  # dead owner
+                        shutil.rmtree(full, ignore_errors=True)
             elif name.startswith(".stage-v") and os.path.isdir(full):
                 # liveness is only provable where /proc is readable: on
                 # a platform where even OUR OWN pid has no stat entry,

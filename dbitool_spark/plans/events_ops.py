@@ -609,24 +609,42 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_BANDS = ((0, 8), (8, 16), (16, 24))  # [lo, hi) hour-of-day
 
 
-def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Per-user event count above which funnel_steps_events routes a user
+# through the O(1)-state three-pass aggregation instead of the
+# collect_list fold: a bot/service account with tens of millions of
+# events would otherwise build its whole history as ONE in-memory
+# array in a single agg buffer and OOM the task at 100x scale (r13
+# verdict: the fallback was documentation, not code). 100k structs
+# (~4 MB) is far below task memory while keeping the hot side empty
+# on human-scale activity.
+_FUNNEL_HOT_THRESHOLD = 100_000
+
+
+def funnel_steps_events(
+    spark: SparkSession, sf_dir: str, *, hot_user_threshold: int = _FUNNEL_HOT_THRESHOLD
+) -> DataFrame:
     """Ordered funnel analysis (morning view -> midday click ->
     evening purchase): per user, the highest funnel step completed IN
     SEQUENCE — a midday click only counts after the first morning
     view, an evening purchase only after that click. Spark realizes
-    it as ONE shuffle: per-user events sort_array'd by (ts_us,
-    event_id) and folded with a higher-order aggregate whose
-    accumulator is the step counter (first qualifying event advances
-    it — equivalent, under the total order, to the min-seq-after
-    construction the oracle uses, so the hash cross-checks two
-    INDEPENDENT formulations of funnel semantics). Pure JVM; no
-    window self-joins, no Python.
+    it as a HYBRID of two equivalent formulations, routed per user by
+    activity volume (one map-side-combinable count pass + a broadcast
+    of the hot-user set, which is tiny by construction):
 
-    Scale note: collect_list bounds state by per-user activity — the
-    normal case for event funnels; a pathologically hot user would
-    instead use the three-pass conditional-min-after joins (the
-    oracle's shape), trading two extra keyed shuffles for O(1) state
-    per row."""
+    - COLD users (the normal case): per-user events sort_array'd by
+      (ts_us, event_id) and folded with a higher-order aggregate whose
+      accumulator is the step counter (first qualifying event advances
+      it). One shuffle, pure JVM, state bounded by per-user activity.
+    - HOT users (count > hot_user_threshold, the bot/service-account
+      tail): the three-pass conditional-min-after AGGREGATION — s1 =
+      min qualifying (ts_us, event_id) struct, s2 = min qualifying
+      struct AFTER s1, s3 likewise — O(1) state per row, map-side
+      combinable, no per-user array, no single-partition window. This
+      is the oracle's shape, so the driver hash cross-checks the two
+      INDEPENDENT constructions on every run (hot side empty at test
+      SFs; tests/test_events_streaming.py forces a synthetic hot user
+      through it and hash-matches the fold path).
+    """
     ev = catalog.load(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts_ts")).alias("ts_us"),
@@ -634,11 +652,15 @@ def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
     )
-    arr = ev.groupBy("user_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("ts_us", "event_id", "event_type", "hh"))
-        ).alias("evs")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    hot_users = counts.filter(F.col("n_ev") > hot_user_threshold).select("user_id")
+    tagged = ev.join(
+        F.broadcast(hot_users.withColumn("is_hot", F.lit(True))),
+        "user_id",
+        "left",
     )
+    cold = tagged.filter(F.col("is_hot").isNull())
+    hot = tagged.filter(F.col("is_hot").isNotNull())
 
     def _qual(e, i):
         lo, hi = _FUNNEL_BANDS[i]
@@ -648,6 +670,12 @@ def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (e["hh"] < hi)
         )
 
+    # cold path: one shuffle, per-user ordered fold
+    arr = cold.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_us", "event_id", "event_type", "hh"))
+        ).alias("evs")
+    )
     step = F.aggregate(
         F.col("evs"),
         F.lit(0),
@@ -658,9 +686,54 @@ def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(acc)
         ),
     )
-    return arr.select(
-        "user_id", step.cast("int").alias("funnel_step")
-    ).orderBy("user_id")
+    cold_steps = arr.select("user_id", step.cast("int").alias("funnel_step"))
+
+    # hot path: three conditional-min aggregations over (ts_us,
+    # event_id) structs — struct ordering is the same total order the
+    # fold sorts by, so the two paths agree exactly
+    def _qual_col(df, i):
+        lo, hi = _FUNNEL_BANDS[i]
+        return (
+            (df["event_type"] == _FUNNEL_STEPS[i])
+            & (df["hh"] >= lo)
+            & (df["hh"] < hi)
+        )
+
+    pos = F.struct("ts_us", "event_id")
+    t1 = (
+        hot.filter(_qual_col(hot, 0))
+        .groupBy("user_id")
+        .agg(F.min(pos).alias("s1"))
+    )
+    h2 = hot.join(t1, "user_id")
+    t2 = (
+        h2.filter(_qual_col(h2, 1) & (pos > F.col("s1")))
+        .groupBy("user_id")
+        .agg(F.min(pos).alias("s2"))
+    )
+    h3 = hot.join(t2, "user_id")
+    t3 = (
+        h3.filter(_qual_col(h3, 2) & (pos > F.col("s2")))
+        .groupBy("user_id")
+        .agg(F.min(pos).alias("s3"))
+    )
+    hot_steps = (
+        hot.select("user_id")
+        .distinct()
+        .join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("s3").isNotNull(), 3)
+            .when(F.col("s2").isNotNull(), 2)
+            .when(F.col("s1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_step"),
+        )
+    )
+    return cold_steps.unionByName(hot_steps).orderBy("user_id")
 
 
 FUNNEL_STEPS_EVENTS_SQL = """

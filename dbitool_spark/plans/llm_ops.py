@@ -3406,6 +3406,49 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 _DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
+# 2^53: the largest span where every integer is an exact double — the
+# per-row crossover between DSIR's exact-rational form and the
+# cluster-scale difference-of-quantized-logs form.
+_DSIR_EXACT_BOUND = 1 << 53
+
+
+def _dsir_weight_mb():
+    """Per-token DSIR weight in integer milli-bits over columns
+    ct/cr/nt/nr/v — the ONE knob mirrored by DSIR_WEIGHTS_SQL's CASE.
+    Exact-rational log2 where both cross-products stay <= 2^53 (the
+    committed SFs never leave this branch); difference of two
+    separately-quantized logs above (the cluster-scale branch —
+    dsir_weights_documents docstring). The guard is overflow-free
+    integer arithmetic: (ct+1) <= 2^53 DIV (nr+v) iff
+    (ct+1)*(nr+v) <= 2^53 for positive ints."""
+    exact_ok = (
+        (F.col("ct") + 1) <= F.expr(f"{_DSIR_EXACT_BOUND} DIV (nr + v)")
+    ) & ((F.col("cr") + 1) <= F.expr(f"{_DSIR_EXACT_BOUND} DIV (nt + v)"))
+    exact = F.round(
+        F.log2(
+            ((F.col("ct") + 1) * (F.col("nr") + F.col("v")))
+            / ((F.col("cr") + 1) * (F.col("nt") + F.col("v")))
+        )
+        * 1000,
+        0,
+    )
+    split = F.round(
+        F.log2((F.col("ct") + 1) / (F.col("nt") + F.col("v"))) * 1000, 0
+    ) - F.round(F.log2((F.col("cr") + 1) / (F.col("nr") + F.col("v"))) * 1000, 0)
+    return F.when(exact_ok, exact).otherwise(split).cast("long")
+
+
+# the same CASE, DuckDB-side (BIGINT // is integer division there)
+_DSIR_WEIGHT_MB_SQL = f"""CAST(CASE
+  WHEN (c.ct + 1) <= {_DSIR_EXACT_BOUND} // (s.nr + s.v)
+   AND (c.cr + 1) <= {_DSIR_EXACT_BOUND} // (s.nt + s.v)
+  THEN round(log2(((c.ct + 1) * (s.nr + s.v) * 1.0)
+                  / ((c.cr + 1) * (s.nt + s.v))) * 1000, 0)
+  ELSE round(log2((c.ct + 1) * 1.0 / (s.nt + s.v)) * 1000, 0)
+     - round(log2((c.cr + 1) * 1.0 / (s.nr + s.v)) * 1000, 0)
+END AS BIGINT)"""
+
+
 def dsir_weights_documents(
     spark: SparkSession, sf_dir: str, *, materialize: bool = True
 ) -> DataFrame:
@@ -3425,9 +3468,23 @@ def dsir_weights_documents(
     MILLI-BITS per distinct (ct, cr) pair (the perplexity_score
     precedent), so the per-doc sum is an exact integer and the keep
     flag (sum > 0: more target-like than raw-like) is an integer
-    comparison. At cluster-scale counts (>2^26) the expression
-    becomes a difference of two quantized logs — same machinery, the
-    docstring bound is the committed-SF exactness argument.
+    comparison.
+
+    CLUSTER-SCALE BRANCH (r13 verdict item 6 — code, not prose):
+    where either cross-product would exceed 2^53 the double ratio is
+    no longer exactly representable, so the weight switches PER ROW
+    to a difference of two separately-quantized logs,
+    round(log2((ct+1)/(Nt+V)))*1000) − round(log2((cr+1)/(Nr+V))*1000)
+    — each argument one correctly-rounded division of sub-2^63
+    integers. The branch condition is pure integer arithmetic
+    ((ct+1) <= 2^53 DIV (Nr+V), overflow-free by construction) so
+    both engines take the same branch on the same row; the oracle
+    mirrors the CASE exactly (_dsir_weight_mb / the SQL's CASE are
+    the one knob). The split form trades the single-rational
+    exactness for bounded-magnitude log arguments — its residual
+    cross-engine risk is a 1-ulp libm log2 landing on a 0.0005-bit
+    quantization boundary, the same documented trade
+    perplexity_score makes.
 
     Scale shape: ONE token explode feeds ONE groupBy(token) computing
     both distributions' counts as conditional aggregates (no second
@@ -3462,19 +3519,7 @@ def dsir_weights_documents(
         toks.filter(~F.col("tgt"))
         .join(counts, "w")
         .crossJoin(F.broadcast(scal))
-        .select(
-            "doc_id",
-            F.round(
-                F.log2(
-                    ((F.col("ct") + 1) * (F.col("nr") + F.col("v")))
-                    / ((F.col("cr") + 1) * (F.col("nt") + F.col("v")))
-                )
-                * 1000,
-                0,
-            )
-            .cast("long")
-            .alias("s_mb"),
-        )
+        .select("doc_id", _dsir_weight_mb().alias("s_mb"))
     )
     result = (
         scored.groupBy("doc_id")
@@ -3508,10 +3553,7 @@ counts AS (
 ),
 scal AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS v FROM counts),
 scored AS (
-  SELECT t.doc_id,
-         CAST(round(log2(((c.ct + 1) * (s.nr + s.v) * 1.0)
-                         / ((c.cr + 1) * (s.nt + s.v))) * 1000, 0)
-              AS BIGINT) AS s_mb
+  SELECT t.doc_id, {_DSIR_WEIGHT_MB_SQL} AS s_mb
   FROM toks t JOIN counts c USING (w) CROSS JOIN scal s
   WHERE NOT t.tgt
 )

@@ -1998,3 +1998,73 @@ def test_bpe_learn_merges_matches_python_reference(spark):
         for r in llm_ops.bpe_learn_merges_documents(spark, SF_SMOKE).collect()
     ]
     assert got == expected
+
+
+def test_dsir_cluster_scale_branch_crossover(spark):
+    """r13 verdict item 6: the difference-of-quantized-logs branch is
+    CODE — on constructed (ct, cr, nt, nr, v) rows spanning both
+    sides of the 2^53 cross-product bound, the Spark expression, the
+    oracle SQL's CASE, and a pure-Python reference agree row for row,
+    and the branch flips EXACTLY at the bound (one row at
+    (ct+1)*(nr+v) == 2^53 stays exact; one row one unit over
+    switches)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from dbitool_spark.plans import llm_ops
+
+    B = llm_ops._DSIR_EXACT_BOUND
+    # (ct, cr, nt, nr, v): small SF shape, boundary-exact, one-over,
+    # and a deep cluster-scale row on BOTH products
+    nv = 2**20  # nr + v and nt + v ~ a million tokens
+    at_bound_ct = B // nv - 1  # (ct+1)*(nr+v) == 2^53 exactly
+    rows = [
+        (3, 5, 1000, 2000, 50),
+        (at_bound_ct, 1, nv - 50, nv - 50, 50),
+        (at_bound_ct + 1, 1, nv - 50, nv - 50, 50),
+        (2**40, 2**41, 2**45, 2**44, 2**22),
+        (0, 2**50, 2**52, 2**51, 2**30),
+    ]
+
+    def ref(ct, cr, nt, nr, v):
+        def q(x):
+            return int(
+                Decimal(x * 1000).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+            )
+
+        if (ct + 1) <= B // (nr + v) and (cr + 1) <= B // (nt + v):
+            return q(math.log2(((ct + 1) * (nr + v)) / ((cr + 1) * (nt + v)))), "exact"
+        return (
+            q(math.log2((ct + 1) / (nt + v))) - q(math.log2((cr + 1) / (nr + v))),
+            "split",
+        )
+
+    want = [ref(*r) for r in rows]
+    # the constructed boundary pair genuinely straddles the branch
+    assert (rows[1][0] + 1) * (rows[1][3] + rows[1][4]) == B
+    assert want[1][1] == "exact" and want[2][1] == "split"
+    assert want[3][1] == "split" and want[4][1] == "split"
+
+    df = spark.createDataFrame(
+        rows, "ct bigint, cr bigint, nt bigint, nr bigint, v bigint"
+    )
+    got_spark = [
+        r.s_mb
+        for r in df.select(llm_ops._dsir_weight_mb().alias("s_mb")).collect()
+    ]
+    assert got_spark == [w for w, _ in want]
+
+    con = duckdb.connect()
+    sql_case = llm_ops._DSIR_WEIGHT_MB_SQL.replace("c.", "t.").replace("s.", "t.")
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_case} FROM (SELECT * FROM (VALUES "
+            + ", ".join(str(r) for r in rows)
+            + ") AS x(ct, cr, nt, nr, v)) t"
+        ).fetchall()
+    ]
+    con.close()
+    assert got_duck == [w for w, _ in want]

@@ -1224,3 +1224,254 @@ def test_ndb_conflict_loser_keeps_no_phantom_schema_state(spark, tmpdir):
     assert meta["evolved"] is False
     assert meta["columns"] == ["k", "v"]
     assert {r.k for r in t.replay().collect()} == {1, 3}
+
+
+def test_ndb_stale_publish_across_gcd_window_conflicts(spark, tmpdir):
+    """The ADVICE r13 protocol hole, pre-rename half: a writer stalled
+    across >= keep_versions newer commits targets a v{gen} slot GC
+    already vacated. The pre-rename guard must conflict it (staging
+    cleaned) and the table head must be untouched."""
+    from dbitool_spark.ndb import NdbWriteConflict
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)  # keep_versions=2
+    for i in range(5):  # commits v0..v4; GC leaves {v3, v4}
+        t.upsert(spark.createDataFrame([(1, f"x{i}")], "k bigint, v string"))
+    assert t.versions() == [3, 4]
+
+    # the stalled writer: staged a v1 build long ago, publishes now
+    staging = t._staging_dir(1)
+    os.makedirs(staging)
+    with pytest.raises(NdbWriteConflict, match="read stale"):
+        t._commit_version(staging, 1)
+    assert not os.path.exists(staging)  # loser cleaned up
+    assert not os.path.exists(os.path.join(path, "v1"))  # nothing published
+    assert t._current_gen() == 4
+    assert t.versions() == [3, 4]
+    assert [r.v for r in t.replay().collect()] == ["x4"]
+
+
+def test_ndb_stale_publish_post_rename_guard_unpublishes(spark, tmpdir):
+    """The ADVICE r13 protocol hole, post-rename half: if a stale
+    publish slips the pre-rename check (simulated by blinding that
+    one read), the post-rename check must detect the committed head
+    above it, unpublish the stale dir, and conflict — never GC the
+    newer committed generations."""
+    from dbitool_spark.ndb import NdbWriteConflict
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    for i in range(5):
+        t.upsert(spark.createDataFrame([(1, f"x{i}")], "k bigint, v string"))
+    assert t.versions() == [3, 4]
+
+    real = t._committed_gens
+    calls = {"n": 0}
+
+    def blind_first(*a):
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real()
+
+    staging = t._staging_dir(1)
+    os.makedirs(staging)
+    t._committed_gens = blind_first
+    try:
+        with pytest.raises(NdbWriteConflict, match="below the committed head"):
+            t._commit_version(staging, 1)
+    finally:
+        t._committed_gens = real
+    assert not os.path.exists(os.path.join(path, "v1"))  # unpublished
+    assert not os.path.exists(staging)
+    for leftover in os.listdir(path):
+        assert ".stale.pid" not in leftover  # grave reclaimed
+    assert t._current_gen() == 4
+    assert [r.v for r in t.replay().collect()] == ["x4"]
+
+
+def test_ndb_gc_clamp_never_deletes_newer_committed_heads(spark, tmpdir):
+    """_gc_versions defense in depth (ADVICE r13): whatever keep set a
+    stale writer computes, committed generations ABOVE the published
+    floor survive."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, keep_versions=4)
+    for i in range(4):  # v0..v3 all retained
+        t.upsert(spark.createDataFrame([(1, f"x{i}")], "k bigint, v string"))
+    assert t.versions() == [0, 1, 2, 3]
+
+    # a stale writer that thought v1 was the head would GC with this:
+    t._gc_versions(keep={"v0", "v1"})
+    # v2/v3 are committed and above the floor (v1): clamped, retained
+    assert os.path.exists(os.path.join(path, "v2", "_committed"))
+    assert os.path.exists(os.path.join(path, "v3", "_committed"))
+    assert [r.v for r in t.replay().collect()] == ["x3"]
+
+
+def test_ndb_orphaned_graves_swept_displaced_commits_kept(spark, tmpdir):
+    """Grave-dir hygiene (ADVICE r13): markerless debris graves from
+    dead clearers are reclaimed by the GC sweep; a grave holding a
+    DISPLACED COMMITTED version (the restore-failed manual-inspection
+    case) is preserved; a live clearer's grave is left alone."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+
+    dead_grave = os.path.join(path, "v9.debris.pid99999999")
+    live_grave = os.path.join(path, "v8.debris.pid1")  # pid 1 is alive
+    displaced = os.path.join(path, "v7.debris.pid99999998")
+    stale_grave = os.path.join(path, "v6.stale.pid99999997")
+    for d in (dead_grave, live_grave, displaced, stale_grave):
+        os.makedirs(d)
+    open(os.path.join(displaced, "_committed"), "w").close()
+    open(os.path.join(stale_grave, "_committed"), "w").close()
+
+    t.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert not os.path.exists(dead_grave)  # swept
+    assert not os.path.exists(stale_grave)  # stale publishes sweep too
+    assert os.path.exists(live_grave)  # live owner: untouched
+    assert os.path.exists(displaced)  # displaced commit: preserved
+    shutil.rmtree(live_grave)
+    shutil.rmtree(displaced)
+
+
+def test_ndb_flip_pointer_self_heals_to_committed_head(spark, tmpdir):
+    """_flip_pointer self-healing (ADVICE r13): a flip that lands
+    while the committed head is already higher (the interleaved
+    lower-generation flip) re-flips up to the head instead of leaving
+    the compat cache regressed."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, keep_versions=4)
+    for i in range(4):  # committed head v3
+        t.upsert(spark.createDataFrame([(1, f"x{i}")], "k bigint, v string"))
+
+    # simulate the regressed cache a slow lower-gen writer leaves
+    with open(os.path.join(path, "current"), "w") as fh:
+        fh.write("v0")
+    t._flip_pointer("v1")  # the slow writer's own (stale) flip
+    assert t._pointer_gen() == 3  # healed to the committed head
+
+
+def test_ndb_keep_versions_explicit_narrowing_honored(spark, tmpdir):
+    """ADVICE r13: an EXPLICIT smaller keep_versions on reopen narrows
+    the window (the old max(meta, arg) silently ignored it); the
+    default still keeps meta's recorded value and the floor stays 2."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, keep_versions=5)
+    for i in range(5):
+        t.upsert(spark.createDataFrame([(1, f"x{i}")], "k bigint, v string"))
+    assert t.versions() == [0, 1, 2, 3, 4]
+
+    narrow = NdbTable(spark, path, key="k", keep_versions=2)
+    assert narrow.keep_versions == 2  # explicit arg wins both directions
+    narrow.upsert(spark.createDataFrame([(1, "x5")], "k bigint, v string"))
+    assert narrow.versions() == [4, 5]  # window narrowed
+
+    again = NdbTable(spark, path, key="k")  # default: meta's value
+    assert again.keep_versions == 2
+    floor = NdbTable(spark, path, key="k", keep_versions=1)
+    assert floor.keep_versions == 2  # floor holds
+
+
+@pytest.mark.slow
+def test_ndb_multiwriter_occ_real_process_race(spark, tmpdir):
+    """Brief r13→r14 item 4: the commit protocol's value claim is
+    MULTI-WRITER safety, so prove it under a genuine cross-process
+    race — N writer processes (own JVMs), advisory lock DISABLED,
+    racing upserts through a start barrier, retrying on
+    NdbWriteConflict. Invariants: every writer eventually lands its
+    row (no lost update), total commits == total successful upserts
+    (exactly one commit per generation, none overwritten), every
+    retained version dir is readable (no torn state), and every
+    loser saw NdbWriteConflict (never silent corruption)."""
+    import json as _json
+    import subprocess
+    import sys
+    import time as _time
+
+    n_writers = 3
+    path = os.path.join(tmpdir, "kv")
+    go = os.path.join(tmpdir, "GO")
+
+    child_src = r"""
+import json, os, sys, time
+wid, table_path, go_path, out_path, ready_path = sys.argv[1:6]
+wid = int(wid)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"ndb-racer-{wid}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from dbitool_spark.ndb import NdbTable, NdbWriteConflict
+t = NdbTable(spark, table_path, key="k", n_buckets=2, single_writer=False)
+open(ready_path, "w").close()
+while not os.path.exists(go_path):
+    time.sleep(0.01)
+conflicts = 0
+attempts = 0
+df = spark.createDataFrame([(wid, f"writer{wid}")], "k bigint, v string")
+while True:
+    attempts += 1
+    try:
+        t.upsert(df)
+        break
+    except NdbWriteConflict:
+        conflicts += 1
+        if conflicts > 25:
+            raise
+with open(out_path, "w") as fh:
+    json.dump({"wid": wid, "conflicts": conflicts, "attempts": attempts}, fh)
+spark.stop()
+"""
+    procs = []
+    outs = []
+    readys = []
+    for w in range(n_writers):
+        out = os.path.join(tmpdir, f"out{w}.json")
+        ready = os.path.join(tmpdir, f"ready{w}")
+        outs.append(out)
+        readys.append(ready)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", child_src, str(w), path, go, out, ready],
+                cwd="/root/repo",
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        )
+    deadline = _time.time() + 240
+    while not all(os.path.exists(r) for r in readys):
+        assert _time.time() < deadline, "writers never became ready"
+        assert all(p.poll() is None for p in procs), "a writer died pre-barrier"
+        _time.sleep(0.05)
+    open(go, "w").close()  # drop the barrier: all three race now
+    for p in procs:
+        assert p.wait(timeout=300) == 0, "a writer exited non-zero"
+
+    results = [_json.load(open(o)) for o in outs]
+    total_success = len(results)  # each child exits 0 only after landing
+    assert total_success == n_writers
+
+    # no lost update: every writer's row is in the final state
+    t = NdbTable(spark, path, key="k", n_buckets=2, single_writer=False)
+    got = {r.k: r.v for r in t.replay().collect()}
+    assert got == {w: f"writer{w}" for w in range(n_writers)}
+
+    # exactly one commit per generation, contiguous from v0: the head
+    # generation index == total successful upserts - 1 (a gen written
+    # twice or skipped breaks this), and every commit carries a marker
+    assert t._current_gen() == n_writers - 1
+    committed = sorted(t._committed_gens())
+    assert committed == list(range(max(0, n_writers - t.keep_versions), n_writers))
+
+    # no torn state: every retained snapshot is readable end to end
+    for g in t.versions():
+        assert t.replay(as_of=g).count() >= 1
+
+    # conflicts: with a start barrier the three-way race nearly always
+    # produces losers; assert the MECHANISM (loser -> NdbWriteConflict
+    # -> retry -> success) whenever any retry happened
+    total_attempts = sum(r["attempts"] for r in results)
+    total_conflicts = sum(r["conflicts"] for r in results)
+    assert total_attempts == total_success + total_conflicts
