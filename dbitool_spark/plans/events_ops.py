@@ -652,6 +652,13 @@ def funnel_steps_events(
         "event_id",
         "event_type",
     )
+    # hot_users (tiny) and the hot event slice are referenced by
+    # several branches below — left UNPERSISTED deliberately: the
+    # duplicated count-agg/scan subtrees are canonically identical, so
+    # AQE's runtime exchange reuse dedupes the shuffles (measured at
+    # sf0.1: lazy 0.5s vs 1.6-2.1s steady-state with persist+eager
+    # checkpoint, whose extra fill/checkpoint JOBS cost more than the
+    # reused stages they saved)
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
     hot_users = counts.filter(F.col("n_ev") > hot_user_threshold).select("user_id")
     tagged = ev.join(
