@@ -308,6 +308,14 @@ def _scaling_ops():
 
         return bpe_learn_merges_documents(spark, d)
 
+    def bpe_encode(spark, d):
+        # r14 staged: learn loop (vocab-sized) + ONE token-stream join
+        # against the encoded distinct-word lengths — growth must
+        # track the token stream, never K x corpus
+        from dbitool_spark.plans.llm_ops import bpe_encode_documents
+
+        return bpe_encode_documents(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -335,6 +343,7 @@ def _scaling_ops():
         "dsir_weights": dsir_weights,
         "funnel_steps": funnel_steps,
         "bpe_learn_merges": bpe_learn_merges,
+        "bpe_encode": bpe_encode,
     }
 
 

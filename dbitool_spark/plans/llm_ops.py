@@ -3886,3 +3886,131 @@ FROM ({" UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(_BPE_LEARN_ITE
 ORDER BY it
 """
 )
+
+
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of tokenizer training (Sennrich et al. 2016) —
+    completes the train -> encode story that bpe_pair_counts (one
+    iteration's statistics) and bpe_learn_merges (the learning loop)
+    open: re-derive the K learned merges, apply them to every corpus
+    token, and emit the per-document tokenization audit (word count,
+    symbol count before/after — the exact-integer compression the
+    learned vocabulary buys on its own training corpus). Staged as an
+    r15/r16 candidate; a later kind-tagged composite can merge the
+    three BPE entries into one driver row.
+
+    Scale shape: merges apply on the DISTINCT-WORD table (vocab-sized
+    — classic BPE's weighted-types trick, never the token stream), so
+    the loop's per-iteration cost matches bpe_learn_merges exactly;
+    the corpus is touched twice — once to build the frequency table,
+    once for the final token-stream join against the (vocab-sized)
+    encoded lengths, shuffling only (doc_id, word) pairs. No driver
+    collect: each learned merge rides a broadcast 1-row crossJoin
+    (the kmeans/pagerank iterative family); the oracle unrolls the
+    loop as chained CTEs carrying `word` alongside the pipe form.
+
+    Reference shape: scripts/dbitool.pl's column transforms compute
+    per-record derived metrics (dbitool.pl:2100-2160); this is that
+    surface applied to the tokenizer-training audit."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    wn = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n")).select(
+        "word",
+        F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|")).alias("r"),
+        "n",
+    )
+    for _ in range(_BPE_LEARN_ITERS):
+        syms = F.filter(F.split("r", r"\|"), lambda x: F.length(x) > 0)
+        pairs = (
+            wn.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, F.size(syms) - 1).alias("a"),
+                        F.slice(syms, 2, F.size(syms) - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        wn = wn.crossJoin(F.broadcast(best)).select(
+            "word",
+            _bpe_apply_merge(F.col("r"), F.col("a"), F.col("b")).alias("r"),
+            "n",
+        )
+    syms = F.filter(F.split("r", r"\|"), lambda x: F.length(x) > 0)
+    enc = wn.select(
+        "word",
+        F.length("word").alias("n_chars_w"),
+        F.size(syms).alias("n_syms_w"),
+    )
+    return (
+        toks.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+            F.sum("n_syms_w").cast("long").alias("n_syms_bpe"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_iteration_sql(i: int) -> str:
+    """One unrolled encode iteration: identical pair-count/argmax/
+    apply arithmetic to _bpe_learn_iteration_sql, with `word` carried
+    through every w{i} so the final join back to the token stream can
+    key on it."""
+    return f"""
+epairs{i} AS (
+  SELECT s[j] AS a, s[j+1] AS b, SUM(n) AS cnt
+  FROM (SELECT list_filter(string_split(r, '|'), x -> len(x) > 0) AS s, n
+        FROM ew{i}),
+       LATERAL unnest(generate_series(1, len(s) - 1)) AS t(j)
+  GROUP BY 1, 2
+),
+ebest{i} AS (
+  SELECT a, b FROM epairs{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+ew{i + 1} AS (
+  SELECT w.word,
+         replace(replace(w.r, '|' || q.a || '|' || q.b || '|',
+                         '|' || q.a || q.b || '|'),
+                 '|' || q.a || '|' || q.b || '|',
+                 '|' || q.a || q.b || '|') AS r, w.n
+  FROM ew{i} w CROSS JOIN ebest{i} q
+)"""
+
+
+BPE_ENCODE_DOCUMENTS_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+ew0 AS (
+  SELECT word, '|' || regexp_replace(word, '(.)', '\1|', 'g') AS r,
+         COUNT(*) AS n
+  FROM toks WHERE len(word) > 0 GROUP BY 1, 2
+),"""
+    + ",".join(_bpe_encode_iteration_sql(i) for i in range(_BPE_LEARN_ITERS))
+    + f""",
+enc AS (
+  SELECT word, len(word) AS n_chars_w,
+         len(list_filter(string_split(r, '|'), x -> len(x) > 0)) AS n_syms_w
+  FROM ew{_BPE_LEARN_ITERS}
+)
+SELECT t.doc_id, COUNT(*) AS n_words,
+       CAST(SUM(e.n_chars_w) AS BIGINT) AS n_chars,
+       CAST(SUM(e.n_syms_w) AS BIGINT) AS n_syms_bpe
+FROM toks t JOIN enc e USING (word)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+)

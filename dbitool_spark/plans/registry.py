@@ -285,6 +285,14 @@ staged_perplexity_score_documents / staged_dsir_weights_documents):
   kmeans/pagerank iterative-oracle family). Completes the tokenizer
   story bpe_pair_counts_documents opens — a later kind-tagged
   composite can merge the two.
+- llm_ops.bpe_encode_documents (net-new r14, parity row
+  staged_bpe_encode_documents) — the APPLY half: re-derive the K
+  learned merges, encode every corpus token through the vocab-sized
+  distinct-word table, emit the per-doc symbol-count audit (exact
+  integer compression). pair_counts -> learn -> encode is the full
+  tokenizer story; the natural end state is ONE kind-tagged
+  bpe_pipeline composite merging all three (scheduled when two of
+  them share a due window).
 
 r15 CAPACITY NOTE (recomputed at r14 HEAD — the
 embedding_audit_composite pull-forward above made the gap vanish):

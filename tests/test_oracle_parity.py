@@ -286,6 +286,14 @@ _RETIRED_CASES += [
     ("staged_bpe_learn_merges_documents",
      _llm.bpe_learn_merges_documents,
      _llm.BPE_LEARN_MERGES_SQL),
+    # r15/r16 candidate (net-new r14): the APPLY half of tokenizer
+    # training — re-derive the K learned merges, encode every corpus
+    # token via the vocab-sized distinct-word table, emit the per-doc
+    # symbol-count audit; completes the pair-counts -> learn -> encode
+    # story (natural later composite of the three)
+    ("staged_bpe_encode_documents",
+     _llm.bpe_encode_documents,
+     _llm.BPE_ENCODE_DOCUMENTS_SQL),
     # r16 candidate (staged ahead): decode -> nearest-neighbor resize
     # -> channel means over the synthesized image corpus; every synth
     # pixel is closed-form so the oracle states the resized means
