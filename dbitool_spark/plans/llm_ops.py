@@ -3961,6 +3961,47 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-tagged composite of the full tokenizer story — the merge
+    candidate that supersedes bpe_pair_counts_documents (registered
+    r14) and registers bpe_learn_merges + bpe_encode in the same slot
+    when the constituents come due (registry capacity policy, the
+    email_chart/embedding_audit shape): one driver row drives the
+    pair-statistics aggregation (kind='pair'), the K-round
+    merge-learning loop (kind='merge'), and the corpus encode audit
+    (kind='encode'), each through its full original codepath.
+    Constituents keep standalone parity rows per the retirement
+    contract. Scale shapes are the constituents', unchanged — see
+    their docstrings."""
+    pair = bpe_pair_counts_documents(spark, sf_dir).select(
+        F.lit("pair").alias("kind"),
+        F.col("pair").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        F.col("n").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+    )
+    merge = bpe_learn_merges_documents(spark, sf_dir).select(
+        F.lit("merge").alias("kind"),
+        F.col("pair_a").alias("key1"),
+        F.col("pair_b").alias("key2"),
+        F.col("it").cast("long").alias("n1"),
+        F.col("cnt").cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+    )
+    enc = bpe_encode_documents(spark, sf_dir).select(
+        F.lit("encode").alias("kind"),
+        F.col("doc_id").cast("string").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        F.col("n_words").cast("long").alias("n1"),
+        F.col("n_chars").alias("n2"),
+        F.col("n_syms_bpe").alias("n3"),
+    )
+    return pair.unionByName(merge).unionByName(enc).orderBy(
+        "kind", "key1", "key2"
+    )
+
+
 def _bpe_encode_iteration_sql(i: int) -> str:
     """One unrolled encode iteration: identical pair-count/argmax/
     apply arithmetic to _bpe_learn_iteration_sql, with `word` carried
@@ -4014,3 +4055,21 @@ GROUP BY t.doc_id
 ORDER BY t.doc_id
 """
 )
+
+
+BPE_PIPELINE_DOCUMENTS_SQL = f"""
+SELECT 'pair' AS kind, pair AS key1, CAST(NULL AS VARCHAR) AS key2,
+       CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS BIGINT) AS n3
+FROM ({BPE_PAIR_COUNTS_SQL}) p
+UNION ALL
+SELECT 'merge' AS kind, pair_a AS key1, pair_b AS key2,
+       CAST(it AS BIGINT) AS n1, cnt AS n2, CAST(NULL AS BIGINT) AS n3
+FROM ({BPE_LEARN_MERGES_SQL}) m
+UNION ALL
+SELECT 'encode' AS kind, CAST(doc_id AS VARCHAR) AS key1,
+       CAST(NULL AS VARCHAR) AS key2, CAST(n_words AS BIGINT) AS n1,
+       n_chars AS n2, n_syms_bpe AS n3
+FROM ({BPE_ENCODE_DOCUMENTS_SQL}) e
+ORDER BY kind, key1, key2
+"""

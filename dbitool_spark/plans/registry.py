@@ -290,9 +290,14 @@ staged_perplexity_score_documents / staged_dsir_weights_documents):
   learned merges, encode every corpus token through the vocab-sized
   distinct-word table, emit the per-doc symbol-count audit (exact
   integer compression). pair_counts -> learn -> encode is the full
-  tokenizer story; the natural end state is ONE kind-tagged
-  bpe_pipeline composite merging all three (scheduled when two of
-  them share a due window).
+  tokenizer story.
+- llm_ops.bpe_pipeline_documents (net-new r14, parity row
+  staged_bpe_pipeline_documents) — the tokenizer-story composite:
+  kind-tagged union of pair statistics, the K learned merges, and the
+  encode audit. Registering it SUPERSEDES bpe_pair_counts_documents
+  (r14 head, due r16) and makes bpe_learn_merges + bpe_encode
+  driver-visible in the same slot — schedule r16, where it frees the
+  pair_counts slot net of itself.
 
 r15 CAPACITY NOTE (recomputed at r14 HEAD — the
 embedding_audit_composite pull-forward above made the gap vanish):

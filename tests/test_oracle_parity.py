@@ -294,6 +294,12 @@ _RETIRED_CASES += [
     ("staged_bpe_encode_documents",
      _llm.bpe_encode_documents,
      _llm.BPE_ENCODE_DOCUMENTS_SQL),
+    # r16 merge candidate (net-new r14): the full tokenizer story in
+    # one kind-tagged row — supersedes bpe_pair_counts (registered
+    # r14, due r16) while registering learn + encode in its slot
+    ("staged_bpe_pipeline_documents",
+     _llm.bpe_pipeline_documents,
+     _llm.BPE_PIPELINE_DOCUMENTS_SQL),
     # r16 candidate (staged ahead): decode -> nearest-neighbor resize
     # -> channel means over the synthesized image corpus; every synth
     # pixel is closed-form so the oracle states the resized means
