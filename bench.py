@@ -308,6 +308,14 @@ def _scaling_ops():
 
         return bpe_learn_merges_documents(spark, d)
 
+    def bigram_lm(spark, d):
+        # r14 staged: bigram/context/unigram count tables (vocab- and
+        # bigram-sized) + three keyed joins over the scored half —
+        # growth must track the token stream
+        from dbitool_spark.plans.llm_ops import bigram_lm_score_documents
+
+        return bigram_lm_score_documents(spark, d)
+
     def bpe_encode(spark, d):
         # r14 staged: learn loop (vocab-sized) + ONE token-stream join
         # against the encoded distinct-word lengths — growth must
@@ -344,6 +352,7 @@ def _scaling_ops():
         "funnel_steps": funnel_steps,
         "bpe_learn_merges": bpe_learn_merges,
         "bpe_encode": bpe_encode,
+        "bigram_lm": bigram_lm,
     }
 
 

@@ -3411,6 +3411,179 @@ _DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 # cluster-scale difference-of-quantized-logs form.
 _DSIR_EXACT_BOUND = 1 << 53
 
+# Bigram-LM flag threshold in milli-bits/token: measured between the
+# scored-doc quartiles (sf0.01 spans 4819-5051 mb/token with median
+# 4918; sf0.1 median 4910; sf0.001 median 4919) — 4920 keeps both
+# flag populations non-vacuous at every committed SF (sf0.001
+# 118/250, sf0.01 ~half, sf0.1 417/2500).
+_BIGRAM_FLAG_MILLIBITS = 4920
+
+
+def _bigram_surprisal_mb():
+    """Per-token interpolated-bigram surprisal in integer milli-bits
+    over columns cb/c1/cw/n_tok/v_sz — the ONE knob mirrored by
+    BIGRAM_LM_SCORE_SQL's CASE. Jelinek-Mercer with lambda = 1/2:
+        p(w | prev) = (cb/c1 + (cw + 1)/(N + V)) / 2
+    which is the single exact rational
+        (cb*(N+V) + c1*(cw+1)) / (2*c1*(N+V)).
+    Three branches, identical in both engines:
+    - BACKOFF (c1 = 0: unseen/absent context, incl. each doc's first
+      token whose prev is NULL): add-one unigram, s = q(log2((N+V)/(cw+1))).
+    - EXACT (den = 2*c1*(N+V) <= 2^53, always at the committed SFs):
+      one correctly-rounded double ratio of the rational (num <= den
+      by construction, so bounding den bounds both); the guard
+      c1 <= 2^52 DIV (N+V) is overflow-free integer arithmetic.
+    - CLUSTER (above the bound, where the BIGINT products themselves
+      would overflow): IEEE double evaluation (cb/c1 + (cw+1)/(N+V))/2
+      — two correctly-rounded divides, one deterministic double add,
+      an exact halving — then q(-log2(p)); the residual cross-engine
+      risk is the documented 1-ulp libm log2 trade."""
+    cb = F.coalesce(F.col("cb"), F.lit(0))
+    c1 = F.coalesce(F.col("c1"), F.lit(0))
+    cw = F.coalesce(F.col("cw"), F.lit(0))
+    nv = F.col("n_tok") + F.col("v_sz")
+    q = lambda x: F.round(x * 1000, 0)  # noqa: E731 — shared quantizer
+    backoff = q(F.log2(nv / (cw + 1)))
+    num = cb * nv + c1 * (cw + 1)
+    den = F.lit(2) * c1 * nv
+    exact = q(F.log2(den / num))
+    cluster = q(-F.log2((cb / c1 + (cw + 1) / nv) / F.lit(2)))
+    return (
+        F.when(c1 == 0, backoff)
+        .when(c1 <= F.expr(f"{1 << 52} DIV (n_tok + v_sz)"), exact)
+        .otherwise(cluster)
+        .cast("long")
+    )
+
+
+_BIGRAM_SURPRISAL_MB_SQL = f"""CAST(CASE
+  WHEN COALESCE(c1, 0) = 0
+  THEN round(log2((s.n_tok + s.v_sz) * 1.0 / (COALESCE(cw, 0) + 1)) * 1000, 0)
+  WHEN COALESCE(c1, 0) <= {1 << 52} // (s.n_tok + s.v_sz)
+  THEN round(log2((2 * c1 * (s.n_tok + s.v_sz)) * 1.0
+                  / (COALESCE(cb, 0) * (s.n_tok + s.v_sz)
+                     + c1 * (COALESCE(cw, 0) + 1))) * 1000, 0)
+  ELSE round(-log2((COALESCE(cb, 0) * 1.0 / c1
+                    + (COALESCE(cw, 0) + 1) * 1.0 / (s.n_tok + s.v_sz))
+                   / 2) * 1000, 0)
+END AS BIGINT)"""
+
+
+def bigram_lm_score_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
+    """Interpolated BIGRAM-LM cross-entropy scoring — the n-gram
+    upgrade of perplexity_score_documents toward CCNet's actual
+    5-gram KenLM shape (Wenzek et al. 2020): the reference model now
+    carries token ORDER, so shuffled-word salad scores worse than
+    fluent text even when the unigram mix is identical — the quality
+    signal the unigram scorer cannot see.
+
+    Same deterministic split (even doc_ids train, odd score). Per
+    scored token, p(w | prev) is Jelinek-Mercer lambda=1/2 between
+    the ML bigram (cb/c1) and the add-one unigram ((cw+1)/(N+V)),
+    computed as ONE exact rational quantized to integer milli-bits
+    (_bigram_surprisal_mb — the DSIR branch machinery, incl. the
+    cluster-scale IEEE branch above 2^53 and unigram backoff for
+    unseen contexts and each doc's first token). The per-doc sum is
+    an exact integer in both engines; the flag is an integer
+    cross-multiply against _BIGRAM_FLAG_MILLIBITS.
+
+    Scale shape: per-doc token arrays build (prev, w) pairs INSIDE a
+    projection (arrays_zip of two slices — no window, no per-doc
+    sort); training counts are two hash aggregations (bigram table ~
+    distinct bigrams, unigram ~ vocab) with the context-total table
+    derived from the bigram table (never a second corpus pass); the
+    scored stream takes three keyed left joins (shuffle ~ token
+    stream) + the broadcast 1-row scalar crossJoin. All three count
+    tables persist once with release handles (the perplexity_score
+    precedent). At 100 TB the bigram table is the big build side —
+    prune to top-K contexts + backoff exactly as CCNet ships pruned
+    KenLM models."""
+    from dbitool_spark.ops.cache import attach_persists, materialize_release
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice("ts", 1, F.size("ts") - 1),
+    )
+    pairs = arr.select(
+        "doc_id",
+        F.explode(F.arrays_zip(prevs.alias("prev"), F.col("ts").alias("w"))).alias(
+            "p"
+        ),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+    train = pairs.filter(F.col("doc_id") % 2 == 0)
+    big = (
+        train.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .persist()
+    )
+    pre = big.groupBy("prev").agg(F.sum("cb").alias("c1")).persist()
+    uni = train.groupBy("w").agg(F.count(F.lit(1)).alias("cw")).persist()
+    scal = uni.agg(F.sum("cw").alias("n_tok"), F.count(F.lit(1)).alias("v_sz"))
+    scored = (
+        pairs.filter(F.col("doc_id") % 2 == 1)
+        .join(big, ["prev", "w"], "left")
+        .join(pre, "prev", "left")
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", _bigram_surprisal_mb().alias("s_mb"))
+    )
+    result = (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tok_n"), F.sum("s_mb").alias("ce_mb"))
+        .select(
+            "doc_id",
+            "tok_n",
+            "ce_mb",
+            (F.col("ce_mb") > F.col("tok_n") * _BIGRAM_FLAG_MILLIBITS).alias(
+                "flagged"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+    if not materialize:
+        return attach_persists(result, big, pre, uni)
+    return materialize_release(result, big, pre, uni)
+
+
+BIGRAM_LM_SCORE_SQL = rf"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN j = 1 THEN NULL ELSE ts[j - 1] END AS prev,
+         ts[j] AS w
+  FROM arrs, LATERAL unnest(generate_series(1, len(ts))) AS t(j)
+),
+big AS (
+  SELECT prev, w, COUNT(*) AS cb FROM pairs
+  WHERE doc_id % 2 = 0 AND prev IS NOT NULL GROUP BY prev, w
+),
+pre AS (SELECT prev, SUM(cb) AS c1 FROM big GROUP BY prev),
+uni AS (SELECT w, COUNT(*) AS cw FROM pairs WHERE doc_id % 2 = 0 GROUP BY w),
+scal AS (SELECT SUM(cw) AS n_tok, COUNT(*) AS v_sz FROM uni),
+scored AS (
+  SELECT p.doc_id, {_BIGRAM_SURPRISAL_MB_SQL} AS s_mb
+  FROM pairs p
+  LEFT JOIN big b ON p.prev = b.prev AND p.w = b.w
+  LEFT JOIN pre r ON p.prev = r.prev
+  LEFT JOIN uni u ON p.w = u.w
+  CROSS JOIN scal s
+  WHERE p.doc_id % 2 = 1
+)
+SELECT doc_id, COUNT(*) AS tok_n, CAST(SUM(s_mb) AS BIGINT) AS ce_mb,
+       SUM(s_mb) > COUNT(*) * {_BIGRAM_FLAG_MILLIBITS} AS flagged
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
 
 def _dsir_weight_mb():
     """Per-token DSIR weight in integer milli-bits over columns

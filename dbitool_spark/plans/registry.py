@@ -291,6 +291,17 @@ staged_perplexity_score_documents / staged_dsir_weights_documents):
   distinct-word table, emit the per-doc symbol-count audit (exact
   integer compression). pair_counts -> learn -> encode is the full
   tokenizer story.
+- llm_ops.bigram_lm_score_documents (net-new r14, parity row
+  staged_bigram_lm_score_documents) — interpolated BIGRAM-LM
+  cross-entropy (Jelinek-Mercer lambda=1/2, even/odd train/score
+  split): the n-gram upgrade of perplexity_score toward CCNet's
+  KenLM shape — the model carries token ORDER (order-sensitivity
+  pinned in pytest: a reversed-word salad scores worse than the
+  fluent original under an identical unigram mix). Exact-rational
+  milli-bit surprisal with unigram backoff and the 2^53 cluster
+  branch (the DSIR machinery); three-implementation boundary test.
+  A natural r16 composite partner for perplexity_score (kind-tagged
+  "lm_scores" row) once both are registered.
 - llm_ops.bpe_pipeline_documents (net-new r14, parity row
   staged_bpe_pipeline_documents) — the tokenizer-story composite:
   kind-tagged union of pair statistics, the K learned merges, and the

@@ -294,6 +294,12 @@ _RETIRED_CASES += [
     ("staged_bpe_encode_documents",
      _llm.bpe_encode_documents,
      _llm.BPE_ENCODE_DOCUMENTS_SQL),
+    # r15/r16 candidate (net-new r14): interpolated bigram-LM
+    # cross-entropy — the n-gram upgrade of perplexity_score toward
+    # CCNet's KenLM shape; the model now carries token ORDER
+    ("staged_bigram_lm_score_documents",
+     _llm.bigram_lm_score_documents,
+     _llm.BIGRAM_LM_SCORE_SQL),
     # r16 merge candidate (net-new r14): the full tokenizer story in
     # one kind-tagged row — supersedes bpe_pair_counts (registered
     # r14, due r16) while registering learn + encode in its slot
