@@ -236,11 +236,15 @@ perplexity_score_documents, dsir_weights_documents. r15 math:
 44 due + 6 net-new = 50, exactly full; registry lands at 100.
 The remaining staged merge candidates (semantic_dedup_composite —
 which retires embedding_near_dup + semdedup_embeddings, both due
-r15, and also cuts ~1.5s of bench — split_sample_composite, and the
+r15, and also cuts ~1.9s of bench — split_sample_composite, and the
 quality_ensemble_documents supersede of quality_prune) stay in
 reserve: executing semantic_dedup in r15 instead frees a slot for
-bpe_learn_merges_documents if the r15 builder prefers the tokenizer
-capstone over one of the six (recompute at r15 HEAD).
+one of the r14-staged net-new reserves (bigram_lm_score,
+bpe_encode, bpe_learn_merges) if the r15 builder prefers one over
+the six (recompute at r15 HEAD). r16 then has bpe_pipeline
+(supersedes bpe_pair_counts, registers learn+encode),
+media_pipeline (supersedes media_decode_roundtrip + media_resize),
+and whatever reserve remains — capacity stays positive through r16.
 
 Staged for that r15 slack (green parity rows at r12 HEAD —
 tests/test_oracle_parity.py staged_ entries):

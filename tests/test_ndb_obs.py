@@ -1475,3 +1475,105 @@ spark.stop()
     total_attempts = sum(r["attempts"] for r in results)
     total_conflicts = sum(r["conflicts"] for r in results)
     assert total_attempts == total_success + total_conflicts
+
+
+@pytest.mark.slow
+def test_ndb_compact_vs_upsert_occ_process_race(spark, tmpdir):
+    """Maintenance ops are in the same OCC envelope: a compact() and
+    an upsert() racing from two PROCESSES with the advisory lock
+    DISABLED both publish through _commit_version, so one wins each
+    generation and the loser retries — never a lost update or a torn
+    state. Seeds a files_per_bucket=2 table with file growth so the
+    compaction has genuine work."""
+    import json as _json
+    import subprocess
+    import sys
+    import time as _time
+
+    path = os.path.join(tmpdir, "kv")
+    go = os.path.join(tmpdir, "GO")
+
+    # seed: overlapping-range upserts grow intra-bucket files
+    t = NdbTable(
+        spark, path, key="k", n_buckets=2, files_per_bucket=2,
+        single_writer=False,
+    )
+    for i in range(4):
+        t.upsert(
+            spark.createDataFrame(
+                [(j, f"seed{i}") for j in range(i * 10, i * 10 + 30)],
+                "k bigint, v string",
+            )
+        )
+
+    child_src = r"""
+import json, os, sys, time
+role, table_path, go_path, out_path, ready_path = sys.argv[1:6]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"ndb-{role}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from dbitool_spark.ndb import NdbTable, NdbWriteConflict
+t = NdbTable(spark, table_path, key="k", n_buckets=2, files_per_bucket=2,
+             single_writer=False)
+open(ready_path, "w").close()
+while not os.path.exists(go_path):
+    time.sleep(0.01)
+conflicts = 0
+while True:
+    try:
+        if role == "compactor":
+            t.compact()
+        else:
+            t.upsert(spark.createDataFrame(
+                [(999, "racer"), (5, "racer5")], "k bigint, v string"))
+        break
+    except NdbWriteConflict:
+        conflicts += 1
+        if conflicts > 25:
+            raise
+with open(out_path, "w") as fh:
+    json.dump({"role": role, "conflicts": conflicts}, fh)
+spark.stop()
+"""
+    procs, outs, readys = [], [], []
+    for role in ("compactor", "upserter"):
+        out = os.path.join(tmpdir, f"out_{role}.json")
+        ready = os.path.join(tmpdir, f"ready_{role}")
+        outs.append(out)
+        readys.append(ready)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", child_src, role, path, go, out, ready],
+                cwd="/root/repo",
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        )
+    deadline = _time.time() + 240
+    while not all(os.path.exists(r) for r in readys):
+        assert _time.time() < deadline, "racers never became ready"
+        assert all(p.poll() is None for p in procs), "a racer died pre-barrier"
+        _time.sleep(0.05)
+    open(go, "w").close()
+    for p in procs:
+        assert p.wait(timeout=300) == 0, "a racer exited non-zero"
+
+    results = [_json.load(open(o)) for o in outs]
+    # no lost update in either direction: the upsert's rows are in the
+    # final state AND every seeded key survived the compaction race
+    t2 = NdbTable(spark, path, key="k", n_buckets=2, files_per_bucket=2,
+                  single_writer=False)
+    got = {r.k: r.v for r in t2.replay().collect()}
+    assert got[999] == "racer" and got[5] == "racer5"
+    assert set(got) == set(range(60)) | {999}
+    for k in set(range(60)) - {5}:
+        assert got[k] == "seed3" if k >= 30 else got[k].startswith("seed")
+    # both racers finished; commits are marker-authoritative and the
+    # retained snapshots are all readable
+    for g in t2.versions():
+        assert t2.replay(as_of=g).count() >= 1
