@@ -550,3 +550,47 @@ def test_strip_markup_matches_python_mirror(spark):
     got = df.select("raw", _t.strip_markup(F.col("raw")).alias("c")).collect()
     for r in got:
         assert r.c == mirror(r.raw), (r.raw, r.c, mirror(r.raw))
+
+
+# --- branch-consistency properties for the milli-bit scorers ----------
+# The DSIR and bigram-LM cluster-scale branches compute the SAME real
+# quantity as the exact-rational branch through a different float
+# route; the only divergence budget is the independent quantization of
+# each route (<= 1 milli-bit per round() plus double-rounding dust).
+# Pure Python (the reference formulas) — no Spark session needed.
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _q(x: float) -> int:
+    return int(Decimal(x * 1000).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+@given(
+    ct=st.integers(min_value=0, max_value=2**40),
+    cr=st.integers(min_value=0, max_value=2**40),
+    ntv=st.integers(min_value=2, max_value=2**45),
+    nrv=st.integers(min_value=2, max_value=2**45),
+)
+@settings(max_examples=500, deadline=None)
+def test_dsir_branches_agree_within_quantization(ct, cr, ntv, nrv):
+    exact = _q(math.log2(((ct + 1) * nrv) / ((cr + 1) * ntv)))
+    split = _q(math.log2((ct + 1) / ntv)) - _q(math.log2((cr + 1) / nrv))
+    assert abs(exact - split) <= 2, (ct, cr, ntv, nrv, exact, split)
+
+
+@given(
+    cb_frac=st.floats(min_value=0.0, max_value=1.0),
+    c1=st.integers(min_value=1, max_value=2**40),
+    cw=st.integers(min_value=0, max_value=2**40),
+    nv=st.integers(min_value=2, max_value=2**45),
+)
+@settings(max_examples=500, deadline=None)
+def test_bigram_branches_agree_within_quantization(cb_frac, c1, cw, nv):
+    cb = min(int(cb_frac * c1), c1)  # cb <= c1 by construction
+    num = cb * nv + c1 * (cw + 1)
+    den = 2 * c1 * nv
+    exact = _q(math.log2(den / num))
+    cluster = _q(-math.log2((cb / c1 + (cw + 1) / nv) / 2))
+    assert abs(exact - cluster) <= 2, (cb, c1, cw, nv, exact, cluster)
