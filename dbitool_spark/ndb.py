@@ -70,6 +70,17 @@ _LOCK = ".writer_lock"
 # rename — data and marker become visible together). Underscore
 # prefix keeps parquet readers from treating it as data.
 _COMMITTED = "_committed"
+# per-version file-range manifest (the Delta/Iceberg checkpoint
+# analog at this module's scale): {relpath: [key_min, key_max] |
+# null} for every data file, written INTO the staging dir so the
+# commit rename publishes data + manifest atomically. Each file's
+# range is footer-probed ONCE at creation; carried files inherit
+# their entry by relpath (hardlinks keep relpaths stable), so pruned
+# upserts and compact selection stop re-probing stored files on
+# every write — at object-store scale that turns per-file GETs into
+# one small JSON read. Optional everywhere: pre-manifest versions
+# (and non-JSON-serializable key types) fall back to footer probes.
+_MANIFEST = "_manifest.json"
 
 
 class NdbWriteConflict(RuntimeError):
@@ -512,6 +523,65 @@ class NdbTable:
             hi = gmax if hi is None or gmax > hi else hi
         return None if lo is None else (lo, hi)
 
+    def _load_manifest(self, version_dir: str | None) -> dict | None:
+        """The version's file-range manifest, or None (pre-manifest
+        version / unreadable — callers fall back to footer probes)."""
+        if version_dir is None:
+            return None
+        try:
+            with open(os.path.join(version_dir, _MANIFEST)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _manifest_range(self, manifest: dict | None, version_dir: str, full: str):
+        """File key range from the manifest when it has an entry,
+        else a footer probe. A stored null means 'no stats' — the
+        same safe-over-read contract _file_key_range returns None
+        for."""
+        if manifest is not None:
+            rel = os.path.relpath(full, version_dir)
+            if rel in manifest:
+                ent = manifest[rel]
+                return None if ent is None else (ent[0], ent[1])
+        return self._file_key_range(full, self.key)
+
+    def _write_manifest(self, out_dir: str, prev_dir: str | None) -> None:
+        """Build the staged version's manifest: carried files reuse
+        the previous manifest's entry by relpath; freshly written
+        files are footer-probed ONCE here. Written before the commit
+        rename, so it publishes atomically with the data. Best-effort
+        by design: a non-serializable key type skips the manifest and
+        every reader falls back to probing."""
+        prev = self._load_manifest(prev_dir) or {}
+        man: dict = {}
+        for dirpath, _dirs, files in os.walk(out_dir):
+            for fn in files:
+                if fn.startswith((".", "_")):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, out_dir)
+                if rel in prev:
+                    man[rel] = prev[rel]
+                else:
+                    rng = self._file_key_range(full, self.key)
+                    man[rel] = list(rng) if rng is not None else None
+        try:
+            payload = json.dumps(man)
+        except (TypeError, ValueError):
+            return  # non-JSON key type: readers keep probing footers
+        tgt = os.path.join(out_dir, _MANIFEST)
+        try:
+            # the legacy whole-dir _link_tree path can have HARDLINKED
+            # the previous version's manifest here — writing through
+            # that shared inode would rewrite the retained snapshot's
+            # manifest, so break the link first
+            os.unlink(tgt)
+        except FileNotFoundError:
+            pass
+        with open(tgt, "w") as fh:
+            fh.write(payload)
+
     def _split_touched_files(
         self, batch: DataFrame, current: str,
         bucket_dirs: dict[int, str], touched: list[int],
@@ -531,6 +601,7 @@ class NdbTable:
             .agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi"))
             .collect()
         }
+        manifest = self._load_manifest(current)
         read: list[str] = []
         carry: list[str] = []
         for b in touched:
@@ -543,7 +614,7 @@ class NdbTable:
                 full = os.path.join(bdir, fn)
                 if not os.path.isfile(full) or fn.startswith((".", "_")):
                     continue
-                frange = self._file_key_range(full, self.key)
+                frange = self._manifest_range(manifest, current, full)
                 if (
                     frange is None
                     or lo is None
@@ -799,6 +870,7 @@ class NdbTable:
                             os.link(src, dst)
                         except OSError:
                             shutil.copy2(src, dst)
+            self._write_manifest(out_dir, current)
             self._commit_version(out_dir, gen)
             # the commit published: NOW the schema decisions become
             # instance + meta state (a conflict loser never gets here)
@@ -1066,6 +1138,7 @@ class NdbTable:
             return []  # legacy flat layout: the next upsert migrates it
         if buckets is None:
             buckets = []
+            manifest = self._load_manifest(current)
             for bval, name in bucket_dirs.items():
                 bdir = os.path.join(current, name)
                 ranges = []
@@ -1073,7 +1146,7 @@ class NdbTable:
                     full = os.path.join(bdir, fn)
                     if not os.path.isfile(full) or fn.startswith((".", "_")):
                         continue
-                    rng = self._file_key_range(full, self.key)
+                    rng = self._manifest_range(manifest, current, full)
                     ranges.append(rng)
                 if len(ranges) <= 1:
                     continue
@@ -1138,6 +1211,7 @@ class NdbTable:
                 _link_tree(
                     os.path.join(current, name), os.path.join(out_dir, name)
                 )
+        self._write_manifest(out_dir, current)
         self._commit_version(out_dir, gen)
         self._write_meta()
         self._flip_pointer(version)

@@ -1577,3 +1577,95 @@ spark.stop()
     # retained snapshots are all readable
     for g in t2.versions():
         assert t2.replay(as_of=g).count() >= 1
+
+
+def test_ndb_manifest_written_and_reused(spark, tmpdir):
+    """The per-version manifest (Delta-checkpoint analog): every data
+    file gets a range entry, carried files inherit entries by relpath
+    without re-probing, and the pruned-upsert selection consults the
+    manifest instead of parquet footers (probe count drops to the
+    freshly-written files only)."""
+    import json as _json
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, files_per_bucket=2)
+    t.upsert(
+        spark.createDataFrame(
+            [(j, "a") for j in range(40)], "k bigint, v string"
+        )
+    )
+    man_path = os.path.join(path, "v0", "_manifest.json")
+    assert os.path.exists(man_path)
+    with open(man_path) as fh:
+        man = _json.load(fh)
+    # one entry per data file, each with a sane [lo, hi]
+    data_files = [
+        os.path.relpath(os.path.join(dp, fn), os.path.join(path, "v0"))
+        for dp, _, fns in os.walk(os.path.join(path, "v0"))
+        for fn in fns
+        if not fn.startswith((".", "_"))
+    ]
+    assert sorted(man) == sorted(data_files) and len(man) >= 2
+    for ent in man.values():
+        assert ent is None or (len(ent) == 2 and ent[0] <= ent[1])
+
+    # second upsert: the selection must consult the manifest, probing
+    # zero STORED files (probes happen only in _write_manifest, for
+    # fresh files not carried from v0)
+    probes = []
+    real = NdbTable._file_key_range
+
+    def counting(p, key):
+        probes.append(p)
+        return real(p, key)
+
+    t._file_key_range = staticmethod(counting)
+    try:
+        t.upsert(
+            spark.createDataFrame([(1, "b"), (2, "b")], "k bigint, v string")
+        )
+    finally:
+        t._file_key_range = staticmethod(real)
+    assert all("/v0/" not in p for p in probes), probes  # no stored re-probe
+
+    # v1's manifest carried v0's untouched entries verbatim
+    with open(os.path.join(path, "v1", "_manifest.json")) as fh:
+        man1 = _json.load(fh)
+    carried = set(man) & set(man1)
+    assert carried  # hardlinked files share relpaths across versions
+    for rel in carried:
+        if os.path.exists(os.path.join(path, "v0", rel)):
+            assert man1[rel] == man[rel]
+    assert {r.k for r in t.replay().collect()} == set(range(40))
+
+
+def test_ndb_manifest_fallback_and_compact_equivalence(spark, tmpdir):
+    """Deleting the manifest (a pre-manifest version) must change
+    NOTHING except the probe path: pruned upserts and compact still
+    select identically off parquet footers, and compact rebuilds the
+    manifest for its new version."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, files_per_bucket=2)
+    for i in range(3):  # grow intra-bucket files so compact has work
+        t.upsert(
+            spark.createDataFrame(
+                [(j, f"g{i}") for j in range(i * 5, i * 5 + 20)],
+                "k bigint, v string",
+            )
+        )
+    cur = t._current_dir()
+    os.unlink(os.path.join(cur, "_manifest.json"))  # simulate legacy
+
+    rewritten = t.compact()
+    assert rewritten  # the growth above is genuinely compactable
+    cur2 = t._current_dir()
+    assert os.path.exists(os.path.join(cur2, "_manifest.json"))
+    got = {r.k: r.v for r in t.replay().collect()}
+    want = {j: ("g2" if 10 <= j < 30 else ("g1" if 5 <= j else "g0"))
+            for j in range(30)}
+    # last-write-wins: g2 covers 10..29, g1 covered 5..24, g0 0..19
+    want = {}
+    for i in range(3):
+        for j in range(i * 5, i * 5 + 20):
+            want[j] = f"g{i}"
+    assert got == want
