@@ -1017,6 +1017,52 @@ class NdbTable:
                     out.append(g)
         return sorted(out)
 
+    def history(self) -> list[dict]:
+        """Retained-snapshot audit, oldest first — the DESCRIBE
+        HISTORY analog of the Delta/Iceberg swap this module
+        documents. Per generation: commit-marker mtime (the publish
+        instant), data file count, total bytes, DISTINCT inode bytes
+        (what this snapshot would actually free on GC — hardlink
+        carry means most bytes are shared with neighbors), whether it
+        is the current head, and manifest presence. Pure driver-side
+        metadata (os.walk over <= keep_versions dirs); never reads
+        data."""
+        out = []
+        cur = self._current_gen()
+        for g in self.versions():
+            vdir = os.path.join(self.path, f"v{g}")
+            n_files = 0
+            total = 0
+            own = 0
+            for dirpath, _dirs, files in os.walk(vdir):
+                for fn in files:
+                    if fn.startswith((".", "_")):
+                        continue
+                    st = os.stat(os.path.join(dirpath, fn))
+                    n_files += 1
+                    total += st.st_size
+                    if st.st_nlink == 1:
+                        own += st.st_size
+            marker = os.path.join(vdir, _COMMITTED)
+            out.append(
+                {
+                    "generation": g,
+                    "committed_at": (
+                        os.stat(marker).st_mtime
+                        if os.path.exists(marker)
+                        else None  # pre-protocol snapshot
+                    ),
+                    "n_files": n_files,
+                    "total_bytes": total,
+                    "exclusive_bytes": own,
+                    "is_current": g == cur,
+                    "has_manifest": os.path.exists(
+                        os.path.join(vdir, _MANIFEST)
+                    ),
+                }
+            )
+        return out
+
     def _gc_versions(self, keep: set[str]) -> None:
         """Delete superseded version dirs after the pointer flip —
         without this, every micro-batch of a long-running

@@ -1669,3 +1669,28 @@ def test_ndb_manifest_fallback_and_compact_equivalence(spark, tmpdir):
         for j in range(i * 5, i * 5 + 20):
             want[j] = f"g{i}"
     assert got == want
+
+
+def test_ndb_history_audit(spark, tmpdir):
+    """history() — the DESCRIBE HISTORY analog: one row per retained
+    generation with publish time, file counts, total vs exclusive
+    (hardlink-aware) bytes, head flag, and manifest presence."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=4, keep_versions=3)
+    for i in range(3):
+        t.upsert(
+            spark.createDataFrame(
+                [(i, f"v{i}")], "k bigint, v string"  # one bucket touched
+            )
+        )
+    h = t.history()
+    assert [r["generation"] for r in h] == [0, 1, 2]
+    assert [r["is_current"] for r in h] == [False, False, True]
+    assert all(r["has_manifest"] for r in h)
+    assert all(r["n_files"] >= 1 and r["total_bytes"] > 0 for r in h)
+    # publish order is monotone in the marker mtimes
+    times = [r["committed_at"] for r in h]
+    assert all(t is not None for t in times) and times == sorted(times)
+    # hardlink awareness: v1 shares untouched-bucket files with v0/v2,
+    # so its exclusive bytes are strictly below its total
+    assert h[1]["exclusive_bytes"] < h[1]["total_bytes"]
