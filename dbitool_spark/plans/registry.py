@@ -228,23 +228,48 @@ kmeans_embeddings, semantic_outliers_documents), due r15. All 14
 retirees keep standalone retired_ oracle-parity rows in
 tests/test_oracle_parity.py per the retirement contract.
 
-r15 PLAN (due = the 44-entry r13-green tail, 6 slots of slack —
-exactly the six staged net-new candidates, all parity-green):
-classifier_score_documents, ndb_time_travel_replay,
-streaming_rollup_ndb_events, quantized_ann_topk_embeddings,
-perplexity_score_documents, dsir_weights_documents. r15 math:
-44 due + 6 net-new = 50, exactly full; registry lands at 100.
-The remaining staged merge candidates (semantic_dedup_composite —
-which retires embedding_near_dup + semdedup_embeddings, both due
-r15, and also cuts ~1.9s of bench — split_sample_composite, and the
-quality_ensemble_documents supersede of quality_prune) stay in
-reserve: executing semantic_dedup in r15 instead frees a slot for
-one of the r14-staged net-new reserves (bigram_lm_score,
-bpe_encode, bpe_learn_merges) if the r15 builder prefers one over
-the six (recompute at r15 HEAD). r16 then has bpe_pipeline
-(supersedes bpe_pair_counts, registers learn+encode),
-media_pipeline (supersedes media_decode_roundtrip + media_resize),
-and whatever reserve remains — capacity stays positive through r16.
+r15 rotation (EXECUTED — exactly the staged plan, no deviation):
+the six staged net-new candidates registered, all oracle-proven a
+round early as staged_ parity rows: classifier_score_documents,
+ndb_time_travel_replay, streaming_rollup_ndb_events,
+quantized_ann_topk_embeddings, perplexity_score_documents,
+dsir_weights_documents. r15 math: 44 due (the r13-green tail) +
+6 net-new = 50, exactly full; registry lands at 100 — the 50-slot /
+2-round-clock SATURATION POINT. Zero retirements this round (the
+reserve merges were not needed; they carry the r16 ledger below).
+The three r14 code-changed tail entries the r14 verdict flagged
+(funnel_steps_events, ndb_range_pruned_replay,
+streaming_lsh_near_dup_documents) all sit in the due-44 and land
+their driver rows this round by construction.
+
+r16 CAPACITY LEDGER (committed at r15 HEAD per the r14 verdict's
+item 2 — the registry saturates at 100, so r16 opens with ZERO
+slack and every registration must retire a due-r16 member):
+due r16 = the full 50-entry r14 head (this file's tail block),
+nothing else — the r15 head is r15-green and due r17. The reserve
+closes the math, all three parity-green since r13/r14:
+- semantic_dedup_composite REGISTERS, retiring semdedup_embeddings
+  (due r16) + embedding_near_dup (r15-green tail): due 50->49, +1
+  registration -> 50. Also cuts ~1.5s of bench (3.30s vs the
+  constituents' combined 4.82s at sf0.1).
+- split_sample_composite REGISTERS, retiring
+  deterministic_split_documents (due r16) + sample_stratified
+  (r15-green tail): due 49->48, +1 -> 50.
+- bpe_pipeline_documents REGISTERS, superseding
+  bpe_pair_counts_documents (due r16): due 48->47, +1 -> 50 — and
+  makes bpe_learn_merges + bpe_encode driver-visible in the slot.
+r16 math: 47 surviving due + 3 registrations = 50, exactly full.
+Registry after r16: 100 - 5 retirees + 3 = 98. All five retirees
+keep standalone retired_ parity rows per the retirement contract.
+r17 then holds structural slack again: its due list = the r15 head
+minus the three r16 retirees that sit in it (embedding_near_dup,
+sample_stratified, and nothing else -> 48 due, 2 slots), which is
+exactly where quality_ensemble_documents (supersedes quality_prune,
+due r17), media_pipeline_documents (supersedes
+media_decode_roundtrip, due r17, + the staged media_resize), and
+lm_scores_composite (kind-tagged perplexity_score + bigram_lm merge,
+staged this round — both constituents' slots reclaimable r17)
+compete; capacity stays closeable through r17 without new merges.
 
 Staged for that r15 slack (green parity rows at r12 HEAD —
 tests/test_oracle_parity.py staged_ entries):
@@ -399,12 +424,276 @@ def oracle_sql() -> dict[str, str]:
 
 
 # =====================================================================
-# r14 WINDOW (head-50): the 9 registrations (five staged merge
-# composites, the embedding-audit capacity pull-forward, and three
-# staged net-new operators) + the 41 due-tail survivors (last driver
-# row: r12; the old 49-entry tail minus the 8 retirees that sat in
-# it). Tail = the 44 r13-green entries, due r15.
+# r15 WINDOW (head-50): the 6 staged net-new registrations (all
+# oracle-proven a round early as staged_ parity rows) + the 44
+# due-tail survivors (last driver row: r13 — the r13 head-50 minus
+# the six r14 retirees that sat in it). 44 + 6 = 50, exactly full;
+# registry lands at 100. Tail = the 50 r14-green entries, due r16.
 # =====================================================================
+
+# NEW (r15): model-based quality filtering, the inference half
+# (CCNet/LLaMA shape): deterministic rank->weight vocab via
+# distributed top-k, tiny-build-side lookup join, exact rational
+# logit + label (oracle-proven a round early as
+# staged_classifier_score_documents).
+register(
+    "classifier_score_documents",
+    llm_ops.classifier_score_documents,
+    llm_ops.CLASSIFIER_SCORE_SQL,
+)
+# NEW (r15): ndb TIME TRAVEL — keep_versions retention +
+# replay(as_of=gen); every retained snapshot hash-matches the
+# last-write-wins resolution over its batch prefix — the
+# transaction-log read of the Delta/Iceberg swap (oracle-proven a
+# round early as staged_ndb_time_travel_replay).
+register(
+    "ndb_time_travel_replay",
+    state_ops.ndb_time_travel_replay,
+    state_ops.NDB_TIME_TRAVEL_SQL,
+)
+# NEW (r15): continuous aggregate maintained in ndb by per-micro-batch
+# read-modify-write merge (the incremental-materialized-view /
+# hypertable-rollup shape); the final table hash-matches the batch
+# GROUP BY regardless of micro-batch boundaries (oracle-proven a
+# round early as staged_streaming_rollup_ndb_events).
+register(
+    "streaming_rollup_ndb_events",
+    state_ops.streaming_rollup_ndb_events,
+    state_ops.STREAMING_ROLLUP_NDB_SQL,
+)
+# NEW (r15): int8-quantized ANN (l2 scale) — integer-exact
+# dot-product top-k, bit-exact across engines by IEEE determinism
+# (norm bit-identity pinned in pytest), recall@5 ~0.98 vs the float
+# cosine baseline (oracle-proven a round early as
+# staged_quantized_ann_topk_embeddings).
+register(
+    "quantized_ann_topk_embeddings",
+    llm_ops.quantized_ann_topk_embeddings,
+    llm_ops.QUANTIZED_ANN_TOPK_SQL,
+)
+# NEW (r15): CCNet-style unigram-LM cross-entropy quality scoring
+# (Wenzek et al. 2020) — integer milli-bit surprisal so the per-doc
+# sum is exact in both engines; completes the rule-based
+# text_profile / classifier_score quality family (oracle-proven a
+# round early as staged_perplexity_score_documents).
+register(
+    "perplexity_score_documents",
+    llm_ops.perplexity_score_documents,
+    llm_ops.PERPLEXITY_SCORE_SQL,
+)
+# NEW (r15): DSIR importance-resampling weights (Xie et al. 2023) —
+# per-doc sum of target-vs-raw unigram log-ratios, one
+# conditional-count pass builds both distributions, integer milli-bit
+# quantization + the 2^53 cluster-scale branch (oracle-proven a round
+# early as staged_dsir_weights_documents).
+register(
+    "dsir_weights_documents",
+    llm_ops.dsir_weights_documents,
+    llm_ops.DSIR_WEIGHTS_SQL,
+)
+
+# --- the 44 entries due their r15 row (last driver row: r13) ----------
+
+
+# NEW (r13): the PII ACTION — mask the classes pii_scan detects via a
+# regexp_replace cascade over the SAME pattern constants (one knob,
+# both engines), emitting redacted text + per-class counts
+# (oracle-proven a round early as staged_redact_pii_documents).
+register(
+    "redact_pii_documents",
+    llm_ops.redact_pii_documents,
+    llm_ops.REDACT_PII_SQL,
+)
+# NEW (r13): within-document repeated-line removal — first-occurrence-
+# preserving, ONE higher-order-filter projection, no shuffle
+# (oracle-proven a round early as staged_strip_repetition_documents).
+register(
+    "strip_repetition_documents",
+    llm_ops.strip_repetition_documents,
+    llm_ops.STRIP_REPETITION_SQL,
+)
+# NEW (r13): the cross-doc substring dedup ACTION (Lee et al. 2022
+# shape) — cut the shared-span suffix from the lower-priority doc of
+# each duplicate_spans pair; candidate volume bounded by the existing
+# hash-gram join (oracle-proven a round early as
+# staged_trim_duplicate_spans_documents).
+register(
+    "trim_duplicate_spans_documents",
+    llm_ops.trim_duplicate_spans_documents,
+    llm_ops.TRIM_DUPLICATE_SPANS_SQL,
+)
+# NEW (r13): the end-to-end text-cleaning chain (strip_markup ->
+# repeated-line removal -> PII redaction) proven by ONE oracle hash,
+# every stage non-vacuous via disjoint plant moduli (%3/%5/%7;
+# oracle-proven a round early as staged_curation_text_chain_documents).
+register(
+    "curation_text_chain_documents",
+    llm_ops.curation_text_chain_documents,
+    llm_ops.CURATION_TEXT_CHAIN_SQL,
+)
+# NEW (r13): method-tagged merge of ann_recall_planted +
+# ann_topk_bruteforce (both RETIRED with standalone parity rows) —
+# one driver row drives the brute-force exact top-k kernel AND both
+# approximate indexes against the planted fixture (oracle-proven a
+# round early as staged_ann_recall_composite).
+register(
+    "ann_recall_composite",
+    llm_ops.ann_recall_composite,
+    llm_ops.ANN_RECALL_COMPOSITE_SQL,
+)
+# NEW (r13): ndb upsert/replay through the r12 files_per_bucket
+# intra-bucket pruned write path — SUPERSEDES ndb_upsert_replay
+# (strictly more codepath; retiree keeps a standalone parity row;
+# oracle-proven a round early as staged_ndb_range_pruned_replay).
+register(
+    "ndb_range_pruned_replay",
+    state_ops.ndb_range_pruned_replay,
+    state_ops.NDB_RANGE_PRUNED_REPLAY_SQL,
+)
+# NEW (r13, r12 verdict item 5): per-(method, query) planted-neighbor
+# hits for the LSH and IVF top-k paths — the oracle-backed SUPERSEDER
+# of the rows-only ann_topk_lsh/ann_topk_ivf entries (both RETIRED;
+# they keep pytest recall/top-k coverage in tests/test_llm_ops.py).
+# oracle_sql() now covers 100% of queries().
+register(
+    "ann_topk_planted_hits",
+    llm_ops.ann_topk_planted_hits,
+    llm_ops.ANN_TOPK_PLANTED_HITS_SQL,
+)
+# NEW (r13): ordered funnel analysis (morning view -> midday click ->
+# evening purchase, hour-banded): one shuffle, per-user sort_array +
+# higher-order fold; the oracle is the INDEPENDENT min-seq-after
+# three-join formulation (oracle-proven a round early as
+# staged_funnel_steps_events).
+register(
+    "funnel_steps_events",
+    events_ops.funnel_steps_events,
+    events_ops.FUNNEL_STEPS_EVENTS_SQL,
+)
+# NEW (r13): kind-tagged merge of events_daily_type_pivot +
+# events_json_props (both RETIRED with standalone parity rows) — the
+# slot-neutral pair with funnel_steps_events per the ledger.
+register(
+    "events_audit_composite",
+    events_ops.events_audit_composite,
+    events_ops.EVENTS_AUDIT_COMPOSITE_SQL,
+)
+register(
+    "format_chain_nation_xmlbson",
+    format_io.format_chain_nation_xmlbson,
+    format_io.FORMAT_CHAIN_NATION_XMLBSON_SQL,
+)
+register(
+    "source_overlap_matrix",
+    llm_ops.source_overlap_matrix,
+    llm_ops.SOURCE_OVERLAP_MATRIX_SQL,
+)
+register(
+    "quality_prune_documents",
+    llm_ops.quality_prune_documents,
+    llm_ops.QUALITY_PRUNE_DOCUMENTS_SQL,
+)
+register(
+    "streaming_lsh_near_dup_documents",
+    state_ops.streaming_lsh_near_dup_documents,
+    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
+)
+register(
+    "streaming_dedup_events",
+    state_ops.streaming_dedup_events,
+    state_ops.STREAMING_DEDUP_EVENTS_SQL,
+)
+register(
+    "curation_pipeline_documents",
+    pipeline_ops.curation_pipeline_documents,
+    pipeline_ops.CURATION_PIPELINE_SQL,
+)
+register(
+    "ngram_containment_documents",
+    llm_ops.ngram_containment_documents,
+    llm_ops.NGRAM_CONTAINMENT_SQL,
+)
+register(
+    "streaming_decontaminate_documents",
+    state_ops.streaming_decontaminate_documents,
+    state_ops.STREAMING_DECONTAMINATE_SQL,
+)
+register(
+    "media_decode_roundtrip",
+    llm_ops.media_decode_roundtrip,
+    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
+)
+register(
+    "sample_stratified_documents",
+    pipeline_ops.sample_stratified_documents,
+    pipeline_ops.SAMPLE_STRATIFIED_SQL,
+)
+register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
+register(
+    "array_functions_embeddings",
+    scalar_ops.array_functions_embeddings,
+    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
+)
+register(
+    "stats_functions_lineitem",
+    scalar_ops.stats_functions_lineitem,
+    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
+)
+register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
+register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
+register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
+register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
+register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
+register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
+register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
+register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
+register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
+register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
+register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
+register(
+    "fingerprint_dedup_counts",
+    llm_ops.fingerprint_dedup_counts,
+    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
+)
+register(
+    "media_features_documents",
+    llm_ops.media_features_documents,
+    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
+)
+register(
+    "frame_sample_documents",
+    llm_ops.frame_sample_documents,
+    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
+)
+register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
+register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
+register(
+    "decontaminate_documents",
+    pipeline_ops.decontaminate_documents,
+    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
+)
+register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
+register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
+register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
+register(
+    "customer_order_distribution",
+    relational.customer_order_distribution,
+    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+)
+register(
+    "bucketed_orders_customer_join",
+    relational.bucketed_orders_customer_join,
+    relational.BUCKETED_ORDERS_CUSTOMER_SQL,
+)
+
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r14 (CORRECTNESS_r14) and is
+# unchanged this round; full pytest oracle-parity coverage continues
+# every round regardless of position. Due their next driver row in
+# r16 (50 entries against 50 slots — ZERO slack: any r16 registration
+# requires a merge; the r16 capacity ledger in the module docstring
+# closes the math with the reserve merges).
+
 
 # NEW (r14): variant-tagged merge of user_sessions +
 # user_sessions_window + streaming_user_sessions_events (all three
@@ -657,203 +946,4 @@ register(
     "pack_sequences_documents",
     pipeline_ops.pack_sequences_documents,
     pipeline_ops.PACK_SEQUENCES_SQL,
-)
-
-# ===================== driver-window boundary (50) ====================
-# Everything below was driver-green in r13 (CORRECTNESS_r13) and is
-# unchanged this round; full pytest oracle-parity coverage continues
-# every round regardless of position. Due their next driver row in
-# r15 (44 entries — the r13 head-50 minus the six r14 retirees that
-# sat in it — against 50 slots; the six staged r15 net-new candidates
-# in the ledger above close the math exactly).
-
-# NEW (r13): the PII ACTION — mask the classes pii_scan detects via a
-# regexp_replace cascade over the SAME pattern constants (one knob,
-# both engines), emitting redacted text + per-class counts
-# (oracle-proven a round early as staged_redact_pii_documents).
-register(
-    "redact_pii_documents",
-    llm_ops.redact_pii_documents,
-    llm_ops.REDACT_PII_SQL,
-)
-# NEW (r13): within-document repeated-line removal — first-occurrence-
-# preserving, ONE higher-order-filter projection, no shuffle
-# (oracle-proven a round early as staged_strip_repetition_documents).
-register(
-    "strip_repetition_documents",
-    llm_ops.strip_repetition_documents,
-    llm_ops.STRIP_REPETITION_SQL,
-)
-# NEW (r13): the cross-doc substring dedup ACTION (Lee et al. 2022
-# shape) — cut the shared-span suffix from the lower-priority doc of
-# each duplicate_spans pair; candidate volume bounded by the existing
-# hash-gram join (oracle-proven a round early as
-# staged_trim_duplicate_spans_documents).
-register(
-    "trim_duplicate_spans_documents",
-    llm_ops.trim_duplicate_spans_documents,
-    llm_ops.TRIM_DUPLICATE_SPANS_SQL,
-)
-# NEW (r13): the end-to-end text-cleaning chain (strip_markup ->
-# repeated-line removal -> PII redaction) proven by ONE oracle hash,
-# every stage non-vacuous via disjoint plant moduli (%3/%5/%7;
-# oracle-proven a round early as staged_curation_text_chain_documents).
-register(
-    "curation_text_chain_documents",
-    llm_ops.curation_text_chain_documents,
-    llm_ops.CURATION_TEXT_CHAIN_SQL,
-)
-# NEW (r13): method-tagged merge of ann_recall_planted +
-# ann_topk_bruteforce (both RETIRED with standalone parity rows) —
-# one driver row drives the brute-force exact top-k kernel AND both
-# approximate indexes against the planted fixture (oracle-proven a
-# round early as staged_ann_recall_composite).
-register(
-    "ann_recall_composite",
-    llm_ops.ann_recall_composite,
-    llm_ops.ANN_RECALL_COMPOSITE_SQL,
-)
-# NEW (r13): ndb upsert/replay through the r12 files_per_bucket
-# intra-bucket pruned write path — SUPERSEDES ndb_upsert_replay
-# (strictly more codepath; retiree keeps a standalone parity row;
-# oracle-proven a round early as staged_ndb_range_pruned_replay).
-register(
-    "ndb_range_pruned_replay",
-    state_ops.ndb_range_pruned_replay,
-    state_ops.NDB_RANGE_PRUNED_REPLAY_SQL,
-)
-# NEW (r13, r12 verdict item 5): per-(method, query) planted-neighbor
-# hits for the LSH and IVF top-k paths — the oracle-backed SUPERSEDER
-# of the rows-only ann_topk_lsh/ann_topk_ivf entries (both RETIRED;
-# they keep pytest recall/top-k coverage in tests/test_llm_ops.py).
-# oracle_sql() now covers 100% of queries().
-register(
-    "ann_topk_planted_hits",
-    llm_ops.ann_topk_planted_hits,
-    llm_ops.ANN_TOPK_PLANTED_HITS_SQL,
-)
-# NEW (r13): ordered funnel analysis (morning view -> midday click ->
-# evening purchase, hour-banded): one shuffle, per-user sort_array +
-# higher-order fold; the oracle is the INDEPENDENT min-seq-after
-# three-join formulation (oracle-proven a round early as
-# staged_funnel_steps_events).
-register(
-    "funnel_steps_events",
-    events_ops.funnel_steps_events,
-    events_ops.FUNNEL_STEPS_EVENTS_SQL,
-)
-# NEW (r13): kind-tagged merge of events_daily_type_pivot +
-# events_json_props (both RETIRED with standalone parity rows) — the
-# slot-neutral pair with funnel_steps_events per the ledger.
-register(
-    "events_audit_composite",
-    events_ops.events_audit_composite,
-    events_ops.EVENTS_AUDIT_COMPOSITE_SQL,
-)
-register(
-    "format_chain_nation_xmlbson",
-    format_io.format_chain_nation_xmlbson,
-    format_io.FORMAT_CHAIN_NATION_XMLBSON_SQL,
-)
-register(
-    "source_overlap_matrix",
-    llm_ops.source_overlap_matrix,
-    llm_ops.SOURCE_OVERLAP_MATRIX_SQL,
-)
-register(
-    "quality_prune_documents",
-    llm_ops.quality_prune_documents,
-    llm_ops.QUALITY_PRUNE_DOCUMENTS_SQL,
-)
-register(
-    "streaming_lsh_near_dup_documents",
-    state_ops.streaming_lsh_near_dup_documents,
-    state_ops.STREAMING_LSH_NEAR_DUP_SQL,
-)
-register(
-    "streaming_dedup_events",
-    state_ops.streaming_dedup_events,
-    state_ops.STREAMING_DEDUP_EVENTS_SQL,
-)
-register(
-    "curation_pipeline_documents",
-    pipeline_ops.curation_pipeline_documents,
-    pipeline_ops.CURATION_PIPELINE_SQL,
-)
-register(
-    "ngram_containment_documents",
-    llm_ops.ngram_containment_documents,
-    llm_ops.NGRAM_CONTAINMENT_SQL,
-)
-register(
-    "streaming_decontaminate_documents",
-    state_ops.streaming_decontaminate_documents,
-    state_ops.STREAMING_DECONTAMINATE_SQL,
-)
-register(
-    "media_decode_roundtrip",
-    llm_ops.media_decode_roundtrip,
-    llm_ops.MEDIA_DECODE_ROUNDTRIP_SQL,
-)
-register(
-    "sample_stratified_documents",
-    pipeline_ops.sample_stratified_documents,
-    pipeline_ops.SAMPLE_STRATIFIED_SQL,
-)
-register("nation_trade_flows", relational.nation_trade_flows, relational.NATION_TRADE_SQL)
-register(
-    "array_functions_embeddings",
-    scalar_ops.array_functions_embeddings,
-    scalar_ops.ARRAY_FUNCTIONS_EMBEDDINGS_SQL,
-)
-register(
-    "stats_functions_lineitem",
-    scalar_ops.stats_functions_lineitem,
-    scalar_ops.STATS_FUNCTIONS_LINEITEM_SQL,
-)
-register("string_functions_part", scalar_ops.string_functions_part, scalar_ops.STRING_FUNCTIONS_PART_SQL)
-register("date_functions_orders", scalar_ops.date_functions_orders, scalar_ops.DATE_FUNCTIONS_ORDERS_SQL)
-register("brand_type_cube", scalar_ops.brand_type_cube, scalar_ops.BRAND_TYPE_CUBE_SQL)
-register("segment_set_ops", scalar_ops.segment_set_ops, scalar_ops.SEGMENT_SET_OPS_SQL)
-register("nation_market_share", relational.nation_market_share, relational.NATION_MARKET_SHARE_SQL)
-register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
-register("returned_item_revenue", relational.returned_item_revenue, relational.RETURNED_ITEM_SQL)
-register("promo_revenue_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SQL)
-register("large_volume_customers", relational.large_volume_customers, relational.LARGE_VOLUME_SQL)
-register("brand_bracket_revenue", relational.brand_bracket_revenue, relational.BRAND_BRACKET_SQL)
-register("embedding_near_dup", llm_ops.embedding_near_dup, llm_ops.EMBEDDING_NEAR_DUP_SQL)
-register(
-    "fingerprint_dedup_counts",
-    llm_ops.fingerprint_dedup_counts,
-    llm_ops.FINGERPRINT_DEDUP_COUNTS_SQL,
-)
-register(
-    "media_features_documents",
-    llm_ops.media_features_documents,
-    llm_ops.MEDIA_FEATURES_DOCUMENTS_SQL,
-)
-register(
-    "frame_sample_documents",
-    llm_ops.frame_sample_documents,
-    llm_ops.FRAME_SAMPLE_DOCUMENTS_SQL,
-)
-register("exact_dedup_documents", llm_ops.exact_dedup_documents, llm_ops.EXACT_DEDUP_DOCUMENTS_SQL)
-register("last_event_per_user", llm_ops.last_event_per_user, llm_ops.LAST_EVENT_PER_USER_SQL)
-register(
-    "decontaminate_documents",
-    pipeline_ops.decontaminate_documents,
-    pipeline_ops.DECONTAMINATE_DOCUMENTS_SQL,
-)
-register("chunk_documents", pipeline_ops.chunk_documents, pipeline_ops.CHUNK_DOCUMENTS_SQL)
-register("vocab_topk_documents", pipeline_ops.vocab_topk_documents, pipeline_ops.VOCAB_TOPK_SQL)
-register("pii_scan_documents", llm_ops.pii_scan_documents, llm_ops.PII_SCAN_SQL)
-register(
-    "customer_order_distribution",
-    relational.customer_order_distribution,
-    relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
-)
-register(
-    "bucketed_orders_customer_join",
-    relational.bucketed_orders_customer_join,
-    relational.BUCKETED_ORDERS_CUSTOMER_SQL,
 )
