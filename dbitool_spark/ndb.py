@@ -496,24 +496,30 @@ class NdbTable:
         return out
 
     @staticmethod
-    def _file_key_range(path: str, key: str):
-        """Driver-side footer probe: (min, max) of `key` across the
-        file's row groups from parquet statistics, or None when stats
-        are missing (caller must then treat the file as a hit — safe
-        over-read, never a skipped rewrite). Bounded work: one footer
-        per candidate file, only for TOUCHED buckets."""
+    def _file_stats(path: str, key: str):
+        """ONE driver-side footer read -> ((min, max) of `key`, row
+        count). Range is None when statistics are missing (caller must
+        then treat the file as a hit — safe over-read, never a skipped
+        rewrite); rows is None only when the footer itself is
+        unreadable. Bounded work: one footer per candidate file, only
+        for TOUCHED buckets — the row count rides along for free while
+        the footer is already open (manifest v2)."""
         import pyarrow.parquet as pq
 
         try:
             md = pq.read_metadata(path)
+        except OSError:
+            return None, None
+        rows = md.num_rows
+        try:
             idx = md.schema.names.index(key)
-        except (OSError, ValueError):
-            return None
+        except ValueError:
+            return None, rows
         lo = hi = None
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(idx).statistics
             if st is None or not st.has_min_max:
-                return None
+                return None, rows
             gmin, gmax = st.min, st.max
             if isinstance(gmin, bytes):
                 gmin = gmin.decode("utf-8", "replace")
@@ -521,7 +527,13 @@ class NdbTable:
                 gmax = gmax.decode("utf-8", "replace")
             lo = gmin if lo is None or gmin < lo else lo
             hi = gmax if hi is None or gmax > hi else hi
-        return None if lo is None else (lo, hi)
+        return (None if lo is None else (lo, hi)), rows
+
+    @staticmethod
+    def _file_key_range(path: str, key: str):
+        """Range-only view of _file_stats (the pruning callers' and
+        the probe-counting tests' single entry point)."""
+        return NdbTable._file_stats(path, key)[0]
 
     def _load_manifest(self, version_dir: str | None) -> dict | None:
         """The version's file-range manifest, or None (pre-manifest
@@ -543,16 +555,26 @@ class NdbTable:
             rel = os.path.relpath(full, version_dir)
             if rel in manifest:
                 ent = manifest[rel]
+                if isinstance(ent, dict):  # v2: {"r": range, "n": rows}
+                    rng = ent.get("r")
+                    return None if rng is None else (rng[0], rng[1])
                 return None if ent is None else (ent[0], ent[1])
         return self._file_key_range(full, self.key)
 
     def _write_manifest(self, out_dir: str, prev_dir: str | None) -> None:
         """Build the staged version's manifest: carried files reuse
-        the previous manifest's entry by relpath; freshly written
-        files are footer-probed ONCE here. Written before the commit
-        rename, so it publishes atomically with the data. Best-effort
-        by design: a non-serializable key type skips the manifest and
-        every reader falls back to probing."""
+        the previous manifest's entry by relpath — verified by
+        os.path.samefile so a reused relpath with FRESH content is
+        re-probed instead of silently inheriting a stale range
+        (ADVICE r14: a carried stale range would mis-prune the next
+        upsert); freshly written files are footer-probed ONCE here,
+        capturing key range AND row count in the same read (manifest
+        v2 entries {"r": [lo, hi] | null, "n": rows}; v1 bare-list
+        entries from older versions carry forward verbatim and every
+        reader handles both). Written before the commit rename, so it
+        publishes atomically with the data. Best-effort by design: a
+        non-serializable key type skips the manifest and every reader
+        falls back to probing."""
         prev = self._load_manifest(prev_dir) or {}
         man: dict = {}
         for dirpath, _dirs, files in os.walk(out_dir):
@@ -562,10 +584,20 @@ class NdbTable:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, out_dir)
                 if rel in prev:
-                    man[rel] = prev[rel]
-                else:
-                    rng = self._file_key_range(full, self.key)
-                    man[rel] = list(rng) if rng is not None else None
+                    try:
+                        same = os.path.samefile(
+                            os.path.join(prev_dir, rel), full
+                        )
+                    except OSError:
+                        same = False
+                    if same:  # hardlink carry: the entry is the file's
+                        man[rel] = prev[rel]
+                        continue
+                rng, rows = self._file_stats(full, self.key)
+                man[rel] = {
+                    "r": list(rng) if rng is not None else None,
+                    "n": rows,
+                }
         try:
             payload = json.dumps(man)
         except (TypeError, ValueError):
@@ -1044,6 +1076,18 @@ class NdbTable:
                     if st.st_nlink == 1:
                         own += st.st_size
             marker = os.path.join(vdir, _COMMITTED)
+            # row count from the v2 manifest when EVERY entry carries
+            # one ("n"); v1 entries / missing manifest -> None (the
+            # honest answer — history() never reads data to find out)
+            man = self._load_manifest(vdir)
+            n_rows = None
+            if man is not None:
+                counts = [
+                    e.get("n") if isinstance(e, dict) else None
+                    for e in man.values()
+                ]
+                if all(c is not None for c in counts):
+                    n_rows = sum(counts)
             out.append(
                 {
                     "generation": g,
@@ -1053,6 +1097,7 @@ class NdbTable:
                         else None  # pre-protocol snapshot
                     ),
                     "n_files": n_files,
+                    "n_rows": n_rows,
                     "total_bytes": total,
                     "exclusive_bytes": own,
                     "is_current": g == cur,
@@ -1286,7 +1331,22 @@ class NdbTable:
         current rows (the same prune the plain upsert pays), one
         keyed left-join of batch-vs-state, then the standard pruned
         upsert write — O(state*b/n + batch), never the accumulated
-        history."""
+        history.
+
+        RETRY CONTRACT under additive rules (ADVICE r14): an
+        NdbWriteConflict raised by the post-rename stale-publish
+        guard (commit protocol guard (b)) fires AFTER this writer's
+        version was briefly published; the guard unpublishes it, but
+        if the conflicting successor had already read that transient
+        head, a naive retry re-applies this batch on state that
+        already carries it — idempotent for 'last'/'first'/'min'/
+        'max', DOUBLE-COUNTING for 'sum'. The window is the
+        microseconds between rename and the committed-generation
+        re-list, so in practice a retry is safe; callers that cannot
+        tolerate even that window should make additive batches
+        carry an idempotence key (e.g. a batch-id column folded with
+        'last') or re-derive the partial from source instead of
+        replaying the same batch."""
         unknown = [r for r in combine.values() if r not in self._MERGE_RULES]
         if unknown:
             raise ValueError(

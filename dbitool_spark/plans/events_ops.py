@@ -619,6 +619,18 @@ _FUNNEL_BANDS = ((0, 8), (8, 16), (16, 24))  # [lo, hi) hour-of-day
 # on human-scale activity.
 _FUNNEL_HOT_THRESHOLD = 100_000
 
+# Broadcast guard (ADVICE r14): the hot-user set is bounded by
+# total_events / threshold, but a pathological table (10^12 rows at
+# the default threshold allows 10^7 hot users) would broadcast
+# hundreds of MB to every executor. The guard is enforced INSIDE the
+# plan (assert_true over a 1-row count crossJoin) rather than by an
+# eager .count() action, because a separate action re-pays the full
+# count aggregation — AQE's exchange reuse dedupes identical subtrees
+# only within one execution (the same measurement that keeps
+# hot_users unpersisted). 1M user_ids is a ~10s-of-MB hashed
+# relation: safely broadcastable, far above any sane hot tail.
+_FUNNEL_HOT_BROADCAST_CAP = 1_000_000
+
 
 def funnel_steps_events(
     spark: SparkSession, sf_dir: str, *, hot_user_threshold: int = _FUNNEL_HOT_THRESHOLD
@@ -661,11 +673,31 @@ def funnel_steps_events(
     # reused stages they saved)
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
     hot_users = counts.filter(F.col("n_ev") > hot_user_threshold).select("user_id")
-    tagged = ev.join(
-        F.broadcast(hot_users.withColumn("is_hot", F.lit(True))),
-        "user_id",
-        "left",
+    # plan-side broadcast-size guard: evaluated while the broadcast
+    # relation is BUILT, so an over-cap hot set fails with a clear
+    # message (raise the threshold) instead of shipping an unbounded
+    # set to every executor; the 1-row count subtree is canonically
+    # identical to `counts`, so AQE exchange reuse makes it free
+    n_hot = hot_users.agg(F.count(F.lit(1)).alias("n_hot"))
+    guard = F.assert_true(
+        F.col("n_hot") <= _FUNNEL_HOT_BROADCAST_CAP,
+        F.concat(
+            F.lit("funnel hot-user set ("),
+            F.col("n_hot"),
+            F.lit(
+                f") exceeds the broadcast cap {_FUNNEL_HOT_BROADCAST_CAP};"
+                " raise hot_user_threshold"
+            ),
+        ),
     )
+    hot_flagged = (
+        hot_users.crossJoin(F.broadcast(n_hot))
+        .select(
+            "user_id",
+            F.coalesce(guard.cast("boolean"), F.lit(True)).alias("is_hot"),
+        )
+    )
+    tagged = ev.join(F.broadcast(hot_flagged), "user_id", "left")
     cold = tagged.filter(F.col("is_hot").isNull())
     hot = tagged.filter(F.col("is_hot").isNotNull())
 

@@ -2178,7 +2178,7 @@ def test_bigram_lm_matches_python_reference(spark):
     assert not all(v[2] for v in got.values())
 
 
-def test_bigram_lm_order_sensitivity_and_branches(spark):
+def test_bigram_lm_order_sensitivity_and_branches(spark, tmp_path):
     """The property the unigram scorer cannot see: reversing token
     order changes the bigram surprisal while the unigram mix is
     identical. Plus the three-branch expression pinned against DuckDB
@@ -2247,8 +2247,8 @@ def test_bigram_lm_order_sensitivity_and_branches(spark):
     docs = spark.createDataFrame(
         [(0, fluent), (1, fluent), (3, salad)], "doc_id bigint, text string"
     )
-    import tempfile, os
-    d = tempfile.mkdtemp(prefix="bigram_order_")
+    import os
+    d = str(tmp_path)  # pytest-owned scratch (ADVICE r14: mkdtemp leaked)
     docs.write.parquet(os.path.join(d, "documents.parquet"))
     out = {
         r.doc_id: r.ce_mb

@@ -1607,7 +1607,12 @@ def test_ndb_manifest_written_and_reused(spark, tmpdir):
     ]
     assert sorted(man) == sorted(data_files) and len(man) >= 2
     for ent in man.values():
-        assert ent is None or (len(ent) == 2 and ent[0] <= ent[1])
+        # v2 entries: {"r": [lo, hi] | None, "n": rows} — the row
+        # count rides along in the same footer read
+        assert set(ent) == {"r", "n"} and ent["n"] >= 1
+        assert ent["r"] is None or (
+            len(ent["r"]) == 2 and ent["r"][0] <= ent["r"][1]
+        )
 
     # second upsert: the selection must consult the manifest, probing
     # zero STORED files (probes happen only in _write_manifest, for
@@ -1688,9 +1693,92 @@ def test_ndb_history_audit(spark, tmpdir):
     assert [r["is_current"] for r in h] == [False, False, True]
     assert all(r["has_manifest"] for r in h)
     assert all(r["n_files"] >= 1 and r["total_bytes"] > 0 for r in h)
+    # manifest-v2 row counts surface per snapshot: each upsert added
+    # one new key, so the retained generations hold 1, 2, 3 rows
+    assert [r["n_rows"] for r in h] == [1, 2, 3]
     # publish order is monotone in the marker mtimes
     times = [r["committed_at"] for r in h]
     assert all(t is not None for t in times) and times == sorted(times)
     # hardlink awareness: v1 shares untouched-bucket files with v0/v2,
     # so its exclusive bytes are strictly below its total
     assert h[1]["exclusive_bytes"] < h[1]["total_bytes"]
+
+def test_ndb_manifest_reused_relpath_reprobed(spark, tmpdir):
+    """ADVICE r14: _write_manifest must NOT inherit a previous
+    version's entry for a relpath whose staged file is a DIFFERENT
+    inode (fresh content under a reused name) — inheriting would carry
+    a stale key range and mis-prune the next upsert. Same-inode
+    (hardlink carry) entries inherit verbatim; different-inode entries
+    are re-probed."""
+    import json as _json
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=1)
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "a")], "k bigint, v string"))
+    v0 = t._current_dir()
+    with open(os.path.join(v0, "_manifest.json")) as fh:
+        man0 = _json.load(fh)
+    (rel,) = [r for r in man0]  # n_buckets=1 -> exactly one data file
+
+    # build a fake staging dir that REUSES the relpath with different
+    # content (keys 10..11, not 1..2) via a real parquet copy
+    stage = os.path.join(tmpdir, "stage")
+    os.makedirs(os.path.dirname(os.path.join(stage, rel)), exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"k": [10, 11], "v": ["b", "b"]}),
+        os.path.join(stage, rel),
+    )
+    t._write_manifest(stage, v0)
+    with open(os.path.join(stage, "_manifest.json")) as fh:
+        man1 = _json.load(fh)
+    assert man1[rel]["r"] == [10, 11], man1  # re-probed, NOT inherited
+    assert man1[rel]["n"] == 2
+
+    # and the hardlink-carry path still inherits verbatim
+    stage2 = os.path.join(tmpdir, "stage2")
+    os.makedirs(os.path.dirname(os.path.join(stage2, rel)), exist_ok=True)
+    os.link(os.path.join(v0, rel), os.path.join(stage2, rel))
+    t._write_manifest(stage2, v0)
+    with open(os.path.join(stage2, "_manifest.json")) as fh:
+        man2 = _json.load(fh)
+    assert man2[rel] == man0[rel]
+
+
+def test_ndb_manifest_v1_entries_still_read(spark, tmpdir):
+    """Backward compat: a v1 manifest (bare [lo, hi] / null entries,
+    pre-row-count format) still drives pruning, carries forward
+    verbatim through a hardlink inherit, and history() reports
+    n_rows=None for it rather than guessing."""
+    import json as _json
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, files_per_bucket=2)
+    t.upsert(
+        spark.createDataFrame(
+            [(j, "a") for j in range(20)], "k bigint, v string"
+        )
+    )
+    v0 = t._current_dir()
+    man_path = os.path.join(v0, "_manifest.json")
+    with open(man_path) as fh:
+        man = _json.load(fh)
+    # rewrite as v1: strip the row counts down to bare ranges
+    v1_man = {rel: ent["r"] for rel, ent in man.items()}
+    with open(man_path, "w") as fh:
+        fh.write(_json.dumps(v1_man))
+
+    h0 = [r for r in t.history() if r["is_current"]][0]
+    assert h0["n_rows"] is None  # v1 entries carry no counts
+
+    # a pruned upsert still selects off the v1 manifest (no error),
+    # and the carried entries stay v1 while fresh files get v2
+    t.upsert(spark.createDataFrame([(1, "b")], "k bigint, v string"))
+    cur = t._current_dir()
+    with open(os.path.join(cur, "_manifest.json")) as fh:
+        man_new = _json.load(fh)
+    shapes = {type(e).__name__ for e in man_new.values()}
+    assert "dict" in shapes  # the rewritten bucket's fresh file is v2
+    assert {r.k for r in t.replay().collect()} == set(range(20))

@@ -668,3 +668,42 @@ def test_funnel_hot_user_fallback_matches_fold_path(spark, tmp_path):
     plan_hybrid = hybrid._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_list" in plan_hybrid  # cold fold present
     assert plan_hybrid.count("min(") >= 3  # three conditional-min aggs
+
+def test_funnel_hot_broadcast_cap_guard(spark, tmp_path, monkeypatch):
+    """ADVICE r14: the hot-user broadcast is guarded inside the plan —
+    when the hot set exceeds _FUNNEL_HOT_BROADCAST_CAP the query fails
+    with the raise-the-threshold message instead of broadcasting an
+    unbounded set; under the cap the guard is invisible."""
+    import datetime as dt
+
+    import pytest
+
+    from dbitool_spark.plans import events_ops
+
+    rows = []
+    eid = 0
+    for u in range(3):  # three users, 4 events each
+        for h in (6, 9, 17, 20):
+            eid += 1
+            rows.append((u, eid, "view", dt.datetime(2024, 1, 1, h)))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts timestamp_ntz"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    # cap 1, threshold 2 -> all three users are hot -> guard fires
+    monkeypatch.setattr(events_ops, "_FUNNEL_HOT_BROADCAST_CAP", 1)
+    with pytest.raises(Exception, match="raise hot_user_threshold"):
+        events_ops.funnel_steps_events(
+            spark, str(tmp_path), hot_user_threshold=2
+        ).collect()
+
+    # same data under the cap: identical results, guard silent
+    monkeypatch.setattr(events_ops, "_FUNNEL_HOT_BROADCAST_CAP", 100)
+    got = {
+        r.user_id: r.funnel_step
+        for r in events_ops.funnel_steps_events(
+            spark, str(tmp_path), hot_user_threshold=2
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}, got
