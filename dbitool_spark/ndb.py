@@ -46,7 +46,12 @@ pid is dead) or a markerless `v{gen}` from the pre-protocol format
 (cleared and retried on the next commit). Honest scope: atomic
 rename is a local/POSIX-filesystem guarantee — on S3-class object
 stores the same protocol needs a log/CAS service, exactly as
-Delta/Iceberg require there. Hardlinks keep shared files alive
+Delta/Iceberg require there. That swap is a named SEAM since r15:
+CommitBackend (committed_gens + rename_cas) with the shipped
+PosixCommitBackend; implement those two calls against a conditional-
+put log service and the rest of the engine carries over unchanged
+(tests exercise a mock log-service backend through the full
+upsert/conflict/replay path). Hardlinks keep shared files alive
 across version GC.
 """
 
@@ -133,6 +138,75 @@ def _link_tree(src_dir: str, dst_dir: str) -> None:
                 shutil.copy2(s, d)
 
 
+class CommitBackend:
+    """Commit-coordination seam: the ONLY two primitives of the table
+    engine whose correctness depends on the storage system's
+    concurrency semantics. Everything else (bucket layout, intra-
+    bucket range pruning, the manifest, hardlink carry, retention GC,
+    time travel) is plain file I/O that any store provides. The
+    documented object-store swap (module docstring: an S3-class store
+    has no atomic rename-onto-existing, so Delta/Iceberg route
+    commits through a log/CAS service) is therefore THIS interface:
+    implement these two calls against DynamoDB-style conditional
+    puts or an Iceberg-catalog pointer swap and NdbTable's commit
+    protocol — stale-publish guards, retention clamp, conflict
+    semantics — carries over unchanged.
+
+    - committed_gens(table_path): every generation number with a
+      PUBLISHED commit record — the transaction log read. Max() of it
+      is the table head.
+    - rename_cas(staging, final): atomically publish the fully-built
+      staging dir as `final` iff nothing is committed there — the
+      compare-and-swap. True = published; False = CAS lost (a racer
+      holds the slot). Non-conflict failures (permissions, I/O) must
+      RAISE, never return False — the caller preserves the staging
+      dir for inspection on a raise and cleans it on a conflict.
+    """
+
+    #: True only for filesystem backends, where a lost CAS can mean
+    #: pre-protocol crash debris (a markerless v{gen} dir) that the
+    #: caller may clear via atomic-rename graves. Log-service
+    #: backends have no debris concept.
+    handles_fs_debris = False
+
+    def committed_gens(self, table_path: str) -> list[int]:
+        raise NotImplementedError
+
+    def rename_cas(self, staging: str, final: str) -> bool:
+        raise NotImplementedError
+
+
+class PosixCommitBackend(CommitBackend):
+    """The shipped implementation: POSIX rename-onto-existing-dir
+    fails with EEXIST/ENOTEMPTY, so one os.rename IS the CAS, and the
+    in-dir _committed marker (written into staging before the rename)
+    makes data + commit record visible in the same atomic step."""
+
+    handles_fs_debris = True
+
+    def committed_gens(self, table_path: str) -> list[int]:
+        out = []
+        for name in os.listdir(table_path):
+            if (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and os.path.exists(os.path.join(table_path, name, _COMMITTED))
+            ):
+                out.append(int(name[1:]))
+        return out
+
+    def rename_cas(self, staging: str, final: str) -> bool:
+        import errno
+
+        try:
+            os.rename(staging, final)
+            return True
+        except OSError as exc:
+            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY, errno.ENOTDIR):
+                return False
+            raise  # genuine I/O failure: never mask as conflict
+
+
 class NdbTable:
     def __init__(
         self,
@@ -145,10 +219,14 @@ class NdbTable:
         keep_versions: int | None = None,
         single_writer: bool = True,
         evolve_schema: bool = False,
+        commit_backend: CommitBackend | None = None,
     ):
         self.spark = spark
         self.path = path
         self.key = key
+        # the commit-coordination seam (see CommitBackend): default is
+        # the POSIX rename-CAS; a log-service backend swaps in here
+        self._backend = commit_backend or PosixCommitBackend()
         self.n_buckets = n_buckets
         # keep_versions > 2 enables TIME TRAVEL: the last K generation
         # dirs are retained across upserts/compactions and replay(
@@ -252,16 +330,9 @@ class NdbTable:
         return int(version[1:])
 
     def _committed_gens(self) -> list[int]:
-        """Generations with a published in-dir commit marker."""
-        out = []
-        for name in os.listdir(self.path):
-            if (
-                name.startswith("v")
-                and name[1:].isdigit()
-                and os.path.exists(os.path.join(self.path, name, _COMMITTED))
-            ):
-                out.append(int(name[1:]))
-        return out
+        """Generations with a published commit record — delegated to
+        the commit backend (the transaction-log read)."""
+        return self._backend.committed_gens(self.path)
 
     def _current_gen(self) -> int | None:
         """The newest COMMITTED generation: max over in-dir commit
@@ -316,9 +387,13 @@ class NdbTable:
         Spark write inside microseconds), so the just-published dir is
         moved aside and the writer conflicts. _gc_versions carries the
         matching clamp (never deletes committed generations above the
-        published one) as defense in depth."""
-        import errno
+        published one) as defense in depth.
 
+        The CAS itself and the committed-generation listing go
+        through self._backend (the CommitBackend seam): on POSIX the
+        CAS is one os.rename; an object-store backend routes both
+        through its log service and this method's guard logic carries
+        over verbatim."""
         final = os.path.join(self.path, f"v{gen}")
         newest = max(self._committed_gens(), default=-1)
         if newest >= gen:
@@ -334,10 +409,10 @@ class NdbTable:
                 f"{how} — re-read the table state and retry the write"
             )
         open(os.path.join(staging, _COMMITTED), "w").close()
-        conflict_errnos = (errno.EEXIST, errno.ENOTEMPTY, errno.ENOTDIR)
         for attempt in (0, 1):
-            try:
-                os.rename(staging, final)
+            # a non-conflict failure inside rename_cas RAISES (staging
+            # left intact for inspection); False is a genuine CAS loss
+            if self._backend.rename_cas(staging, final):
                 # post-rename stale-publish check (guard (b) above):
                 # a committed generation ABOVE ours at this instant
                 # means our slot had been GC-vacated and we published
@@ -357,41 +432,39 @@ class NdbTable:
                         "table state and retry the write"
                     )
                 return final
-            except OSError as exc:
-                if exc.errno not in conflict_errnos:
-                    raise  # genuine I/O failure: never mask as conflict
-                if (
-                    attempt == 0
-                    and os.path.isdir(final)
-                    and not os.path.exists(os.path.join(final, _COMMITTED))
-                ):
-                    grave = f"{final}.debris.pid{os.getpid()}"
-                    # marker re-check IMMEDIATELY before the move
-                    # (ADVICE r13: shrink the clear-vs-fresh-commit
-                    # window to the rename itself)
-                    if os.path.exists(os.path.join(final, _COMMITTED)):
-                        break  # a racer just committed: genuine conflict
+            if (
+                self._backend.handles_fs_debris
+                and attempt == 0
+                and os.path.isdir(final)
+                and not os.path.exists(os.path.join(final, _COMMITTED))
+            ):
+                grave = f"{final}.debris.pid{os.getpid()}"
+                # marker re-check IMMEDIATELY before the move
+                # (ADVICE r13: shrink the clear-vs-fresh-commit
+                # window to the rename itself)
+                if os.path.exists(os.path.join(final, _COMMITTED)):
+                    break  # a racer just committed: genuine conflict
+                try:
+                    os.rename(final, grave)  # atomic: one winner
+                except OSError:
+                    continue  # another racer moved it; retry rename
+                if os.path.exists(os.path.join(grave, _COMMITTED)):
+                    # the narrow check->move window: a racer cleared
+                    # the debris AND committed before our move, so
+                    # we just hid a LIVE commit — restore it
                     try:
-                        os.rename(final, grave)  # atomic: one winner
-                    except OSError:
-                        continue  # another racer moved it; retry rename
-                    if os.path.exists(os.path.join(grave, _COMMITTED)):
-                        # the narrow check->move window: a racer cleared
-                        # the debris AND committed before our move, so
-                        # we just hid a LIVE commit — restore it
-                        try:
-                            os.rename(grave, final)
-                        except OSError as restore_exc:
-                            raise RuntimeError(
-                                f"ndb debris clearing at {self.path} "
-                                f"displaced a committed v{gen} and could "
-                                f"not restore it (now at {grave}) — "
-                                "manual inspection required"
-                            ) from restore_exc
-                        break  # their commit stands: genuine conflict
-                    shutil.rmtree(grave, ignore_errors=True)
-                    continue
-                break
+                        os.rename(grave, final)
+                    except OSError as restore_exc:
+                        raise RuntimeError(
+                            f"ndb debris clearing at {self.path} "
+                            f"displaced a committed v{gen} and could "
+                            f"not restore it (now at {grave}) — "
+                            "manual inspection required"
+                        ) from restore_exc
+                    break  # their commit stands: genuine conflict
+                shutil.rmtree(grave, ignore_errors=True)
+                continue
+            break
         shutil.rmtree(staging, ignore_errors=True)
         raise NdbWriteConflict(
             f"ndb commit conflict at {self.path}: generation v{gen} was "

@@ -1782,3 +1782,73 @@ def test_ndb_manifest_v1_entries_still_read(spark, tmpdir):
     shapes = {type(e).__name__ for e in man_new.values()}
     assert "dict" in shapes  # the rewritten bucket's fresh file is v2
     assert {r.k for r in t.replay().collect()} == set(range(20))
+
+def test_ndb_commit_backend_seam_log_service(spark, tmpdir):
+    """The CommitBackend seam (r15): a mock LOG-SERVICE backend — the
+    shape of the documented Delta/Iceberg swap — derives commit
+    authority from its own record instead of filesystem markers, and
+    the whole table engine (upsert, pruning, retention, replay) runs
+    unchanged through it."""
+    from dbitool_spark.ndb import CommitBackend, PosixCommitBackend
+
+    class LogServiceBackend(CommitBackend):
+        # authority lives HERE, not in _committed markers; data
+        # placement still uses the local rename (the mock's "store")
+        def __init__(self):
+            self.log: dict[str, set[int]] = {}
+            self.cas_calls = 0
+
+        def committed_gens(self, table_path):
+            return sorted(self.log.get(table_path, set()))
+
+        def rename_cas(self, staging, final):
+            self.cas_calls += 1
+            table_path, vname = os.path.split(final)
+            gen = int(vname[1:])
+            gens = self.log.setdefault(table_path, set())
+            if gen in gens:
+                return False  # conditional put failed
+            os.rename(staging, final)
+            gens.add(gen)
+            return True
+
+    backend = LogServiceBackend()
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, commit_backend=backend)
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "a")], "k bigint, v string"))
+    t.upsert(spark.createDataFrame([(2, "b"), (3, "b")], "k bigint, v string"))
+    assert backend.cas_calls == 2
+    assert backend.committed_gens(path) == [0, 1]
+    got = {r.k: r.v for r in t.replay().collect()}
+    assert got == {1: "a", 2: "b", 3: "b"}
+
+    # the conflict path: a CAS loss surfaces as NdbWriteConflict with
+    # the staging dir cleaned, and a retry through a re-read succeeds
+    from dbitool_spark.ndb import NdbWriteConflict
+
+    class ConflictOnce(LogServiceBackend):
+        def __init__(self, inner):
+            super().__init__()
+            self.log = inner.log
+            self.tripped = False
+
+        def rename_cas(self, staging, final):
+            if not self.tripped:
+                self.tripped = True
+                return False  # simulate losing the conditional put
+            return super().rename_cas(staging, final)
+
+    t2 = NdbTable(
+        spark, path, key="k", n_buckets=2,
+        commit_backend=ConflictOnce(backend),
+    )
+    with pytest.raises(NdbWriteConflict):
+        t2.upsert(spark.createDataFrame([(4, "c")], "k bigint, v string"))
+    assert not [n for n in os.listdir(path) if n.startswith(".stage")]
+    t2.upsert(spark.createDataFrame([(4, "c")], "k bigint, v string"))
+    assert {r.k: r.v for r in t2.replay().collect()} == {
+        1: "a", 2: "b", 3: "b", 4: "c",
+    }
+    # non-fs backend never attempts debris-grave recovery
+    assert not ConflictOnce(backend).handles_fs_debris
+    assert PosixCommitBackend().handles_fs_debris
