@@ -324,6 +324,51 @@ def _scaling_ops():
 
         return bpe_encode_documents(spark, d)
 
+    def streaming_curation(spark, d):
+        # r14 registration (gated r15): the curation chain as a
+        # stateless streaming projection — the drain's fixed overhead
+        # dominates at these SFs, so growth must sit far under the
+        # line; state-size creep in the scaffold would surface here
+        from dbitool_spark.plans.state_ops import (
+            streaming_curation_chain_documents,
+        )
+
+        return streaming_curation_chain_documents(spark, d)
+
+    def quantized_ann(spark, d):
+        # r15 registration: int8 quantize is one projection; the
+        # integer-dot top-k is queries(10) x corpus — linear in
+        # corpus for fixed queries, same contract as ann_recall
+        from dbitool_spark.plans.llm_ops import quantized_ann_topk_embeddings
+
+        return quantized_ann_topk_embeddings(spark, d)
+
+    def sessions_composite(spark, d):
+        # r14 registration (gated r15): three session realizations in
+        # one union — lag+cumsum and session_window are one user-keyed
+        # shuffle each, the streaming drain is fixed overhead; growth
+        # must track the event stream
+        from dbitool_spark.plans.state_ops import sessions_composite_events
+
+        return sessions_composite_events(spark, d)
+
+    def bpe_pipeline(spark, d):
+        # r16 superseder (gated ahead of registration, the pagerank
+        # precedent): pair stats + learn loop + encode share the one
+        # token-stream aggregation; growth must track the token
+        # stream, never K x corpus
+        from dbitool_spark.plans.llm_ops import bpe_pipeline_documents
+
+        return bpe_pipeline_documents(spark, d)
+
+    def lm_scores(spark, d):
+        # r15 staged (r17 merge candidate): both LM scorers off ONE
+        # corpus pass — same token-stream contract as the
+        # constituents it supersedes
+        from dbitool_spark.plans.llm_ops import lm_scores_composite
+
+        return lm_scores_composite(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -353,6 +398,11 @@ def _scaling_ops():
         "bpe_learn_merges": bpe_learn_merges,
         "bpe_encode": bpe_encode,
         "bigram_lm": bigram_lm,
+        "streaming_curation_chain": streaming_curation,
+        "quantized_ann_topk": quantized_ann,
+        "sessions_composite": sessions_composite,
+        "bpe_pipeline": bpe_pipeline,
+        "lm_scores_composite": lm_scores,
     }
 
 

@@ -3585,6 +3585,160 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def lm_scores_composite(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
+    """Kind-tagged merge of perplexity_score_documents (unigram LM)
+    + bigram_lm_score_documents — the registry's r17 'lm_scores'
+    composite (staged r15): both model-statistics quality signals in
+    ONE row set, computed from ONE corpus pass. The (prev, w) pair
+    stream subsumes the token stream (every token appears once, with
+    its context), so the composite shares the explode, the training
+    count tables, the scalar aggregate, and the three scored-stream
+    joins, then emits BOTH surprisals from the same joined projection
+    — strictly cheaper than running the constituents back to back
+    (their only non-shared work is the unigram-vs-bigram arithmetic).
+    Rows match the constituents bit-for-bit per kind (pytest pins the
+    differential), so registering it supersedes both slot-neutrally.
+
+    Scale shape: unchanged from the constituents' worst case — one
+    explode, three hash aggregations (bigram/context/unigram), three
+    keyed left joins on the scored stream, one per-doc agg; count
+    tables persist once with release handles."""
+    from dbitool_spark.ops.cache import attach_persists, materialize_release
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice("ts", 1, F.size("ts") - 1),
+    )
+    pairs = arr.select(
+        "doc_id",
+        F.explode(F.arrays_zip(prevs.alias("prev"), F.col("ts").alias("w"))).alias(
+            "p"
+        ),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+    train = pairs.filter(F.col("doc_id") % 2 == 0)
+    big = (
+        train.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .persist()
+    )
+    pre = big.groupBy("prev").agg(F.sum("cb").alias("c1")).persist()
+    uni = train.groupBy("w").agg(F.count(F.lit(1)).alias("cw")).persist()
+    scal = uni.agg(F.sum("cw").alias("n_tok"), F.count(F.lit(1)).alias("v_sz"))
+    # the unigram scorer's surprisal over the SAME joined columns
+    # (uni.cw here is perplexity_score's counts.c — identical
+    # aggregates over the identical train tokens)
+    uni_mb = (
+        F.round(
+            F.log2(
+                (F.col("n_tok") + F.col("v_sz"))
+                / (F.coalesce(F.col("cw"), F.lit(0)) + 1)
+            )
+            * 1000,
+            0,
+        )
+        .cast("long")
+    )
+    scored = (
+        pairs.filter(F.col("doc_id") % 2 == 1)
+        .join(big, ["prev", "w"], "left")
+        .join(pre, "prev", "left")
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            uni_mb.alias("s_uni_mb"),
+            _bigram_surprisal_mb().alias("s_big_mb"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("tok_n"),
+        F.sum("s_uni_mb").alias("ce_uni_mb"),
+        F.sum("s_big_mb").alias("ce_big_mb"),
+    )
+    result = (
+        per_doc.select(
+            F.lit("unigram").alias("kind"),
+            "doc_id",
+            "tok_n",
+            F.col("ce_uni_mb").alias("ce_mb"),
+            (
+                F.col("ce_uni_mb") > F.col("tok_n") * _PPL_FLAG_MILLIBITS
+            ).alias("flagged"),
+        )
+        .unionByName(
+            per_doc.select(
+                F.lit("bigram").alias("kind"),
+                "doc_id",
+                "tok_n",
+                F.col("ce_big_mb").alias("ce_mb"),
+                (
+                    F.col("ce_big_mb")
+                    > F.col("tok_n") * _BIGRAM_FLAG_MILLIBITS
+                ).alias("flagged"),
+            )
+        )
+        .orderBy("kind", "doc_id")
+    )
+    if not materialize:
+        return attach_persists(result, big, pre, uni)
+    return materialize_release(result, big, pre, uni)
+
+
+LM_SCORES_COMPOSITE_SQL = rf"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN j = 1 THEN NULL ELSE ts[j - 1] END AS prev,
+         ts[j] AS w
+  FROM arrs, LATERAL unnest(generate_series(1, len(ts))) AS t(j)
+),
+big AS (
+  SELECT prev, w, COUNT(*) AS cb FROM pairs
+  WHERE doc_id % 2 = 0 AND prev IS NOT NULL GROUP BY prev, w
+),
+pre AS (SELECT prev, SUM(cb) AS c1 FROM big GROUP BY prev),
+uni AS (SELECT w, COUNT(*) AS cw FROM pairs WHERE doc_id % 2 = 0 GROUP BY w),
+scal AS (SELECT SUM(cw) AS n_tok, COUNT(*) AS v_sz FROM uni),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(log2((s.n_tok + s.v_sz) * 1.0
+                         / (COALESCE(u.cw, 0) + 1)) * 1000, 0) AS BIGINT)
+           AS s_uni_mb,
+         {_BIGRAM_SURPRISAL_MB_SQL} AS s_big_mb
+  FROM pairs p
+  LEFT JOIN big b ON p.prev = b.prev AND p.w = b.w
+  LEFT JOIN pre r ON p.prev = r.prev
+  LEFT JOIN uni u ON p.w = u.w
+  CROSS JOIN scal s
+  WHERE p.doc_id % 2 = 1
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS tok_n,
+         CAST(SUM(s_uni_mb) AS BIGINT) AS ce_uni_mb,
+         CAST(SUM(s_big_mb) AS BIGINT) AS ce_big_mb
+  FROM scored GROUP BY doc_id
+)
+SELECT 'unigram' AS kind, doc_id, tok_n, ce_uni_mb AS ce_mb,
+       ce_uni_mb > tok_n * {_PPL_FLAG_MILLIBITS} AS flagged
+FROM per_doc
+UNION ALL
+SELECT 'bigram' AS kind, doc_id, tok_n, ce_big_mb AS ce_mb,
+       ce_big_mb > tok_n * {_BIGRAM_FLAG_MILLIBITS} AS flagged
+FROM per_doc
+ORDER BY kind, doc_id
+"""
+
+
 def _dsir_weight_mb():
     """Per-token DSIR weight in integer milli-bits over columns
     ct/cr/nt/nr/v — the ONE knob mirrored by DSIR_WEIGHTS_SQL's CASE.

@@ -2255,3 +2255,34 @@ def test_bigram_lm_order_sensitivity_and_branches(spark, tmp_path):
         for r in llm_ops.bigram_lm_score_documents(spark, d).collect()
     }
     assert out[1] < out[3], out  # fluent (seen order) beats the salad
+
+def test_lm_scores_composite_matches_constituents(spark):
+    """The staged lm_scores composite must reproduce BOTH constituents
+    bit-for-bit per kind — the retirement contract's precondition for
+    the r17 supersede (same check the other kind-tagged composites
+    carry)."""
+    from dbitool_spark.plans import llm_ops
+
+    sf = "/root/testdata/sf0.001"
+    comp = llm_ops.lm_scores_composite(spark, sf).collect()
+    uni = {
+        (r.doc_id): (r.tok_n, r.ce_mb, r.flagged)
+        for r in llm_ops.perplexity_score_documents(spark, sf).collect()
+    }
+    big = {
+        (r.doc_id): (r.tok_n, r.ce_mb, r.flagged)
+        for r in llm_ops.bigram_lm_score_documents(spark, sf).collect()
+    }
+    got_uni = {
+        r.doc_id: (r.tok_n, r.ce_mb, r.flagged)
+        for r in comp
+        if r.kind == "unigram"
+    }
+    got_big = {
+        r.doc_id: (r.tok_n, r.ce_mb, r.flagged)
+        for r in comp
+        if r.kind == "bigram"
+    }
+    assert got_uni == uni
+    assert got_big == big
+    assert len(comp) == len(uni) + len(big) and len(uni) > 0

@@ -300,6 +300,12 @@ _RETIRED_CASES += [
     ("staged_bigram_lm_score_documents",
      _llm.bigram_lm_score_documents,
      _llm.BIGRAM_LM_SCORE_SQL),
+    # r17 merge candidate (staged r15, the registry ledger's
+    # 'lm_scores' row): perplexity_score + bigram_lm from ONE corpus
+    # pass — both constituents' slots reclaim r17 when it registers
+    ("staged_lm_scores_composite",
+     _llm.lm_scores_composite,
+     _llm.LM_SCORES_COMPOSITE_SQL),
     # r16 merge candidate (net-new r14): the full tokenizer story in
     # one kind-tagged row — supersedes bpe_pair_counts (registered
     # r14, due r16) while registering learn + encode in its slot
