@@ -245,6 +245,7 @@ def _drain_streaming_entry(
     plan,
     output_mode: str,
     state_partitions: int = 8,
+    src_files: int | None = None,
 ) -> DataFrame:
     """Shared scaffold of every streaming driver entry (one place to
     fix, five entries that can't drift): drop the previous call's
@@ -268,7 +269,22 @@ def _drain_streaming_entry(
     coalescing, which does not apply to stateful streaming plans:
     state partitioning is fixed at query start. A production
     continuous run sizes the same knob to cluster parallelism x state
-    volume instead."""
+    volume instead.
+
+    src_files (r15, STATELESS entries only): republish the source as
+    this many NDJSON files instead of the source frame's own
+    partitioning. A parquet-single-file source republishes as ONE
+    ndjson file, which makes the whole micro-batch ONE task — the
+    projection-heavy drains were spending ~85% of their time
+    single-threaded (measured on the curation chain at sf0.1: 1 file
+    10.8s vs 8 files 2.6s) — and collapses the drain to a single
+    micro-batch, weakening the very batch-boundary-invariance claim
+    the entries make. 8 files at maxFilesPerTrigger=4 gives >= 2
+    micro-batches with 4-way task parallelism inside each. Only
+    stateless (projection/filter) plans may set it: for watermarked
+    append aggregations, stream-stream joins, and first-wins dedup
+    the EMITTED SET is a function of micro-batch boundaries, so their
+    republish stays exactly as written."""
     import uuid
 
     from dbitool_spark import streaming
@@ -281,6 +297,8 @@ def _drain_streaming_entry(
         if t.name.startswith(prefix):
             spark.catalog.dropTempView(t.name)
     src = os.path.join(_scratch_dir(prefix.rstrip("_"), sf_dir), "ndjson")
+    if src_files is not None:
+        source_df = source_df.repartition(src_files)
     json_io.write_ndjson(source_df, src)
     stream = streaming.stream_ndjson(spark, src, schema, max_files_per_trigger=4)
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
@@ -524,6 +542,7 @@ def streaming_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataF
             stream, bench_grams, "text", ngram=DECONTAM_NGRAM
         ),
         output_mode="append",
+        src_files=8,  # stateless filter: batch-boundary invariant
     )
     return sink.select("doc_id", "source").orderBy("doc_id")
 
@@ -553,6 +572,7 @@ def streaming_curation_chain_documents(spark: SparkSession, sf_dir: str) -> Data
         schema="doc_id bigint, text string, source string",
         plan=lambda stream: llm_ops.curation_chain_transform(stream),
         output_mode="append",
+        src_files=8,  # stateless projection: batch-boundary invariant
     )
     return sink.orderBy("doc_id")
 
