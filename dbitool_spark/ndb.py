@@ -1533,13 +1533,60 @@ class NdbTable:
         return state.drop(_GEN, _BUCKET)
 
     def lookup(
-        self, other: DataFrame, *, how: str = "left", broadcast: bool = False
+        self,
+        other: DataFrame,
+        *,
+        how: str = "left",
+        broadcast: bool = False,
+        prune: bool = True,
     ) -> DataFrame:
         """Enrich `other` by key (the reference's intended lookup use,
         TODO:61-65). broadcast=True hints the table side — only for
         tables known bounded; otherwise the join shuffles on the key
-        and AQE decides."""
-        table = self.replay()
+        and AQE decides.
+
+        prune (r15): for left/inner/semi joins the TABLE side is
+        bucket-pruned to the probe's key buckets before the join —
+        the deterministic key hash means a bucket the probe never
+        hashes into cannot hold a matching key, and stored rows are
+        already last-write-wins resolved per key within their bucket,
+        so dropping whole bucket partitions cannot change the result
+        (unmatched probe rows still emit NULLs under 'left'). Cost:
+        ONE probe-side distinct over the computed bucket id — map-side
+        combinable to <= n_buckets rows, a bounded driver edge by
+        construction. At 100 TB this is the difference between a
+        point-lookup enrich reading b/n of the table and reading all
+        of it — the lookup analogue of upsert's partition pruning.
+        Right/full/anti joins need the table's unmatched rows and
+        fall back to the full replay, as does the legacy flat layout;
+        set prune=False when the probe is itself table-sized (the
+        pruning pass then costs more than it saves).
+        last_lookup_stats records the selection."""
+        self.last_lookup_stats: dict = {}
+        prunable = {"left", "inner", "semi", "left_semi", "leftsemi"}
+        state = self._state()
+        if (
+            prune
+            and how in prunable
+            and state is not None
+            and _BUCKET in state.columns
+        ):
+            touched = [
+                int(r[0])
+                for r in other.select(self._bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            ]
+            self.last_lookup_stats = {
+                "buckets_probed": len(touched),
+                "n_buckets": self.n_buckets,
+                "buckets_pruned": self.n_buckets - len(touched),
+            }
+            table = state.filter(
+                F.col(_BUCKET).isin(touched)
+            ).drop(_GEN, _BUCKET)
+        else:
+            table = self.replay()
         if broadcast:
             table = F.broadcast(table)
         return other.join(table, on=self.key, how=how)

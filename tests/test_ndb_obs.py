@@ -1852,3 +1852,47 @@ def test_ndb_commit_backend_seam_log_service(spark, tmpdir):
     # non-fs backend never attempts debris-grave recovery
     assert not ConflictOnce(backend).handles_fs_debris
     assert PosixCommitBackend().handles_fs_debris
+
+def test_ndb_lookup_bucket_pruned(spark, tmpdir):
+    """lookup() bucket-prunes the table side for left/inner/semi joins
+    (r15): a small probe touches few buckets, the scan carries a
+    partition filter on the bucket column, and the result is
+    identical to the unpruned join. Right joins need unmatched table
+    rows and fall back to the full replay."""
+    import contextlib
+    import io as _io
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=16)
+    t.upsert(
+        spark.createDataFrame(
+            [(i, f"name{i}") for i in range(200)], "k bigint, name string"
+        )
+    )
+    probe = spark.createDataFrame([(3, "x"), (7, "y"), (999, "z")], "k bigint, tag string")
+
+    pruned = t.lookup(probe, how="left")
+    stats = dict(t.last_lookup_stats)
+    assert 0 < stats["buckets_probed"] <= 3  # 3 keys -> <= 3 buckets
+    assert stats["buckets_pruned"] >= 13
+    full = t.lookup(probe, how="left", prune=False)
+    assert t.last_lookup_stats == {}  # fallback records no selection
+    key = lambda r: (r["k"], r["tag"], r["name"])  # noqa: E731
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, full.collect()))
+    # the missing key still emits its NULL row under 'left'
+    assert any(r["k"] == 999 and r["name"] is None for r in pruned.collect())
+
+    # the prune is REAL partition pruning, not a post-scan filter
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "__ndb_bucket" in plan
+
+    # inner join agrees too; right join falls back to the full table
+    inner_p = t.lookup(probe, how="inner").collect()
+    inner_f = t.lookup(probe, how="inner", prune=False).collect()
+    assert sorted(map(key, inner_p)) == sorted(map(key, inner_f))
+    right = t.lookup(probe, how="right")
+    assert t.last_lookup_stats == {}
+    assert right.count() == 200  # every table row survives a right join
