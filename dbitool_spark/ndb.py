@@ -1557,11 +1557,18 @@ class NdbTable:
         construction. At 100 TB this is the difference between a
         point-lookup enrich reading b/n of the table and reading all
         of it — the lookup analogue of upsert's partition pruning.
-        Right/full/anti joins need the table's unmatched rows and
-        fall back to the full replay, as does the legacy flat layout;
-        set prune=False when the probe is itself table-sized (the
-        pruning pass then costs more than it saves).
-        last_lookup_stats records the selection."""
+        The SAME probe pass also takes the probe's global [min, max]
+        key range, and the table filter adds key BETWEEN lo AND hi —
+        keys outside the probe's range cannot match either, and the
+        between pushes down to the parquet scan (PushedFilters), so
+        on files_per_bucket>1 tables, whose files are key-range
+        sorted with tight row-group stats, the surviving buckets
+        additionally skip whole files/row groups. Right/full/anti
+        joins need the table's unmatched rows and fall back to the
+        full replay, as does the legacy flat layout; set prune=False
+        when the probe is itself table-sized (the pruning pass then
+        costs more than it saves). last_lookup_stats records the
+        selection."""
         self.last_lookup_stats: dict = {}
         prunable = {"left", "inner", "semi", "left_semi", "leftsemi"}
         state = self._state()
@@ -1571,20 +1578,28 @@ class NdbTable:
             and state is not None
             and _BUCKET in state.columns
         ):
-            touched = [
-                int(r[0])
-                for r in other.select(self._bucket_expr().alias("b"))
-                .distinct()
-                .collect()
-            ]
+            # ONE probe pass: distinct bucket ids (<= n_buckets via
+            # map-side combine) + the global key range, one driver row
+            sel = other.agg(
+                F.collect_set(self._bucket_expr()).alias("bs"),
+                F.min(self.key).alias("lo"),
+                F.max(self.key).alias("hi"),
+            ).collect()[0]
+            touched = sorted(int(b) for b in (sel["bs"] or []))
             self.last_lookup_stats = {
                 "buckets_probed": len(touched),
                 "n_buckets": self.n_buckets,
                 "buckets_pruned": self.n_buckets - len(touched),
+                "key_range": (
+                    None if sel["lo"] is None else [sel["lo"], sel["hi"]]
+                ),
             }
-            table = state.filter(
-                F.col(_BUCKET).isin(touched)
-            ).drop(_GEN, _BUCKET)
+            table = state.filter(F.col(_BUCKET).isin(touched))
+            if sel["lo"] is not None:
+                table = table.filter(
+                    F.col(self.key).between(F.lit(sel["lo"]), F.lit(sel["hi"]))
+                )
+            table = table.drop(_GEN, _BUCKET)
         else:
             table = self.replay()
         if broadcast:

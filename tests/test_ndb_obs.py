@@ -1875,6 +1875,7 @@ def test_ndb_lookup_bucket_pruned(spark, tmpdir):
     stats = dict(t.last_lookup_stats)
     assert 0 < stats["buckets_probed"] <= 3  # 3 keys -> <= 3 buckets
     assert stats["buckets_pruned"] >= 13
+    assert stats["key_range"] == [3, 999]  # probe min/max rode the same pass
     full = t.lookup(probe, how="left", prune=False)
     assert t.last_lookup_stats == {}  # fallback records no selection
     key = lambda r: (r["k"], r["tag"], r["name"])  # noqa: E731
@@ -1888,6 +1889,9 @@ def test_ndb_lookup_bucket_pruned(spark, tmpdir):
         pruned.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "__ndb_bucket" in plan
+    # the key-range prune reached the parquet scan as a pushed filter
+    # (row-group skipping on range-sorted files comes free from it)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k" in plan
 
     # inner join agrees too; right join falls back to the full table
     inner_p = t.lookup(probe, how="inner").collect()
