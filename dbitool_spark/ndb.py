@@ -49,10 +49,13 @@ stores the same protocol needs a log/CAS service, exactly as
 Delta/Iceberg require there. That swap is a named SEAM since r15:
 CommitBackend (committed_gens + rename_cas) with the shipped
 PosixCommitBackend; implement those two calls against a conditional-
-put log service and the rest of the engine carries over unchanged
-(tests exercise a mock log-service backend through the full
-upsert/conflict/replay path). Hardlinks keep shared files alive
-across version GC.
+put log service and the rest of the engine carries over unchanged.
+SqliteCommitBackend is the shipped REFERENCE log backend — commit
+authority in an ACID sqlite table, the insert and the data rename
+bracketed by one transaction — proving the seam with a real
+non-rename authority, not just a mock (tests drive both backends
+through the full upsert/conflict/replay path plus a threaded CAS
+race). Hardlinks keep shared files alive across version GC.
 """
 
 from __future__ import annotations
@@ -205,6 +208,91 @@ class PosixCommitBackend(CommitBackend):
             if exc.errno in (errno.EEXIST, errno.ENOTEMPTY, errno.ENOTDIR):
                 return False
             raise  # genuine I/O failure: never mask as conflict
+
+
+class SqliteCommitBackend(CommitBackend):
+    """REAL log-service implementation of the seam (stdlib sqlite3) —
+    commit authority lives in an ACID transactions table, NOT in
+    filesystem rename semantics: the shape Delta's log store /
+    Iceberg's catalog provide on object stores, runnable here without
+    any service. The CAS is an INSERT under a PRIMARY KEY
+    (table_path, gen) inside ONE transaction that also brackets the
+    data rename:
+
+        BEGIN IMMEDIATE            -- serializes writers (busy wait)
+        INSERT (table_path, gen)   -- IntegrityError = CAS lost
+        os.rename(staging, final)  -- data placement
+        COMMIT                     -- the publish instant
+
+    A reader's committed_gens() only sees the row after COMMIT, so a
+    renamed-but-unlogged dir is as invisible as a staging dir — no
+    torn window between data and log. A rename failure rolls the
+    insert back (conflict errnos -> CAS loss; anything else
+    re-raises with the staging dir intact). handles_fs_debris stays
+    False: a markerless v{gen} dir under a log backend is unlogged
+    garbage that the rename-collision path reports as a plain CAS
+    loss, never cleared (the log, not the dir listing, is truth).
+
+    Scope note (honest): sqlite's locking is a LOCAL-disk guarantee —
+    this backend demonstrates and tests the seam's contract; an
+    object-store deployment implements the same two calls against a
+    conditional-put service (DynamoDB, an Iceberg REST catalog)."""
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        with self._conn() as con:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS commits ("
+                " table_path TEXT NOT NULL, gen INTEGER NOT NULL,"
+                " committed_at REAL NOT NULL,"
+                " PRIMARY KEY (table_path, gen))"
+            )
+
+    def _conn(self):
+        import sqlite3
+
+        con = sqlite3.connect(self.db_path, timeout=30.0)
+        con.execute("PRAGMA busy_timeout = 30000")
+        return con
+
+    def committed_gens(self, table_path: str) -> list[int]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT gen FROM commits WHERE table_path = ?",
+                (os.path.abspath(table_path),),
+            ).fetchall()
+        return [int(r[0]) for r in rows]
+
+    def rename_cas(self, staging: str, final: str) -> bool:
+        import errno
+        import sqlite3
+        import time as _time
+
+        table_path, vname = os.path.split(final)
+        gen = int(vname[1:])
+        con = self._conn()
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                con.execute(
+                    "INSERT INTO commits (table_path, gen, committed_at)"
+                    " VALUES (?, ?, ?)",
+                    (os.path.abspath(table_path), gen, _time.time()),
+                )
+            except sqlite3.IntegrityError:
+                con.rollback()
+                return False  # conditional put failed: CAS lost
+            try:
+                os.rename(staging, final)
+            except OSError as exc:
+                con.rollback()  # no log row without data
+                if exc.errno in (errno.EEXIST, errno.ENOTEMPTY, errno.ENOTDIR):
+                    return False  # unlogged debris in the slot: CAS loss
+                raise
+            con.commit()  # the publish instant
+            return True
+        finally:
+            con.close()
 
 
 class NdbTable:
