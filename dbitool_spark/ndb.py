@@ -178,6 +178,12 @@ class CommitBackend:
     def rename_cas(self, staging: str, final: str) -> bool:
         raise NotImplementedError
 
+    def forget(self, table_path: str, gen: int) -> None:
+        """Retention GC retired v{gen}: drop its commit record so the
+        log stays bounded by keep_versions. No-op by default — on the
+        POSIX backend the in-dir marker IS the record and dies with
+        the dir; log-service backends override."""
+
 
 class PosixCommitBackend(CommitBackend):
     """The shipped implementation: POSIX rename-onto-existing-dir
@@ -293,6 +299,13 @@ class SqliteCommitBackend(CommitBackend):
             return True
         finally:
             con.close()
+
+    def forget(self, table_path: str, gen: int) -> None:
+        with self._conn() as con:
+            con.execute(
+                "DELETE FROM commits WHERE table_path = ? AND gen = ?",
+                (os.path.abspath(table_path), int(gen)),
+            )
 
 
 class NdbTable:
@@ -1308,6 +1321,14 @@ class NdbTable:
                 ):
                     continue  # newer committed head: never ours to GC
                 shutil.rmtree(full, ignore_errors=True)
+                # retire the generation from the commit log too: on
+                # the POSIX backend the marker died with the dir
+                # (forget is a no-op), but a log-service backend
+                # would otherwise grow one row per micro-batch
+                # forever on a long-running stream_upsert_ndb —
+                # the same unbounded-growth leak this GC exists to
+                # prevent, one layer up
+                self._backend.forget(self.path, int(name[1:]))
             elif (
                 (".debris.pid" in name or ".stale.pid" in name)
                 and name.startswith("v")

@@ -1372,7 +1372,8 @@ def test_ndb_keep_versions_explicit_narrowing_honored(spark, tmpdir):
 
 
 @pytest.mark.slow
-def test_ndb_multiwriter_occ_real_process_race(spark, tmpdir):
+@pytest.mark.parametrize("backend", ["posix", "sqlite"])
+def test_ndb_multiwriter_occ_real_process_race(spark, tmpdir, backend):
     """Brief r13→r14 item 4: the commit protocol's value claim is
     MULTI-WRITER safety, so prove it under a genuine cross-process
     race — N writer processes (own JVMs), advisory lock DISABLED,
@@ -1381,7 +1382,12 @@ def test_ndb_multiwriter_occ_real_process_race(spark, tmpdir):
     row (no lost update), total commits == total successful upserts
     (exactly one commit per generation, none overwritten), every
     retained version dir is readable (no torn state), and every
-    loser saw NdbWriteConflict (never silent corruption)."""
+    loser saw NdbWriteConflict (never silent corruption).
+
+    Parameterized over the commit-backend seam (r15): the same race
+    must hold with authority in the POSIX rename-CAS AND in the
+    sqlite log service — sqlite's cross-process ACID locking is
+    exactly what the log-backend class claims to provide."""
     import json as _json
     import subprocess
     import sys
@@ -1390,10 +1396,13 @@ def test_ndb_multiwriter_occ_real_process_race(spark, tmpdir):
     n_writers = 3
     path = os.path.join(tmpdir, "kv")
     go = os.path.join(tmpdir, "GO")
+    backend_db = (
+        os.path.join(tmpdir, "commits.sqlite") if backend == "sqlite" else ""
+    )
 
     child_src = r"""
 import json, os, sys, time
-wid, table_path, go_path, out_path, ready_path = sys.argv[1:6]
+wid, table_path, go_path, out_path, ready_path, backend_db = sys.argv[1:7]
 wid = int(wid)
 from pyspark.sql import SparkSession
 spark = (
@@ -1403,8 +1412,12 @@ spark = (
     .config("spark.sql.shuffle.partitions", "2")
     .getOrCreate()
 )
-from dbitool_spark.ndb import NdbTable, NdbWriteConflict
-t = NdbTable(spark, table_path, key="k", n_buckets=2, single_writer=False)
+from dbitool_spark.ndb import NdbTable, NdbWriteConflict, SqliteCommitBackend
+be = SqliteCommitBackend(backend_db) if backend_db else None
+t = NdbTable(
+    spark, table_path, key="k", n_buckets=2, single_writer=False,
+    commit_backend=be,
+)
 open(ready_path, "w").close()
 while not os.path.exists(go_path):
     time.sleep(0.01)
@@ -1434,7 +1447,10 @@ spark.stop()
         readys.append(ready)
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", child_src, str(w), path, go, out, ready],
+                [
+                    sys.executable, "-c", child_src,
+                    str(w), path, go, out, ready, backend_db,
+                ],
                 cwd="/root/repo",
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
@@ -1453,10 +1469,23 @@ spark.stop()
     total_success = len(results)  # each child exits 0 only after landing
     assert total_success == n_writers
 
-    # no lost update: every writer's row is in the final state
-    t = NdbTable(spark, path, key="k", n_buckets=2, single_writer=False)
+    # no lost update: every writer's row is in the final state —
+    # verified through the SAME backend the racers used (for sqlite,
+    # authority comes from the log; the in-dir markers, which
+    # _commit_version writes regardless, must agree)
+    from dbitool_spark.ndb import PosixCommitBackend, SqliteCommitBackend
+
+    be = SqliteCommitBackend(backend_db) if backend_db else None
+    t = NdbTable(
+        spark, path, key="k", n_buckets=2, single_writer=False,
+        commit_backend=be,
+    )
     got = {r.k: r.v for r in t.replay().collect()}
     assert got == {w: f"writer{w}" for w in range(n_writers)}
+    if backend_db:
+        assert sorted(t._committed_gens()) == sorted(
+            PosixCommitBackend().committed_gens(path)
+        )  # log and markers agree
 
     # exactly one commit per generation, contiguous from v0: the head
     # generation index == total successful upserts - 1 (a gen written
@@ -1930,12 +1959,19 @@ def test_ndb_sqlite_commit_backend_end_to_end(spark, tmpdir):
     # time travel still reads retained snapshots (log-derived head)
     assert {r.k for r in t.replay(as_of=0).collect()} == {0, 1, 2}
 
+    # retention GC trims the LOG too (backend.forget): a 4th upsert
+    # retires v0's dir AND its commit row — a long-running stream
+    # must not grow one log row per micro-batch forever
+    t.upsert(spark.createDataFrame([(5, "g3")], "k bigint, v string"))
+    assert be.committed_gens(path) == [1, 2, 3]
+    assert t.versions() == [1, 2, 3]
+
     # a second instance over a FRESH backend handle sees the same head
     t2 = NdbTable(
         spark, path, key="k", n_buckets=2, keep_versions=3,
         commit_backend=SqliteCommitBackend(db),
     )
-    assert t2._current_gen() == 2
+    assert t2._current_gen() == 3
 
     # direct CAS: second publisher of the same generation loses
     s_a = os.path.join(path, ".stage-v9-a"); os.makedirs(s_a)
