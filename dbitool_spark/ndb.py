@@ -246,13 +246,17 @@ class SqliteCommitBackend(CommitBackend):
 
     def __init__(self, db_path: str):
         self.db_path = db_path
-        with self._conn() as con:
+        con = self._conn()
+        try:
             con.execute(
                 "CREATE TABLE IF NOT EXISTS commits ("
                 " table_path TEXT NOT NULL, gen INTEGER NOT NULL,"
                 " committed_at REAL NOT NULL,"
                 " PRIMARY KEY (table_path, gen))"
             )
+            con.commit()
+        finally:
+            con.close()  # sqlite3's context manager commits, never closes
 
     def _conn(self):
         import sqlite3
@@ -262,11 +266,14 @@ class SqliteCommitBackend(CommitBackend):
         return con
 
     def committed_gens(self, table_path: str) -> list[int]:
-        with self._conn() as con:
+        con = self._conn()
+        try:
             rows = con.execute(
                 "SELECT gen FROM commits WHERE table_path = ?",
                 (os.path.abspath(table_path),),
             ).fetchall()
+        finally:
+            con.close()
         return [int(r[0]) for r in rows]
 
     def rename_cas(self, staging: str, final: str) -> bool:
@@ -276,9 +283,10 @@ class SqliteCommitBackend(CommitBackend):
 
         table_path, vname = os.path.split(final)
         gen = int(vname[1:])
+        conflict_errnos = (errno.EEXIST, errno.ENOTEMPTY, errno.ENOTDIR)
         con = self._conn()
         try:
-            con.execute("BEGIN IMMEDIATE")
+            con.execute("BEGIN IMMEDIATE")  # serializes log writers
             try:
                 con.execute(
                     "INSERT INTO commits (table_path, gen, committed_at)"
@@ -288,24 +296,65 @@ class SqliteCommitBackend(CommitBackend):
             except sqlite3.IntegrityError:
                 con.rollback()
                 return False  # conditional put failed: CAS lost
+            # data placement under the HELD write transaction: the
+            # insert was accepted, so the log — the authority — says
+            # nothing is committed at this gen, and any directory
+            # already in the slot can only be the remnant of a writer
+            # that died between ITS rename and ITS COMMIT (whose
+            # insert rolled back). Clear it atomically and retry once
+            # — self-healing for the rename->commit crash window; the
+            # held transaction excludes concurrent loggers of this
+            # slot, so the clear races nobody (review finding: this
+            # remnant otherwise wedged the table permanently).
+            for attempt in (0, 1):
+                try:
+                    os.rename(staging, final)
+                    break
+                except OSError as exc:
+                    if exc.errno not in conflict_errnos:
+                        con.rollback()
+                        raise
+                    if attempt == 1 or not os.path.isdir(final):
+                        con.rollback()
+                        return False
+                    grave = f"{final}.unlogged.pid{os.getpid()}"
+                    try:
+                        os.rename(final, grave)
+                    except OSError:
+                        con.rollback()
+                        return False
+                    shutil.rmtree(grave, ignore_errors=True)
             try:
-                os.rename(staging, final)
-            except OSError as exc:
-                con.rollback()  # no log row without data
-                if exc.errno in (errno.EEXIST, errno.ENOTEMPTY, errno.ENOTDIR):
-                    return False  # unlogged debris in the slot: CAS loss
+                con.commit()  # the publish instant
+            except sqlite3.Error:
+                # data placed but the log row didn't land: restore the
+                # dir to the staging path so log and data agree AND
+                # the caller's raise contract (staging left intact for
+                # inspection) holds (review finding)
+                try:
+                    os.rename(final, staging)
+                except OSError:
+                    grave = f"{final}.unlogged.pid{os.getpid()}"
+                    try:
+                        os.rename(final, grave)
+                        shutil.rmtree(grave, ignore_errors=True)
+                    except OSError:
+                        pass
                 raise
-            con.commit()  # the publish instant
             return True
         finally:
             con.close()
 
     def forget(self, table_path: str, gen: int) -> None:
-        with self._conn() as con:
+        con = self._conn()
+        try:
             con.execute(
                 "DELETE FROM commits WHERE table_path = ? AND gen = ?",
                 (os.path.abspath(table_path), int(gen)),
             )
+            con.commit()
+        finally:
+            con.close()
 
 
 class NdbTable:
@@ -526,6 +575,12 @@ class NdbTable:
                         shutil.rmtree(stale_grave, ignore_errors=True)
                     except OSError:
                         pass  # a racer moved it first; either way: conflict
+                    # retire the unpublished generation's commit record
+                    # too (review finding: a log backend would otherwise
+                    # keep a committed row for data that no longer
+                    # exists — phantom head risk + unbounded growth; a
+                    # no-op on POSIX, where the marker left with the dir)
+                    self._backend.forget(self.path, gen)
                     raise NdbWriteConflict(
                         f"ndb commit conflict at {self.path}: v{gen} was "
                         f"published below the committed head v{newest} "
@@ -682,7 +737,11 @@ class NdbTable:
 
         try:
             md = pq.read_metadata(path)
-        except OSError:
+        except (OSError, ValueError):
+            # pyarrow's ArrowInvalid subclasses ValueError: a corrupt
+            # or truncated footer degrades to the safe over-read, it
+            # never crashes the pruning path (review finding — the
+            # original _file_key_range contract)
             return None, None
         rows = md.num_rows
         try:
@@ -1679,13 +1738,38 @@ class NdbTable:
         costs more than it saves). last_lookup_stats records the
         selection."""
         self.last_lookup_stats: dict = {}
-        prunable = {"left", "inner", "semi", "left_semi", "leftsemi"}
+        # left/inner/semi: pruned table rows can't match any probe
+        # key. anti is safe for the same reason — removing table rows
+        # outside the probe's buckets cannot change which probe rows
+        # HAVE a match. right/full need unmatched table rows.
+        prunable = {
+            "left", "left_outer", "leftouter", "inner",
+            "semi", "left_semi", "leftsemi",
+            "anti", "left_anti", "leftanti",
+        }
         state = self._state()
+        # the bucket hash is TYPE-sensitive (the upsert drift guard's
+        # reason): a probe whose key dtype differs from the stored one
+        # would hash into the WRONG buckets and the pruned join would
+        # silently miss real matches (the unpruned join coerces fine)
+        # — dtype drift falls back to the full replay instead
+        stored_kt = self._key_type or (
+            state.schema[self.key].dataType.simpleString()
+            if state is not None and self.key in state.columns
+            else None
+        )
+        probe_kt = (
+            other.schema[self.key].dataType.simpleString()
+            if self.key in other.columns
+            else None
+        )
         if (
             prune
             and how in prunable
             and state is not None
             and _BUCKET in state.columns
+            and probe_kt is not None
+            and probe_kt == stored_kt
         ):
             # ONE probe pass: distinct bucket ids (<= n_buckets via
             # map-side combine) + the global key range, one driver row
@@ -1709,8 +1793,13 @@ class NdbTable:
                     F.col(self.key).between(F.lit(sel["lo"]), F.lit(sel["hi"]))
                 )
             table = table.drop(_GEN, _BUCKET)
+        elif state is None:
+            return self.replay()  # raises the canonical empty-table error
         else:
-            table = self.replay()
+            # fallback reuses the already-resolved state reader instead
+            # of paying a second _current_gen + parquet resolution via
+            # replay() (review finding)
+            table = state.drop(_GEN, _BUCKET)
         if broadcast:
             table = F.broadcast(table)
         return other.join(table, on=self.key, how=how)

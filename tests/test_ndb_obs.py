@@ -2010,3 +2010,97 @@ def test_ndb_sqlite_commit_backend_end_to_end(spark, tmpdir):
     for th in threads: th.join()
     assert sorted(wins) == [False, False, False, True]
     assert os.path.isdir(os.path.join(path, "v5"))
+
+def test_ndb_lookup_dtype_drift_falls_back(spark, tmpdir):
+    """Review finding: the bucket hash is type-sensitive, so a probe
+    whose key dtype differs from the stored one must NOT prune (it
+    would hash into the wrong buckets and silently miss matches) —
+    it falls back to the full replay, where join coercion is fine."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=8)
+    t.upsert(
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(50)], "k bigint, v string"
+        )
+    )
+    probe_int = spark.createDataFrame([(3,), (7,)], "k int")
+    got = t.lookup(probe_int, how="inner")
+    assert t.last_lookup_stats == {}  # no prune recorded: fell back
+    assert {(r.k, r.v) for r in got.collect()} == {(3, "n3"), (7, "n7")}
+
+    # matched dtype still prunes — and so do the alias spellings
+    probe = spark.createDataFrame([(3,), (7,)], "k bigint")
+    for how in ("left_outer", "left_anti"):
+        res = t.lookup(probe, how=how)
+        assert t.last_lookup_stats["buckets_probed"] >= 1
+        n = res.count()
+        assert n == (2 if how == "left_outer" else 0)
+
+
+def test_ndb_file_stats_corrupt_footer_safe(tmpdir):
+    """Review finding: a corrupt/truncated parquet footer must degrade
+    to the safe over-read (None stats), never raise — pyarrow's
+    ArrowInvalid subclasses ValueError and the probe catches it."""
+    bad = os.path.join(tmpdir, "garbage.parquet")
+    with open(bad, "wb") as fh:
+        fh.write(b"not a parquet file at all")
+    assert NdbTable._file_stats(bad, "k") == (None, None)
+    assert NdbTable._file_key_range(bad, "k") is None
+
+
+def test_ndb_sqlite_backend_heals_unlogged_dir(spark, tmpdir):
+    """Review finding: a writer that crashed between its data rename
+    and its log COMMIT leaves a marker-carrying but UNLOGGED v{gen}
+    dir; the next writer's rename_cas (insert accepted => the log
+    says the slot is uncommitted) must clear it and publish —
+    self-healing, not a permanent wedge."""
+    from dbitool_spark.ndb import SqliteCommitBackend
+
+    db = os.path.join(tmpdir, "commits.sqlite")
+    path = os.path.join(tmpdir, "kv")
+    be = SqliteCommitBackend(db)
+    t = NdbTable(spark, path, key="k", n_buckets=2, commit_backend=be)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    # simulate the crash remnant: v1 dir with a marker, NO log row
+    remnant = os.path.join(path, "v1")
+    os.makedirs(remnant)
+    open(os.path.join(remnant, "_committed"), "w").close()
+    assert be.committed_gens(path) == [0]  # the log is the authority
+
+    t.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert be.committed_gens(path) == [0, 1]
+    assert {r.k: r.v for r in t.replay().collect()} == {1: "a", 2: "b"}
+
+
+def test_ndb_stale_publish_guard_forgets_log_row(spark, tmpdir):
+    """Review finding: guard (b)'s unpublish must retire the commit
+    record too — under a log backend the row was committed by
+    rename_cas, and keeping it would leave the log claiming a
+    generation whose data was deleted."""
+    from dbitool_spark.ndb import NdbWriteConflict, SqliteCommitBackend
+
+    db = os.path.join(tmpdir, "commits.sqlite")
+    path = os.path.join(tmpdir, "kv")
+    be = SqliteCommitBackend(db)
+    t = NdbTable(spark, path, key="k", n_buckets=2, commit_backend=be)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+
+    # force guard (b): the pre-check sees a stale head, the
+    # post-rename re-list sees a newer committed generation
+    calls = {"n": 0}
+    real = t._committed_gens
+
+    def staged_gens():
+        calls["n"] += 1
+        return [0] if calls["n"] == 1 else [0, 5]
+
+    t._committed_gens = staged_gens
+    staging = t._staging_dir(1)
+    os.makedirs(staging)
+    try:
+        with pytest.raises(NdbWriteConflict, match="below the committed head"):
+            t._commit_version(staging, 1)
+    finally:
+        t._committed_gens = real
+    assert not os.path.exists(os.path.join(path, "v1"))  # unpublished
+    assert be.committed_gens(path) == [0]  # and the log row retired
