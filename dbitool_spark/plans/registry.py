@@ -262,8 +262,9 @@ r16 math: 47 surviving due + 3 registrations = 50, exactly full.
 Registry after r16: 100 - 5 retirees + 3 = 98. All five retirees
 keep standalone retired_ parity rows per the retirement contract.
 r17 then holds structural slack again: its due list = the r15 head
-minus the three r16 retirees that sit in it (embedding_near_dup,
-sample_stratified, and nothing else -> 48 due, 2 slots), which is
+minus the two r16 retirees that sit in it (embedding_near_dup and
+sample_stratified — the other three retirees sit in the due-50
+itself -> 48 due, 2 slots), which is
 exactly where quality_ensemble_documents (supersedes quality_prune,
 due r17), media_pipeline_documents (supersedes
 media_decode_roundtrip, due r17, + the staged media_resize), and
