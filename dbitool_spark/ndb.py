@@ -433,6 +433,11 @@ class NdbTable:
         #: bucket file selection ({} until a files_per_bucket>1 table
         #: prunes) — read by pytest and by curious operators.
         self.last_prune_stats: dict = {}
+        #: observability: the last lookup()'s bucket/range selection
+        #: ({} until a prunable lookup runs — same contract as
+        #: last_prune_stats; review finding: reading it pre-lookup
+        #: raised AttributeError)
+        self.last_lookup_stats: dict = {}
         os.makedirs(path, exist_ok=True)
         # the stored layout is authoritative: a reopened table keeps
         # the bucket count it was written with (the constructor arg is
@@ -462,6 +467,30 @@ class NdbTable:
             self._key_type = meta.get("key_type")
             self._evolved = bool(meta.get("evolved", False))
             self._columns = meta.get("columns")
+
+    def _refresh_schema_state(self) -> None:
+        """Re-read meta's SCHEMA-AUTHORITY fields (key_type, evolved,
+        columns) — called under the writer lock before upsert's schema
+        decisions (review finding: a cached snapshot predating another
+        process's evolution caused reads without mergeSchema, silent
+        loss of the evolved column, and a meta regression). evolved is
+        merged MONOTONE (never un-evolves). Retention/layout knobs
+        (keep_versions, n_buckets, files_per_bucket) keep their
+        constructor-resolved values: their reopen semantics are
+        decided in __init__, not here."""
+        meta_path = os.path.join(self.path, _META)
+        if not os.path.exists(meta_path):
+            return
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            return
+        self._key_type = meta.get("key_type") or self._key_type
+        self._evolved = self._evolved or bool(meta.get("evolved", False))
+        cols = meta.get("columns")
+        if cols is not None:
+            self._columns = list(cols)
 
     # -- state pointer ---------------------------------------------------
 
@@ -724,6 +753,16 @@ class NdbTable:
                     continue
         return out
 
+    def _range_safe_key_type(self) -> bool:
+        """Whether footer min/max stats and Spark-collected values for
+        the key share one comparable domain (see _split_touched_files'
+        domain gate). Unknown/unset types answer False — over-read."""
+        kt = self._key_type or ""
+        return kt in (
+            "tinyint", "smallint", "int", "bigint",
+            "float", "double", "string", "date", "boolean",
+        ) or kt.startswith("decimal")
+
     @staticmethod
     def _file_stats(path: str, key: str):
         """ONE driver-side footer read -> ((min, max) of `key`, row
@@ -859,13 +898,26 @@ class NdbTable:
         hardlinks forward untouched and per-key uniqueness survives.
         Range-vs-range (not range-vs-key-set) keeps the driver edge
         bounded: one n_buckets-row aggregate plus one footer per
-        touched-bucket file."""
-        rng = {
-            r[0]: (r[1], r[2])
-            for r in batch.groupBy(_BUCKET)
-            .agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi"))
-            .collect()
-        }
+        touched-bucket file.
+
+        Domain gate (review finding): footer statistics live in
+        pyarrow's value domain — bytes decode to str, timestamps come
+        back as naive-UTC datetimes — while the batch range is
+        Spark-collected (bytearray; session-timezone datetimes). The
+        comparison is only sound for key types whose two domains
+        coincide (ints, strings, floats, decimals, dates); anything
+        else (binary, timestamps) reads every touched-bucket file —
+        the safe over-read, never a TypeError or a tz-offset
+        mis-carry that would duplicate keys."""
+        if self._range_safe_key_type():
+            rng = {
+                r[0]: (r[1], r[2])
+                for r in batch.groupBy(_BUCKET)
+                .agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi"))
+                .collect()
+            }
+        else:
+            rng = {}  # lo=None per bucket -> every file reads
         manifest = self._load_manifest(current)
         read: list[str] = []
         carry: list[str] = []
@@ -914,74 +966,95 @@ class NdbTable:
         index), where the prune job can never pay for itself."""
         if self.key not in df.columns:
             raise ValueError(f"key {self.key!r} not in columns {df.columns}")
-        if _GEN in df.columns or _BUCKET in df.columns:
+        claimed = [
+            c
+            for c in df.columns
+            if c in (_GEN, _BUCKET, "__rn", "__slot") or c.startswith("__old_")
+        ]
+        if claimed:
             raise ValueError(
-                f"columns {_GEN}/{_BUCKET} are reserved by ndb, got {df.columns}"
+                f"columns {claimed} are reserved by ndb (engine-internal "
+                f"names: {_GEN}/{_BUCKET}/__rn/__slot/__old_*), got "
+                f"{df.columns}"
             )
-        # the bucket hash (xxhash64) is TYPE-sensitive: the same key
-        # value under a drifted dtype (int vs bigint, int vs string)
-        # hashes to a different bucket, the pruned read would miss the
-        # stored row's bucket, and replay would silently return TWO
-        # rows for one key. Pin the key dtype in meta at first write
-        # and refuse drifted batches loudly — casting silently could
-        # corrupt keys (e.g. string->int nulls).
-        batch_key_type = df.schema[self.key].dataType.simpleString()
-        if self._key_type is not None and batch_key_type != self._key_type:
-            raise ValueError(
-                f"ndb key dtype drift: table stores {self.key!r} as "
-                f"{self._key_type}, batch has {batch_key_type} — cast the "
-                "batch key to the stored type before upserting"
-            )
-        # schema decisions are computed into LOCALS and applied to the
-        # instance only AFTER the version commit publishes: a conflict
-        # loser (or any failed write) must not keep phantom evolution
-        # state that a later _write_meta would persist (review finding)
-        new_key_type = self._key_type or batch_key_type
-        payload = sorted(df.columns)
-        known = self._columns
-        if known is None and self._current_dir() is not None:
-            # legacy table (meta predates the columns record): derive
-            # the stored payload columns from the footer once, so the
-            # drift check protects pre-existing tables too
-            state0 = self._state()
-            if state0 is not None:
-                known = sorted(
-                    c for c in state0.columns if c not in (_GEN, _BUCKET)
-                )
-        new_evolved = self._evolved
-        if known is None:
-            new_columns = payload
-        elif payload != known:
-            added = [c for c in payload if c not in known]
-            dropped = [c for c in known if c not in payload]
-            if not self.evolve_schema:
-                raise ValueError(
-                    f"ndb schema drift: table stores columns "
-                    f"{known}, batch has {payload} (added {added}, "
-                    f"missing {dropped}) — pass evolve_schema=True to "
-                    "union by name with NULL backfill, or align the batch"
-                )
-            # schema EVOLUTION: record it so every future read merges
-            # parquet footers (version dirs now legitimately hold
-            # mixed-schema files via hardlink carryover)
-            new_evolved = True
-            new_columns = sorted(set(known) | set(payload))
-        else:
-            new_columns = known
         owns_lock = self._acquire_writer_lock()
-        current = self._current_dir()
-        prev_gen = self._current_gen()
-        gen = 0 if prev_gen is None else prev_gen + 1
-        batch = df.withColumn(_GEN, F.lit(gen).cast("long")).withColumn(
-            _BUCKET, self._bucket_expr()
-        )
-        if prune:
-            # persisted: the batch lineage feeds BOTH the touched-set
-            # distinct-collect and the merged write below — without
-            # this an expensive upstream transform would evaluate
-            # twice per upsert (review finding r9)
-            batch = batch.persist()
+        batch_persisted = False
+        batch: DataFrame = df
         try:
+            # the schema-authority snapshot must be CURRENT for the
+            # decisions below: re-read meta under the writer lock
+            # (review finding: a writer instance whose cached snapshot
+            # predates another process's schema evolution would read
+            # touched buckets without mergeSchema, rewrite them without
+            # the evolved column — silent data loss — then regress meta)
+            self._refresh_schema_state()
+            # the bucket hash (xxhash64) is TYPE-sensitive: the same key
+            # value under a drifted dtype (int vs bigint, int vs string)
+            # hashes to a different bucket, the pruned read would miss
+            # the stored row's bucket, and replay would silently return
+            # TWO rows for one key. Pin the key dtype in meta at first
+            # write and refuse drifted batches loudly — casting silently
+            # could corrupt keys (e.g. string->int nulls).
+            batch_key_type = df.schema[self.key].dataType.simpleString()
+            if self._key_type is not None and batch_key_type != self._key_type:
+                raise ValueError(
+                    f"ndb key dtype drift: table stores {self.key!r} as "
+                    f"{self._key_type}, batch has {batch_key_type} — cast the "
+                    "batch key to the stored type before upserting"
+                )
+            # schema decisions are computed into LOCALS and applied to
+            # the instance only AFTER the version commit publishes
+            # (the monotone evolved flag is the one deliberate
+            # exception, below): a conflict loser (or any failed
+            # write) must not keep phantom evolution state that a
+            # later _write_meta would persist (review finding)
+            new_key_type = self._key_type or batch_key_type
+            payload = sorted(df.columns)
+            known = self._columns
+            if known is None and self._current_dir() is not None:
+                # legacy table (meta predates the columns record):
+                # derive the stored payload columns from the footer
+                # once, so the drift check protects pre-existing
+                # tables too
+                state0 = self._state()
+                if state0 is not None:
+                    known = sorted(
+                        c for c in state0.columns if c not in (_GEN, _BUCKET)
+                    )
+            new_evolved = self._evolved
+            if known is None:
+                new_columns = payload
+            elif payload != known:
+                added = [c for c in payload if c not in known]
+                dropped = [c for c in known if c not in payload]
+                if not self.evolve_schema:
+                    raise ValueError(
+                        f"ndb schema drift: table stores columns "
+                        f"{known}, batch has {payload} (added {added}, "
+                        f"missing {dropped}) — pass evolve_schema=True to "
+                        "union by name with NULL backfill, or align the batch"
+                    )
+                # schema EVOLUTION: record it so every future read
+                # merges parquet footers (version dirs now
+                # legitimately hold mixed-schema files via hardlink
+                # carryover)
+                new_evolved = True
+                new_columns = sorted(set(known) | set(payload))
+            else:
+                new_columns = known
+            current = self._current_dir()
+            prev_gen = self._current_gen()
+            gen = 0 if prev_gen is None else prev_gen + 1
+            batch = df.withColumn(_GEN, F.lit(gen).cast("long")).withColumn(
+                _BUCKET, self._bucket_expr()
+            )
+            if prune:
+                # persisted: the batch lineage feeds BOTH the
+                # touched-set distinct-collect and the merged write
+                # below — without this an expensive upstream transform
+                # would evaluate twice per upsert (review finding r9)
+                batch = batch.persist()
+                batch_persisted = True
             if prune:
                 # bounded by n_buckets values — the prune driver edge
                 touched: list[int] | None = sorted(
@@ -1136,6 +1209,19 @@ class NdbTable:
                         except OSError:
                             shutil.copy2(src, dst)
             self._write_manifest(out_dir, current)
+            if new_evolved and not self._evolved:
+                # persist the MONOTONE evolved flag BEFORE the commit
+                # (review finding): a crash between commit and meta
+                # would otherwise leave a committed mixed-schema
+                # version that every future open reads WITHOUT
+                # mergeSchema — the added column silently vanishing.
+                # The asymmetry is deliberate: a phantom evolved=True
+                # left by a conflict loser costs one harmless extra
+                # mergeSchema, while the columns record stays
+                # post-commit (a phantom columns entry would turn the
+                # loser's retry into a spurious drop-evolution).
+                self._evolved = True
+                self._write_meta()
             self._commit_version(out_dir, gen)
             # the commit published: NOW the schema decisions become
             # instance + meta state (a conflict loser never gets here)
@@ -1148,7 +1234,7 @@ class NdbTable:
         finally:
             if owns_lock:
                 self._release_writer_lock()
-            if prune:
+            if batch_persisted:
                 batch.unpersist()
 
     def _acquire_writer_lock(self) -> bool:
@@ -1389,7 +1475,18 @@ class NdbTable:
                 # prevent, one layer up
                 self._backend.forget(self.path, int(name[1:]))
             elif (
-                (".debris.pid" in name or ".stale.pid" in name)
+                (
+                    ".debris.pid" in name
+                    or ".stale.pid" in name
+                    # sqlite-backend remnant graves (rename_cas clears
+                    # unlogged dirs into these; review finding: a
+                    # clearer crash between move and rmtree leaked
+                    # them forever). The log is the authority there,
+                    # so a marker inside one is meaningless — sweeps
+                    # like .stale (the .debris marker-preservation
+                    # branch below stays .debris-only).
+                    or ".unlogged.pid" in name
+                )
                 and name.startswith("v")
                 and os.path.isdir(full)
             ):
@@ -1595,15 +1692,40 @@ class NdbTable:
             )
         if self.key in combine:
             raise ValueError(f"key column {self.key!r} cannot carry a combine rule")
-        dup = (
-            df.groupBy(self.key).count().filter(F.col("count") > 1).limit(1).count()
-        )
-        if dup:
+        # a typo'd column name would silently fall back to 'last'
+        # semantics and overwrite the accumulated state instead of
+        # combining — the silent-wrong failure the duplicate-key check
+        # below raises loudly for (review finding)
+        missing = sorted(c for c in combine if c not in df.columns)
+        if missing:
             raise ValueError(
-                "merge_upsert batch holds duplicate keys — pre-aggregate "
-                "the batch (one row per key) so the combine rules are "
-                "well-defined"
+                f"combine names columns not in the batch: {missing} "
+                f"(batch columns: {df.columns})"
             )
+        # persisted: the batch lineage otherwise evaluates THREE times
+        # (the dup-check action, the touched-bucket collect, and the
+        # joined upsert) — the r9 double-evaluation finding, one call
+        # deeper (review finding). df is rebound below; `src` keeps
+        # the unpersist handle.
+        df = df.persist()
+        src = df
+        try:
+            dup = (
+                df.groupBy(self.key)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge_upsert batch holds duplicate keys — pre-aggregate "
+                    "the batch (one row per key) so the combine rules are "
+                    "well-defined"
+                )
+        except Exception:
+            src.unpersist()
+            raise
         # the lock spans READ + combine + write: an interleaved foreign
         # writer between the state read and the upsert would be exactly
         # the lost update the guard exists to prevent (the nested
@@ -1668,6 +1790,7 @@ class NdbTable:
                 df = df.join(old, self.key, "left").select(*merged_cols)
             self.upsert(df)
         finally:
+            src.unpersist()
             if owns_lock:
                 self._release_writer_lock()
 

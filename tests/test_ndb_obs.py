@@ -1188,7 +1188,11 @@ def test_ndb_conflict_loser_keeps_no_phantom_schema_state(spark, tmpdir):
     never committed (review finding): after a lost race on a batch
     that ADDED a column, the instance still accepts the original
     schema without a drift error and meta never records the ghost
-    column."""
+    COLUMN. (The monotone `evolved` flag is the one deliberate
+    exception since r15 — it persists BEFORE the commit so a crash
+    between commit and meta can't leave a mixed-schema version read
+    without mergeSchema; a phantom True costs one harmless extra
+    mergeSchema and is asserted as such here.)"""
     import json as _json
 
     from dbitool_spark.ndb import NdbWriteConflict
@@ -1215,13 +1219,14 @@ def test_ndb_conflict_loser_keeps_no_phantom_schema_state(spark, tmpdir):
                 [(2, "b", 7)], "k bigint, v string, extra bigint"
             )
         )
-    # no phantom evolution on the instance or in meta
-    assert t._evolved is False
+    # no phantom COLUMN on the instance or in meta; the monotone
+    # evolved flag is phantom-True by design (harmless mergeSchema)
+    assert t._evolved is True
     assert t._columns == ["k", "v"]
     t.upsert(spark.createDataFrame([(3, "c")], "k bigint, v string"))
     with open(os.path.join(path, "meta.json")) as fh:
         meta = _json.load(fh)
-    assert meta["evolved"] is False
+    assert meta["evolved"] is True
     assert meta["columns"] == ["k", "v"]
     assert {r.k for r in t.replay().collect()} == {1, 3}
 
@@ -2104,3 +2109,105 @@ def test_ndb_stale_publish_guard_forgets_log_row(spark, tmpdir):
         t._committed_gens = real
     assert not os.path.exists(os.path.join(path, "v1"))  # unpublished
     assert be.committed_gens(path) == [0]  # and the log row retired
+
+def test_ndb_stale_writer_sees_foreign_evolution(spark, tmpdir):
+    """Review finding: a writer instance opened BEFORE another
+    handle's schema evolution must re-read meta under the lock — its
+    un-evolved batch then raises the loud drift error (or, with
+    evolve_schema=True, merges WITH mergeSchema so the evolved
+    column's stored values survive) instead of silently rewriting
+    touched buckets without the column and regressing meta."""
+    path = os.path.join(tmpdir, "kv")
+    stale = NdbTable(spark, path, key="k", n_buckets=2)  # cached pre-evolution
+    stale.upsert(spark.createDataFrame([(1, "a"), (2, "a")], "k bigint, v string"))
+
+    evolver = NdbTable(spark, path, key="k", n_buckets=2, evolve_schema=True)
+    evolver.upsert(
+        spark.createDataFrame([(3, "b", 30)], "k bigint, v string, c bigint")
+    )
+    # stale handle, old-schema batch: must raise, never silently drop c
+    with pytest.raises(ValueError, match="schema drift"):
+        stale.upsert(spark.createDataFrame([(1, "z")], "k bigint, v string"))
+
+    # a stale-but-evolve_schema handle merges with mergeSchema: key 3
+    # keeps its c value even though this writer's batch lacks c and
+    # its cached snapshot predates the evolution
+    stale2 = NdbTable(spark, path, key="k", n_buckets=2, evolve_schema=True)
+    stale2._evolved = False  # simulate a snapshot taken pre-evolution
+    stale2._columns = ["k", "v"]
+    stale2.upsert(spark.createDataFrame([(1, "z")], "k bigint, v string"))
+    got = {r.k: (r.v, r.c) for r in stale2.replay().collect()}
+    assert got == {1: ("z", None), 2: ("a", None), 3: ("b", 30)}
+
+
+def test_ndb_evolved_flag_persists_before_commit(spark, tmpdir):
+    """Review finding: the monotone evolved flag reaches meta BEFORE
+    the version commit, so a crash (or conflict) between commit and
+    the post-commit meta write can never leave a committed
+    mixed-schema version that future opens read without mergeSchema.
+    A phantom evolved=True is one harmless extra mergeSchema."""
+    import json as _json
+
+    from dbitool_spark.ndb import NdbWriteConflict
+
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, evolve_schema=True)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+
+    def boom(staging, gen):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise NdbWriteConflict("synthetic: crashed/conflicted at commit")
+
+    real = t._commit_version
+    t._commit_version = boom
+    try:
+        with pytest.raises(NdbWriteConflict):
+            t.upsert(
+                spark.createDataFrame([(2, "b", 9)], "k bigint, v string, c bigint")
+            )
+    finally:
+        t._commit_version = real
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert _json.load(fh)["evolved"] is True  # flag landed pre-commit
+    # the phantom flag is harmless: fresh open reads fine, retry works
+    t2 = NdbTable(spark, path, key="k", n_buckets=2, evolve_schema=True)
+    t2.upsert(spark.createDataFrame([(2, "b", 9)], "k bigint, v string, c bigint"))
+    got = {r.k: (r.v, r.c) for r in t2.replay().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9)}
+
+
+def test_ndb_binary_key_range_prune_safe(spark, tmpdir):
+    """Review finding: footer stats for a BINARY key come back as
+    decoded str while the batch range collects as bytearray — the
+    domain gate must route such keys to the safe over-read instead of
+    a TypeError (or a tz-offset mis-carry for timestamps)."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2, files_per_bucket=2)
+    rows1 = [(bytearray([i, i]), f"a{i}") for i in range(8)]
+    rows2 = [(bytearray([i, i]), f"b{i}") for i in range(4)]
+    t.upsert(spark.createDataFrame(rows1, "k binary, v string"))
+    t.upsert(spark.createDataFrame(rows2, "k binary, v string"))  # was TypeError
+    got = {bytes(r.k): r.v for r in t.replay().collect()}
+    want = {bytes([i, i]): ("b" if i < 4 else "a") + str(i) for i in range(8)}
+    assert got == want
+
+
+def test_ndb_merge_upsert_rejects_unknown_combine_column(spark, tmpdir):
+    """Review finding: a typo'd combine column silently fell back to
+    'last' and overwrote the accumulated sum — now a loud error."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    df = spark.createDataFrame([(1, 5)], "k bigint, amount bigint")
+    with pytest.raises(ValueError, match="not in the batch"):
+        t.merge_upsert(df, combine={"amout": "sum"})  # typo'd name
+
+
+def test_ndb_rejects_engine_internal_column_names(spark, tmpdir):
+    """Review finding: __rn/__slot/__old_* are engine-internal —
+    a user column with one of those names was silently destroyed."""
+    path = os.path.join(tmpdir, "kv")
+    t = NdbTable(spark, path, key="k", n_buckets=2)
+    for schema in ("k bigint, __rn bigint", "k bigint, __slot bigint",
+                   "k bigint, __old_v string"):
+        with pytest.raises(ValueError, match="reserved by ndb"):
+            t.upsert(spark.createDataFrame([(1, None)], schema))
