@@ -333,8 +333,21 @@ def _cassandraselect(p: "Pipeline", ins: list[DataFrame], a: dict) -> DataFrame:
     spark-cassandra-connector jar is absent, as in this environment."""
     if "keyspace" not in a:
         raise ValueError("keyspace not specified")
-    if a.get("query") is None and a.get("table") is None and not ins:
-        raise ValueError("query nor table nor input stream specified")
+    if ins and a.get("query") is None and a.get("table") is None:
+        # the other db selects consume query-from-stream here; the
+        # Cassandra DataFrame connector reads TABLES only, so the mode
+        # is impossible — say so instead of accepting the stream in
+        # validation and then failing with a misleading "table not
+        # specified" (review finding: the stream's SQL was silently
+        # ignored)
+        raise ValueError(
+            "cassandraselect cannot take its CQL from an input stream: "
+            "the DataFrame connector reads tables, not raw CQL — pass "
+            "table= and express predicates as filters (they push down "
+            "to CQL token-range scans)"
+        )
+    if a.get("query") is None and a.get("table") is None:
+        raise ValueError("query nor table specified")
     return db.read_cassandra(
         p.spark,
         host=a.get("host", "localhost"),
@@ -1116,13 +1129,20 @@ class Pipeline:
             )
         from dbitool_spark.obs import check_errorsize, split_quarantine
 
+        errorsize = int(a.get("errorsize", self.errorsize))
+        if errorsize < 1:
+            # the reference validates 1..256 outright ("invalid
+            # errorsize (1 .. 256)", scripts/dbitool.pl:56); 0 would
+            # abort a perfectly clean read under the >= threshold
+            # (review finding). The upper bound is the reference's
+            # in-memory error-buffer size and does not apply here
+            # (the quarantine is a DataFrame, not an array).
+            raise ValueError(
+                f"{mod}: invalid errorsize {errorsize} (must be >= 1; "
+                "reference range 1..256, scripts/dbitool.pl:56)"
+            )
         good, bad = split_quarantine(df)
-        check_errorsize(
-            bad,
-            errorsize=int(a.get("errorsize", self.errorsize)),
-            log=self.log,
-            mod=mod,
-        )
+        check_errorsize(bad, errorsize=errorsize, log=self.log, mod=mod)
         return good
 
     # -- spec assembly --------------------------------------------------
@@ -1136,11 +1156,15 @@ class Pipeline:
         mod.args.update(kwargs)
         if mod.name not in MODULES:
             raise ValueError(f"unknown module {mod.name!r}; known: {sorted(MODULES)}")
-        for extra in self._expand_arg_shortcuts(mod):
+        pre, post = self._expand_arg_shortcuts(mod)
+        for extra in pre:
             self._wire(extra)
             self._specs.append(extra)
         self._wire(mod)
         self._specs.append(mod)
+        for extra in post:
+            self._wire(extra)
+            self._specs.append(extra)
         return self
 
     def _expand_arg_shortcuts(self, mod: _ModuleSpec) -> list[_ModuleSpec]:
@@ -1159,36 +1183,53 @@ class Pipeline:
         error. file* modules cannot take the shortcut (reference :94
         dies identically).
 
-        Scope note vs the reference grammar: only the IN side expands
-        here. The reference's `out=@path` exists because its format
-        writers are transforms feeding a separate filewrite; this
-        engine's sinks write their out= path directly (fused,
-        Spark-side), so an out-shortcut has nothing to expand to — the
-        positional sink form `name@path` (see _parse_cli) covers the
-        named-sink case. Shortcuts apply to stream-consuming modules;
-        sources that read their in= path directly (jsonread, xmlread,
-        ...) reject it rather than mis-wire."""
+        OUT-side semantics (returns (pre, post)): on a SINK the @
+        simply strips — this engine's sinks write their out= path
+        directly (fused, Spark-side), so the reference's POD
+        equivalence example `csvread:in=@a.csv ndjsonwrite:out=@b.ndjson`
+        (scripts/dbitool.pl:3214-3217) runs verbatim either way, and
+        the NAMED form raises (a fused sink has no output stream to
+        bind). On a TRANSFORM/source/dual, out=@path synthesizes the
+        reference's separate filewrite AFTER the module (review
+        finding: the literal '@path' previously became a dead stream
+        name — run() succeeded and no file ever appeared); the named
+        form out=name@path additionally binds the stream so later
+        modules read it by name."""
         pre: list[_ModuleSpec] = []
-        # sink out=@path: the reference's POD equivalence example is
-        # literally `csvread:in=@a.csv ndjsonwrite:out=@b.ndjson`
-        # (scripts/dbitool.pl:3214-3217). There the @ expands to a
-        # separate filewrite; this engine's sinks write their out=
-        # path directly, so the @ simply strips — the command runs
-        # verbatim either way. The NAMED form has no meaning on a
-        # fused sink (there is no output stream to bind) and raises.
+        post: list[_ModuleSpec] = []
         out = mod.args.get("out")
-        if mod.name in _SINKS and isinstance(out, str) and _is_shortcut(out):
+        if isinstance(out, str) and _is_shortcut(out):
             name, _, path = out.partition("@")
-            if name:
+            if mod.name in _SINKS:
+                if name:
+                    raise ValueError(
+                        f"out={out!r}: a named shortcut cannot bind a sink's "
+                        "output (sinks write their path directly); name the "
+                        "TRANSFORM's out= stream instead"
+                    )
+                mod.args["out"] = path
+            elif mod.name.startswith("file"):
                 raise ValueError(
-                    f"out={out!r}: a named shortcut cannot bind a sink's "
-                    "output (sinks write their path directly); name the "
-                    "TRANSFORM's out= stream instead"
+                    "cannot shortcut filename in fileread or filewrite "
+                    "modules (reference scripts/dbitool.pl:94)"
                 )
-            mod.args["out"] = path
+            else:
+                if not path:
+                    raise ValueError(f"malformed @shortcut {out!r}: empty path")
+                if not name:
+                    self._counter += 1
+                    name = f"stream{self._counter}"
+                elif name in self._injected or any(
+                    m.out_stream == name for m in self._specs
+                ):
+                    raise ValueError(
+                        f"shortcut name {name!r} collides with an existing stream"
+                    )
+                mod.args["out"] = name
+                post.append(_ModuleSpec("filewrite", {"in": name, "out": path}))
         raw = mod.args.get("in")
         if not isinstance(raw, str) or "@" not in raw:
-            return pre
+            return pre, post
         new_parts = []
         for part in (s.strip() for s in raw.split(",")):
             if not _is_shortcut(part):
@@ -1268,7 +1309,7 @@ class Pipeline:
             self._shortcuts[name] = path
             new_parts.append(name)
         mod.args["in"] = ",".join(new_parts)
-        return pre
+        return pre, post
 
     def _parse_cli(self, text: str) -> _ModuleSpec:
         """`name:arg=val:arg=val`, `@filename` (fileread/filewrite by
@@ -1306,11 +1347,23 @@ class Pipeline:
             return _ModuleSpec("filewrite", {"in": sname, "out": path})
         parts = text.split(":")
         args: dict[str, Any] = {}
+        last_key: str | None = None
         for token in parts[1:]:
-            if "=" not in token:
+            k, eq, v = token.partition("=")
+            if not eq or not re.match(r"^[A-Za-z_]\w*$", k):
+                # values legitimately contain ':' (every JDBC url =
+                # jdbc:derby:/path, hdfs:// and s3:// in= paths, URLs
+                # with ?user=x params): a token that is not `ident=...`
+                # re-joins the previous argument's value — the grammar
+                # has no bare flags, so the reading is unambiguous
+                # (review finding: such values were inexpressible in
+                # the CLI string form)
+                if last_key is not None:
+                    args[last_key] = f"{args[last_key]}:{token}"
+                    continue
                 raise ValueError(f"malformed argument {token!r} in {text!r}")
-            k, v = token.split("=", 1)
             args[k] = v
+            last_key = k
         return _ModuleSpec(parts[0], args)
 
     def _wire(self, mod: _ModuleSpec) -> None:
@@ -1321,13 +1374,28 @@ class Pipeline:
         stream gets a generated streamN name."""
         args = mod.args
         if mod.name in _DUAL_MODULES:
-            # explicit wiring only (the reference's ndb decides its mode
-            # from which streams the user names): in= consumes a stream,
-            # out= produces one; no in -> replay source, no out -> sink
+            # the reference's ndb decides its mode from the streams the
+            # user names — INSIDE the grammar where a missing in=
+            # defaults to the previous module's out (dbitool.pl:671-680).
+            # Only in SOURCE POSITION (chain start, or right after a
+            # module that produces no stream) is there nothing to
+            # default to: that is the replay-source mode. A mid-chain
+            # ndb with no in= previously became a silent replay source
+            # and DROPPED the upstream rows (review finding).
             declared_in = args.pop("in", None)
-            mod.in_streams = (
-                [s.strip() for s in str(declared_in).split(",")] if declared_in else []
-            )
+            if declared_in:
+                mod.in_streams = [s.strip() for s in str(declared_in).split(",")]
+            else:
+                source_pos = (
+                    not self._specs or self._specs[-1].out_stream is None
+                )
+                prev_out = next(
+                    (m.out_stream for m in reversed(self._specs) if m.out_stream),
+                    None,
+                )
+                mod.in_streams = (
+                    [] if source_pos or prev_out is None else [prev_out]
+                )
             declared_out = args.pop("out", None)
             if declared_out:
                 mod.out_stream = str(declared_out)
@@ -1347,7 +1415,13 @@ class Pipeline:
             if mod.name in _STREAMABLE_SOURCES:
                 declared = args.pop("in", None)
             elif mod.name in _RAW_CONSUMING_SOURCES:
-                known = {m.out_stream for m in self._specs if m.out_stream}
+                # injected streams (add_source_df) are first-class
+                # everywhere else — a raw reader must recognize them
+                # too, not treat the name as a file path (review
+                # finding)
+                known = {m.out_stream for m in self._specs if m.out_stream} | set(
+                    self._injected
+                )
                 given = args.get("in")
                 if given is not None and str(given) in known:
                     declared = args.pop("in")
@@ -1376,10 +1450,9 @@ class Pipeline:
         if mod.name in _SINKS:
             mod.out_stream = None
         else:
-            declared_out = args.pop("out", None) if mod.name not in _SOURCES else None
-            if mod.name in _SOURCES:
-                # for sources `in` is the path; `out` names the stream
-                declared_out = args.pop("out", None)
+            # for sources `in` is the path and `out` names the stream;
+            # for transforms both are streams — either way out= pops
+            declared_out = args.pop("out", None)
             if declared_out:
                 mod.out_stream = str(declared_out)
             else:
@@ -1397,6 +1470,15 @@ class Pipeline:
         self._streams = dict(self._injected)
         self._observations = {}
         self._with_sinks = with_sinks
+        # release the PREVIOUS build's fan-out caches before re-
+        # persisting: stream() calls and failed runs otherwise strand
+        # their entries forever (review finding — Spark never drops
+        # cached plans on Python GC)
+        for _name, _df in getattr(self, "_persisted", []) or []:
+            try:
+                _df.unpersist()
+            except Exception:
+                pass
         self._persisted = []
         codecs: dict[str, str] = {}  # stream name -> pending sink compression
         for m in self._specs:
@@ -1423,9 +1505,16 @@ class Pipeline:
             ):
                 from dbitool_spark.obs import observed
 
-                wrapped, obs = observed(inputs[0], f"{m.name}@{m.in_streams[0]}")
+                # key includes a per-build ordinal: two same-named sinks
+                # reading one stream must not overwrite each other's
+                # Observation (review finding — one sink's rows= line
+                # silently vanished from the level-2 audit)
+                obs_key = f"{m.name}@{m.in_streams[0]}"
+                if obs_key in self._observations:
+                    obs_key = f"{obs_key}#{len(self._observations)}"
+                wrapped, obs = observed(inputs[0], obs_key)
                 inputs = [wrapped] + inputs[1:]
-                self._observations[f"{m.name}@{m.in_streams[0]}"] = obs
+                self._observations[obs_key] = obs
             args = dict(m.args)
             pending = next(
                 (codecs[s] for s in m.in_streams if s in codecs), None
@@ -1465,23 +1554,30 @@ class Pipeline:
 
     def run(self) -> None:
         """Build the DAG and execute every sink write (the actions)."""
-        self._build(with_sinks=True)
-        if self.log is not None:
-            for name, obs in self._observations.items():
+        try:
+            self._build(with_sinks=True)
+            if self.log is not None:
+                for name, obs in self._observations.items():
+                    try:
+                        self.log.log("pipeline", f"{name} rows={obs.get['rows']}", 2)
+                    except Exception as e:  # sink ran no action over this input
+                        self.log.log(
+                            "pipeline", f"{name} rows=unavailable ({e})", 2
+                        )
+        finally:
+            # unpersist exactly the frames THIS build persisted for
+            # fan-out, so repeated run() calls don't accumulate storage
+            # — in a finally so a sink failure mid-build releases them
+            # too (review finding). Injected frames are host-owned
+            # (add_source_df) and any cache the host put on them is
+            # never touched here.
+            for name, df in self._persisted:
                 try:
-                    self.log.log("pipeline", f"{name} rows={obs.get['rows']}", 2)
-                except Exception as e:  # sink ran no action over this input
-                    self.log.log("pipeline", f"{name} rows=unavailable ({e})", 2)
-        # unpersist exactly the frames THIS build persisted for
-        # fan-out, so repeated run() calls don't accumulate storage.
-        # Injected frames are host-owned (add_source_df) and any cache
-        # the host put on them is never touched here.
-        for name, df in self._persisted:
-            try:
-                df.unpersist()
-            except Exception as e:
-                # a failed release is an observability event, not a
-                # crash: the run's results are already written, but the
-                # leaked cache should be visible in the log stream
-                if self.log is not None:
-                    self.log.log("pipeline", f"unpersist {name} failed: {e}", 2)
+                    df.unpersist()
+                except Exception as e:
+                    # a failed release is an observability event, not a
+                    # crash: the leaked cache should be visible in the
+                    # log stream
+                    if self.log is not None:
+                        self.log.log("pipeline", f"unpersist {name} failed: {e}", 2)
+            self._persisted = []

@@ -301,6 +301,17 @@ def stream_static_filter_contaminated(
     batch with the gram-level join instead."""
     from dbitool_spark.ops.dedup import shingles
 
+    taken = [c for c in ("__k", "__bench") if c in stream.columns]
+    if taken:
+        # the join scaffolding claims these names: silently overwriting
+        # (or producing an ambiguous duplicate after the join) destroys
+        # user data — raise like ops.scale.with_position does for its
+        # reserved name (review finding)
+        raise ValueError(
+            f"columns {taken} are reserved by "
+            f"stream_static_filter_contaminated's join scaffolding; "
+            "rename them on the input stream"
+        )
     bench_arr = (
         bench_grams.agg(F.collect_set("gram").alias("__bench"))
         .withColumn("__k", F.lit(1))

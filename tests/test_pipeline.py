@@ -724,3 +724,98 @@ def test_named_shortcut_warns_when_value_is_existing_file(spark, tmpdir):
         assert p3._shortcuts == {"data": "v2.csv"}
     finally:
         os.chdir(cwd)
+
+def test_raw_source_consumes_injected_stream(spark, tmp_path):
+    """Review finding: csvread's in= must recognize a stream injected
+    via add_source_df instead of treating the name as a file path."""
+    raw = spark.createDataFrame(
+        [("a,b",), ("1,2",), ("3,4",)], "value string"
+    )
+    p = Pipeline(spark)
+    p.add_source_df("rawlines", raw)
+    p.add("csvread:in=rawlines:out=rows:header=1")
+    got = {(r.a, r.b) for r in p.stream("rows").collect()}
+    assert got == {("1", "2"), ("3", "4")}
+
+
+def test_ndb_mid_chain_default_wires(spark, tmpdir, csv_path):
+    """Review finding: a mid-chain ndb with no in= must consume the
+    previous module's out per the pipeline grammar — it previously
+    became a silent replay source and dropped the upstream rows."""
+    nd = os.path.join(tmpdir, "nd_defwire")
+    p = Pipeline(spark)
+    p.add(f"csvread:in={csv_path}:out=rows")
+    p.add(f"ndb:fname={nd}:key=row")  # no in=: defaults to 'rows'
+    p.run()
+    p2 = Pipeline(spark)
+    p2.add(f"ndb:fname={nd}:key=row:out=replayed")  # source position
+    assert p2.stream("replayed").count() == 50  # the rows were upserted
+
+
+def test_transform_out_shortcut_writes_file(spark, tmp_path, csv_path):
+    """Review finding: out=@path on a TRANSFORM previously created a
+    dead stream literally named '@path' and wrote nothing. It now
+    synthesizes the reference's filewrite; the named form also binds
+    the stream."""
+    dst = str(tmp_path / "first_col.txt")
+    p = Pipeline(spark)
+    p.add(f"csvread:in={csv_path}:out=rows:header=1")
+    p.add("eval:expr=concat(row, '') as line")
+    p.add(f"column:clist=line:out=kept@{dst}")
+    p.run()
+    assert os.path.exists(dst)
+    body = "".join(
+        open(os.path.join(dst, f)).read()
+        for f in os.listdir(dst)
+        if not f.startswith(("_", "."))
+    )
+    assert len(body.splitlines()) == 50
+    # the named form bound the stream for later readers in one build
+    p2 = Pipeline(spark)
+    p2.add(f"csvread:in={csv_path}:out=rows:header=1")
+    p2.add("eval:expr=concat(row, '') as line")
+    p2.add(f"column:clist=line:out=kept@{tmp_path}/again.txt")
+    p2.add("filter:expr=line is not null:in=kept:out=kept2")
+    assert p2.stream("kept2").count() == 50
+
+
+def test_cli_colon_values_rejoin(spark):
+    """Review finding: values containing ':' (JDBC urls, s3:// paths)
+    were inexpressible in the CLI string form — '='-less tokens (and
+    non-identifier-key tokens like url query params) now re-join the
+    previous argument's value."""
+    p = Pipeline(spark)
+    mod = p._parse_cli("jdbcselect:url=jdbc:derby:/tmp/db;user=x:table=t")
+    assert mod.args["url"] == "jdbc:derby:/tmp/db;user=x"
+    assert mod.args["table"] == "t"
+    mod2 = p._parse_cli("csvread:in=s3://bucket/key.csv:out=rows")
+    assert mod2.args["in"] == "s3://bucket/key.csv"
+    with pytest.raises(ValueError, match="malformed"):
+        p._parse_cli("csvread:banana")  # first token still must be k=v
+
+
+def test_errorsize_zero_rejected(spark, tmp_path):
+    """Review finding: errorsize=0 aborted even a clean quarantined
+    read (0 >= 0). The reference validates 1..256 outright; so do we
+    (lower bound)."""
+    f = tmp_path / "good.csv"
+    f.write_text("a,b\n1,2\n")
+    p = Pipeline(spark)
+    p.add(
+        f"csvread:in={f}:out=rows:header=1:quarantine=1:errorsize=0:"
+        "schema=a string,b string"
+    )
+    with pytest.raises(ValueError, match="invalid errorsize"):
+        p.stream("rows").count()
+
+
+def test_stream_static_filter_reserved_columns_guarded(spark):
+    """Review finding: a stream already carrying __k/__bench was
+    silently clobbered / made ambiguous by the decontamination join
+    scaffolding — now a loud reserved-name error."""
+    from dbitool_spark import streaming
+
+    bench = spark.createDataFrame([("x y z",)], "gram string")
+    bad = spark.createDataFrame([(1, "t", 2)], "doc_id bigint, text string, __k bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        streaming.stream_static_filter_contaminated(bad, bench)
