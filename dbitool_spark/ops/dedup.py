@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbitool_spark.ops.cache import materialize_release
+from dbitool_spark.ops.cache import attach_persists, materialize_release
 
 
 def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
@@ -39,6 +39,15 @@ def dedup_keyed_last_wins(df: DataFrame, key: str, order_by: str | list[str]) ->
     keep the row with the highest `order_by` per `key` (pass several
     order columns to break ties deterministically). One shuffle on
     the key."""
+    if "__rn" in df.columns:
+        # the scaffolding claims this name: silently overwriting and
+        # dropping a user column is the data-loss mode the repo's
+        # reserved-name guards exist for (review finding — the
+        # with_position / stream_static_filter precedent)
+        raise ValueError(
+            "column '__rn' is reserved by dedup_keyed_last_wins' window "
+            "scaffolding; rename it on the input frame"
+        )
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
     return (
@@ -185,9 +194,11 @@ def minhash_near_dup_pairs(
     )
     result = verified.select("id_a", "id_b", "jaccard")
     if not materialize:
-        # lazy mode (plan audits/fingerprints): internal persists stay
-        # caller-owned — clear the cache after inspecting the plan
-        return result
+        # lazy mode (plan audits/fingerprints): hand the internal
+        # persists back as a release handle (ops/cache contract —
+        # review finding: a bare return made release_persists a
+        # silent 0 and only a global clearCache saved the caller)
+        return attach_persists(result, sh, banded)
     # eagerly materialize the (small) pair set and release the two
     # persisted intermediates so repeated calls in a long session do
     # not accumulate executor storage
@@ -334,7 +345,7 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
         if not materialize:
-            return result  # lazy: persists caller-owned (plan audits)
+            return attach_persists(result, sh, pref)  # lazy: release handle
         return materialize_release(result, sh, pref)
     # --- skew-guard path (df-capped inverted index, r4 plan) ---
     # persisted for the same two-aliases reason as `pref` above: the
@@ -364,7 +375,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     if not materialize:
-        return result  # lazy: persists caller-owned (plan audits)
+        return attach_persists(result, sh, ix)  # lazy: release handle
     return materialize_release(result, sh, ix)
 
 
@@ -462,7 +473,7 @@ def ngram_containment_pairs(
         .select("id_a", "id_b", "containment")
     )
     if not materialize:
-        return result  # lazy: persists caller-owned (plan audits)
+        return attach_persists(result, sh)  # lazy: release handle
     return materialize_release(result, sh)
 
 
@@ -471,10 +482,18 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact word-shingle Jaccard for given (id_a, id_b) pairs —
     the ground-truth verifier used to test LSH recall."""
-    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh"))
+    from dbitool_spark.ops.cache import attach_persists
+
+    # persisted: both join sides alias the same shingle plan, and
+    # Catalyst does not reuse exchanges across self-join aliases — the
+    # dominant shingle construction would run twice per evaluation
+    # (review finding; the caller releases via the attach contract)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).persist()
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    result = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
@@ -484,6 +503,7 @@ def jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
+    return attach_persists(result, sh)
 
 
 def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
@@ -630,7 +650,13 @@ def connected_components(
         .persist()
     )
     if local_edge_threshold is not None:
-        n_edges = edges.count()
+        # edges holds BOTH directions (2 rows per undirected pair): the
+        # threshold is documented in undirected edges, so halve the row
+        # count before comparing (review finding — callers sizing for N
+        # edges were getting the fast path only to N/2; driver memory
+        # is ~Row + dict-entry overhead per edge, not 16 bytes, which
+        # is why the default stays well under available driver heap)
+        n_edges = edges.count() // 2
         if n_edges <= local_edge_threshold:
             try:
                 parent: dict = {}
@@ -751,9 +777,22 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         ).alias("w"),
     ).withColumn("wh", F.xxhash64("w"))
+    # bit extraction is & 1, NOT % 2: shiftrightunsigned(wh, 0) leaves
+    # a negative hash negative and Spark's Remainder keeps the
+    # dividend's sign, so (wh >>> 0) % 2 voted -3 for negative-odd
+    # hashes — bit 0 of nearly every signature was forced to 0 and
+    # block 0 of the banding lost a bit of precision (review finding,
+    # verified on live Spark; bits >= 1 were unaffected because the
+    # shift makes the value non-negative)
     votes = words.groupBy("id").agg(
         *[
-            F.sum((F.shiftrightunsigned(F.col("wh"), i) % 2).cast("int") * 2 - 1).alias(f"b{i}")
+            F.sum(
+                (
+                    F.shiftrightunsigned(F.col("wh"), i).bitwiseAND(F.lit(1))
+                ).cast("int")
+                * 2
+                - 1
+            ).alias(f"b{i}")
             for i in range(64)
         ]
     )
@@ -832,7 +871,7 @@ def simhash_candidates(
         sig, n_blocks=n_blocks, bits_per_block=bits_per_block, max_hamming=max_hamming
     )
     if not materialize:
-        return result  # lazy: persists caller-owned (plan audits)
+        return attach_persists(result, sig)  # lazy: release handle
     return materialize_release(result, sig)
 
 

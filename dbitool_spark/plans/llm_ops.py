@@ -100,7 +100,9 @@ def minhash_near_dup_documents(
         _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.7,
         materialize=materialize,
     )
-    return pairs.orderBy("id_a", "id_b")
+    from dbitool_spark.ops.cache import transfer_persists
+
+    return transfer_persists(pairs, pairs.orderBy("id_a", "id_b"))
 
 
 # Perturbed-corpus + 3-shingle CTEs shared by EVERY shingle-based
@@ -301,7 +303,9 @@ def ngram_jaccard_documents(
         _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.5,
         materialize=materialize,
     )
-    return pairs.orderBy("id_a", "id_b")
+    from dbitool_spark.ops.cache import transfer_persists
+
+    return transfer_persists(pairs, pairs.orderBy("id_a", "id_b"))
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -336,7 +340,9 @@ def simhash_near_dup_documents(
         _perturbed_corpus(docs), "doc_id", "text", max_hamming=3,
         materialize=materialize,
     )
-    return cands.orderBy("id_a", "id_b")
+    from dbitool_spark.ops.cache import transfer_persists
+
+    return transfer_persists(cands, cands.orderBy("id_a", "id_b"))
 
 
 # --- similarity search ------------------------------------------------
@@ -964,7 +970,9 @@ def ngram_jaccard_skewguard_documents(
         max_doc_freq=_SKEWGUARD_MAX_DF,
         materialize=materialize,
     )
-    return pairs.orderBy("id_a", "id_b")
+    from dbitool_spark.ops.cache import transfer_persists
+
+    return transfer_persists(pairs, pairs.orderBy("id_a", "id_b"))
 
 
 NGRAM_JACCARD_SKEWGUARD_SQL = f"""
@@ -997,13 +1005,20 @@ def ngram_jaccard_variants_documents(
     max_doc_freq skew-guarded path run in one entry, so a single green
     row proves both the complete-recall arithmetic and the guard's
     exact drop/keep behavior."""
-    base = ngram_jaccard_documents(spark, sf_dir, materialize=materialize).select(
+    from dbitool_spark.ops.cache import transfer_persists
+
+    base_raw = ngram_jaccard_documents(spark, sf_dir, materialize=materialize)
+    base = base_raw.select(
         F.lit("exact").alias("variant"), "id_a", "id_b", "jaccard"
     )
-    guarded = ngram_jaccard_skewguard_documents(
+    guarded_raw = ngram_jaccard_skewguard_documents(
         spark, sf_dir, materialize=materialize
-    ).select(F.lit("skewguard").alias("variant"), "id_a", "id_b", "jaccard")
-    return base.unionByName(guarded)
+    )
+    guarded = guarded_raw.select(
+        F.lit("skewguard").alias("variant"), "id_a", "id_b", "jaccard"
+    )
+    out = base.unionByName(guarded)
+    return transfer_persists(guarded_raw, transfer_persists(base_raw, out))
 
 
 NGRAM_JACCARD_VARIANTS_SQL = f"""
@@ -2739,9 +2754,14 @@ def ngram_containment_documents(
         _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.9,
         materialize=materialize,
     )
-    return pairs.select(
-        "id_a", "id_b", F.round("containment", 6).alias("containment_r")
-    ).orderBy("id_a", "id_b")
+    from dbitool_spark.ops.cache import transfer_persists
+
+    return transfer_persists(
+        pairs,
+        pairs.select(
+            "id_a", "id_b", F.round("containment", 6).alias("containment_r")
+        ).orderBy("id_a", "id_b"),
+    )
 
 
 NGRAM_CONTAINMENT_SQL = f"""

@@ -103,13 +103,21 @@ def _scratch_dir(query: str, sf_dir: str) -> str:
     pid_path = os.path.join(base, f"pid{os.getpid()}")
     os.makedirs(pid_path, exist_ok=True)
     own = _proc_start_ticks(os.getpid())
-    if (
-        own is not None
-        and own != _ALIVE_UNREADABLE
-        and not os.path.exists(os.path.join(pid_path, "owner"))
-    ):
-        with open(os.path.join(pid_path, "owner"), "w") as fh:
-            fh.write(str(own))
+    if own is not None and own != _ALIVE_UNREADABLE:
+        stamp = os.path.join(pid_path, "owner")
+        try:
+            with open(stamp) as fh:
+                cur = int(fh.read().strip())
+        except (OSError, ValueError):
+            cur = None
+        if cur != own:
+            # claim the dir with OUR identity even when a stamp exists:
+            # a dead previous owner of this recycled pid left ITS ticks
+            # here, and a sibling's reclamation scan would read
+            # live-ticks != stamp as "owner dead" and rmtree a LIVE
+            # process's scratch mid-run (review finding)
+            with open(stamp, "w") as fh:
+                fh.write(str(own))
     # per-THREAD leaf: two threads of one process running the same
     # query tag must not wipe each other mid-read (the pid dir is
     # never rmtree'd by its owner — only dead-owner reclamation above
@@ -979,6 +987,74 @@ FROM (
 NDB_TIME_TRAVEL_SQL = _ndb_time_travel_sql()
 
 
+#: sentinel key: the per-batch idempotence watermark row inside the
+#: rollup table (filtered out of every read)
+_ROLLUP_WATERMARK_KEY = "__batch_watermark"
+
+
+def _rollup_merge_batch(spark, table, batch_df, batch_id: int) -> None:
+    """One micro-batch of the ndb continuous aggregate — REPLAY-
+    IDEMPOTENT (review finding): foreachBatch is at-least-once (a
+    crash between the table commit and the checkpoint commit re-runs
+    the batch), and additive 'sum' rules double-count on replay —
+    exactly the window merge_upsert's retry-contract note documents.
+    The batch id therefore rides INSIDE the same merge as a watermark
+    row (key __batch_watermark, its own bmax column under 'max'), so
+    the applied-id advances ATOMICALLY with the sums in one ndb
+    version commit: on replay the stored watermark already covers the
+    batch and the merge SKIPS. availableNow batch ids are strictly
+    increasing under one checkpoint, which makes watermark >= id
+    equivalent to already-applied."""
+    if batch_df.isEmpty():
+        return
+    applied = -1
+    try:
+        row = (
+            table.replay()
+            .filter(F.col("rollup_key") == _ROLLUP_WATERMARK_KEY)
+            .select("bmax")
+            .collect()
+        )
+        if row and row[0][0] is not None:
+            applied = int(row[0][0])
+    except ValueError:
+        pass  # empty table: nothing applied yet
+    if batch_id <= applied:
+        return  # crash-replayed batch: its sums are already committed
+    partial = (
+        batch_df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("sum_v"),
+        )
+        .withColumn("rollup_key", F.concat_ws("|", "hour", "event_type"))
+        .withColumn("bmax", F.lit(None).cast("bigint"))
+    )
+    sentinel = spark.createDataFrame(
+        [(_ROLLUP_WATERMARK_KEY, None, None, None, None, batch_id)],
+        "rollup_key string, hour string, event_type string, "
+        "n bigint, sum_v decimal(18,6), bmax bigint",
+    )
+    # the first-class MERGE-with-aggregation table op (r12): the
+    # additive fold into dimension-sized state is the table's job,
+    # not every caller's — bucket-pruned read + keyed left-join +
+    # pruned rewrite, O(state*b/n + batch)
+    table.merge_upsert(
+        partial.select(
+            "rollup_key", "hour", "event_type", "n", "sum_v", "bmax"
+        ).unionByName(sentinel),
+        combine={"n": "sum", "sum_v": "sum", "bmax": "max"},
+    )
+
+
 def streaming_rollup_ndb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS AGGREGATE maintained in a persistent keyed table —
     the hypertable-rollup / incremental-materialized-view shape:
@@ -1019,28 +1095,7 @@ def streaming_rollup_ndb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = NdbTable(spark, path, key="rollup_key", n_buckets=8)
 
     def merge_batch(batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        partial = (
-            batch_df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-            .groupBy(
-                F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-                "event_type",
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sum_v"),
-            )
-            .withColumn("rollup_key", F.concat_ws("|", "hour", "event_type"))
-        )
-        # the first-class MERGE-with-aggregation table op (r12): the
-        # additive fold into dimension-sized state is the table's job,
-        # not every caller's — bucket-pruned read + keyed left-join +
-        # pruned rewrite, O(state*b/n + batch)
-        table.merge_upsert(
-            partial.select("rollup_key", "hour", "event_type", "n", "sum_v"),
-            combine={"n": "sum", "sum_v": "sum"},
-        )
+        _rollup_merge_batch(spark, table, batch_df, batch_id)
 
     stream = streaming.stream_ndjson(
         spark,
@@ -1059,6 +1114,7 @@ def streaming_rollup_ndb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("availableNow rollup stream did not finish in 300s")
     return (
         table.replay()
+        .filter(F.col("rollup_key") != _ROLLUP_WATERMARK_KEY)
         .select(
             "hour",
             "event_type",

@@ -524,3 +524,51 @@ def test_rollup_merge_survives_restart(spark, tmpdir):
 
     drain()  # nothing new: a pure re-drain must change nothing
     assert {r.k: r.n for r in table.replay().collect()} == {1: 15, 2: 27, 3: 1}
+
+def test_rollup_merge_batch_is_replay_idempotent(spark, tmp_path):
+    """Review finding: foreachBatch is at-least-once — a crash between
+    the table commit and the checkpoint commit re-runs the batch, and
+    additive 'sum' rules double-counted. The batch id now rides inside
+    the SAME merge as a watermark row, so re-applying a committed
+    batch is a no-op (the watermark advanced atomically with the
+    sums), while the next batch id still merges."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbitool_spark.ndb import NdbTable
+    from dbitool_spark.plans.state_ops import (
+        _ROLLUP_WATERMARK_KEY,
+        _rollup_merge_batch,
+    )
+
+    table = NdbTable(spark, os.path.join(str(tmp_path), "kv"),
+                     key="rollup_key", n_buckets=4)
+    batch = spark.createDataFrame(
+        [(1, "click", 3_600_000_000, "10.5"), (2, "view", 3_600_000_000, "1.5")],
+        "event_id bigint, event_type string, ts_us bigint, value string",
+    ).withColumn("value", F.col("value").cast("decimal(18,6)"))
+
+    def state():
+        return {
+            r.rollup_key: (r.n, str(r.sum_v))
+            for r in table.replay()
+            .filter(F.col("rollup_key") != _ROLLUP_WATERMARK_KEY)
+            .collect()
+        }
+
+    _rollup_merge_batch(spark, table, batch, 0)
+    first = state()
+    assert all(n == 1 for n, _ in first.values())
+    _rollup_merge_batch(spark, table, batch, 0)  # crash-replay of batch 0
+    assert state() == first  # no double-count
+    _rollup_merge_batch(spark, table, batch, 1)  # genuinely new batch
+    doubled = state()
+    assert all(n == 2 for n, _ in doubled.values())
+    # the watermark row advanced atomically with the sums
+    wm = (
+        table.replay()
+        .filter(F.col("rollup_key") == _ROLLUP_WATERMARK_KEY)
+        .collect()
+    )
+    assert len(wm) == 1 and wm[0].bmax == 1
