@@ -172,6 +172,16 @@ class CommitBackend:
     #: backends have no debris concept.
     handles_fs_debris = False
 
+    #: Written as the _committed marker's CONTENT by the table layer,
+    #: so a later reader can tell WHICH commit protocol published a
+    #: dir: under POSIX the marker's presence IS the commit record
+    #: ("posix"), under a log backend it is advisory debris metadata
+    #: ("log"). A log backend uses this to distinguish a genuinely
+    #: committed pre-migration POSIX generation (refuse to destroy)
+    #: from its own rename-then-died crash debris (safe to clear) —
+    #: review finding r15. Legacy empty markers read as "posix".
+    marker_tag = "posix"
+
     def committed_gens(self, table_path: str) -> list[int]:
         raise NotImplementedError
 
@@ -244,6 +254,8 @@ class SqliteCommitBackend(CommitBackend):
     object-store deployment implements the same two calls against a
     conditional-put service (DynamoDB, an Iceberg REST catalog)."""
 
+    marker_tag = "log"
+
     def __init__(self, db_path: str):
         self.db_path = db_path
         con = self._conn()
@@ -298,14 +310,20 @@ class SqliteCommitBackend(CommitBackend):
                 return False  # conditional put failed: CAS lost
             # data placement under the HELD write transaction: the
             # insert was accepted, so the log — the authority — says
-            # nothing is committed at this gen, and any directory
-            # already in the slot can only be the remnant of a writer
-            # that died between ITS rename and ITS COMMIT (whose
-            # insert rolled back). Clear it atomically and retry once
-            # — self-healing for the rename->commit crash window; the
-            # held transaction excludes concurrent loggers of this
-            # slot, so the clear races nobody (review finding: this
-            # remnant otherwise wedged the table permanently).
+            # nothing is committed at this gen, and a directory
+            # already in the slot whose marker says THIS protocol
+            # ("log") can only be the remnant of a writer that died
+            # between ITS rename and ITS COMMIT (whose insert rolled
+            # back). Clear it atomically and retry once — self-healing
+            # for the rename->commit crash window; the held
+            # transaction excludes concurrent loggers of this slot, so
+            # the clear races nobody (review finding: this remnant
+            # otherwise wedged the table permanently). A marker that
+            # reads "posix" (or a legacy EMPTY marker) instead means a
+            # generation GENUINELY COMMITTED under the POSIX protocol
+            # that this log never recorded — a table migrated between
+            # backends mid-life. Destroying it would be silent data
+            # loss, so refuse with a migration error (ADVICE r15).
             for attempt in (0, 1):
                 try:
                     os.rename(staging, final)
@@ -317,6 +335,27 @@ class SqliteCommitBackend(CommitBackend):
                     if attempt == 1 or not os.path.isdir(final):
                         con.rollback()
                         return False
+                    marker = os.path.join(final, _COMMITTED)
+                    if os.path.exists(marker):
+                        try:
+                            with open(marker) as fh:
+                                tag = fh.read().strip() or "posix"
+                        except OSError:
+                            tag = "posix"  # unreadable: assume committed
+                        if tag != self.marker_tag:
+                            con.rollback()
+                            raise RuntimeError(
+                                f"ndb migration conflict at {final}: the "
+                                f"slot holds a generation marker-committed "
+                                f"under the {tag!r} protocol that this "
+                                f"commit log ({self.db_path}) never "
+                                "recorded — refusing to destroy it. "
+                                "Import the generation into the log (one "
+                                "INSERT INTO commits per marker-committed "
+                                "v* dir) or remove the directory "
+                                "explicitly before writing with this "
+                                "backend."
+                            )
                     grave = f"{final}.unlogged.pid{os.getpid()}"
                     try:
                         os.rename(final, grave)
@@ -587,7 +626,11 @@ class NdbTable:
                 f"ndb commit conflict at {self.path}: generation v{gen} was "
                 f"{how} — re-read the table state and retry the write"
             )
-        open(os.path.join(staging, _COMMITTED), "w").close()
+        # marker content = backend kind (CommitBackend.marker_tag), so
+        # a log backend can later tell a migrated POSIX commit from
+        # its own crash debris — see SqliteCommitBackend.rename_cas
+        with open(os.path.join(staging, _COMMITTED), "w") as fh:
+            fh.write(self._backend.marker_tag)
         for attempt in (0, 1):
             # a non-conflict failure inside rename_cas RAISES (staging
             # left intact for inspection); False is a genuine CAS loss

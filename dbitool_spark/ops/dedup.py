@@ -478,11 +478,22 @@ def ngram_containment_pairs(
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, shingle_k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for given (id_a, id_b) pairs —
-    the ground-truth verifier used to test LSH recall."""
-    from dbitool_spark.ops.cache import attach_persists
+    the ground-truth verifier used to test LSH recall.
+
+    materialize=True (default) eagerly localCheckpoints the result and
+    releases the internal shingle persist before returning — callers
+    that just collect can't leak executor cache. Pass False to get the
+    lazy plan with an attach_persists release handle instead (the
+    ngram_containment_pairs contract)."""
+    from dbitool_spark.ops.cache import attach_persists, materialize_release
 
     # persisted: both join sides alias the same shingle plan, and
     # Catalyst does not reuse exchanges across self-join aliases — the
@@ -503,7 +514,9 @@ def jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
-    return attach_persists(result, sh)
+    if not materialize:
+        return attach_persists(result, sh)  # lazy: release handle
+    return materialize_release(result, sh)
 
 
 def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
@@ -655,8 +668,13 @@ def connected_components(
         # count before comparing (review finding — callers sizing for N
         # edges were getting the fast path only to N/2; driver memory
         # is ~Row + dict-entry overhead per edge, not 16 bytes, which
-        # is why the default stays well under available driver heap)
-        n_edges = edges.count() // 2
+        # is why the default stays well under available driver heap).
+        # Self-loops survive distinct() as ONE row, so they'd make the
+        # halved count undercount — they carry no component information
+        # and no sizing weight, so exclude them from the threshold
+        # comparison (the component OUTPUT still includes them either
+        # way: both paths emit a self-loop-only node as its own root)
+        n_edges = edges.filter(F.col("src") != F.col("dst")).count() // 2
         if n_edges <= local_edge_threshold:
             try:
                 parent: dict = {}

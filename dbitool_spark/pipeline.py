@@ -1348,7 +1348,7 @@ class Pipeline:
         parts = text.split(":")
         args: dict[str, Any] = {}
         last_key: str | None = None
-        for token in parts[1:]:
+        for i, token in enumerate(parts[1:], start=1):
             k, eq, v = token.partition("=")
             if not eq or not re.match(r"^[A-Za-z_]\w*$", k):
                 # values legitimately contain ':' (every JDBC url =
@@ -1359,6 +1359,26 @@ class Pipeline:
                 # (review finding: such values were inexpressible in
                 # the CLI string form)
                 if last_key is not None:
+                    # the same rule also absorbs a typo'd argument
+                    # missing its '=' (csvread:...:heade), which would
+                    # otherwise surface later as a confusing
+                    # wrong-path failure — warn ONLY when the token is
+                    # a TRAILING bare identifier (a scheme hop like
+                    # 'derby' in jdbc:derby:/path is always followed
+                    # by more tokens; URL/path fragments carry '/',
+                    # '?', '.', '=' and stay silent) (review finding)
+                    if i == len(parts) - 1 and re.match(
+                        r"^[A-Za-z_]\w*$", token
+                    ):
+                        import warnings
+
+                        warnings.warn(
+                            f"token {token!r} in {text!r} looks like an "
+                            f"argument name missing its '='; re-joined "
+                            f"into {last_key}={args[last_key]!r}:"
+                            f"{token!r}",
+                            stacklevel=2,
+                        )
                     args[last_key] = f"{args[last_key]}:{token}"
                     continue
                 raise ValueError(f"malformed argument {token!r} in {text!r}")

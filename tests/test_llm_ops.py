@@ -128,6 +128,31 @@ def test_connected_components_paths_agree(spark):
     assert local[20] == 1 and local[12] == 9
 
 
+def test_connected_components_selfloop_threshold_count(spark):
+    """ADVICE r15: a self-loop pair survives the symmetrize+distinct
+    as ONE row, so the halved edge count undercounted and the local
+    fast path engaged slightly above its documented threshold.
+    Self-loops are now excluded from the sizing count (they carry no
+    component information), and BOTH paths still emit a
+    self-loop-only node as its own root."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (8, 8)], "id_a bigint, id_b bigint"
+    )
+    # 1 real undirected edge + 2 self-loops = 4 directed-distinct rows
+    # pre-fix (counted as 2), 2 post-fix (counted as 1): threshold 1
+    # now engages the fast path at exactly its documented size. The
+    # LABELS are identical on both paths at every threshold, self-loop
+    # nodes included — the fix changes sizing only.
+    for thr in (1, 2, None):
+        got = {
+            r.id: r.cluster_id
+            for r in dedup.connected_components(
+                pairs, local_edge_threshold=thr
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 7: 7, 8: 8}, (thr, got)
+
+
 def test_dedup_keep_representative(spark, docs):
     """Perturbed corpus deduped on minhash clusters: every cluster
     keeps exactly its min id; unpaired docs all survive."""
@@ -1138,7 +1163,7 @@ def test_avi_max_frames_cap(spark):
     assert len(out) == 2 and {r.frame_idx for r in out} == {0, 1}
 
 
-def test_bm25_plan_shape_and_semantics(spark):
+def test_bm25_plan_shape_and_semantics(spark, tmp_path):
     """BM25 retrieval (r10): the top-k must come from
     TakeOrderedAndProject (per-partition top-k + driver merge, never a
     global sort), the persisted doc-length table must cap corpus
@@ -1217,9 +1242,7 @@ def test_bm25_plan_shape_and_semantics(spark):
         ],
         "doc_id long, text string",
     )
-    import tempfile as _tf
-
-    d = _tf.mkdtemp(prefix="dbitool_bm25_")
+    d = str(tmp_path)  # pytest-owned scratch (ADVICE r15: mkdtemp leaked)
     for name in ("documents",):
         docs.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
     tiny = {r.doc_id: r.bm25 for r in llm_ops.bm25_topk_documents(spark, d).collect()}

@@ -2066,15 +2066,67 @@ def test_ndb_sqlite_backend_heals_unlogged_dir(spark, tmpdir):
     be = SqliteCommitBackend(db)
     t = NdbTable(spark, path, key="k", n_buckets=2, commit_backend=be)
     t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
-    # simulate the crash remnant: v1 dir with a marker, NO log row
+    # simulate the crash remnant: v1 dir with a marker tagged by THIS
+    # protocol ("log" — what the table layer writes under a sqlite
+    # backend), NO log row
     remnant = os.path.join(path, "v1")
     os.makedirs(remnant)
-    open(os.path.join(remnant, "_committed"), "w").close()
+    with open(os.path.join(remnant, "_committed"), "w") as fh:
+        fh.write("log")
     assert be.committed_gens(path) == [0]  # the log is the authority
 
     t.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
     assert be.committed_gens(path) == [0, 1]
     assert {r.k: r.v for r in t.replay().collect()} == {1: "a", 2: "b"}
+
+
+def test_ndb_sqlite_backend_refuses_posix_committed_dir(spark, tmpdir):
+    """ADVICE r15: a generation marker-committed under the POSIX
+    protocol (backend switched mid-life — the marker content says
+    "posix", or is a legacy EMPTY marker) that the sqlite log never
+    recorded is GENUINE DATA, not crash debris; rename_cas must
+    refuse with a migration error instead of destroying it, and the
+    refused dir must survive untouched."""
+    from dbitool_spark.ndb import SqliteCommitBackend
+
+    db = os.path.join(tmpdir, "commits.sqlite")
+    path = os.path.join(tmpdir, "kv")
+    be = SqliteCommitBackend(db)
+    t = NdbTable(spark, path, key="k", n_buckets=2, commit_backend=be)
+    t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    for content in ("posix", ""):  # explicit tag and legacy empty
+        remnant = os.path.join(path, "v1")
+        os.makedirs(remnant, exist_ok=True)
+        sentinel = os.path.join(remnant, "data.parquet")
+        open(sentinel, "w").write("precious")
+        with open(os.path.join(remnant, "_committed"), "w") as fh:
+            fh.write(content)
+        with pytest.raises(RuntimeError, match="migration conflict"):
+            t.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+        # the marker-committed generation survived, nothing was logged
+        assert os.path.exists(sentinel), "committed data was destroyed"
+        assert be.committed_gens(path) == [0]
+        shutil.rmtree(remnant)
+        # the raise contract leaves staging intact for inspection —
+        # clear it so the next iteration stages cleanly
+        for name in os.listdir(path):
+            if name.startswith(".stage-"):
+                shutil.rmtree(os.path.join(path, name))
+    # operator resolution: import the generation into the log, after
+    # which the same backend reads it as committed
+    os.makedirs(os.path.join(path, "v1"))
+    with open(os.path.join(path, "v1", "_committed"), "w") as fh:
+        fh.write("posix")
+    import sqlite3 as _sq
+
+    con = _sq.connect(db)
+    con.execute(
+        "INSERT INTO commits (table_path, gen, committed_at) VALUES (?, 1, 0)",
+        (os.path.abspath(path),),
+    )
+    con.commit()
+    con.close()
+    assert be.committed_gens(path) == [0, 1]
 
 
 def test_ndb_stale_publish_guard_forgets_log_row(spark, tmpdir):

@@ -794,6 +794,24 @@ def test_cli_colon_values_rejoin(spark):
         p._parse_cli("csvread:banana")  # first token still must be k=v
 
 
+def test_cli_colon_rejoin_warns_on_trailing_identifier(spark):
+    """ADVICE r15: the re-join rule silently absorbed a typo'd
+    trailing argument missing its '=' (csvread:...:heade). A trailing
+    bare-identifier token now warns; legitimate scheme/path
+    continuations (jdbc:derby:/path, s3://...) stay silent."""
+    import warnings
+
+    p = Pipeline(spark)
+    with pytest.warns(UserWarning, match="missing its '='"):
+        mod = p._parse_cli("csvread:in=f.csv:heade")
+    # still re-joined (the grammar has no bare flags) — only warned
+    assert mod.args["in"] == "f.csv:heade"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        p._parse_cli("jdbcselect:url=jdbc:derby:/tmp/db:table=t")
+        p._parse_cli("csvread:in=s3://bucket/key.csv:out=rows")
+
+
 def test_errorsize_zero_rejected(spark, tmp_path):
     """Review finding: errorsize=0 aborted even a clean quarantined
     read (0 >= 0). The reference validates 1..256 outright; so do we
