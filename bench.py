@@ -369,6 +369,30 @@ def _scaling_ops():
 
         return lm_scores_composite(spark, d)
 
+    def semantic_dedup(spark, d):
+        # r16 registration: ONE checkpointed LSH-bucketed pair table
+        # feeds both the pair listing and the SemDeDup keep/drop leg —
+        # candidate volume is the bucket equi-join's, never all-pairs
+        from dbitool_spark.plans.llm_ops import semantic_dedup_composite
+
+        return semantic_dedup_composite(spark, d)
+
+    def split_sample(spark, d):
+        # r16 registration: two scan-shaped id-hash aggregates in one
+        # union — growth must track the scan (~1x + job overhead)
+        from dbitool_spark.plans.pipeline_ops import split_sample_composite
+
+        return split_sample_composite(spark, d)
+
+    def ndb_replay_lookup(spark, d):
+        # r16 staged (r17 superseder candidate): the range-pruned
+        # write path plus a K-key pruned lookup — the lookup leg's
+        # cost must track K/n_buckets of the table + the probe's
+        # bounded bucket aggregation, never the full state
+        from dbitool_spark.plans.state_ops import ndb_replay_lookup_composite
+
+        return ndb_replay_lookup_composite(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -403,6 +427,9 @@ def _scaling_ops():
         "sessions_composite": sessions_composite,
         "bpe_pipeline": bpe_pipeline,
         "lm_scores_composite": lm_scores,
+        "semantic_dedup_composite": semantic_dedup,
+        "split_sample_composite": split_sample,
+        "ndb_replay_lookup_composite": ndb_replay_lookup,
     }
 
 
@@ -583,7 +610,11 @@ def _lazy_plan_variants():
         "ngram_containment_documents": _entry_lazy(
             llm_ops.ngram_containment_documents
         ),
-        "embedding_near_dup": _entry_lazy(llm_ops.embedding_near_dup),
+        # r16: embedding_near_dup's lazy twin retired with the entry;
+        # its successor semantic_dedup_composite has no lazy twin —
+        # connected_components' sizing count makes plan construction
+        # eager regardless (the dedup_representatives precedent), so
+        # its fingerprint hashes the checkpoint-backed plan
         "bm25_topk_documents": _entry_lazy(llm_ops.bm25_topk_documents),
     }
 

@@ -211,6 +211,22 @@ _RETIRED_CASES += [
      _llm.KMEANS_EMBEDDINGS_SQL),
     ("retired_semantic_outliers_documents", _llm.semantic_outliers_documents,
      _llm.SEMANTIC_OUTLIERS_SQL),
+    # r16 retirees — the three reserve merges executed (registry
+    # ledger): the two semantic-dedup constituents, the two id-hash
+    # partitioning constituents, and the BPE pair-statistics half
+    # superseded by the full tokenizer composite
+    ("retired_embedding_near_dup", _llm.embedding_near_dup,
+     _llm.EMBEDDING_NEAR_DUP_SQL),
+    ("retired_semdedup_embeddings", _llm.semdedup_embeddings,
+     _llm.SEMDEDUP_EMBEDDINGS_SQL),
+    ("retired_deterministic_split_documents",
+     _pipe.deterministic_split_documents,
+     _pipe.DETERMINISTIC_SPLIT_SQL),
+    ("retired_sample_stratified_documents",
+     _pipe.sample_stratified_documents,
+     _pipe.SAMPLE_STRATIFIED_SQL),
+    ("retired_bpe_pair_counts_documents", _llm.bpe_pair_counts_documents,
+     _llm.BPE_PAIR_COUNTS_SQL),
 ]
 
 # STAGED r15 NET-NEW candidates (the r14 plan leaves r15 with 4 slots
@@ -326,6 +342,14 @@ _RETIRED_CASES += [
     ("staged_media_pipeline_documents",
      _llm.media_pipeline_documents,
      _llm.MEDIA_PIPELINE_DOCUMENTS_SQL),
+    # r17 superseder candidate (staged r16, r15 verdict item 5): the
+    # range-pruned ndb WRITE path plus the bucket+range-PRUNED
+    # NdbTable.lookup() READ path in one kind-tagged row — supersedes
+    # ndb_range_pruned_replay when it registers; the function asserts
+    # pruning engaged via last_lookup_stats
+    ("staged_ndb_replay_lookup_composite",
+     _state.ndb_replay_lookup_composite,
+     _state.NDB_REPLAY_LOOKUP_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
