@@ -393,6 +393,24 @@ def _scaling_ops():
 
         return ndb_replay_lookup_composite(spark, d)
 
+    def winnow_near_dup(spark, d):
+        # r16 staged (r17 net-new candidate): fingerprint selection is
+        # a pure projection; pair generation is an inverted-index join
+        # whose posting lists the MOSS DF cap bounds, so pair volume —
+        # and the op's cost — must grow linearly with the corpus
+        from dbitool_spark.plans.llm_ops import winnow_near_dup_documents
+
+        return winnow_near_dup_documents(spark, d)
+
+    def edit_distance_join(spark, d):
+        # r16 staged (r17 net-new candidate): constant-size (d*q+1)
+        # rarest-first prefixes keyed on the gram — candidate volume
+        # tracks the sparse-gram frequency profile, and the sparse
+        # title corpus keeps the TRUE result near-linear in rows
+        from dbitool_spark.plans.llm_ops import edit_distance_join_documents
+
+        return edit_distance_join_documents(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -430,6 +448,8 @@ def _scaling_ops():
         "semantic_dedup_composite": semantic_dedup,
         "split_sample_composite": split_sample,
         "ndb_replay_lookup_composite": ndb_replay_lookup,
+        "winnow_near_dup": winnow_near_dup,
+        "edit_distance_join": edit_distance_join,
     }
 
 

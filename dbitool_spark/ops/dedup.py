@@ -82,6 +82,154 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def winnow_fingerprints(
+    text: Column, k: int = 4, window: int = 5
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): positional word k-grams, then the minimum gram of
+    every width-`window` sliding window, distinct — the local
+    fingerprint-selection guarantee (any shared run of window+k-1
+    words yields at least one shared fingerprint) with density ~2/(w+1)
+    instead of keeping every gram. Returns array<string> per row.
+
+    Cross-engine exactness: the paper selects by a uniform HASH of the
+    gram; this implementation selects by the gram's own lexicographic
+    order — the same total order DuckDB applies to varchar — so the
+    selected set is bit-identical in both engines (the hash only
+    de-biases selection density; locality and the shared-run guarantee
+    hold for ANY fixed total order, §4 of the paper). Pure expression,
+    ZERO shuffle: grams are built by zip_with-ing k shifted views (the
+    shingles() shape — no per-element slice allocation) and the
+    sliding minimum by least()-folding window-1 shifted views of the
+    gram array; the only exchange a caller pays is on the (w+1)/2-
+    sparser winnowed set. Docs shorter than one full window keep their
+    global-minimum gram (winnowing's every-document guarantee)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    grams = words
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, j + 1, n),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    # positional grams (NOT distinct — winnowing needs positions)
+    grams = F.when(n >= k, F.slice(grams, 1, n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<string>")
+    )
+    ng = F.size(grams)
+    # sliding min: least() skips the nulls zip_with pads on the
+    # shorter (shifted) side, so entry i holds min(grams[i .. i+w-1])
+    mins = grams
+    for j in range(1, window):
+        mins = F.zip_with(
+            mins, F.slice(grams, j + 1, ng), lambda x, y: F.least(x, y)
+        )
+    return (
+        F.when(
+            ng >= window,
+            F.array_distinct(F.slice(mins, 1, ng - F.lit(window - 1))),
+        )
+        .when(ng >= 1, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Approximate-string self-join under edit distance <= max_dist
+    via q-gram prefix filtering (Gravano et al., VLDB 2001 q-gram
+    count/length filters; rarest-first prefix ordering per Xiao et
+    al. 2008 Ed-Join), verified by the built-in JVM levenshtein —
+    both Spark and DuckDB implement the standard unit-cost
+    Wagner-Fischer distance, so the verified values are identical
+    cross-engine.
+
+    EXACT (no false negatives) on its domain len(name) >= (d+1)*q,
+    enforced by an in-plan filter on BOTH sides: one edit destroys at
+    most q of a string's character q-grams, so ED(a,b) <= d implies
+    the gram SETS differ by at most d*q types per side; with at least
+    d*q + 1 gram types each (the domain bound), the rarest-(d*q + 1)
+    prefixes must therefore intersect (prefix lemma), and the
+    prefix-keyed inverted-index join generates every qualifying pair.
+    The length filter |len_a - len_b| <= d (ED >= length difference)
+    prunes candidates before the O(len^2) verify.
+
+    Scale shape: identical to ngram_jaccard_pairs' prefix path — one
+    gram-frequency aggregation, one per-id window to rank grams
+    rarest-first, a prefix x prefix equi-join on the gram (prefix
+    size is the CONSTANT d*q + 1, so candidate volume is bounded by
+    sum over prefix grams of df^2 on the SPARSEST grams of each
+    string, never the full index), distinct, then per-pair verify.
+    Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist."""
+    d = int(max_dist)
+    if d < 1:
+        raise ValueError("max_dist must be >= 1 (0 is exact dedup)")
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+        .filter(F.length("name") >= (d + 1) * q)
+        .withColumn("len", F.length("name"))
+        .withColumn(
+            "grams",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name") - F.lit(q - 1)),
+                    lambda i: F.col("name").substr(i, F.lit(q)),
+                )
+            ),
+        )
+        .persist()  # feeds the frequency pass AND the prefix ranking
+    )
+    ix = base.select("id", "len", "name", F.explode("grams").alias("gram"))
+    freq = ix.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("gram").asc())
+    # persisted: the self-join below aliases this plan twice (the
+    # jaccard `pref` precedent — exchange reuse stops at the window)
+    pref = (
+        ix.join(freq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= d * q + 1)
+        .select("id", "len", "name", "gram")
+    ).persist()
+    a = pref.select(
+        F.col("id").alias("id_a"),
+        F.col("len").alias("la"),
+        F.col("name").alias("name_a"),
+        "gram",
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"),
+        F.col("len").alias("lb"),
+        F.col("name").alias("name_b"),
+        "gram",
+    )
+    cand = (
+        a.join(b, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= d)
+        )
+        .select("id_a", "name_a", "id_b", "name_b")
+        .distinct()
+    )
+    result = (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
+    )
+    if not materialize:
+        return attach_persists(result, base, pref)
+    return materialize_release(result, base, pref)
+
+
 def _validate_threshold(threshold: float) -> None:
     """The shingle-keyed join construction is exact only for
     threshold > 0 (a qualifying pair must share >= 1 shingle, which

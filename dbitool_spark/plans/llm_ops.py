@@ -4420,3 +4420,252 @@ SELECT 'encode' AS kind, CAST(doc_id AS VARCHAR) AS key1,
 FROM ({BPE_ENCODE_DOCUMENTS_SQL}) e
 ORDER BY kind, key1, key2
 """
+
+
+# --- winnowing fingerprints (r16 staged, r17 net-new candidate) ------
+
+#: Winnowing parameters: word 4-grams, window 5 — any shared run of
+#: window + k - 1 = 8 words yields at least one shared fingerprint
+#: (the local-selection guarantee, Schleimer et al. 2003 §4).
+_WINNOW_K = 4
+_WINNOW_W = 5
+#: MOSS-style common-fingerprint filter: a fingerprint seen in more
+#: than this many documents is boilerplate, carries no near-dup
+#: signal, and would make the inverted-index self-join quadratic in
+#: its posting length — drop it from pair generation (the paper's
+#: "ignore matches in too many documents" step). Bounds every join
+#: bucket at DF_CAP rows by construction, so pair volume grows
+#: linearly with the corpus at any scale.
+_WINNOW_DF_CAP = 16
+#: Minimum shared (rare) fingerprints for a reported pair: one shared
+#: 8-word run can be coincidence; three distinct selected regions is
+#: the plagiarism-detector convention.
+_WINNOW_MIN_SHARED = 3
+
+
+def winnow_near_dup_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm) over the perturbed corpus,
+    kind-tagged:
+
+    - kind='profile': per-document selected-fingerprint count — the
+      density audit (expected ~2/(w+1) of the gram positions, but
+      DISTINCT fingerprints per doc, which both engines compute
+      identically).
+    - kind='pairs': (id_a, id_b, shared-rare-fingerprint count) for
+      pairs sharing >= _WINNOW_MIN_SHARED fingerprints after the
+      MOSS common-fingerprint filter (document frequency <=
+      _WINNOW_DF_CAP).
+
+    Scale story: fingerprint selection is a pure per-row projection
+    (ops/dedup.winnow_fingerprints — zero shuffle, whole-stage
+    codegen); candidate generation is an inverted-index equi-join on
+    the fingerprint whose posting lists are capped at DF_CAP rows by
+    the filter, so no bucket ever goes quadratic — the exact banded-
+    LSH geometry, with winnowing's guarantee replacing probabilistic
+    recall: ANY pair sharing an 8-word run that selects a rare
+    fingerprint is found deterministically. The perturbed corpus
+    plants (i, i+offset) pairs sharing nearly all fingerprints.
+
+    Cross-engine exactness: selection is by the gram's lexicographic
+    order (both engines compare UTF-8 bytes), not a hash — see the
+    kernel docstring; the oracle replays the identical sliding-least
+    construction in DuckDB list algebra."""
+    from dbitool_spark.ops.cache import attach_persists, materialize_release
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    corpus = _perturbed_corpus(docs)
+    # persisted: the fingerprint projection feeds the profile leg AND
+    # the exploded inverted index; without it the winnow expression
+    # tree (k+w-2 zip_with folds) is evaluated twice
+    fp = corpus.select(
+        "doc_id",
+        dedup.winnow_fingerprints(
+            F.col("text"), k=_WINNOW_K, window=_WINNOW_W
+        ).alias("fps"),
+    ).persist()
+    ex = fp.select("doc_id", F.explode("fps").alias("fp"))
+    # document frequency per fingerprint; the <= DF_CAP filter keeps
+    # posting lists bounded. AQE broadcasts the count table when its
+    # size estimate allows and falls back to shuffle at scale — no
+    # forced hint (the scorer count-table precedent).
+    rare = ex.join(
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WINNOW_DF_CAP)
+        .select("fp"),
+        "fp",
+    )
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _WINNOW_MIN_SHARED)
+    )
+    out = (
+        fp.select(
+            F.lit("profile").alias("kind"),
+            F.col("doc_id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.size("fps").cast("long").alias("val"),
+        )
+        .unionByName(
+            pairs.select(
+                F.lit("pairs").alias("kind"),
+                "id_a",
+                "id_b",
+                F.col("shared").cast("long").alias("val"),
+            )
+        )
+        .orderBy("kind", "id_a", "id_b")
+    )
+    if not materialize:
+        return attach_persists(out, fp)
+    return materialize_release(out, fp)
+
+
+WINNOW_NEAR_DUP_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id,
+         array_to_string(ws[1:len(ws) - 1], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_WINNOW_K}
+              THEN list_transform(generate_series(1, len(w) - {_WINNOW_K - 1}),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
+),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN ng >= {_WINNOW_W}
+              THEN list_distinct(list_transform(
+                     generate_series(1, ng - {_WINNOW_W - 1}),
+                     i -> least(grams[i], grams[i+1], grams[i+2],
+                                grams[i+3], grams[i+4])))
+              WHEN ng >= 1 THEN [list_min(grams)]
+              ELSE CAST([] AS VARCHAR[]) END AS fps
+  FROM (SELECT doc_id, grams, len(grams) AS ng FROM g)
+),
+ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+rare AS (SELECT f FROM ex GROUP BY f HAVING COUNT(*) <= {_WINNOW_DF_CAP}),
+idx AS (SELECT e.doc_id, e.f FROM ex e SEMI JOIN rare r ON e.f = r.f),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+)
+SELECT 'profile' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       CAST(len(fps) AS BIGINT) AS val
+FROM fp
+UNION ALL
+SELECT 'pairs' AS kind, id_a, id_b, CAST(shared AS BIGINT) AS val
+FROM pairs
+ORDER BY kind, id_a, id_b
+"""
+
+
+# --- edit-distance join (r16 staged, r17 net-new candidate) ----------
+
+_ED_Q = 3
+_ED_D = 2
+#: Planted copies delete this 1-indexed character from the title —
+#: every (doc_id, doc_id + offset) pair is at edit distance exactly 1.
+_ED_DEL_POS = 7
+_ED_OFFSET = 1_000_000
+#: The join corpus is each document's first-_ED_TITLE_WORDS-word
+#: "title": distinct-ish short strings whose ED <= 2 neighborhoods
+#: stay SPARSE as the corpus grows (random-word titles), unlike
+#: sequential-ID name columns (customer/supplier names are dense
+#: digit grids: every key has O(digit-combinatorics) neighbors, so
+#: the TRUE result set itself grows superlinearly) or low-cardinality
+#: name columns (part.p_name has 64 distinct values: quadratic ED-0
+#: duplicate groups). Measured at sf0.01: 475/500 distinct titles,
+#: 27 natural pairs + the 500 planted.
+_ED_TITLE_WORDS = 4
+
+
+def edit_distance_join_documents(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = True
+) -> DataFrame:
+    """Approximate-string self-join on document titles (first
+    _ED_TITLE_WORDS words) under edit distance <= _ED_D via q-gram
+    prefix filtering (Gravano et al. 2001 count/length filters +
+    Ed-Join rarest-first prefixes — ops/dedup.edit_distance_pairs),
+    over the titles plus a planted copy of each with its
+    _ED_DEL_POSth character deleted (distance exactly 1 by
+    construction).
+
+    The oracle is honest brute force: every length-filtered pair
+    levenshtein-verified in DuckDB. A hash match therefore proves the
+    prefix filter generated EVERY qualifying candidate (recall 1.0 on
+    the len >= (d+1)*q domain) and that both engines' unit-cost edit
+    distances agree value-for-value, planted AND natural pairs
+    included."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    titles = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1,
+                _ED_TITLE_WORDS,
+            ),
+        ).alias("name"),
+    )
+    planted = titles.select(
+        (F.col("id") + _ED_OFFSET).alias("id"),
+        F.concat(
+            F.col("name").substr(F.lit(1), F.lit(_ED_DEL_POS - 1)),
+            F.col("name").substr(F.lit(_ED_DEL_POS + 1), F.length("name")),
+        ).alias("name"),
+    )
+    pairs = dedup.edit_distance_pairs(
+        titles.unionByName(planted),
+        "id",
+        "name",
+        max_dist=_ED_D,
+        q=_ED_Q,
+        materialize=materialize,
+    )
+    from dbitool_spark.ops.cache import transfer_persists
+
+    return transfer_persists(pairs, pairs.orderBy("id_a", "id_b"))
+
+
+EDIT_DISTANCE_JOIN_DOCUMENTS_SQL = rf"""
+WITH titles AS (
+  SELECT doc_id AS id,
+         array_to_string(
+           regexp_split_to_array(lower(trim(text)), '\s+')[1:{_ED_TITLE_WORDS}],
+           ' ') AS name
+  FROM documents
+),
+strs AS (
+  SELECT id, name FROM titles
+  UNION ALL
+  SELECT id + {_ED_OFFSET} AS id,
+         substr(name, 1, {_ED_DEL_POS - 1}) || substr(name, {_ED_DEL_POS + 1}) AS name
+  FROM titles
+),
+s AS (SELECT id, name FROM strs WHERE length(name) >= {(_ED_D + 1) * _ED_Q})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM s a, s b
+WHERE a.id < b.id
+  AND abs(length(a.name) - length(b.name)) <= {_ED_D}
+  AND levenshtein(a.name, b.name) <= {_ED_D}
+ORDER BY id_a, id_b
+"""

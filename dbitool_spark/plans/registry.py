@@ -284,10 +284,23 @@ compete, all parity-staged (staged_ rows green):
   NdbTable.lookup() path (ndb.py, reference TODO:61-65)
   driver-visible per the r15 verdict item 5 (staged r16 as
   staged_ndb_replay_lookup_composite): 45->44, +1 -> 48.
-All four executed: head = 44 surviving due + 4 registrations = 48,
+If all four execute: head = 44 surviving due + 4 registrations = 48,
 leaving the 2 structural slots for net-new operators; registry lands
 at 98 - 4 retirees + 4 = 98. Capacity stays closeable through r17
 without further merges.
+The 2 structural slots have two staged net-new competitors (both
+parity-green at r16 HEAD, both in the scaling-gate list):
+- winnow_near_dup_documents — winnowing fingerprints (Schleimer et
+  al. 2003 / MOSS): per-doc density profile + shared-rare-
+  fingerprint pairs, selection by lexicographic order so both
+  engines pick the identical set (staged_winnow_near_dup_documents);
+- edit_distance_join_documents — q-gram prefix-filtered edit-
+  distance self-join (Gravano et al. 2001 / Ed-Join) on document
+  titles with planted 1-deletion copies; brute-force oracle proves
+  filter recall 1.0 (staged_edit_distance_join_documents).
+r17 closes at exactly 50 iff both register alongside the four moves
+above; registering fewer leaves the head under 50, which the window
+test permits (<= 50 is the constraint).
 
 Staged for that r15 slack (green parity rows at r12 HEAD —
 tests/test_oracle_parity.py staged_ entries):

@@ -2309,3 +2309,176 @@ def test_lm_scores_composite_matches_constituents(spark):
     assert got_uni == uni
     assert got_big == big
     assert len(comp) == len(uni) + len(big) and len(uni) > 0
+
+
+# --- winnowing fingerprints (r16 staged) -----------------------------
+
+
+def _py_winnow(text: str, k: int = 4, w: int = 5) -> set:
+    """Pure-Python reference of ops/dedup.winnow_fingerprints: word
+    k-grams, lexicographic min of every width-w window, distinct;
+    k <= n_grams < w keeps the global min; fewer than k words selects
+    nothing (third implementation for the differential test)."""
+    import re as _re
+
+    words = _re.split(r"\s+", text.strip().lower())
+    if len(words) < k:
+        return set()
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    if len(grams) >= w:
+        return {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+    return {min(grams)}
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    """Differential: the zip_with-fold kernel equals the pure-Python
+    winnow on every boundary shape (empty, whitespace-only, < k
+    words, exactly k, k..k+w-2 grams = global-min branch, >= w grams,
+    heavy repetition, mixed whitespace runs) plus a seeded random
+    sample."""
+    import random
+
+    rng = random.Random(20160816)
+    vocab = [f"w{i}" for i in range(30)]
+    cases = [
+        "",
+        "   ",
+        "one",
+        "a b c",
+        "a b c d",          # exactly k words -> 1 gram -> global min
+        "a b c d e",        # 2 grams, still < w
+        "a b c d e f g h",  # 5 grams = w -> sliding branch engages
+        "tok " * 40,        # maximal repetition: 1 distinct gram
+        "a\tb\n c   d \t e f g h i j",  # mixed whitespace runs
+    ] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 60)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", dedup.winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(cases):
+        assert got[i] == _py_winnow(t), (i, t, got[i], _py_winnow(t))
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. 2003 §4): any two
+    docs sharing a run of window + k - 1 = 8 words share at least one
+    selected fingerprint — for ANY fixed total order, so it holds for
+    the lexicographic selection too. Plant an 8-word run inside
+    otherwise-disjoint random docs at varying offsets."""
+    import random
+
+    rng = random.Random(7)
+    run = " ".join(f"shared{i}" for i in range(8))
+    rows = []
+    for d in range(20):
+        pre = " ".join(f"a{d}_{i}" for i in range(rng.randrange(0, 25)))
+        post = " ".join(f"z{d}_{i}" for i in range(rng.randrange(0, 25)))
+        rows.append((d, f"{pre} {run} {post}".strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = [
+        set(r.fps)
+        for r in df.select(
+            dedup.winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    ]
+    common = set.intersection(*fps)
+    assert common, "planted 8-word run selected no shared fingerprint"
+    # and the guarantee is tight: a 7-word shared run may select none
+    # (no assertion — just documents why 8 is the magic number)
+
+
+def test_winnow_near_dup_planted_pairs(spark):
+    """Plans entry: every perturbed (i, i+offset) planted pair whose
+    doc is long enough to winnow must appear in the pairs leg, and
+    profile covers the whole corpus exactly once."""
+    from dbitool_spark.plans import llm_ops
+
+    sf = SF_ORACLE
+    out = llm_ops.winnow_near_dup_documents(spark, sf).collect()
+    profile = [r for r in out if r.kind == "profile"]
+    pairs = {(r.id_a, r.id_b) for r in out if r.kind == "pairs"}
+    n_docs = catalog.load(spark, sf, "documents").count()
+    assert len(profile) == 2 * n_docs
+    planted = sum(
+        1 for (a, b) in pairs if b - a == 1_000_000 and a < 1_000_000
+    )
+    # every planted pair shares all but ~2 fingerprints; only docs
+    # short enough to have < MIN_SHARED rare fingerprints may drop out
+    assert planted >= int(0.9 * n_docs), (planted, n_docs)
+
+
+# --- edit-distance join (r16 staged) ---------------------------------
+
+
+def _py_edit_distance(a: str, b: str) -> int:
+    """Unit-cost Wagner-Fischer (third implementation for the
+    differential test — both engines must agree with it)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(spark):
+    """The q-gram prefix filter chain must have recall 1.0 on its
+    domain (len >= (d+1)*q): compare against pure-Python brute force
+    over a corpus dense in near-misses (substitutions, deletions,
+    transpositions, and far-apart strings)."""
+    base = [
+        "the quick brown fox",
+        "the quick brown fix",     # 1 substitution
+        "the quick brwn fox",      # 1 deletion
+        "the quikc brown fox",     # 1 transposition = ED 2
+        "a completely different",  # far from everything
+        "the quick brown foxes",   # 1 insertion
+        "the slow brown fox",      # ED 4 from base: must NOT pair
+        "zzzzzzzzzzzz",
+        "zzzzzzzzzzzy",            # ED 1 repetitive pair
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.edit_distance_pairs(df, "id", "name").collect()
+    }
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and abs(len(a) - len(b)) <= 2:
+                dd = _py_edit_distance(a, b)
+                if dd <= 2:
+                    want[(i, j)] = dd
+    assert got == want, (got, want)
+    assert (0, 1) in want and (0, 6) not in want  # non-degenerate
+
+
+def test_edit_distance_pairs_domain_filter(spark):
+    """Strings shorter than (d+1)*q = 9 chars sit outside the exact
+    domain (their gram sets are too small for the count bound) and
+    are excluded IN-PLAN from both sides — no silent partial recall."""
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "long enough string"),
+         (4, "long enough strong")],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.edit_distance_pairs(df, "id", "name").collect()
+    }
+    # the short ED-1 pair (1,2) is out of domain; the long pair stays
+    assert got == {(3, 4): 1}, got

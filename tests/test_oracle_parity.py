@@ -350,6 +350,22 @@ _RETIRED_CASES += [
     ("staged_ndb_replay_lookup_composite",
      _state.ndb_replay_lookup_composite,
      _state.NDB_REPLAY_LOOKUP_SQL),
+    # r17 net-new candidate (staged r16, one of the 2 structural
+    # slots): winnowing fingerprints (Schleimer et al. 2003 / MOSS) —
+    # per-doc density profile + shared-rare-fingerprint pairs over
+    # the perturbed corpus; selection by lexicographic order so both
+    # engines pick the identical set (kernel docstring)
+    ("staged_winnow_near_dup_documents",
+     _llm.winnow_near_dup_documents,
+     _llm.WINNOW_NEAR_DUP_SQL),
+    # r17 net-new candidate (staged r16, the other structural slot):
+    # q-gram prefix-filtered edit-distance self-join (Gravano et al.
+    # 2001 / Ed-Join) on document titles + planted 1-deletion copies;
+    # the oracle is brute force, so the hash proves filter recall 1.0
+    # AND cross-engine levenshtein value agreement
+    ("staged_edit_distance_join_documents",
+     _llm.edit_distance_join_documents,
+     _llm.EDIT_DISTANCE_JOIN_DOCUMENTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
