@@ -411,6 +411,15 @@ def _scaling_ops():
 
         return edit_distance_join_documents(spark, d)
 
+    def global_pack(spark, d):
+        # r16 staged (r18 net-new candidate): the distributed scan —
+        # cost must track the range shuffle + per-partition windows;
+        # the only global step is the one-row-per-partition offset
+        # table, so growth is the scan's, never a serialization
+        from dbitool_spark.plans.llm_ops import global_pack_documents
+
+        return global_pack_documents(spark, d)
+
     return {
         "minhash_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": ngram,
@@ -450,6 +459,7 @@ def _scaling_ops():
         "ndb_replay_lookup_composite": ndb_replay_lookup,
         "winnow_near_dup": winnow_near_dup,
         "edit_distance_join": edit_distance_join,
+        "global_pack": global_pack,
     }
 
 

@@ -172,6 +172,59 @@ def with_position(
     )
 
 
+def with_running_total(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    total_col: str = "running_total",
+    inclusive: bool = False,
+) -> DataFrame:
+    """Global prefix sum of `value_col` under a total order, WITHOUT
+    the single-partition sort a bare `sum().over(Window.orderBy())`
+    costs — the value analogue of with_position (same construction,
+    same scale argument): range-partition on the order columns, a
+    per-partition window sum, then add cumulative per-partition
+    TOTALS. The only global step is the offset table — one row per
+    partition, so its window is bounded by the cluster's
+    partitioning, not the data; AQE broadcasts it from its runtime
+    size. inclusive=False (default) yields the EXCLUSIVE prefix (sum
+    of strictly-preceding rows — what packing/allocation needs);
+    True includes the row itself.
+
+    order_cols must be a UNIQUE total order — duplicate keys would
+    leave sibling rows' prefixes nondeterministic across runs."""
+    reserved = {total_col, "__pid", "__ls", "__off"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"with_running_total: input columns {sorted(reserved)} collide "
+            f"with the prefix-sum machinery (total_col={total_col!r} plus "
+            "internal __pid/__ls/__off) — rename or project them away "
+            "first, or pass a different total_col"
+        )
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(*cols).withColumn("__pid", F.spark_partition_id())
+    upper = Window.currentRow if inclusive else -1
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = part.withColumn(
+        "__ls", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(offsets, "__pid")
+        .withColumn(total_col, (F.col("__ls") + F.col("__off")).cast("long"))
+        .drop("__pid", "__ls", "__off")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

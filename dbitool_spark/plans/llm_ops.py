@@ -4669,3 +4669,85 @@ WHERE a.id < b.id
   AND levenshtein(a.name, b.name) <= {_ED_D}
 ORDER BY id_a, id_b
 """
+
+
+# --- global sequence packing (r16 staged, r18 net-new candidate) -----
+
+#: Training-sequence capacity in whitespace tokens. Small enough that
+#: sf0.01's ~50k-token corpus fills dozens of bins (non-degenerate at
+#: every SF), large enough that some documents straddle a boundary
+#: (spans = 2 rows exist — the straddle arithmetic is exercised).
+_PACK_CAPACITY = 1024
+
+
+def global_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign every document a slot in a
+    stream of fixed-capacity training sequences (context windows) by
+    its EXCLUSIVE global running token total — bin_id = before //
+    capacity, bin_offset = before % capacity, spans = how many bins
+    the document touches. The packing a 100 TB pre-training pipeline
+    runs right before tokenized-example serialization (documents
+    concatenated in a deterministic order, split every `capacity`
+    tokens).
+
+    Complements the registered pack_sequences_documents, which packs
+    PER HASH BUCKET (independent streams, global order traded away
+    for embarrassing parallelism): this op keeps the reference
+    single-stream semantics — ONE deterministic globally-numbered bin
+    sequence — and still never serializes. The scale story IS the
+    operator: the naive formulation is
+    sum(n_tok) OVER (ORDER BY doc_id) — a single-partition window
+    that serializes the entire corpus through one task (Spark warns
+    'No Partition Defined for Window'). This entry instead drives
+    ops/scale.with_running_total: range-partition on doc_id,
+    per-partition window sums, and a one-row-per-partition offset
+    table — the distributed scan. The oracle states the naive global
+    window in DuckDB, so the hash match proves the two-phase
+    decomposition computes EXACTLY the single-window semantics."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    from dbitool_spark.ops import scale as scale_ops
+
+    toks = docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tok")
+    )
+    packed = scale_ops.with_running_total(
+        toks, ["doc_id"], "n_tok", total_col="before", inclusive=False
+    )
+    cap = _PACK_CAPACITY
+    # `div`, not `/`: Spark's / is DOUBLE division, which silently
+    # loses exactness once the running total passes 2^53 — real at
+    # the 100 TB token-count scale this op exists for; div stays in
+    # long arithmetic end to end (DuckDB's // likewise)
+    return (
+        packed.selectExpr(
+            "doc_id",
+            "CAST(n_tok AS BIGINT) AS n_tok",
+            f"before div {cap} AS bin_id",
+            f"before % {cap} AS bin_offset",
+            f"(before % {cap} + n_tok - 1) div {cap} + 1 AS spans",
+        )
+        .orderBy("doc_id")
+    )
+
+
+GLOBAL_PACK_DOCUMENTS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(before // {_PACK_CAPACITY} AS BIGINT) AS bin_id,
+       CAST(before % {_PACK_CAPACITY} AS BIGINT) AS bin_offset,
+       CAST((before % {_PACK_CAPACITY} + n_tok - 1) // {_PACK_CAPACITY} + 1 AS BIGINT) AS spans
+FROM c
+ORDER BY doc_id
+"""

@@ -366,6 +366,16 @@ _RETIRED_CASES += [
     ("staged_edit_distance_join_documents",
      _llm.edit_distance_join_documents,
      _llm.EDIT_DISTANCE_JOIN_DOCUMENTS_SQL),
+    # r18 net-new candidate (staged r16): GLOBAL single-stream
+    # sequence packing via the distributed scan
+    # (ops/scale.with_running_total; contrast the registered
+    # per-bucket pack_sequences_documents) — the
+    # oracle states the naive single-partition global window, so the
+    # hash proves the two-phase prefix-sum decomposition computes
+    # exactly the single-window semantics
+    ("staged_global_pack_documents",
+     _llm.global_pack_documents,
+     _llm.GLOBAL_PACK_DOCUMENTS_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 

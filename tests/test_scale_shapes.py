@@ -757,3 +757,64 @@ def test_dedup_lazy_variants_carry_release_handles(spark):
         df = fn(spark, SF_SMOKE, materialize=False)
         released = release_persists(df)
         assert released >= min_handles, (fn.__name__, released)
+
+
+def test_with_running_total_matches_naive_window(spark):
+    """The two-phase distributed scan (range partition + local window
+    sums + bounded offset table) must equal the naive global-window
+    prefix sum exactly — inclusive and exclusive — and reject
+    colliding column names like with_position does."""
+    li = catalog.load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    keyed = li.withColumn(
+        "uk", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    ).withColumn("v", F.col("l_quantity").cast("long"))
+    for inclusive in (False, True):
+        got = {
+            r.uk: r.rt
+            for r in scale.with_running_total(
+                keyed, ["uk"], "v", total_col="rt", inclusive=inclusive
+            ).collect()
+        }
+        rows = sorted(
+            keyed.select("uk", "v").collect(), key=lambda r: r.uk
+        )
+        run, want = 0, {}
+        for r in rows:
+            if inclusive:
+                run += r.v
+                want[r.uk] = run
+            else:
+                want[r.uk] = run
+                run += r.v
+        assert got == want, inclusive
+    with pytest.raises(ValueError, match="collide"):
+        scale.with_running_total(
+            keyed.withColumn("__pid", F.lit(1)), ["uk"], "v"
+        )
+
+
+def test_global_pack_avoids_single_partition_data_window(spark):
+    """global_pack_documents must range-partition the corpus and keep
+    every data-row window partition-local; only the one-row-per-
+    partition offset table may cross a single-partition exchange."""
+    from dbitool_spark.plans.llm_ops import global_pack_documents
+
+    df = global_pack_documents(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()
+    assert "__pid" in plan  # the data-side window is partition-local
+    rows = df.collect()
+    # bins fill contiguously: offsets within a bin are strictly
+    # increasing in doc_id order and every bin boundary is respected
+    by_doc = sorted(rows, key=lambda r: r.doc_id)
+    run = 0
+    cap = 1024
+    for r in by_doc:
+        assert r.bin_id == run // cap and r.bin_offset == run % cap
+        assert r.spans == (r.bin_offset + r.n_tok - 1) // cap + 1
+        run += r.n_tok
