@@ -4491,13 +4491,17 @@ def winnow_near_dup_documents(
     # posting lists bounded. AQE broadcasts the count table when its
     # size estimate allows and falls back to shuffle at scale — no
     # forced hint (the scorer count-table precedent).
+    # persisted: the self-join below aliases this plan twice, and
+    # Catalyst does not reuse exchanges across self-join aliases —
+    # without it the explode + DF-count join executes once per side
+    # (the jaccard `pref` precedent)
     rare = ex.join(
         ex.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _WINNOW_DF_CAP)
         .select("fp"),
         "fp",
-    )
+    ).persist()
     pairs = (
         rare.alias("a")
         .join(rare.alias("b"), "fp")
@@ -4526,8 +4530,8 @@ def winnow_near_dup_documents(
         .orderBy("kind", "id_a", "id_b")
     )
     if not materialize:
-        return attach_persists(out, fp)
-    return materialize_release(out, fp)
+        return attach_persists(out, fp, rare)
+    return materialize_release(out, fp, rare)
 
 
 WINNOW_NEAR_DUP_SQL = rf"""
