@@ -4476,7 +4476,16 @@ def winnow_near_dup_documents(
     from dbitool_spark.ops.cache import attach_persists, materialize_release
 
     docs = catalog.load(spark, sf_dir, "documents")
-    corpus = _perturbed_corpus(docs)
+    # The winnow kernel is a CPU-heavy projection (k+w-2 zip_with
+    # folds per row), so its parallelism must come from PARTITION
+    # COUNT, not bytes: a small parquet file yields 1-2 input splits
+    # and serializes the fold on 2 cores (measured 9.9s -> ~1s at
+    # sf0.1 on local[32]). Hash-rebalance on doc_id to the session's
+    # parallelism — at 100 TB maxPartitionBytes provides the splits
+    # and this exchange is dwarfed by the fp-keyed shuffles below.
+    corpus = _perturbed_corpus(docs).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     # persisted: the fingerprint projection feeds the profile leg AND
     # the exploded inverted index; without it the winnow expression
     # tree (k+w-2 zip_with folds) is evaluated twice
