@@ -376,6 +376,7 @@ def _drain_streaming_entry(
     output_mode: str,
     state_partitions: int = 8,
     src_files: int | None = None,
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
     """Shared scaffold of every streaming driver entry (one place to
     fix, five entries that can't drift): drop the previous call's
@@ -438,7 +439,9 @@ def _drain_streaming_entry(
     if src_files is not None:
         source_df = source_df.repartition(src_files)
     json_io.write_ndjson(source_df, src)
-    stream = streaming.stream_ndjson(spark, src, schema, max_files_per_trigger=4)
+    stream = streaming.stream_ndjson(
+        spark, src, schema, max_files_per_trigger=max_files_per_trigger
+    )
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -482,7 +485,11 @@ def streaming_hourly_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame
             group_cols=["event_type"],
         ),
         output_mode="complete",
-        src_files=8,  # complete mode: final emission batch-invariant
+        # one 8-task micro-batch — see streaming_user_sessions_events:
+        # complete mode re-pays the full emission per trigger, so the
+        # parallel scan must not also multiply triggers
+        src_files=8,
+        max_files_per_trigger=8,
     )
     return (
         sink
@@ -777,9 +784,12 @@ def streaming_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFram
             gap=f"{SESSION_GAP_MIN} minutes",
         ),
         output_mode="complete",
-        src_files=8,  # complete mode: sessions merge-on-overlap across
-        # batches and complete emission never drops late rows, so the
-        # final per-user summary is batch-boundary-invariant
+        # complete mode re-emits the FULL result every trigger, so the
+        # parallel republish rides in ONE 8-task micro-batch (files =
+        # trigger cap): 2 triggers re-paid the complete emission and
+        # REGRESSED 1.91 -> 2.14s; 1x8 measures 1.62s at sf0.1
+        src_files=8,
+        max_files_per_trigger=8,
     )
     per_session = sink.select(
         "user_id",
