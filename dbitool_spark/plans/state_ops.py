@@ -410,14 +410,18 @@ def _drain_streaming_entry(
     single-threaded (measured on the curation chain at sf0.1: 1 file
     10.8s vs 8 files 2.6s) — and collapses the drain to a single
     micro-batch, weakening the very batch-boundary-invariance claim
-    the entries make. 8 files at maxFilesPerTrigger=4 gives >= 2
-    micro-batches with 4-way task parallelism inside each. Stateless
-    (projection/filter) plans may set it, and (r16) so may
-    COMPLETE-mode aggregations: complete mode retains all aggregation
+    the entries make. Stateless (projection/filter) plans set 8 files
+    at the default maxFilesPerTrigger=4: >= 2 micro-batches with
+    4-way task parallelism inside each, which also exercises the
+    batch-boundary-invariance claim. COMPLETE-mode aggregations (r16)
+    may also parallelize — complete mode retains all aggregation
     state and never applies the watermark's late-row drop (Structured
-    Streaming guide — watermarking has no effect in complete mode),
-    so the FINAL complete emission the drain returns is the full-data
-    aggregate regardless of how rows were batched into triggers.
+    Streaming guide), so the final emission is the full-data
+    aggregate however rows batch — but they must pin
+    max_files_per_trigger = src_files: complete mode RE-EMITS THE
+    FULL RESULT EVERY TRIGGER, so two triggers re-pay the emission
+    and state pass (measured: sessions 1.91 -> 2.38s under 8 files /
+    2 triggers, 1.62s under 8 files / 1 trigger at sf0.1).
     Append-mode watermarked aggregations, stream-stream joins, and
     first-wins dedup stay single-file: their EMITTED SET is a
     function of micro-batch boundaries (a repartitioned republish
