@@ -301,6 +301,16 @@ parity-green at r16 HEAD, both in the scaling-gate list):
 r17 closes at exactly 50 iff both register alongside the four moves
 above; registering fewer leaves the head under 50, which the window
 test permits (<= 50 is the constraint).
+Look-ahead (commit the exact math at r17 HEAD): if all six r17 moves
+execute, the registry returns to the 100-entry saturation point and
+r18 opens ZERO-SLACK again (due r18 = the full r16 head — none of
+the r17 retirees sit in it). The staged r18 net-new candidate
+global_pack_documents (parity-green, scaling-gated) therefore needs
+a reserve merge to free its slot; natural candidates inside the
+due-50: repetition_profile_documents + strip_repetition_documents
+(the detect and act halves of one repetition semantics), or folding
+pagerank_links into a link-graph composite. Name ONE in the r17
+ledger update so r18 opens mechanical.
 
 Staged for that r15 slack (green parity rows at r12 HEAD —
 tests/test_oracle_parity.py staged_ entries):
