@@ -254,10 +254,16 @@ class SqliteCommitBackend(CommitBackend):
     object-store deployment implements the same two calls against a
     conditional-put service (DynamoDB, an Iceberg REST catalog)."""
 
-    marker_tag = "log"
-
     def __init__(self, db_path: str):
         self.db_path = db_path
+        # instance-specific tag: markers record WHICH log published a
+        # generation, not merely "some log" — two sqlite logs pointed
+        # at one table (a misconfiguration) must not read each other's
+        # committed generations as own crash debris and destroy them.
+        # realpath so the same log reached via a symlink still matches
+        # its own markers; a spurious path mismatch only REFUSES (the
+        # data-safe direction), never clears.
+        self.marker_tag = f"log:{os.path.realpath(db_path)}"
         con = self._conn()
         try:
             con.execute(

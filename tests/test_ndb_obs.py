@@ -2067,12 +2067,12 @@ def test_ndb_sqlite_backend_heals_unlogged_dir(spark, tmpdir):
     t = NdbTable(spark, path, key="k", n_buckets=2, commit_backend=be)
     t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
     # simulate the crash remnant: v1 dir with a marker tagged by THIS
-    # protocol ("log" — what the table layer writes under a sqlite
+    # log instance (what the table layer writes under this sqlite
     # backend), NO log row
     remnant = os.path.join(path, "v1")
     os.makedirs(remnant)
     with open(os.path.join(remnant, "_committed"), "w") as fh:
-        fh.write("log")
+        fh.write(be.marker_tag)
     assert be.committed_gens(path) == [0]  # the log is the authority
 
     t.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
@@ -2094,7 +2094,10 @@ def test_ndb_sqlite_backend_refuses_posix_committed_dir(spark, tmpdir):
     be = SqliteCommitBackend(db)
     t = NdbTable(spark, path, key="k", n_buckets=2, commit_backend=be)
     t.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
-    for content in ("posix", ""):  # explicit tag and legacy empty
+    # explicit posix tag, legacy empty marker, and a FOREIGN sqlite
+    # log's instance tag (two logs misconfigured onto one table) —
+    # all three are someone else's committed data, never own debris
+    for content in ("posix", "", "log:/somewhere/else/commits.sqlite"):
         remnant = os.path.join(path, "v1")
         os.makedirs(remnant, exist_ok=True)
         sentinel = os.path.join(remnant, "data.parquet")
