@@ -411,6 +411,15 @@ def _scaling_ops():
 
         return edit_distance_join_documents(spark, d)
 
+    def leakage_safe_split(spark, d):
+        # r16 staged (r18 superseder candidate): banded LSH pairs +
+        # bounded CC + one corpus LEFT join + scan-shaped aggregates —
+        # growth must track the pair table (bucket equi-join), with
+        # the component table staying small
+        from dbitool_spark.plans.pipeline_ops import leakage_safe_split_composite
+
+        return leakage_safe_split_composite(spark, d)
+
     def global_pack(spark, d):
         # r16 staged (r18 net-new candidate): the distributed scan —
         # cost must track the range shuffle + per-partition windows;
@@ -460,6 +469,7 @@ def _scaling_ops():
         "winnow_near_dup": winnow_near_dup,
         "edit_distance_join": edit_distance_join,
         "global_pack": global_pack,
+        "leakage_safe_split": leakage_safe_split,
     }
 
 

@@ -304,13 +304,20 @@ test permits (<= 50 is the constraint).
 Look-ahead (commit the exact math at r17 HEAD): if all six r17 moves
 execute, the registry returns to the 100-entry saturation point and
 r18 opens ZERO-SLACK again (due r18 = the full r16 head — none of
-the r17 retirees sit in it). The staged r18 net-new candidate
-global_pack_documents (parity-green, scaling-gated) therefore needs
-a reserve merge to free its slot; natural candidates inside the
-due-50: repetition_profile_documents + strip_repetition_documents
-(the detect and act halves of one repetition semantics), or folding
-pagerank_links into a link-graph composite. Name ONE in the r17
-ledger update so r18 opens mechanical.
+the r17 retirees sit in it). TWO r18 moves are staged and
+parity-green at r16 HEAD:
+- leakage_safe_split_composite SUPERSEDES split_sample_composite
+  (slot-neutral; staged_leakage_safe_split_composite): both
+  constituent legs verbatim plus the near-dup-aware kind='safe' leg
+  — clusters assigned to train/val/test atomically, the oracle
+  recomputing the clusters via recursive closure.
+- global_pack_documents (net-new; staged_global_pack_documents)
+  still needs a reserve merge to free its slot; natural candidates
+  inside the due-50: repetition_profile_documents +
+  strip_repetition_documents (the detect and act halves of one
+  repetition semantics), or folding pagerank_links into a
+  link-graph composite. Name ONE in the r17 ledger update so r18
+  opens mechanical.
 
 Staged for that r15 slack (green parity rows at r12 HEAD —
 tests/test_oracle_parity.py staged_ entries):

@@ -2482,3 +2482,43 @@ def test_edit_distance_pairs_domain_filter(spark):
     }
     # the short ED-1 pair (1,2) is out of domain; the long pair stays
     assert got == {(3, 4): 1}, got
+
+
+def test_leakage_safe_split_clusters_atomic(spark):
+    """The kind='safe' leg's defining invariant: every near-dup
+    cluster lands in exactly ONE split (recomputed here from the same
+    pair graph), and the leg is non-vacuous — at least one cluster's
+    assignment DIFFERS from the plain per-doc id-hash split, i.e.
+    the plain split would have leaked it across the boundary."""
+    from dbitool_spark.plans.llm_ops import _perturbed_corpus
+    from dbitool_spark.plans.pipeline_ops import (
+        SPLIT_MULT,
+        SPLIT_PRIME,
+    )
+
+    sf = SF_ORACLE
+    docs = catalog.load(spark, sf, "documents")
+    corpus = _perturbed_corpus(docs)
+    pairs = dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text", shingle_k=3, threshold=0.7
+    )
+    cc = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+
+    def bucket(i):
+        return ((i % SPLIT_PRIME) * SPLIT_MULT) % SPLIT_PRIME % 100
+
+    def split_of(b):
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    by_cluster: dict = {}
+    leaked_by_plain = 0
+    for i in ids:
+        cl = cc.get(i, i)
+        safe = split_of(bucket(cl))
+        plain = split_of(bucket(i))
+        by_cluster.setdefault(cl, set()).add(safe)
+        if safe != plain:
+            leaked_by_plain += 1
+    assert all(len(s) == 1 for s in by_cluster.values())  # atomic
+    assert leaked_by_plain > 0  # the safe leg changes real outcomes

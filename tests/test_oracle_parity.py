@@ -376,6 +376,14 @@ _RETIRED_CASES += [
     ("staged_global_pack_documents",
      _llm.global_pack_documents,
      _llm.GLOBAL_PACK_DOCUMENTS_SQL),
+    # r18 superseder candidate (staged r16): split_sample_composite's
+    # two legs verbatim PLUS the near-dup-aware kind='safe' leg —
+    # clusters (recomputed independently by the oracle's recursive
+    # closure) assigned to train/val/test atomically, so near-dups
+    # can never straddle an evaluation boundary
+    ("staged_leakage_safe_split_composite",
+     _pipe.leakage_safe_split_composite,
+     _pipe.LEAKAGE_SAFE_SPLIT_SQL),
 ]
 _CASES = _CASES + _RETIRED_CASES
 
