@@ -194,6 +194,20 @@ class CommitBackend:
         POSIX backend the in-dir marker IS the record and dies with
         the dir; log-service backends override."""
 
+    def verify_table(self, table_path: str) -> None:
+        """Open-time authority check (ADVICE r15, the 'on open' half):
+        a marker-committed generation this backend's log never
+        recorded means the table was written under ANOTHER commit
+        authority (a POSIX table opened with a log backend, or a
+        second log misconfigured onto one table). rename_cas catches
+        the case where the foreign generation collides with a staged
+        slot, but the legacy `current` pointer can steer a fresh log
+        PAST the foreign generations entirely — the two authorities
+        would then interleave gens, and retention GC under either
+        would eventually destroy the other's committed data. No-op by
+        default: on POSIX the markers ARE the log, so the mismatch
+        cannot exist; log-service backends override."""
+
 
 class PosixCommitBackend(CommitBackend):
     """The shipped implementation: POSIX rename-onto-existing-dir
@@ -401,6 +415,37 @@ class SqliteCommitBackend(CommitBackend):
         finally:
             con.close()
 
+    def verify_table(self, table_path: str) -> None:
+        if not os.path.isdir(table_path):
+            return  # fresh table: nothing to verify
+        logged = set(self.committed_gens(table_path))
+        for name in sorted(os.listdir(table_path)):
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            gen = int(name[1:])
+            if gen in logged:
+                continue
+            marker = os.path.join(table_path, name, _COMMITTED)
+            if not os.path.exists(marker):
+                continue  # markerless staging/debris: rename_cas heals
+            try:
+                with open(marker) as fh:
+                    tag = fh.read().strip() or "posix"
+            except OSError:
+                tag = "posix"  # unreadable: assume committed
+            if tag != self.marker_tag:
+                raise RuntimeError(
+                    f"ndb migration conflict at {table_path}: generation "
+                    f"v{gen} is marker-committed under the {tag!r} "
+                    f"protocol but this commit log ({self.db_path}) never "
+                    "recorded it — refusing to adopt the table. Import "
+                    "the marker-committed generations into the log (one "
+                    "INSERT INTO commits per v* dir) or remove them "
+                    "explicitly before writing with this backend."
+                )
+            # own-tag + unlogged = this log's rename->commit crash
+            # debris; leave it for rename_cas's in-slot healing
+
 
 class NdbTable:
     def __init__(
@@ -422,6 +467,10 @@ class NdbTable:
         # the commit-coordination seam (see CommitBackend): default is
         # the POSIX rename-CAS; a log-service backend swaps in here
         self._backend = commit_backend or PosixCommitBackend()
+        # open-time authority check: refuse a table whose committed
+        # generations this backend's log does not know (see
+        # CommitBackend.verify_table) before any gen arithmetic runs
+        self._backend.verify_table(path)
         self.n_buckets = n_buckets
         # keep_versions > 2 enables TIME TRAVEL: the last K generation
         # dirs are retained across upserts/compactions and replay(

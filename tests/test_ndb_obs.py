@@ -2266,3 +2266,33 @@ def test_ndb_rejects_engine_internal_column_names(spark, tmpdir):
                    "k bigint, __old_v string"):
         with pytest.raises(ValueError, match="reserved by ndb"):
             t.upsert(spark.createDataFrame([(1, None)], schema))
+
+
+def test_ndb_two_sqlite_logs_misconfigured_refuse(spark, tmpdir):
+    """End-to-end instance-tag scenario: a table written under log A,
+    then opened with a DIFFERENT sqlite log B (the misconfiguration
+    the instance tag exists for). B's log knows none of the table's
+    committed generations — and the legacy `current` pointer would
+    steer B PAST them to fresh gen numbers, silently interleaving two
+    commit authorities (whose retention GC would then destroy each
+    other's data). verify_table refuses at OPEN. A's data survives;
+    A itself still works."""
+    from dbitool_spark.ndb import SqliteCommitBackend
+
+    path = os.path.join(tmpdir, "kv")
+    be_a = SqliteCommitBackend(os.path.join(tmpdir, "log_a.sqlite"))
+    t_a = NdbTable(spark, path, key="k", n_buckets=2, commit_backend=be_a)
+    t_a.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+
+    be_b = SqliteCommitBackend(os.path.join(tmpdir, "log_b.sqlite"))
+    # the refusal fires at OPEN (verify_table), before any gen
+    # arithmetic can interleave B's generations with A's
+    with pytest.raises(RuntimeError, match="migration conflict"):
+        NdbTable(
+            spark, path, key="k", n_buckets=2,
+            commit_backend=be_b, single_writer=False,
+        )
+    # A's committed generation survived and A still reads + writes
+    assert {r.k: r.v for r in t_a.replay().collect()} == {1: "a"}
+    t_a.upsert(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    assert {r.k: r.v for r in t_a.replay().collect()} == {1: "a", 3: "c"}
