@@ -527,6 +527,123 @@ def ngram_jaccard_pairs(
     return materialize_release(result, sh, ix)
 
 
+def ngram_jaccard_pairs_variants(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int,
+    hash_shingles: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """BOTH ngram_jaccard_pairs plans — the prefix-filtered exact path
+    (variant='exact') and the df-capped skew-guard path
+    (variant='skewguard', cap = max_doc_freq) — off ONE shared shingle
+    pass. Returns (variant, id_a, id_b, jaccard).
+
+    Row-for-row identical to running ngram_jaccard_pairs twice (the
+    candidate joins, prunes, epsilons and verify arithmetic below are
+    the operator's expressions verbatim; the variants-tagged union is
+    what ngram_jaccard_variants_documents built from two standalone
+    calls): only the REDUNDANT work is removed (guide §1.2/§2.3 —
+    don't compute things twice). Shared across the legs:
+
+    - `sh` (the interpreted zip_with shingle build + per-doc xxhash64
+      transform) — previously built, persisted and materialized once
+      PER VARIANT CALL;
+    - `ix` (the explode) and `freq` (the doc-frequency aggregation) —
+      previously one aggregation per call; `freq` is persisted here
+      because the exact leg's prefix ranking and the skew leg's df cap
+      are now two consumers of one plan;
+    - the eager materialization: ONE localCheckpoint of the tagged
+      union instead of two, so the two legs' candidate joins execute
+      as independent stages of one job (scheduler overlap) instead of
+      two sequential actions.
+
+    Measured (sf0.1, 5-run medians, isolated): 3.43s as two standalone
+    calls -> see OPTIMIZATION_r16.md for the post-change number."""
+    _validate_threshold(threshold)
+    if max_doc_freq is None:
+        raise ValueError(
+            "max_doc_freq is required: the skewguard leg is undefined "
+            "without a df cap (use ngram_jaccard_pairs for exact-only)"
+        )
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    if hash_shingles:
+        sh = sh.withColumn("sh", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+    sh = sh.persist()
+    ix = sh.select("id", "n", F.explode("sh").alias("shingle"))
+    t = F.lit(threshold)
+    # two consumers (prefix ranking + df cap) — persist, released below
+    freq = ix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).persist()
+    # --- exact leg: ngram_jaccard_pairs' prefix-filtered path verbatim
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix_len = F.col("n") - F.ceil(t * F.col("n") - F.lit(1e-9)) + 1
+    pref = (
+        ix.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "n", "shingle")
+    ).persist()
+    a = pref.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
+    b = pref.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") >= t * F.col("nb") - F.lit(1e-9))
+            & (F.col("nb") >= t * F.col("na") - F.lit(1e-9))
+        )
+        .select("id_a", "na", "id_b", "nb")
+        .distinct()
+    )
+    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    exact = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("li", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.col("li") / (F.col("na") + F.col("nb") - F.col("li"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    # --- skewguard leg: the df-capped inverted-index path verbatim
+    gx = ix.join(
+        freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+    ).persist()
+    ga = gx.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
+    gb = gx.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
+    inter = (
+        ga.join(gb, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") >= t * F.col("nb") - F.lit(1e-9))
+            & (F.col("nb") >= t * F.col("na") - F.lit(1e-9))
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("li"))
+    )
+    guarded = (
+        inter.withColumn(
+            "jaccard", F.col("li") / (F.col("na") + F.col("nb") - F.col("li"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    result = exact.select(F.lit("exact").alias("variant"), "*").unionByName(
+        guarded.select(F.lit("skewguard").alias("variant"), "*")
+    )
+    if not materialize:
+        return attach_persists(result, sh, freq, pref, gx)
+    return materialize_release(result, sh, freq, pref, gx)
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

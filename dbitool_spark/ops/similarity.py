@@ -438,15 +438,29 @@ def kmeans_distributed(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
 
     def assign(cdf: DataFrame) -> DataFrame:
+        # argmin by (d, cid) as a min-of-struct AGGREGATION, not a
+        # row_number window (r16 optimization round, guide §2.3
+        # "aggregate before you shuffle"): the window shuffled and
+        # sorted all corpus*k scored rows per iteration; the grouped
+        # min carries one partial struct per vec_id through map-side
+        # combine, so the exchange moves |corpus| rows instead of
+        # |corpus|*k. Selection is IDENTICAL: struct ordering is
+        # lexicographic (d, then cid — cid is unique per group, so the
+        # trailing v is never compared), exactly the window's
+        # orderBy("d", "cid") first row.
         return (
             vec.crossJoin(cdf)
             .withColumn("d", sq_dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "d", "v")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid", "v")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cid").alias("cid"),
+                F.col("m.d").alias("d"),
+                F.col("m.v").alias("v"),
+            )
         )
 
     if centroid_updates not in ("auto", "driver", "cluster"):

@@ -1004,21 +1004,25 @@ def ngram_jaccard_variants_documents(
     tagged union: the unguarded inverted-index exact path and the
     max_doc_freq skew-guarded path run in one entry, so a single green
     row proves both the complete-recall arithmetic and the guard's
-    exact drop/keep behavior."""
-    from dbitool_spark.ops.cache import transfer_persists
+    exact drop/keep behavior.
 
-    base_raw = ngram_jaccard_documents(spark, sf_dir, materialize=materialize)
-    base = base_raw.select(
-        F.lit("exact").alias("variant"), "id_a", "id_b", "jaccard"
+    r16 optimization round: the two legs now run off ONE shared
+    shingle/frequency pass (dedup.ngram_jaccard_pairs_variants) —
+    previously each standalone call built, persisted and materialized
+    its own shingle table and doc-frequency aggregation, and the two
+    eager checkpoints ran sequentially. Rows are identical (the leg
+    expressions are the operator's verbatim; equality pinned in
+    tests/test_llm_ops.py); only the duplicated corpus passes and the
+    second checkpoint barrier are gone (guide §1.2/§2.3)."""
+    return dedup.ngram_jaccard_pairs_variants(
+        _perturbed_corpus(catalog.load(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        threshold=0.5,
+        max_doc_freq=_SKEWGUARD_MAX_DF,
+        materialize=materialize,
     )
-    guarded_raw = ngram_jaccard_skewguard_documents(
-        spark, sf_dir, materialize=materialize
-    )
-    guarded = guarded_raw.select(
-        F.lit("skewguard").alias("variant"), "id_a", "id_b", "jaccard"
-    )
-    out = base.unionByName(guarded)
-    return transfer_persists(guarded_raw, transfer_persists(base_raw, out))
 
 
 NGRAM_JACCARD_VARIANTS_SQL = f"""

@@ -217,6 +217,21 @@ def bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     bench = bench_gram_set(docs)
     bloom = scale.bloom_build(bench, "gram", m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
     bloom_df = spark.createDataFrame([(bloom,)], "bloom array<bigint>")
+    # r16 optimization round: two rewrites of the double gram pass were
+    # MEASURED AND REJECTED (guide §1 — the empirical loop wins over
+    # the first-principles sketch here). (a) Fusing both memberships
+    # into one pass (grams LEFT JOIN bench + bloom probe, one
+    # per-doc_id aggregate — 3 exchanges -> 2) ran 1.16x the original:
+    # the two distincts below reduce AFTER early filters, so they
+    # shuffle only the few positive doc_ids, while the fused aggregate
+    # carries every gram row through the join stage un-reduced.
+    # (b) Persisting the exploded gram stream to share it across the
+    # legs ran 1.31x: the ~8-word gram strings make the cache
+    # write+read cost more than the second zip_with rebuild. The
+    # original shape — rebuild the stream per leg, reduce early — is
+    # the measured optimum at this row size (5-run interleaved
+    # medians: original 2.12s, fused 2.80s, persisted 2.78s at sf0.1;
+    # plans/r16/ab_measure.py).
     grams = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
     )
