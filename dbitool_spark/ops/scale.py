@@ -26,6 +26,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def rebalance_to_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Hash-rebalance `df` on `key` to the session's default
+    parallelism WHEN the frame has fewer input partitions than that —
+    a no-op otherwise (r16 optimization round; guide §2.5 input skew /
+    §6 input split size, generalizing the winnow kernel's measured
+    lesson: a small parquet file yields 1-2 scan splits and serializes
+    every pre-exchange projection and partial aggregation on 1-2 of
+    the session's cores — the shingle builds, signature sums, gram
+    explodes and Arrow matmuls that dominate the text/embedding
+    operators all run BELOW their first exchange).
+
+    Scale behavior: at 100 TB, maxPartitionBytes already yields many
+    scan splits, the partition-count probe sees >= parallelism, and
+    this is a literal no-op — the exchange exists only in the
+    small-input regime where it costs ~MBs and buys the cores back.
+    Values are unchanged for every engine operator (aggregates, joins
+    and fully-ordered windows are partition-invariant; that invariance
+    is what the oracle hash already relies on).
+
+    getNumPartitions() on an unexecuted scan reads the file index
+    (driver-side, no job)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def salted(df: DataFrame, n_salts: int = 16, *, mode: str = "row_hash") -> DataFrame:
     """Add a per-row salt column __salt in [0, n_salts).
 

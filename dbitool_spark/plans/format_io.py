@@ -796,7 +796,29 @@ def format_chain_docs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     separator-free by construction (free text never concatenates with
     other fields). Retirees keep standalone parity rows per the
     retirement contract."""
-    docs = format_chain_documents(spark, sf_dir).select(
+    from dbitool_spark.ops.concurrency import run_parallel
+
+    # r16 optimization round (guide §2.6): the documents chain and the
+    # orders chain are independent end to end (every hop stages under
+    # its own mkdtemp dir), and each serializes 3 staged write jobs —
+    # run them from two driver threads so the six writes overlap. Each
+    # chain's own hop ORDER is unchanged (hops depend on the previous
+    # hop's files), so the recovered rows are byte-identical.
+    def _orders_leg() -> DataFrame:
+        # ORC hop: recovered typed rows -> ORC -> back (Spark-native
+        # columnar; same pushdown class as parquet, zero extra jars)
+        orc_dir = os.path.join(_scratch("chain_docs_orders"), "orders.orc")
+        format_chain_orders(spark, sf_dir).write.mode("overwrite").orc(orc_dir)
+        return spark.read.orc(orc_dir)
+
+    legs = run_parallel(
+        spark,
+        [
+            ("documents", lambda: format_chain_documents(spark, sf_dir)),
+            ("orders", _orders_leg),
+        ],
+    )
+    docs = legs["documents"].select(
         F.lit("documents").alias("kind"),
         F.col("doc_id").alias("key"),
         F.col("text").alias("s1"),
@@ -805,11 +827,7 @@ def format_chain_docs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("string").alias("s4"),
         F.lit(None).cast("double").alias("num"),
     )
-    # ORC hop: recovered typed rows -> ORC -> back (Spark-native
-    # columnar; same pushdown class as parquet, zero extra jars)
-    orc_dir = os.path.join(_scratch("chain_docs_orders"), "orders.orc")
-    format_chain_orders(spark, sf_dir).write.mode("overwrite").orc(orc_dir)
-    orders = spark.read.orc(orc_dir).select(
+    orders = legs["orders"].select(
         F.lit("orders").alias("kind"),
         F.col("o_orderkey").alias("key"),
         F.col("o_orderstatus").alias("s1"),

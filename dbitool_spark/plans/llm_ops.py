@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbitool_spark import catalog
-from dbitool_spark.ops import dedup, multimodal, similarity, text
+from dbitool_spark.ops import dedup, multimodal, scale, similarity, text
 
 
 # --- exact dedup -----------------------------------------------------
@@ -214,14 +214,30 @@ def dedup_representatives_documents(spark: SparkSession, sf_dir: str) -> DataFra
     parameterized over the same perturbed corpus — a hash match
     proves cluster assignment, singleton handling, and argmax
     selection all at once."""
+    from dbitool_spark.ops.cache import release_persists
+
     docs = catalog.load(spark, sf_dir, "documents")
-    corpus = _perturbed_corpus(docs)
+    # rebalanced: the shingle build + signature partial aggregation +
+    # quality projection all run below their first exchange, i.e. on
+    # the scan's 1-2 small-file splits (no-op at 100 TB; see
+    # scale.rebalance_to_parallelism — the winnow kernel's lesson)
+    corpus = scale.rebalance_to_parallelism(_perturbed_corpus(docs), "doc_id")
+    # r16 optimization round, change 1: the pair table rides LAZY
+    # (materialize=False) instead of localCheckpointing mid-entry —
+    # connected_components materializes everything it needs inside the
+    # call (the fast path returns a LOCAL relation; the flood path's
+    # labels are checkpointed per iteration), so nothing downstream
+    # references the pair plan and the checkpoint's partition
+    # round-trip was pure overhead. The operator-internal persists
+    # release here explicitly (the attach_persists contract).
     pairs = dedup.minhash_near_dup_pairs(
-        corpus, "doc_id", "text", shingle_k=3, threshold=0.7
+        corpus, "doc_id", "text", shingle_k=3, threshold=0.7,
+        materialize=False,
     )
     comp = dedup.connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+    release_persists(pairs)
     clusters = corpus.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
@@ -230,19 +246,28 @@ def dedup_representatives_documents(spark: SparkSession, sf_dir: str) -> DataFra
     q = text.quality_score(clusters).select(
         "doc_id", "cluster_id", F.col("quality_score").alias("q_r")
     )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("q_r"), F.asc("doc_id"))
-    return (
-        q.withColumn("rk", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
-        .filter(F.col("rk") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("rep_doc_id"),
-            "n_members",
-            F.col("q_r").alias("rep_quality"),
-        )
-        .orderBy("cluster_id")
+    # r16 optimization round, change 2 (guide §2.3 — aggregate before
+    # you shuffle): the rk=1 row_number window + count window shuffled
+    # and sorted every corpus row per cluster; ONE aggregation now
+    # carries a partial max-struct + count per cluster through
+    # map-side combine. Selection is IDENTICAL: max(struct(q_r,
+    # -doc_id)) is lexicographic — highest q_r first, then smallest
+    # doc_id (integer negation is exact) — exactly the window's
+    # (q_r DESC, doc_id ASC) first row; q_r itself is never negated,
+    # so rep_quality is the untouched double. Equality pinned in
+    # tests/test_r16_optimizations.py and by the oracle hash.
+    agg = q.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("q_r").alias("q"), (-F.col("doc_id")).alias("nd"))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_members"),
     )
+    return agg.select(
+        "cluster_id",
+        (-F.col("m.nd")).alias("rep_doc_id"),
+        "n_members",
+        F.col("m.q").alias("rep_quality"),
+    ).orderBy("cluster_id")
 
 
 def _dedup_representatives_sql() -> str:
@@ -509,7 +534,10 @@ def simhash_recall_planted(
     # both the doc and its perturbed copy survive the subset because it
     # is taken BEFORE perturbation
     docs = catalog.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    corpus = _perturbed_corpus(docs)
+    # rebalanced: the 64-sum signature partial aggregation runs below
+    # its exchange on the scan's 1-2 small-file splits (no-op at
+    # 100 TB; see scale.rebalance_to_parallelism)
+    corpus = scale.rebalance_to_parallelism(_perturbed_corpus(docs), "doc_id")
     # ONE signature pass, persisted: ground truth AND the band join
     # both read it (3 unshared plans would re-run the 64-SUM
     # aggregation each — measured ~4-5x slower at sf0.1). The persist
@@ -1015,7 +1043,9 @@ def ngram_jaccard_variants_documents(
     tests/test_llm_ops.py); only the duplicated corpus passes and the
     second checkpoint barrier are gone (guide §1.2/§2.3)."""
     return dedup.ngram_jaccard_pairs_variants(
-        _perturbed_corpus(catalog.load(spark, sf_dir, "documents")),
+        scale.rebalance_to_parallelism(
+            _perturbed_corpus(catalog.load(spark, sf_dir, "documents")), "doc_id"
+        ),
         "doc_id",
         "text",
         shingle_k=3,
@@ -2221,7 +2251,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; round(6) by convention)."""
     from dbitool_spark.ops.cache import materialize_release
 
-    docs = catalog.load(spark, sf_dir, "documents")
+    docs = scale.rebalance_to_parallelism(
+        catalog.load(spark, sf_dir, "documents"), "doc_id"
+    )  # gram build below the first exchange; no-op at 100 TB
     # (source, gram) distinct feeds THREE consumers (sizes + both join
     # sides) — persist it or the corpus explodes once per reference
     grams = (
@@ -2755,7 +2787,11 @@ def ngram_containment_documents(
     engines; rounding only normalizes double formatting)."""
     docs = catalog.load(spark, sf_dir, "documents")
     pairs = dedup.ngram_containment_pairs(
-        _perturbed_corpus(docs), "doc_id", "text", shingle_k=3, threshold=0.9,
+        # rebalanced: the shingle build runs below its first exchange
+        # on the scan's small-file splits (no-op at 100 TB; see
+        # scale.rebalance_to_parallelism)
+        scale.rebalance_to_parallelism(_perturbed_corpus(docs), "doc_id"),
+        "doc_id", "text", shingle_k=3, threshold=0.9,
         materialize=materialize,
     )
     from dbitool_spark.ops.cache import transfer_persists
@@ -2948,7 +2984,12 @@ def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (families pinned at 3 through r8 so the recorded driver row always
     matched the code; flipped to 4 in r9 when the entry re-entered the
     rotation window, per the SURVEY appendix plan.)"""
-    docs = catalog.load(spark, sf_dir, "documents")
+    # rebalanced: synthesis + decode are Arrow kernels below the first
+    # exchange, i.e. on the scan's 1-2 small-file splits (no-op at
+    # 100 TB; see scale.rebalance_to_parallelism)
+    docs = scale.rebalance_to_parallelism(
+        catalog.load(spark, sf_dir, "documents"), "doc_id"
+    )
     media = multimodal.synthesize_media(docs, "doc_id", families=4)
     feats = multimodal.extract_media_features(media)
     return feats.select(

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbitool_spark import catalog
+from dbitool_spark.ops import scale
 from dbitool_spark.ops.dedup import shingles
 
 # ~1% of documents act as the held-out benchmark set in the
@@ -143,7 +144,11 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     here."""
     docs = catalog.load(spark, sf_dir, "documents")
     bench = bench_gram_set(docs)
-    grams = docs.select(
+    # rebalanced: the 8-gram zip_with build runs below the first
+    # exchange on the scan's small-file splits (no-op at 100 TB; see
+    # scale.rebalance_to_parallelism); the bench side stays as-is
+    # (1/BENCH_MOD of the rows)
+    grams = scale.rebalance_to_parallelism(docs, "doc_id").select(
         "doc_id", F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
     )
     return (
@@ -232,7 +237,7 @@ def bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     # the measured optimum at this row size (5-run interleaved
     # medians: original 2.12s, fused 2.80s, persisted 2.78s at sf0.1;
     # plans/r16/ab_measure.py).
-    grams = docs.select(
+    grams = scale.rebalance_to_parallelism(docs, "doc_id").select(
         "doc_id", F.explode(shingles(F.col("text"), DECONTAM_NGRAM)).alias("gram")
     )
     flagged = (

@@ -372,58 +372,17 @@ def _run_parallel_entries(
     *,
     state_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
-    """Run independent eager legs of a composite entry from driver
-    threads (guide §2.6: Spark happily runs several jobs at once; legs
-    are only sequential because the driver calls them sequentially).
-    Returns {tag: result}; the first leg failure re-raises after every
-    thread has joined (no orphaned streams).
+    """Streaming-entry wrapper over ops.concurrency.run_parallel —
+    independent drains own their scratch/checkpoint/sink namespaces
+    via _scratch_dir's per-thread leaf and uuid-named memory sinks, so
+    overlapping them changes job interleaving, never a query's own
+    micro-batch boundaries or values (the contract is documented on
+    run_parallel)."""
+    from dbitool_spark.ops.concurrency import run_parallel
 
-    Correctness contract: ONLY for legs that are independent by
-    construction — each must own its scratch/checkpoint/sink namespace
-    (the _scratch_dir per-thread leaf and uuid-named memory sinks give
-    the streaming drains exactly that) and must not read another leg's
-    state. Concurrency changes job interleaving, never a leg's own
-    micro-batch boundaries or values.
-
-    state_partitions: when set, spark.sql.shuffle.partitions is pinned
-    around the whole region so a leg whose own set/restore races
-    another thread's still sees the value it wanted (all current
-    callers scope to the same 8 — the race is benign-by-value, this
-    pin just makes it invariant; StreamExecution additionally clones
-    the session per query). Restored in a finally."""
-    from pyspark import InheritableThread
-
-    results: dict[str, DataFrame] = {}
-    errors: list[BaseException] = []
-
-    def _run(tag: str, thunk: Callable[[], DataFrame]) -> None:
-        try:
-            results[tag] = thunk()
-        except BaseException as exc:  # joined + re-raised below
-            errors.append(exc)
-
-    prev_parts = (
-        spark.conf.get("spark.sql.shuffle.partitions")
-        if state_partitions is not None
-        else None
+    return run_parallel(
+        spark, tagged_thunks, shuffle_partitions=state_partitions
     )
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        threads = [
-            InheritableThread(target=_run, args=(tag, thunk))
-            for tag, thunk in tagged_thunks
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    if errors:
-        raise errors[0]
-    return results
 
 
 def _drain_streaming_entry(
@@ -1061,8 +1020,17 @@ def streaming_lsh_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFr
 
     final = index.replay()  # (bucket, owner)
     # the bucket projection (shingles + 16x xxhash64 + explode) feeds
-    # all three checks — persist so it runs once, not three times
-    buckets = dedup.lsh_bucket_rows(corpus, "doc_id", "text").persist()
+    # all three checks — persist so it runs once, not three times.
+    # Rebalanced first (r16 optimization round): the projection runs
+    # below its first exchange on the scan's 1-2 small-file splits
+    # (no-op at 100 TB; see scale.rebalance_to_parallelism); the
+    # REPUBLISH above keeps its own coalesce(4) layout untouched, so
+    # the stream's micro-batch contents are unchanged.
+    from dbitool_spark.ops import scale as _scale
+
+    buckets = dedup.lsh_bucket_rows(
+        _scale.rebalance_to_parallelism(corpus, "doc_id"), "doc_id", "text"
+    ).persist()
     minima = buckets.groupBy("bucket").agg(F.min("id").alias("bmin"))
     # (a) streamed owners vs batch bucket minima, full outer so a
     # missing/extra bucket counts as a mismatch too

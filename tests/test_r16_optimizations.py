@@ -146,6 +146,56 @@ def test_bloom_decontaminate_single_pass_equals_two_pass(spark):
     assert got.n_exact > 0  # non-vacuous at this SF
 
 
+def test_quantized_topk_matmul_equals_interpreted_dot(spark):
+    """The Arrow-batched int64-matmul scoring (batch-local top-k +
+    final window) must emit exactly the rows of the pre-optimization
+    construction: broadcast-NLJ with the per-element int_dot lambda,
+    globally ranked. Integer dots are order-free, so equality is
+    bit-level, not approximate."""
+    from dbitool_spark.ops.similarity import int_dot, quantize_int8
+
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    qc = quantize_int8(emb, "embedding")
+    q = quantize_int8(queries, "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
+    )
+    c = qc.select(F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cq"))
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("dot", int_dot(F.col("qq"), F.col("cq")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    cols = ["query_id", "neighbor_id", "rank", "dot"]
+    want = _rows(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(*cols),
+        cols,
+    )
+    got = _rows(similarity.quantized_topk(emb, queries, k=5), cols)
+    assert got == want and len(got) > 0
+
+
+def test_format_chain_parallel_legs_round_trip(spark):
+    """The thread-parallel docs/orders chains must recover exactly the
+    source rows (the union the sequential composite produced) — the
+    hop order within each chain is unchanged, only the two chains'
+    staged writes overlap."""
+    from dbitool_spark.plans.format_io import format_chain_docs_orders
+
+    got = format_chain_docs_orders(spark, SF_SMOKE)
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    orders = catalog.load(spark, SF_SMOKE, "orders")
+    n_docs, n_orders = docs.count(), orders.count()
+    by_kind = {
+        r[0]: r[1]
+        for r in got.groupBy("kind").count().collect()
+    }
+    assert by_kind == {"documents": n_docs, "orders": n_orders}
+    # full value parity is the oracle parity row's job; the counts pin
+    # that neither leg lost or duplicated rows under the thread overlap
+
+
 def test_parallel_entries_helper_returns_all_and_propagates_errors(spark):
     """_run_parallel_entries must hand back every leg's frame keyed by
     tag, restore the shuffle-partition conf, and re-raise a leg
@@ -172,6 +222,55 @@ def test_parallel_entries_helper_returns_all_and_propagates_errors(spark):
     with pytest.raises(RuntimeError, match="leg failed"):
         _run_parallel_entries(spark, [("ok", lambda: spark.range(1)), ("bad", boom)])
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_dedup_representatives_agg_equals_window_argmax(spark):
+    """The entry's max-of-struct per-cluster selection (plus lazy
+    pairs with explicit release) must emit exactly the rows of the
+    pre-optimization construction: checkpointed pairs, rk=1
+    row_number window ordered (q_r DESC, doc_id ASC), count window."""
+    from dbitool_spark.ops import text
+    from dbitool_spark.plans.llm_ops import (
+        _perturbed_corpus,
+        dedup_representatives_documents,
+    )
+
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    corpus = _perturbed_corpus(docs)
+    pairs = dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text", shingle_k=3, threshold=0.7
+    )
+    comp = dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    clusters = corpus.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "text",
+    )
+    q = text.quality_score(clusters).select(
+        "doc_id", "cluster_id", F.col("quality_score").alias("q_r")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q_r"), F.asc("doc_id"))
+    want = _rows(
+        q.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("q_r").alias("rep_quality"),
+        ),
+        ["cluster_id", "rep_doc_id", "n_members", "rep_quality"],
+    )
+    got = _rows(
+        dedup_representatives_documents(spark, SF_SMOKE),
+        ["cluster_id", "rep_doc_id", "n_members", "rep_quality"],
+    )
+    assert got == want and len(got) > 0
 
 
 def test_streaming_dedup_native_equals_custom_operator(spark):
