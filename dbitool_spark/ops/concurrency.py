@@ -25,8 +25,10 @@ def run_parallel(
     shuffle_partitions: str | int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the thunks on InheritableThreads; return {tag: result}.
-    The first leg failure re-raises AFTER every thread has joined (no
-    orphaned streams/writes).
+    Leg failures re-raise AFTER every thread has joined (no orphaned
+    streams/writes): one failure re-raises as itself, several raise
+    together as an ExceptionGroup so no sibling's diagnostics are
+    lost (ADVICE r16).
 
     shuffle_partitions: when set, spark.sql.shuffle.partitions is
     pinned around the whole region so a leg whose own set/restore
@@ -66,5 +68,11 @@ def run_parallel(
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     if errors:
+        if len(errors) > 1:
+            # a multi-leg failure must not silently discard the
+            # sibling legs' diagnostics (ADVICE r16)
+            raise BaseExceptionGroup(
+                f"{len(errors)} parallel legs failed", errors
+            )
         raise errors[0]
     return results

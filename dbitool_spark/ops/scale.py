@@ -45,8 +45,13 @@ def rebalance_to_parallelism(df: DataFrame, key: str) -> DataFrame:
     and fully-ordered windows are partition-invariant; that invariance
     is what the oracle hash already relies on).
 
-    getNumPartitions() on an unexecuted scan reads the file index
-    (driver-side, no job)."""
+    Contract (ADVICE r16): call this on EXCHANGE-FREE frames only —
+    scans and pure projections/unions of scans. getNumPartitions() on
+    such a frame reads the file index driver-side with no job; on a
+    plan that already contains an Exchange, .rdd under AQE forces
+    getFinalPhysicalPlan, which would submit (and discard) the
+    upstream shuffle stages. Every call site in the repo is a
+    pre-exchange scan shape; keep it that way."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

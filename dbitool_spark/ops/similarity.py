@@ -733,7 +733,14 @@ def quantized_topk(
     )
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, dot long"
-    c = qc.select(F.col(id_col).alias("nid"), F.col("qvec").alias("cq"))
+    # NULL pin (ADVICE r16): the old SQL scoring path dropped NULL ids
+    # via `!=` and yielded a null dot for a NULL vector; the numpy path
+    # would instead pass a NULL id through the != mask and raise on a
+    # NULL vector. Filter both explicitly so the semantics stay the
+    # SQL path's (no current fixture produces nulls — this pins it).
+    c = qc.select(F.col(id_col).alias("nid"), F.col("qvec").alias("cq")).filter(
+        F.col("nid").isNotNull() & F.col("cq").isNotNull()
+    )
     if not qrows:
         scored = corpus.sparkSession.createDataFrame([], out_schema)
     else:

@@ -534,10 +534,15 @@ def simhash_recall_planted(
     # both the doc and its perturbed copy survive the subset because it
     # is taken BEFORE perturbation
     docs = catalog.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    # rebalanced: the 64-sum signature partial aggregation runs below
-    # its exchange on the scan's 1-2 small-file splits (no-op at
-    # 100 TB; see scale.rebalance_to_parallelism)
-    corpus = scale.rebalance_to_parallelism(_perturbed_corpus(docs), "doc_id")
+    # r17: the r16 rebalance REVERTED here (r16 verdict item 3) — on
+    # this entry's 1-in-5 subset (~4k perturbed rows at sf0.1) the
+    # added exchange costs more than the parallelized 64-sum kernel
+    # buys back (r16 exclusive record: 2.91 -> 3.13s, the one measured
+    # regression that round; re-measured this round in the interleaved
+    # A/B recorded in OPTIMIZATION_r17.md). The rebalance stays on the
+    # full-corpus kernels (dedup_representatives, jaccard, bloom) where
+    # the same exchange measured 2-3.7x wins.
+    corpus = _perturbed_corpus(docs)
     # ONE signature pass, persisted: ground truth AND the band join
     # both read it (3 unshared plans would re-run the 64-SUM
     # aggregation each — measured ~4-5x slower at sf0.1). The persist
@@ -4361,10 +4366,12 @@ def bpe_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     email_chart/embedding_audit shape): one driver row drives the
     pair-statistics aggregation (kind='pair'), the K-round
     merge-learning loop (kind='merge'), and the corpus encode audit
-    (kind='encode'), each through its full original codepath.
-    Constituents keep standalone parity rows per the retirement
-    contract. Scale shapes are the constituents', unchanged — see
-    their docstrings."""
+    (kind='encode'). r17: the merge and encode legs derive from ONE
+    shared learn chain (value-identical by construction — see the
+    inline note below; the constituents' standalone codepaths and
+    parity rows are untouched, so the original shapes stay covered).
+    Scale shapes are the constituents', unchanged — see their
+    docstrings."""
     pair = bpe_pair_counts_documents(spark, sf_dir).select(
         F.lit("pair").alias("kind"),
         F.col("pair").alias("key1"),
@@ -4373,7 +4380,66 @@ def bpe_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n2"),
         F.lit(None).cast("long").alias("n3"),
     )
-    merge = bpe_learn_merges_documents(spark, sf_dir).select(
+    # r17 optimization round (r16 verdict item 8; guide §1.2/§2.4 —
+    # don't compute things twice): the merge and encode legs previously
+    # re-derived the SAME K-iteration learn chain as two separate lazy
+    # subtrees (bpe_learn_merges_documents's chain does not carry
+    # `word`, bpe_encode_documents's does, so Catalyst could not reuse
+    # one's exchanges for the other). Build ONE chain carrying `word`
+    # and derive both legs from it: the merge rows are the chain's own
+    # per-iteration best-pair frames, the encode leg its final state.
+    # Values are identical by construction — carrying `word` through
+    # the groupBy(word) frequency table changes no pair count (the
+    # pair aggregation projects only (r, n)), and the best-pair
+    # selection orders by the same exact integer counts and
+    # (cnt DESC, a, b) tie-break the constituents use; pinned by the
+    # r17 equivalence test and the unchanged oracle hash. The
+    # standalone constituents (and their retired_ parity rows) keep
+    # their original codepaths untouched.
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    wn = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n")).select(
+        "word",
+        F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|")).alias("r"),
+        "n",
+    )
+    bests = []
+    for i in range(_BPE_LEARN_ITERS):
+        syms = F.filter(F.split("r", r"\|"), lambda x: F.length(x) > 0)
+        pairs_i = (
+            wn.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, F.size(syms) - 1).alias("a"),
+                        F.slice(syms, 2, F.size(syms) - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs_i.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        bests.append(
+            best.select(
+                F.lit(i).alias("it"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+        )
+        wn = wn.crossJoin(F.broadcast(best)).select(
+            "word",
+            _bpe_apply_merge(F.col("r"), F.col("a"), F.col("b")).alias("r"),
+            "n",
+        )
+    merges = bests[0]
+    for b in bests[1:]:
+        merges = merges.unionByName(b)
+    merge = merges.select(
         F.lit("merge").alias("kind"),
         F.col("pair_a").alias("key1"),
         F.col("pair_b").alias("key2"),
@@ -4381,13 +4447,28 @@ def bpe_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("n2"),
         F.lit(None).cast("long").alias("n3"),
     )
-    enc = bpe_encode_documents(spark, sf_dir).select(
-        F.lit("encode").alias("kind"),
-        F.col("doc_id").cast("string").alias("key1"),
-        F.lit(None).cast("string").alias("key2"),
-        F.col("n_words").cast("long").alias("n1"),
-        F.col("n_chars").alias("n2"),
-        F.col("n_syms_bpe").alias("n3"),
+    syms = F.filter(F.split("r", r"\|"), lambda x: F.length(x) > 0)
+    enc_lengths = wn.select(
+        "word",
+        F.length("word").alias("n_chars_w"),
+        F.size(syms).alias("n_syms_w"),
+    )
+    enc = (
+        toks.join(enc_lengths, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+            F.sum("n_syms_w").cast("long").alias("n_syms_bpe"),
+        )
+        .select(
+            F.lit("encode").alias("kind"),
+            F.col("doc_id").cast("string").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            F.col("n_words").cast("long").alias("n1"),
+            F.col("n_chars").alias("n2"),
+            F.col("n_syms_bpe").alias("n3"),
+        )
     )
     return pair.unionByName(merge).unionByName(enc).orderBy(
         "kind", "key1", "key2"

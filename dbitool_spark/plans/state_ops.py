@@ -979,37 +979,70 @@ def streaming_lsh_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFr
     corpus = _perturbed_corpus(docs)
     scratch = _scratch_dir("streaming_lsh_near_dup", sf_dir)
     src = os.path.join(scratch, "ndjson")
-    # Arrival order is deliberately unpinned: FileStreamSource orders
-    # by modification time with an unspecified tie-break anyway, and
-    # nothing below needs it — the index merge is order-insensitive by
-    # construction and all three checks compare order-insensitive
-    # artifacts (arrival-order semantics are pinned separately in
-    # pytest with per-file mtimes). coalesce, not repartitionByRange:
-    # range partitioning would add a sampling pass over the corpus
-    # for an ordering guarantee this entry does not use.
-    json_io.write_ndjson(corpus.coalesce(4), src)
-    # 4 files / 2 per trigger = 2 micro-batches: the minimum that
-    # proves cross-batch index increments; extra batches pay a fixed
-    # ndb-rewrite + job-scheduling cost for no extra evidence —
-    # pytest covers multi-batch arrival semantics at 3 batches with
-    # controlled ordering
-    stream = streaming.stream_ndjson(
-        spark, src, "doc_id long, text string", max_files_per_trigger=2
-    )
     index = NdbTable(spark, os.path.join(scratch, "lsh_index"), key="bucket", n_buckets=8)
     flags_dir = os.path.join(scratch, "flags")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+
+    from dbitool_spark.ops import scale as _scale
+    from dbitool_spark.ops.cache import materialize_release
+
+    # r17 optimization round (r16 verdict item 2; guide §2.6 — overlap
+    # independent jobs): the DRAIN leg (republish + 2-micro-batch LSH
+    # stream into the ndb index) and the PARITY leg (the batch bucket
+    # projection all three checks read) are independent end to end —
+    # the parity side reads the parquet corpus, the drain reads its own
+    # republished NDJSON under this entry's scratch dir — and each
+    # serializes ~1-2s of driver-sequential waits. Run them on two
+    # driver threads; the checks below join only artifacts both legs
+    # have finished. The drain's own file set, trigger cap and state
+    # partitioning are byte-identical to the sequential run, so its
+    # micro-batch boundaries — and the index/flag contents — are
+    # unchanged (pinned by the oracle hash and the r17 equivalence
+    # test).
+    def _drain_leg():
+        # Arrival order is deliberately unpinned: FileStreamSource
+        # orders by modification time with an unspecified tie-break
+        # anyway, and nothing downstream needs it — the index merge is
+        # order-insensitive by construction and all three checks
+        # compare order-insensitive artifacts (arrival-order semantics
+        # are pinned separately in pytest with per-file mtimes).
+        # coalesce, not repartitionByRange: range partitioning would
+        # add a sampling pass for an ordering guarantee this entry
+        # does not use. 4 files / 2 per trigger = 2 micro-batches: the
+        # minimum that proves cross-batch index increments.
+        json_io.write_ndjson(corpus.coalesce(4), src)
+        stream = streaming.stream_ndjson(
+            spark, src, "doc_id long, text string", max_files_per_trigger=2
+        )
         streaming.stream_near_dup_lsh(
             stream, "doc_id", "text",
             index=index, flags_dir=flags_dir,
             checkpoint=os.path.join(scratch, "ckpt"),
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return None  # the leg's outputs are the index + flags dirs
 
-    from dbitool_spark.ops.cache import materialize_release
+    def _parity_leg():
+        # the bucket projection (shingles + 16x xxhash64 + explode)
+        # feeds all three checks — persist AND materialize here so it
+        # runs once, overlapped with the drain. Rebalanced first (r16):
+        # the projection otherwise runs below its first exchange on the
+        # scan's 1-2 small-file splits (no-op at 100 TB; see
+        # scale.rebalance_to_parallelism); the republish keeps its own
+        # coalesce(4) layout, so micro-batch contents are unchanged.
+        b = dedup.lsh_bucket_rows(
+            _scale.rebalance_to_parallelism(corpus, "doc_id"), "doc_id", "text"
+        ).persist()
+        b.count()
+        return b
+
+    # shuffle partitions pinned to the drain's state partitioning (8)
+    # around the region — the value the drain scoped for itself before
+    # (the streaming_hourly_composite pattern); the parity leg's
+    # aggregates are partition-invariant.
+    legs = _run_parallel_entries(
+        spark,
+        [("drain", _drain_leg), ("parity", _parity_leg)],
+        state_partitions=8,
+    )
 
     def _mismatches(a: str, b: str, alias: str):
         return F.sum(
@@ -1019,18 +1052,7 @@ def streaming_lsh_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFr
         ).cast("long").alias(alias)
 
     final = index.replay()  # (bucket, owner)
-    # the bucket projection (shingles + 16x xxhash64 + explode) feeds
-    # all three checks — persist so it runs once, not three times.
-    # Rebalanced first (r16 optimization round): the projection runs
-    # below its first exchange on the scan's 1-2 small-file splits
-    # (no-op at 100 TB; see scale.rebalance_to_parallelism); the
-    # REPUBLISH above keeps its own coalesce(4) layout untouched, so
-    # the stream's micro-batch contents are unchanged.
-    from dbitool_spark.ops import scale as _scale
-
-    buckets = dedup.lsh_bucket_rows(
-        _scale.rebalance_to_parallelism(corpus, "doc_id"), "doc_id", "text"
-    ).persist()
+    buckets = legs["parity"]
     minima = buckets.groupBy("bucket").agg(F.min("id").alias("bmin"))
     # (a) streamed owners vs batch bucket minima, full outer so a
     # missing/extra bucket counts as a mismatch too
