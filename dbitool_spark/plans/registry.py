@@ -265,7 +265,21 @@ parallelization (batch-boundary-invariant by semantics — the r15
 stateless-drain treatment), landing the code change WITH its driver
 row per the code-change-rotation rule.
 
-r17 CAPACITY LEDGER (committed at r16 HEAD — recomputed arithmetic):
+r17 rotation (EXECUTED — PURE ROTATION ONLY): r17 was an optimization
+round, where registrations, retirements and supersessions are feature
+work and therefore out of scope — so NONE of the capacity ledger's
+four staged moves below executed (they stay queued, parity-green, for
+the next build round). The head-50 = the 48 due entries (the r15 head
+minus the two r16 retirees that sat in it) + the 2 structural-slack
+slots filled by the two r16-head entries whose CODE changed in the
+optimization round (bpe_pipeline_documents — shared learn chain;
+simhash_recall_planted — rebalance revert), per the
+code-change-rotation rule. Zero entries added, removed or renamed;
+registry stays at 98, every entry oracle-backed.
+
+r17 CAPACITY LEDGER (committed at r16 HEAD — recomputed arithmetic;
+NOT executed in r17, see the rotation note above — these moves are
+the next build round's plan):
 due r17 = the r15 head (50) minus the two r16 retirees that sat in
 it (embedding_near_dup, sample_stratified_documents) = 48 due, so 2
 slots of structural slack. Four slot-neutral-or-freeing moves
@@ -472,302 +486,17 @@ def oracle_sql() -> dict[str, str]:
 
 
 # =====================================================================
-# r16 WINDOW (head-50): the 3 reserve-merge registrations (all
-# oracle-proven rounds early as staged_ parity rows; the five
-# retirees keep retired_ parity rows per the retirement contract) +
-# the 47 due-tail survivors (last driver row: r14 — the r14 head-50
-# minus the three r16 retirees that sat in it: semdedup_embeddings,
-# deterministic_split_documents, bpe_pair_counts_documents). 47 + 3 =
-# 50, exactly full; registry lands at 98. Tail = the 50 r15-green
-# entries minus the two retirees that sat in THAT head
-# (embedding_near_dup, sample_stratified_documents) = 48, due r17.
+# r17 WINDOW (head-50): PURE ROTATION (r17 is an optimization round —
+# no registrations, retirements or feature moves; the capacity
+# ledger's four staged registration moves stay queued for the next
+# build round). Head = the 48 entries due their r17 driver row (the
+# r15 head minus the two r16 retirees that sat in it) + the 2
+# structural-slack slots filled by the two r16-head entries whose
+# CODE changed this optimization round (bpe_pipeline_documents'
+# shared learn chain, simhash_recall_planted's rebalance revert) —
+# the code-change-rotation rule: a changed entry lands its fresh
+# driver row in the same round as the change.
 # =====================================================================
-
-# NEW (r16): kind-tagged merge of embedding_near_dup +
-# semdedup_embeddings (both RETIRED with standalone parity rows) —
-# and a real plan improvement: the LSH-bucketed cosine pair table is
-# computed ONCE (localCheckpointed) and feeds both the pair listing
-# and the SemDeDup keep/drop table, where the two standalone entries
-# each paid candidate generation separately (3.30s vs the
-# constituents' combined 4.82s at sf0.1; oracle-proven since r13 as
-# staged_semantic_dedup_composite).
-register(
-    "semantic_dedup_composite",
-    llm_ops.semantic_dedup_composite,
-    llm_ops.SEMANTIC_DEDUP_COMPOSITE_SQL,
-)
-# NEW (r16): kind-tagged merge of deterministic_split_documents +
-# sample_stratified_documents (both RETIRED with standalone parity
-# rows) — the two realizations of the multiplicative id-hash
-# partitioning family in one row; both single scan-shaped aggregates,
-# the union adds no shuffle beyond the constituents' (oracle-proven
-# since r13 as staged_split_sample_composite).
-register(
-    "split_sample_composite",
-    pipeline_ops.split_sample_composite,
-    pipeline_ops.SPLIT_SAMPLE_COMPOSITE_SQL,
-)
-# NEW (r16): the tokenizer-story composite — SUPERSEDES
-# bpe_pair_counts_documents (retired with a standalone parity row)
-# and makes bpe_learn_merges + bpe_encode driver-visible in the same
-# slot: one row drives pair statistics (kind='pair'), the K-round
-# merge-learning loop (kind='merge'), and the corpus encode audit
-# (kind='encode'), each through its full original codepath
-# (oracle-proven since r14 as staged_bpe_pipeline_documents).
-register(
-    "bpe_pipeline_documents",
-    llm_ops.bpe_pipeline_documents,
-    llm_ops.BPE_PIPELINE_DOCUMENTS_SQL,
-)
-
-# --- the 47 entries due their r16 row (last driver row: r14) ----------
-
-
-# NEW (r14): variant-tagged merge of user_sessions +
-# user_sessions_window + streaming_user_sessions_events (all three
-# RETIRED with standalone parity rows) — three realizations of the
-# >30-min-gap session semantics (lag+cumsum, native session_window,
-# streaming drain) cross-checked by ONE union hash (oracle-proven a
-# round early as staged_sessions_composite_events).
-register(
-    "sessions_composite_events",
-    state_ops.sessions_composite_events,
-    state_ops.SESSIONS_COMPOSITE_SQL,
-)
-# NEW (r14): kind-tagged merge of format_chain_documents +
-# format_chain_orders (both RETIRED with standalone parity rows) —
-# both multi-hop sink/source chains plus an ORC hop on the recovered
-# typed orders rows, lossless column-per-field normalization
-# (oracle-proven a round early as staged_format_chain_docs_orders).
-register(
-    "format_chain_docs_orders",
-    format_io.format_chain_docs_orders,
-    format_io.FORMAT_CHAIN_DOCS_ORDERS_SQL,
-)
-# NEW (r14): variant-tagged merge of skewed_user_rollup_events +
-# skewed_segment_join_events (both RETIRED with standalone parity
-# rows) — the salted-aggregation and salted-join skew answers in one
-# driver row (oracle-proven a round early as
-# staged_skew_composite_events).
-register(
-    "skew_composite_events",
-    events_ops.skew_composite_events,
-    events_ops.SKEW_COMPOSITE_SQL,
-)
-# NEW (r14): per-doc column-composite merge of
-# token_repetition_metrics_documents + repetition_stats_documents
-# (both RETIRED with standalone parity rows; oracle-proven a round
-# early as staged_repetition_profile_documents).
-register(
-    "repetition_profile_documents",
-    llm_ops.repetition_profile_documents,
-    llm_ops.REPETITION_PROFILE_SQL,
-)
-# NEW (r14): kind-tagged per-source corpus audit merging
-# domain_stats_documents + top_terms_per_source (both RETIRED with
-# standalone parity rows; oracle-proven a round early as
-# staged_source_profile_documents).
-register(
-    "source_profile_documents",
-    llm_ops.source_profile_documents,
-    llm_ops.SOURCE_PROFILE_SQL,
-)
-# NEW (r14, capacity pull-forward from the r15 reserve): kind-tagged
-# merge of kmeans_embeddings + semantic_outliers_documents (both
-# RETIRED with standalone parity rows) — fills the 50th head slot the
-# original 8-registration plan left empty and makes r15 close exactly
-# with its six staged net-new candidates (oracle-proven a round early
-# as staged_embedding_audit_composite).
-register(
-    "embedding_audit_composite",
-    llm_ops.embedding_audit_composite,
-    llm_ops.EMBEDDING_AUDIT_COMPOSITE_SQL,
-)
-# NEW (r14): clean-on-ingest — the full text-curation chain
-# (strip_markup -> repeated-line removal -> PII redaction) as a
-# stateless streaming projection, drained against the BATCH chain's
-# oracle: micro-batch-boundary invariance is the claim (oracle-proven
-# a round early as staged_streaming_curation_chain_documents).
-register(
-    "streaming_curation_chain_documents",
-    state_ops.streaming_curation_chain_documents,
-    llm_ops.CURATION_TEXT_CHAIN_SQL,
-)
-# NEW (r14): link-graph PageRank quality signal (Page et al. 1999)
-# — integer-arithmetic ranks are bit-identical cross-engine (no float
-# summation order dependence), per-iteration checkpoint discipline,
-# and the oracle unrolls the iterations as chained CTEs (the
-# kmeans iterative-oracle family; oracle-proven a round early as
-# staged_pagerank_links_documents).
-register(
-    "pagerank_links_documents",
-    llm_ops.pagerank_links_documents,
-    llm_ops.PAGERANK_LINKS_SQL,
-)
-
-# --- the 41 entries due their r14 row (last driver row: r12) ----------
-
-register(
-    "streaming_hourly_composite",
-    state_ops.streaming_hourly_composite,
-    state_ops.STREAMING_HOURLY_COMPOSITE_SQL,
-)
-register(
-    "strip_markup_documents",
-    llm_ops.strip_markup_documents,
-    llm_ops.STRIP_MARKUP_DOCUMENTS_SQL,
-)
-register(
-    "dedup_representatives_documents",
-    llm_ops.dedup_representatives_documents,
-    llm_ops.DEDUP_REPRESENTATIVES_SQL,
-)
-register(
-    "bloom_decontaminate_documents",
-    pipeline_ops.bloom_decontaminate_documents,
-    pipeline_ops.BLOOM_DECONTAMINATE_SQL,
-)
-register(
-    "text_profile_documents",
-    llm_ops.text_profile_documents,
-    llm_ops.TEXT_PROFILE_DOCUMENTS_SQL,
-)
-register(
-    "bm25_topk_documents",
-    llm_ops.bm25_topk_documents,
-    llm_ops.BM25_TOPK_DOCUMENTS_SQL,
-)
-register(
-    "concat_positional_supplier_customer",
-    pipeline_ops.concat_positional_supplier_customer,
-    pipeline_ops.CONCAT_POSITIONAL_SQL,
-)
-register(
-    "email_chart_roundtrip",
-    format_io.email_chart_roundtrip,
-    format_io.EMAIL_CHART_ROUNDTRIP_SQL,
-)
-register(
-    "ngram_jaccard_variants_documents",
-    llm_ops.ngram_jaccard_variants_documents,
-    llm_ops.NGRAM_JACCARD_VARIANTS_SQL,
-)
-register(
-    "streaming_click_purchase_join",
-    state_ops.streaming_click_purchase_join,
-    state_ops.STREAMING_CLICK_PURCHASE_JOIN_SQL,
-)
-register(
-    "sketch_accuracy_gates",
-    scalar_ops.sketch_accuracy_gates,
-    scalar_ops.SKETCH_ACCURACY_GATES_SQL,
-)
-register(
-    "xls_roundtrip_nation",
-    format_io.xls_roundtrip_nation,
-    format_io.XLS_ROUNDTRIP_NATION_SQL,
-)
-register(
-    "sqlite_query_from_stream_part",
-    format_io.sqlite_query_from_stream_part,
-    format_io.SQLITE_QUERY_FROM_STREAM_PART_SQL,
-)
-register(
-    "jdbc_roundtrip_part",
-    format_io.jdbc_roundtrip_part,
-    format_io.JDBC_ROUNDTRIP_PART_SQL,
-)
-register("q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_SQL)
-register("q11_important_stock", relational.q11_important_stock, relational.Q11_SQL)
-register(
-    "q16_supplier_part_counts",
-    relational.q16_supplier_part_counts,
-    relational.Q16_SQL,
-)
-register(
-    "q20_potential_part_promotion",
-    relational.q20_potential_part_promotion,
-    relational.Q20_SQL,
-)
-register("q21_waiting_suppliers", relational.q21_waiting_suppliers, relational.Q21_SQL)
-register(
-    "dormant_rich_customers",
-    relational.dormant_rich_customers,
-    relational.DORMANT_RICH_SQL,
-)
-register(
-    "corpus_mix_weighted",
-    pipeline_ops.corpus_mix_weighted,
-    pipeline_ops.CORPUS_MIX_WEIGHTED_SQL,
-)
-register(
-    "events_asof_orders",
-    events_ops.events_asof_orders,
-    events_ops.EVENTS_ASOF_ORDERS_SQL,
-)
-register(
-    "quarantine_corrupt_formats",
-    format_io.quarantine_corrupt_formats,
-    format_io.QUARANTINE_CORRUPT_FORMATS_SQL,
-)
-# (events_daily_type_pivot retired r13 into events_audit_composite —
-# standalone parity row kept in tests/test_oracle_parity.py)
-register(
-    "duplicate_spans_documents",
-    llm_ops.duplicate_spans_documents,
-    llm_ops.DUPLICATE_SPANS_SQL,
-)
-register(
-    "supplier_nation_profit",
-    relational.supplier_nation_profit,
-    relational.SUPPLIER_NATION_PROFIT_SQL,
-)
-register(
-    "priority_by_shipyear",
-    relational.priority_by_shipyear,
-    relational.PRIORITY_BY_SHIPYEAR_SQL,
-)
-register(
-    "top_revenue_suppliers",
-    relational.top_revenue_suppliers,
-    relational.TOP_REVENUE_SUPPLIERS_SQL,
-)
-register(
-    "small_quantity_revenue",
-    relational.small_quantity_revenue,
-    relational.SMALL_QUANTITY_REVENUE_SQL,
-)
-register("simhash_recall_planted", llm_ops.simhash_recall_planted, llm_ops.CONST_RECALL_SQL)
-register(
-    "events_after_busy_hours",
-    events_ops.events_after_busy_hours,
-    events_ops.EVENTS_AFTER_BUSY_SQL,
-)
-register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
-register("q3_shipping_priority", relational.q3_shipping_priority, relational.Q3_SQL)
-register("q5_region_revenue", relational.q5_region_revenue, relational.Q5_SQL)
-register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_SQL)
-register("customer_segment_stats", relational.customer_segment_stats, relational.CUSTOMER_SEGMENT_SQL)
-register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
-register(
-    "customers_without_recent_orders",
-    relational.customers_without_recent_orders,
-    relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
-)
-register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
-register(
-    "pack_sequences_documents",
-    pipeline_ops.pack_sequences_documents,
-    pipeline_ops.PACK_SEQUENCES_SQL,
-)
-
-# ===================== driver-window boundary (50) ====================
-# Everything below was driver-green in r15 (CORRECTNESS_r15) and is
-# unchanged this round; full pytest oracle-parity coverage continues
-# every round regardless of position. Due their next driver row in
-# r17 (48 entries against 50 slots — 2 slots of structural slack; the
-# r17 capacity ledger in the module docstring names the competitors).
-
 
 # NEW (r15): model-based quality filtering, the inference half
 # (CCNet/LLaMA shape): deterministic rank->weight vocab via
@@ -1016,4 +745,294 @@ register(
     "bucketed_orders_customer_join",
     relational.bucketed_orders_customer_join,
     relational.BUCKETED_ORDERS_CUSTOMER_SQL,
+)
+
+# Rotated INTO the r17 head (code-change-rotation rule; see banner):
+# NEW (r16): the tokenizer-story composite — SUPERSEDES
+# bpe_pair_counts_documents (retired with a standalone parity row)
+# and makes bpe_learn_merges + bpe_encode driver-visible in the same
+# slot: one row drives pair statistics (kind='pair'), the K-round
+# merge-learning loop (kind='merge'), and the corpus encode audit
+# (kind='encode'), each through its full original codepath
+# (oracle-proven since r14 as staged_bpe_pipeline_documents).
+register(
+    "bpe_pipeline_documents",
+    llm_ops.bpe_pipeline_documents,
+    llm_ops.BPE_PIPELINE_DOCUMENTS_SQL,
+)
+
+register("simhash_recall_planted", llm_ops.simhash_recall_planted, llm_ops.CONST_RECALL_SQL)
+
+# ===================== driver-window boundary (50) ====================
+# Everything below was driver-green in r16 (CORRECTNESS_r16) and —
+# except the two code-changed entries rotated into the head above —
+# unchanged this round; full pytest oracle-parity coverage continues
+# every round regardless of position. Due their next driver row in
+# r18 (48 entries).
+
+
+
+# NEW (r16): kind-tagged merge of embedding_near_dup +
+# semdedup_embeddings (both RETIRED with standalone parity rows) —
+# and a real plan improvement: the LSH-bucketed cosine pair table is
+# computed ONCE (localCheckpointed) and feeds both the pair listing
+# and the SemDeDup keep/drop table, where the two standalone entries
+# each paid candidate generation separately (3.30s vs the
+# constituents' combined 4.82s at sf0.1; oracle-proven since r13 as
+# staged_semantic_dedup_composite).
+register(
+    "semantic_dedup_composite",
+    llm_ops.semantic_dedup_composite,
+    llm_ops.SEMANTIC_DEDUP_COMPOSITE_SQL,
+)
+# NEW (r16): kind-tagged merge of deterministic_split_documents +
+# sample_stratified_documents (both RETIRED with standalone parity
+# rows) — the two realizations of the multiplicative id-hash
+# partitioning family in one row; both single scan-shaped aggregates,
+# the union adds no shuffle beyond the constituents' (oracle-proven
+# since r13 as staged_split_sample_composite).
+register(
+    "split_sample_composite",
+    pipeline_ops.split_sample_composite,
+    pipeline_ops.SPLIT_SAMPLE_COMPOSITE_SQL,
+)
+
+# --- the 47 entries due their r16 row (last driver row: r14) ----------
+
+
+# NEW (r14): variant-tagged merge of user_sessions +
+# user_sessions_window + streaming_user_sessions_events (all three
+# RETIRED with standalone parity rows) — three realizations of the
+# >30-min-gap session semantics (lag+cumsum, native session_window,
+# streaming drain) cross-checked by ONE union hash (oracle-proven a
+# round early as staged_sessions_composite_events).
+register(
+    "sessions_composite_events",
+    state_ops.sessions_composite_events,
+    state_ops.SESSIONS_COMPOSITE_SQL,
+)
+# NEW (r14): kind-tagged merge of format_chain_documents +
+# format_chain_orders (both RETIRED with standalone parity rows) —
+# both multi-hop sink/source chains plus an ORC hop on the recovered
+# typed orders rows, lossless column-per-field normalization
+# (oracle-proven a round early as staged_format_chain_docs_orders).
+register(
+    "format_chain_docs_orders",
+    format_io.format_chain_docs_orders,
+    format_io.FORMAT_CHAIN_DOCS_ORDERS_SQL,
+)
+# NEW (r14): variant-tagged merge of skewed_user_rollup_events +
+# skewed_segment_join_events (both RETIRED with standalone parity
+# rows) — the salted-aggregation and salted-join skew answers in one
+# driver row (oracle-proven a round early as
+# staged_skew_composite_events).
+register(
+    "skew_composite_events",
+    events_ops.skew_composite_events,
+    events_ops.SKEW_COMPOSITE_SQL,
+)
+# NEW (r14): per-doc column-composite merge of
+# token_repetition_metrics_documents + repetition_stats_documents
+# (both RETIRED with standalone parity rows; oracle-proven a round
+# early as staged_repetition_profile_documents).
+register(
+    "repetition_profile_documents",
+    llm_ops.repetition_profile_documents,
+    llm_ops.REPETITION_PROFILE_SQL,
+)
+# NEW (r14): kind-tagged per-source corpus audit merging
+# domain_stats_documents + top_terms_per_source (both RETIRED with
+# standalone parity rows; oracle-proven a round early as
+# staged_source_profile_documents).
+register(
+    "source_profile_documents",
+    llm_ops.source_profile_documents,
+    llm_ops.SOURCE_PROFILE_SQL,
+)
+# NEW (r14, capacity pull-forward from the r15 reserve): kind-tagged
+# merge of kmeans_embeddings + semantic_outliers_documents (both
+# RETIRED with standalone parity rows) — fills the 50th head slot the
+# original 8-registration plan left empty and makes r15 close exactly
+# with its six staged net-new candidates (oracle-proven a round early
+# as staged_embedding_audit_composite).
+register(
+    "embedding_audit_composite",
+    llm_ops.embedding_audit_composite,
+    llm_ops.EMBEDDING_AUDIT_COMPOSITE_SQL,
+)
+# NEW (r14): clean-on-ingest — the full text-curation chain
+# (strip_markup -> repeated-line removal -> PII redaction) as a
+# stateless streaming projection, drained against the BATCH chain's
+# oracle: micro-batch-boundary invariance is the claim (oracle-proven
+# a round early as staged_streaming_curation_chain_documents).
+register(
+    "streaming_curation_chain_documents",
+    state_ops.streaming_curation_chain_documents,
+    llm_ops.CURATION_TEXT_CHAIN_SQL,
+)
+# NEW (r14): link-graph PageRank quality signal (Page et al. 1999)
+# — integer-arithmetic ranks are bit-identical cross-engine (no float
+# summation order dependence), per-iteration checkpoint discipline,
+# and the oracle unrolls the iterations as chained CTEs (the
+# kmeans iterative-oracle family; oracle-proven a round early as
+# staged_pagerank_links_documents).
+register(
+    "pagerank_links_documents",
+    llm_ops.pagerank_links_documents,
+    llm_ops.PAGERANK_LINKS_SQL,
+)
+
+# --- the 41 entries due their r14 row (last driver row: r12) ----------
+
+register(
+    "streaming_hourly_composite",
+    state_ops.streaming_hourly_composite,
+    state_ops.STREAMING_HOURLY_COMPOSITE_SQL,
+)
+register(
+    "strip_markup_documents",
+    llm_ops.strip_markup_documents,
+    llm_ops.STRIP_MARKUP_DOCUMENTS_SQL,
+)
+register(
+    "dedup_representatives_documents",
+    llm_ops.dedup_representatives_documents,
+    llm_ops.DEDUP_REPRESENTATIVES_SQL,
+)
+register(
+    "bloom_decontaminate_documents",
+    pipeline_ops.bloom_decontaminate_documents,
+    pipeline_ops.BLOOM_DECONTAMINATE_SQL,
+)
+register(
+    "text_profile_documents",
+    llm_ops.text_profile_documents,
+    llm_ops.TEXT_PROFILE_DOCUMENTS_SQL,
+)
+register(
+    "bm25_topk_documents",
+    llm_ops.bm25_topk_documents,
+    llm_ops.BM25_TOPK_DOCUMENTS_SQL,
+)
+register(
+    "concat_positional_supplier_customer",
+    pipeline_ops.concat_positional_supplier_customer,
+    pipeline_ops.CONCAT_POSITIONAL_SQL,
+)
+register(
+    "email_chart_roundtrip",
+    format_io.email_chart_roundtrip,
+    format_io.EMAIL_CHART_ROUNDTRIP_SQL,
+)
+register(
+    "ngram_jaccard_variants_documents",
+    llm_ops.ngram_jaccard_variants_documents,
+    llm_ops.NGRAM_JACCARD_VARIANTS_SQL,
+)
+register(
+    "streaming_click_purchase_join",
+    state_ops.streaming_click_purchase_join,
+    state_ops.STREAMING_CLICK_PURCHASE_JOIN_SQL,
+)
+register(
+    "sketch_accuracy_gates",
+    scalar_ops.sketch_accuracy_gates,
+    scalar_ops.SKETCH_ACCURACY_GATES_SQL,
+)
+register(
+    "xls_roundtrip_nation",
+    format_io.xls_roundtrip_nation,
+    format_io.XLS_ROUNDTRIP_NATION_SQL,
+)
+register(
+    "sqlite_query_from_stream_part",
+    format_io.sqlite_query_from_stream_part,
+    format_io.SQLITE_QUERY_FROM_STREAM_PART_SQL,
+)
+register(
+    "jdbc_roundtrip_part",
+    format_io.jdbc_roundtrip_part,
+    format_io.JDBC_ROUNDTRIP_PART_SQL,
+)
+register("q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_SQL)
+register("q11_important_stock", relational.q11_important_stock, relational.Q11_SQL)
+register(
+    "q16_supplier_part_counts",
+    relational.q16_supplier_part_counts,
+    relational.Q16_SQL,
+)
+register(
+    "q20_potential_part_promotion",
+    relational.q20_potential_part_promotion,
+    relational.Q20_SQL,
+)
+register("q21_waiting_suppliers", relational.q21_waiting_suppliers, relational.Q21_SQL)
+register(
+    "dormant_rich_customers",
+    relational.dormant_rich_customers,
+    relational.DORMANT_RICH_SQL,
+)
+register(
+    "corpus_mix_weighted",
+    pipeline_ops.corpus_mix_weighted,
+    pipeline_ops.CORPUS_MIX_WEIGHTED_SQL,
+)
+register(
+    "events_asof_orders",
+    events_ops.events_asof_orders,
+    events_ops.EVENTS_ASOF_ORDERS_SQL,
+)
+register(
+    "quarantine_corrupt_formats",
+    format_io.quarantine_corrupt_formats,
+    format_io.QUARANTINE_CORRUPT_FORMATS_SQL,
+)
+# (events_daily_type_pivot retired r13 into events_audit_composite —
+# standalone parity row kept in tests/test_oracle_parity.py)
+register(
+    "duplicate_spans_documents",
+    llm_ops.duplicate_spans_documents,
+    llm_ops.DUPLICATE_SPANS_SQL,
+)
+register(
+    "supplier_nation_profit",
+    relational.supplier_nation_profit,
+    relational.SUPPLIER_NATION_PROFIT_SQL,
+)
+register(
+    "priority_by_shipyear",
+    relational.priority_by_shipyear,
+    relational.PRIORITY_BY_SHIPYEAR_SQL,
+)
+register(
+    "top_revenue_suppliers",
+    relational.top_revenue_suppliers,
+    relational.TOP_REVENUE_SUPPLIERS_SQL,
+)
+register(
+    "small_quantity_revenue",
+    relational.small_quantity_revenue,
+    relational.SMALL_QUANTITY_REVENUE_SQL,
+)
+register(
+    "events_after_busy_hours",
+    events_ops.events_after_busy_hours,
+    events_ops.EVENTS_AFTER_BUSY_SQL,
+)
+register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
+register("q3_shipping_priority", relational.q3_shipping_priority, relational.Q3_SQL)
+register("q5_region_revenue", relational.q5_region_revenue, relational.Q5_SQL)
+register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_SQL)
+register("customer_segment_stats", relational.customer_segment_stats, relational.CUSTOMER_SEGMENT_SQL)
+register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
+register(
+    "customers_without_recent_orders",
+    relational.customers_without_recent_orders,
+    relational.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
+)
+register("order_priority_counts", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL)
+register(
+    "pack_sequences_documents",
+    pipeline_ops.pack_sequences_documents,
+    pipeline_ops.PACK_SEQUENCES_SQL,
 )
